@@ -6,12 +6,55 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (graft.queries.Relational.q1PricingSummary _),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val R = graft.queries.Relational
+    Map(
+      "q1_pricing_summary" -> (R.q1PricingSummary _),
+      "q2_filter_pushdown" -> (R.q2FilterPushdown _),
+      "q3_join_agg" -> (R.q3JoinAgg _),
+      "q4_broadcast_join" -> (R.q4BroadcastJoin _),
+      "q5_multi_join" -> (R.q5MultiJoin _),
+      "q6_selective_filter" -> (R.q6SelectiveFilter _),
+      "q7_group_having" -> (R.q7GroupHaving _),
+      "q8_distinct_count" -> (R.q8DistinctCount _),
+      "q9_topk" -> (R.q9TopK _),
+      "q10_window_rank" -> (R.q10WindowRank _),
+      "q11_semi_anti" -> (R.q11SemiAnti _),
+      "q12_conditional_agg" -> (R.q12ConditionalAgg _),
+      "q13_outer_join_agg" -> (R.q13OuterJoinAgg _),
+      "q14_union_all" -> (R.q14UnionAll _),
+      "q15_cte_view" -> (R.q15CteView _),
+      "q16_grouping_sets" -> (R.q16GroupingSets _),
+      "q17_subquery_avg" -> (R.q17SubqueryAvg _),
+      "q18_in_subquery" -> (R.q18InSubquery _),
+      "q19_percentile" -> (R.q19Percentile _),
+      "q20_approx_distinct" -> (R.q20ApproxDistinct _),
+    )
+  }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> graft.queries.Relational.q1Sql,
-  )
+  def oracleSql: Map[String, String] = {
+    val R = graft.queries.Relational
+    Map(
+      "q1_pricing_summary" -> R.q1Sql,
+      "q2_filter_pushdown" -> R.q2Sql,
+      "q3_join_agg" -> R.q3Sql,
+      "q4_broadcast_join" -> R.q4Sql,
+      "q5_multi_join" -> R.q5Sql,
+      "q6_selective_filter" -> R.q6Sql,
+      "q7_group_having" -> R.q7Sql,
+      "q8_distinct_count" -> R.q8Sql,
+      "q9_topk" -> R.q9Sql,
+      "q10_window_rank" -> R.q10Sql,
+      "q11_semi_anti" -> R.q11Sql,
+      "q12_conditional_agg" -> R.q12Sql,
+      "q13_outer_join_agg" -> R.q13Sql,
+      "q14_union_all" -> R.q14Sql,
+      "q15_cte_view" -> R.q15Sql,
+      "q16_grouping_sets" -> R.q16Sql,
+      "q17_subquery_avg" -> R.q17Sql,
+      "q18_in_subquery" -> R.q18Sql,
+      "q19_percentile" -> R.q19Sql,
+    )
+  }
 }

@@ -42,4 +42,395 @@ object Relational {
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2_filter_pushdown — selective predicate + 3-column projection; both
+    * reach the parquet scan (PushedFilters + pruned ReadSchema), so at
+    * 100 TB only the matching row groups and 3 columns are read.
+    */
+  def q2FilterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_size".between(10, 20) && $"p_type" === "PROMO")
+      .select($"p_partkey", $"p_name", $"p_retailprice")
+  }
+
+  val q2Sql: String =
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'PROMO'""".stripMargin
+
+  /** q3_join_agg — TPC-H Q3 shape: two shuffle joins + agg + top-k.
+    * Top-k is orderBy.limit = TakeOrderedAndProject: O(k) per partition,
+    * no global sort. Tie-broken on l_orderkey for determinism.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q4_broadcast_join — dimension chain supplier⨝nation⨝region, both dims
+    * broadcast: zero shuffle of the (large-at-scale) supplier side.
+    */
+  def q4BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum($"s_acctbal"), 2).as("total_acctbal"))
+  }
+
+  val q4Sql: String =
+    """SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** q5_multi_join — TPC-H Q5 shape: 6-way join, dims broadcast, facts
+    * shuffle-joined on their keys; revenue by nation.
+    */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** q6_selective_filter — TPC-H Q6 shape: tight range predicates fully
+    * pushed to parquet; single-row global aggregate.
+    */
+  def q6SelectiveFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+  }
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** q7_group_having — groupBy + HAVING on the unrounded aggregate
+    * (filter applied post-agg, map-side partial agg keeps shuffle tiny).
+    */
+  def q7GroupHaving(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_quantity").as("raw_qty"), count(lit(1)).as("n_lines"))
+      .filter($"raw_qty" > 15500)
+      .select($"l_suppkey", round($"raw_qty", 2).as("total_qty"), $"n_lines")
+  }
+
+  val q7Sql: String =
+    """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+      |FROM lineitem GROUP BY l_suppkey HAVING sum(l_quantity) > 15500""".stripMargin
+
+  /** q8_distinct_count — exact multi-column distinct aggregation. */
+  def q8DistinctCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_cust"),
+        countDistinct($"o_orderpriority").as("n_prio"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val q8Sql: String =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+      |  count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** q9_topk — global top-k: TakeOrderedAndProject, no full sort. */
+  def q9TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+  }
+
+  val q9Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** q10_window_rank — rank per mktsegment; partitions by a bounded key
+    * but each partition's sort is local to its hash-shuffle bucket.
+    */
+  def q10WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      .withColumn("rnk", rank().over(w))
+      .filter($"rnk" <= 5)
+  }
+
+  val q10Sql: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) WHERE rnk <= 5""".stripMargin
+
+  /** q11_semi_anti — EXISTS / NOT EXISTS as left-semi / left-anti joins
+    * (no row multiplication, orders side only shuffles its key column).
+    */
+  def q11SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val orderKeys = Tables.orders(spark, dir).select($"o_custkey")
+    val withOrders = cust.join(orderKeys, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_with"))
+    val withoutOrders = cust.join(orderKeys, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_without"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "left_outer")
+      .select($"c_mktsegment", $"n_with",
+        coalesce($"n_without", lit(0L)).as("n_without"))
+  }
+
+  val q11Sql: String =
+    """WITH w AS (
+      |  SELECT c_mktsegment, count(*) AS n_with FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment),
+      |wo AS (
+      |  SELECT c_mktsegment, count(*) AS n_without FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment)
+      |SELECT w.c_mktsegment, n_with, coalesce(n_without, 0) AS n_without
+      |FROM w LEFT JOIN wo USING (c_mktsegment)""".stripMargin
+
+  /** q12_conditional_agg — TPC-H Q12 shape: CASE-WHEN counters. */
+  def q12ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hi = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority".isin(hi: _*), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!$"o_orderpriority".isin(hi: _*), 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** q13_outer_join_agg — TPC-H Q13 shape: left outer join preserved
+    * through two aggregation levels (customer order-count distribution).
+    */
+  def q13OuterJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** q14_union_all — heterogeneous slices unioned then aggregated. */
+  def q14UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select(lit("click").as("kind"), $"value")
+    val buys = ev.filter($"event_type" === "purchase")
+      .select(lit("buy").as("kind"), ($"value" * 2.0).as("value"))
+    clicks.unionAll(buys)
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+  }
+
+  val q14Sql: String =
+    """SELECT kind, count(*) AS n, round(sum(value), 2) AS total FROM (
+      |  SELECT 'click' AS kind, value FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT 'buy' AS kind, value * 2.0 AS value FROM events WHERE event_type = 'purchase')
+      |GROUP BY kind""".stripMargin
+
+  /** q15_cte_view — TPC-H Q15 shape: derived revenue view + max-equality
+    * self-filter via broadcast of the 1-row max.
+    */
+  def q15CteView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val revenue = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("total_revenue"))
+    val maxRev = revenue.agg(max($"total_revenue").as("mx"))
+    Tables.supplier(spark, dir)
+      .join(revenue, $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(maxRev), $"total_revenue" === $"mx")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+  }
+
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+
+  /** q16_grouping_sets — ROLLUP over two dims with null-marker coalesce. */
+  def q16GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .rollup($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(coalesce($"c_mktsegment", lit("ALL")).as("seg"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n", $"total")
+  }
+
+  val q16Sql: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""".stripMargin
+
+  /** q17_subquery_avg — TPC-H Q17 shape: correlated avg subquery
+    * decorrelated into a per-partkey aggregate + broadcast-joined filter.
+    */
+  def q17SubqueryAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val partAvg = li.groupBy($"l_partkey".as("avg_partkey"))
+      .agg((avg($"l_quantity") * 0.2).as("qty_threshold"))
+    val brandParts = Tables.part(spark, dir).filter($"p_brand" === "Brand#1")
+      .select($"p_partkey")
+    li.join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      .join(partAvg, $"l_partkey" === $"avg_partkey")
+      .filter($"l_quantity" < $"qty_threshold")
+      .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
+  /** q18_in_subquery — TPC-H Q18 shape: IN-subquery on grouped HAVING,
+    * planned as a semi join against the pre-aggregated key set.
+    */
+  def q18InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val bigOrders = li.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("q")).filter($"q" > 250)
+      .select($"l_orderkey".as("big_orderkey"))
+    Tables.orders(spark, dir)
+      .join(bigOrders, $"o_orderkey" === $"big_orderkey", "left_semi")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_custkey", $"o_orderkey", $"o_totalprice")
+      .agg(round(sum($"l_quantity"), 2).as("total_qty"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice, round(sum(l_quantity), 2) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |GROUP BY c_custkey, o_orderkey, o_totalprice""".stripMargin
+
+  /** q19_percentile — exact interpolated percentiles per group (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`).
+    */
+  def q19Percentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(percentile($"o_totalprice", lit(0.5)), 2).as("median_price"),
+        round(percentile($"o_totalprice", lit(0.9)), 2).as("p90_price"))
+  }
+
+  val q19Sql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** q20_approx_distinct — HLL approx_count_distinct next to the exact
+    * count; rows-only check (sketch estimates are engine-specific).
+    */
+  def q20ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", 0.01).as("approx_users"),
+        countDistinct($"user_id").as("exact_users"))
+  }
 }
