@@ -29,8 +29,19 @@ object SparkEntry {
       "q18_in_subquery" -> (R.q18InSubquery _),
       "q19_percentile" -> (R.q19Percentile _),
       "q20_approx_distinct" -> (R.q20ApproxDistinct _),
+      "q21_asof_join" -> (T.q21AsOfJoin _),
+      "q22_ohlcv_resample" -> (T.q22OhlcvResample _),
+      "q23_moving_avg" -> (T.q23MovingAvg _),
+      "q24_returns" -> (T.q24Returns _),
+      "q25_cum_adjustment" -> (T.q25CumAdjustment _),
+      "q26_gap_detect" -> (T.q26GapDetect _),
+      "q27_sessionize" -> (T.q27Sessionize _),
+      "q28_scd2_intervals" -> (T.q28Scd2Intervals _),
+      "q29_pit_latest" -> (T.q29PitLatest _),
+      "q30_zscore_outliers" -> (T.q30ZscoreOutliers _),
     )
   }
+  private def T = graft.queries.TimeSeries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
@@ -55,6 +66,16 @@ object SparkEntry {
       "q17_subquery_avg" -> R.q17Sql,
       "q18_in_subquery" -> R.q18Sql,
       "q19_percentile" -> R.q19Sql,
+      "q21_asof_join" -> T.q21Sql,
+      "q22_ohlcv_resample" -> T.q22Sql,
+      "q23_moving_avg" -> T.q23Sql,
+      "q24_returns" -> T.q24Sql,
+      "q25_cum_adjustment" -> T.q25Sql,
+      "q26_gap_detect" -> T.q26Sql,
+      "q27_sessionize" -> T.q27Sql,
+      "q28_scd2_intervals" -> T.q28Sql,
+      "q29_pit_latest" -> T.q29Sql,
+      "q30_zscore_outliers" -> T.q30Sql,
     )
   }
 }

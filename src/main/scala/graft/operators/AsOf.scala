@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join.
+  *
+  * For each left row, attaches the right row with the greatest right
+  * timestamp <= the left timestamp, per key — the securities-master
+  * primitive for "price as of trade time" / "latest reference record
+  * in effect".
+  *
+  * Spark-first plan: instead of a range join (which Catalyst would
+  * execute as a broadcast-nested-loop or an exploding theta join), the
+  * two sides are unioned with a side tag and resolved in one window
+  * pass:
+  *
+  *   union → hash-shuffle on key → in-partition sort by (ts, side) →
+  *   last(value, ignoreNulls) over rows-unbounded-preceding
+  *
+  * One shuffle + one sort, linear in |L|+|R|; scales like any keyed
+  * window (partition count grows with the cluster, per-key data stays
+  * co-located). At equal timestamps the reference row sorts first
+  * (side 0 < side 1), so a reference effective AT t matches a query at
+  * t — the `>=` convention, same as DuckDB's ASOF JOIN.
+  */
+object AsOf {
+
+  /** @param left      query side (all its columns are kept)
+    * @param right     reference side
+    * @param key       equi-key column name present on both sides
+    * @param leftTs    event-time column on `left`
+    * @param rightTs   event-time column on `right`
+    * @param rightVals (rightColumn, outputName) values carried to the left
+    * @param inner     when true, drops left rows with no reference in effect
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String,
+           rightVals: Seq[(String, String)],
+           inner: Boolean = true): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        rightVals.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      case (df, (_, out)) =>
+        df.withColumn(out, last(col(s"__r_$out"), ignoreNulls = true).over(w))
+    }
+    val out = filled
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ rightVals.map { case (_, o) => col(o) }: _*)
+    if (inner) out.filter(rightVals.map { case (_, o) => col(o).isNotNull }.reduce(_ || _))
+    else out
+  }
+}

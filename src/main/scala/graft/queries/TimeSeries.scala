@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / security-master operators (SURVEY §2, q21–q30).
+  *
+  * All keyed by `user_id` (the high-cardinality key at scale): every
+  * window shuffles once on the key and sorts within partitions — the
+  * plan that survives a 100× scale-up by just raising partition count.
+  */
+object TimeSeries {
+
+  /** q21_asof_join — each purchase matched to the user's latest signup
+    * at-or-before it (price-as-of-trade-time analog). See [[AsOf]].
+    */
+  def q21AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"value")
+    AsOf.join(purchases, signups, key = "user_id",
+      leftTs = "ts", rightTs = "ts",
+      rightVals = Seq("ts" -> "ref_ts", "value" -> "ref_value"))
+  }
+
+  val q21Sql: String =
+    """SELECT p.event_id, p.user_id, p.ts, p.value, s.ts AS ref_ts, s.value AS ref_value
+      |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin
+
+  /** q22_ohlcv_resample — hourly OHLCV bars per event_type: time_bucket
+    * + arg_min/arg_max (`min_by`/`max_by`), single hash aggregation.
+    */
+  def q22OhlcvResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+      .agg(
+        min_by($"value", $"ts").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", $"ts").as("close"),
+        round(sum($"value"), 2).as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
+
+  val q22Sql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+      |  arg_max(value, ts) AS close, round(sum(value), 2) AS volume,
+      |  count(*) AS n_trades
+      |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin
+
+  /** q23_moving_avg — 7-row rolling mean/stddev per user (rolling
+    * volatility analog).
+    */
+  def q23MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("ma7", round(avg($"value").over(w), 4))
+      .withColumn("vol7", round(stddev_samp($"value").over(w), 4))
+      .select($"user_id", $"event_id", $"ma7", $"vol7")
+  }
+
+  val q23Sql: String =
+    """SELECT user_id, event_id,
+      |  round(avg(value) OVER w, 4) AS ma7,
+      |  round(stddev_samp(value) OVER w, 4) AS vol7
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q24_returns — lag-based pct change per user (daily-returns analog). */
+  def q24Returns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev", lag($"value", 1).over(w))
+      .withColumn("ret", round(($"value" - $"prev") / $"prev", 6))
+      .select($"user_id", $"event_id", $"ret")
+  }
+
+  val q24Sql: String =
+    """SELECT user_id, event_id,
+      |  round((value - lag(value) OVER w) / (lag(value) OVER w), 6) AS ret
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** q25_cum_adjustment — cumulative adjustment factor per user as a
+    * running product, computed as exp∘sum∘ln for a single window pass
+    * (split/dividend back-adjustment analog). Reported in log space
+    * for numerical comparability.
+    */
+  def q25CumAdjustment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("log_adj",
+        round(sum(log(lit(1.0) + $"value" / 1000.0)).over(w), 6))
+      .select($"user_id", $"event_id", $"log_adj")
+  }
+
+  val q25Sql: String =
+    """SELECT user_id, event_id,
+      |  round(sum(ln(1.0 + value / 1000.0)) OVER w, 6) AS log_adj
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q26_gap_detect — missing-data screen: intervals > 4h between
+    * consecutive events of a user (missing-trading-day analog).
+    */
+  def q26GapDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap_sec",
+        round((unix_micros($"ts") - unix_micros($"prev_ts")) / 1e6, 3))
+      .filter($"gap_sec" > 4 * 3600)
+      .select($"user_id", $"prev_ts".as("gap_start"), $"ts".as("gap_end"), $"gap_sec")
+  }
+
+  val q26Sql: String =
+    """SELECT user_id, prev_ts AS gap_start, ts AS gap_end, gap_sec FROM (
+      |  SELECT user_id, ts, lag(ts) OVER w AS prev_ts,
+      |    round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6, 3) AS gap_sec
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE gap_sec > 14400""".stripMargin
+
+  /** q27_sessionize — 30-min-inactivity sessions: boundary flag via lag,
+    * session id via running sum, then per-session rollup. Two window
+    * passes over the same (user_id) shuffle — Catalyst reuses the
+    * exchange.
+    */
+  def q27Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("is_new", when($"prev_ts".isNull ||
+        (unix_micros($"ts") - unix_micros($"prev_ts")) > 1800L * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        round(sum($"value"), 2).as("session_value"))
+  }
+
+  val q27Sql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  round(sum(value), 2) AS session_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts, value,
+      |      CASE WHEN lag(ts) OVER w IS NULL
+      |            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** q28_scd2_intervals — SCD-type-2 validity intervals per (user,type):
+    * valid_from = ts, valid_to = next change (NULL = current record).
+    */
+  def q28Scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"user_id", $"event_type", $"ts", $"value", $"event_id")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"event_type", $"ts".as("valid_from"), $"valid_to", $"value")
+  }
+
+  val q28Sql: String =
+    """SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to,
+      |  value
+      |FROM events WHERE event_type IN ('signup', 'purchase')""".stripMargin
+
+  /** q29_pit_latest — point-in-time current record per (user, type):
+    * dedup-by-recency via row_number, the upsert-compaction primitive.
+    */
+  def q29PitLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts", $"value", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"ts".as("latest_ts"), $"value".as("latest_value"))
+  }
+
+  val q29Sql: String =
+    """SELECT user_id, event_type, ts AS latest_ts, value AS latest_value FROM (
+      |  SELECT user_id, event_type, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** q30_zscore_outliers — per-type z-score screen: group stats are a
+    * tiny aggregate broadcast back against the fact table (no second
+    * shuffle of the large side).
+    */
+  def q30ZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy($"event_type".as("et"))
+      .agg(avg($"value").as("m"), stddev_samp($"value").as("s"))
+    ev.join(broadcast(stats), $"event_type" === $"et")
+      .withColumn("z", ($"value" - $"m") / $"s")
+      .filter(abs($"z") > 2.5)
+      .select($"event_id", $"event_type", $"value", round($"z", 4).as("z"))
+  }
+
+  val q30Sql: String =
+    """SELECT event_id, event_type, value, round((value - m) / s, 4) AS z
+      |FROM events JOIN (
+      |  SELECT event_type AS et, avg(value) AS m, stddev_samp(value) AS s
+      |  FROM events GROUP BY event_type) ON event_type = et
+      |WHERE abs((value - m) / s) > 2.5""".stripMargin
+}
