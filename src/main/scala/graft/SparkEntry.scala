@@ -39,9 +39,22 @@ object SparkEntry {
       "q28_scd2_intervals" -> (T.q28Scd2Intervals _),
       "q29_pit_latest" -> (T.q29PitLatest _),
       "q30_zscore_outliers" -> (T.q30ZscoreOutliers _),
+      "q31_dedup_exact" -> (D.q31DedupExact _),
+      "q32_dedup_minhash" -> (D.q32DedupMinhash _),
+      "q33_dedup_simhash" -> (D.q33DedupSimhash _),
+      "q34_ngram_jaccard" -> (D.q34NgramJaccard _),
+      "q35_ann_bruteforce" -> (D.q35AnnBruteforce _),
+      "q36_ann_lsh" -> (D.q36AnnLsh _),
+      "q37_lang_id" -> (D.q37LangId _),
+      "q38_quality_score" -> (D.q38QualityScore _),
+      "q39_token_count" -> (D.q39TokenCount _),
+      "q40_fingerprint" -> (D.q40Fingerprint _),
+      "q41_multimodal_meta" -> (D.q41MultimodalMeta _),
+      "q42_embedding_stats" -> (D.q42EmbeddingStats _),
     )
   }
   private def T = graft.queries.TimeSeries
+  private def D = graft.queries.TrainingData
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
@@ -76,6 +89,12 @@ object SparkEntry {
       "q28_scd2_intervals" -> T.q28Sql,
       "q29_pit_latest" -> T.q29Sql,
       "q30_zscore_outliers" -> T.q30Sql,
+      "q31_dedup_exact" -> D.q31Sql,
+      "q35_ann_bruteforce" -> D.q35Sql,
+      "q38_quality_score" -> D.q38Sql,
+      "q39_token_count" -> D.q39Sql,
+      "q41_multimodal_meta" -> D.q41Sql,
+      "q42_embedding_stats" -> D.q42Sql,
     )
   }
 }

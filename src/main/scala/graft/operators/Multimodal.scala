@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, batch feature extraction, and frame sampling.
+  *
+  * The decode step is STUBBED — this container has no image/audio
+  * codecs — behind [[MediaCodec]]: the Spark-side contract (schema,
+  * binary column handling, partition-batched iteration, deterministic
+  * output shape) is real and tested; swapping in a JNI/ffmpeg-backed
+  * codec is a one-object change with no plan changes.
+  */
+object Multimodal {
+
+  /** One decoded-feature row per media payload. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, magic: String,
+                           width: Int, height: Int, features: Array[Float])
+
+  private case class Payload(doc_id: Long, payload: Array[Byte])
+
+  /** STUB codec: deterministic fake decode. A real implementation
+    * would hand the batch to an image/audio library; everything the
+    * engine depends on (batching, schema, determinism) is preserved.
+    */
+  object MediaCodec {
+    val batchSize = 64
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
+      batch.map { case (id, bytes) =>
+        val magic = bytes.take(4).map(b => f"$b%02X").mkString
+        // fake dimensions/features derived only from the payload → stable
+        val width = 64 + (math.abs(bytes.length * 31 + id.toInt) % 512)
+        val height = 64 + (math.abs(bytes.length * 17 + id.toInt) % 512)
+        val feats = Array.tabulate(8)(i =>
+          (if (bytes.isEmpty) 0f
+           else bytes(i % bytes.length).toFloat / 128f))
+        MediaFeatures(id, bytes.length, magic, width, height, feats)
+      }
+  }
+
+  /** Attach an opaque binary payload column (here: UTF-8 bytes of the
+    * document text — the stand-in for real image/audio bytes) plus the
+    * metadata a lakehouse would track alongside it.
+    */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("payload")))
+      .withColumn("content_md5", md5(col("payload")))
+
+  /** Partition-batched feature extraction over the binary column —
+    * the Scala analog of `mapInPandas`: each partition is consumed in
+    * [[MediaCodec.batchSize]] groups so a real codec could amortize
+    * model/codec setup per batch, never per row.
+    */
+  def decodeFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    attachPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        it.grouped(MediaCodec.batchSize).flatMap { batch =>
+          MediaCodec.decodeBatch(batch.map(p => (p.doc_id, p.payload)))
+        }
+      }
+  }
+
+  /** Frame sampling for chunked payloads ("video"): split the payload
+    * into fixed-size chunks and keep every `stride`-th — pure column
+    * ops, no decode needed for temporal subsampling.
+    */
+  def sampleFrames(docs: DataFrame, chunkBytes: Int = 32,
+                   stride: Int = 4): DataFrame =
+    attachPayload(docs)
+      .select(col("doc_id"), col("payload"), col("n_bytes"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest((col("n_bytes") - 1) / chunkBytes, lit(0)))))
+      .filter(col("frame_idx") % stride === 0)
+      .withColumn("frame",
+        substring(col("payload"), (col("frame_idx") * chunkBytes + 1).cast("int"), lit(chunkBytes)))
+      .select(col("doc_id"), col("frame_idx"), col("frame"))
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Text, Vectors}
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries (SURVEY §2, q31–q42) over the
+  * `documents` and `embeddings` tables.
+  */
+object TrainingData {
+
+  /** q31_dedup_exact — content-hash dedup with multiplicity. */
+  def q31DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir))
+
+  val q31Sql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** q32_dedup_minhash — MinHash-LSH near-dup candidate pairs. */
+  def q32DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(Tables.documents(spark, dir))
+
+  /** q33_dedup_simhash — SimHash hamming-band near-dup pairs. */
+  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(spark, dir))
+
+  /** q34_ngram_jaccard — exact bigram Jaccard over inverted-index
+    * candidates.
+    */
+  def q34NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
+
+  /** q35_ann_bruteforce — exact cosine top-5 for query vectors 0–9. */
+  def q35AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Ann.bruteForceTopK(emb.filter($"vec_id" < 10), emb, k = 5)
+  }
+
+  val q35Sql: String =
+    """SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rnk FROM (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(n.embedding AS DOUBLE[])) AS cos_raw,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+      |               n.vec_id) AS rnk
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+      |WHERE rnk <= 5""".stripMargin
+
+  /** q36_ann_lsh — LSH-bucketed ANN, top-3 per query. */
+  def q36AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Ann.lshTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+  }
+
+  /** q37_lang_id — stopword-marker language ID vs the labeled column. */
+  def q37LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        Text.langId(Text.tokens($"text")).as("pred_lang"))
+  }
+
+  /** q38_quality_score — Gopher/C4-style quality metrics. */
+  def q38QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    Text.qualityMetrics($"text").foldLeft(base) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }.drop("text")
+  }
+
+  val q38Sql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+      |  round(CAST(length(text) - len(regexp_split_to_array(lower(trim(text)), '\s+')) + 1 AS DOUBLE)
+      |        / len(regexp_split_to_array(lower(trim(text)), '\s+')), 4) AS avg_token_len,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |        / length(text), 6) AS punct_ratio,
+      |  round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |          t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+      |        / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS stopword_ratio
+      |FROM documents""".stripMargin
+
+  /** q39_token_count — whitespace tokens, lexical (BPE-ish) tokens,
+    * and the chars/4 BPE estimate.
+    */
+  def q39TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(Text.tokens($"text")).as("n_ws_tokens"),
+        size(Text.lexTokens($"text")).as("n_lex_tokens"),
+        ceil(length($"text").cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
+  }
+
+  val q39Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_lex_tokens,
+      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM documents""".stripMargin
+
+  /** q40_fingerprint — winnowing fingerprints (k=8, window=4). */
+  def q40Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Text.winnowFingerprints($"text", k = 8, window = 4)
+    Tables.documents(spark, dir)
+      .select($"doc_id", fp.as("fps"))
+      .select($"doc_id", size($"fps").as("n_fingerprints"),
+        array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
+  }
+
+  /** q41_multimodal_meta — binary payload metadata: byte length,
+    * content hash, magic prefix (hex of first 4 bytes).
+    */
+  def q41MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("payload", $"text".cast("binary"))
+      .select($"doc_id",
+        octet_length($"payload").as("n_bytes"),
+        md5($"payload").as("content_md5"),
+        hex(substring($"payload", 1, 4)).as("magic"))
+  }
+
+  val q41Sql: String =
+    """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  hex(CAST(left(text, 4) AS BLOB)) AS magic
+      |FROM documents""".stripMargin
+
+  /** q42_embedding_stats — per-label vector aggregates (norms are 1.0
+    * by construction; component means discriminate the labels).
+    */
+  def q42EmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Vectors.toDouble($"embedding")
+    Tables.embeddings(spark, dir)
+      .select($"label", Vectors.norm2(v).as("norm"),
+        element_at(v, 1).as("c0"), size($"embedding").as("dim"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"norm"), 6).as("avg_norm"),
+        round(avg($"c0"), 6).as("avg_c0"),
+        max($"dim").as("dim"))
+  }
+
+  val q42Sql: String =
+    """SELECT label, count(*) AS n,
+      |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS avg_norm,
+      |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0,
+      |  max(len(embedding)) AS dim
+      |FROM embeddings GROUP BY label""".stripMargin
+}
