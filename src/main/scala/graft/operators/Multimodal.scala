@@ -18,7 +18,10 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Int, magic: String,
                            width: Int, height: Int, features: Array[Float])
 
-  private case class Payload(doc_id: Long, payload: Array[Byte])
+  /** Encoder target for the decode path (not private: the codegen'd
+    * deserializer must reach the constructor).
+    */
+  case class Payload(doc_id: Long, payload: Array[Byte])
 
   /** STUB codec: deterministic fake decode. A real implementation
     * would hand the batch to an image/audio library; everything the
@@ -74,8 +77,8 @@ object Multimodal {
     attachPayload(docs)
       .select(col("doc_id"), col("payload"), col("n_bytes"))
       .withColumn("frame_idx",
-        explode(sequence(lit(0),
-          greatest((col("n_bytes") - 1) / chunkBytes, lit(0)))))
+        explode(sequence(lit(0L),
+          greatest(floor((col("n_bytes") - 1) / chunkBytes).cast("long"), lit(0L)))))
       .filter(col("frame_idx") % stride === 0)
       .withColumn("frame",
         substring(col("payload"), (col("frame_idx") * chunkBytes + 1).cast("int"), lit(chunkBytes)))

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: incremental ingestion of the `events`
+  * feed — watermarked windowed aggregation and stateful sessionization.
+  *
+  * The same `events` parquet drives both batch and streaming (the
+  * kappa-style contract): a file-source stream over the directory
+  * replays history, and in production the identical plan runs over a
+  * message-bus source, because every transform below is
+  * source-agnostic.
+  */
+object Streams {
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                          value: Double, event_id: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long,
+                     session_value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** File-source stream over the events parquet with the same
+    * nanos→µs normalization as the batch loader.
+    */
+  def eventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Sliding-window counts with a watermark: late data beyond 1 hour is
+    * dropped, so state is bounded regardless of stream length.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+  /** Stateful sessionization: 30-minute inactivity gap, implemented
+    * with flatMapGroupsWithState so the per-user state is just
+    * (start, last, n, sum) — O(users) state, not O(events).
+    * Sessions close either when a gap appears inside the feed or when
+    * the event-time watermark passes last+30min (timeout path).
+    */
+  /** µs precision throughout — `Timestamp.getTime` alone is ms-truncated
+    * and diverges from the batch sessionizer (q27) on boundary gaps.
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, tsFromMicros(s.start),
+              tsFromMicros(s.last), s.n, s.sum))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.last <= gapUs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, tsFromMicros(s.start),
+                    tsFromMicros(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.functions.{SimHash, Text, Vectors}
+import graft.operators.{Ann, AsOf, Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Unit tests on hand-built frames with exactly known answers. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join picks the latest reference at-or-before, per key") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "t1"),
+      (1L, ts("2024-01-01 12:00:00"), "t2"),
+      (2L, ts("2024-01-01 09:00:00"), "t3")
+    ).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 101.0),
+      (1L, ts("2024-01-01 12:00:00"), 102.0), // equal ts: matches (>= conv.)
+      (2L, ts("2024-01-01 10:00:00"), 200.0)  // after t3: no match
+    ).toDF("k", "qts", "price")
+    val out = AsOf.join(trades, quotes, "k", "ts", "qts",
+      Seq("price" -> "price"), inner = true)
+      .select("trade", "price").as[(String, Double)].collect().toMap
+    assert(out == Map("t1" -> 100.0, "t2" -> 102.0))
+  }
+
+  test("as-of outer join keeps unmatched left rows") {
+    val l = Seq((1L, ts("2024-01-01 08:00:00"), "x")).toDF("k", "ts", "tag")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rts", "v")
+    val out = AsOf.join(l, r, "k", "ts", "rts", Seq("v" -> "v"), inner = false)
+    assert(out.count() == 1 && out.collect()(0).isNullAt(out.columns.indexOf("v")))
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("canonical_id")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash finds a planted near-duplicate") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash of identical docs has hamming 0; disjoint docs don't pair at 0") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww qq pp")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard is exact on a known overlap") {
+    // doc1: bigrams {a b, b c, c d}; doc2: {a b, b c, c x} → J = 2/4 = 0.5
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, threshold = 0.1)
+      .select("jaccard").as[Double].collect()
+    assert(out.toSeq == Seq(0.5))
+  }
+
+  test("brute-force ANN ranks the exact nearest first") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 0),
+      (3L, Array(-1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 3)
+      .orderBy("rnk").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates with valid ranks") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Ann.lshTopK(emb.filter($"vec_id" < 5), emb, k = 3, dim = 64)
+    assert(out.count() > 0)
+    assert(out.filter($"rnk" > 3).count() == 0)
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+  }
+
+  test("language id picks the marked language") {
+    val docs = Seq(
+      (1L, "the cat is on the mat and the dog is in the house"),
+      (2L, "der Hund ist nicht mit der Katze und das ist gut"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id", Text.langId(Text.tokens($"text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("winnowing fingerprints are deterministic and shift-robust") {
+    val a = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val f1 = a.select(Text.winnowFingerprints($"text", 8, 4)).as[Seq[Long]].collect()(0)
+    val f2 = a.select(Text.winnowFingerprints($"text", 8, 4)).as[Seq[Long]].collect()(0)
+    assert(f1 == f2 && f1.nonEmpty)
+  }
+
+  test("simhash expression: identical token arrays give identical hashes") {
+    val df = Seq(Tuple1(Seq("a", "b", "c")), Tuple1(Seq("a", "b", "c")))
+      .toDF("toks").select(SimHash.simhash64($"toks").as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1))
+  }
+
+  test("vector cosine matches hand computation") {
+    val df = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")
+    val c = df.select(Vectors.cosine($"a", $"b")).as[Double].collect()(0)
+    assert(math.abs(c - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("multimodal decode: one feature row per doc, deterministic stub") {
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.decodeFeatures(spark, docs)
+    assert(feats.count() == docs.count())
+    val f = feats.filter($"doc_id" === 0).collect()(0)
+    assert(f.n_bytes > 0 && f.magic.length == 8 && f.features.length == 8)
+    val f2 = Multimodal.decodeFeatures(spark, docs).filter($"doc_id" === 0).collect()(0)
+    assert(f.width == f2.width && f.features.toSeq == f2.features.toSeq)
+  }
+
+  test("frame sampling keeps every stride-th chunk") {
+    val docs = Seq((1L, "x" * 100)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(docs, chunkBytes = 32, stride = 2)
+    // 100 bytes → chunks 0..3 → kept 0, 2
+    assert(frames.select("frame_idx").as[Long].collect().sorted.toSeq == Seq(0L, 2L))
+  }
+}
