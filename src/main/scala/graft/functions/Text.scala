@@ -30,13 +30,12 @@ object Text {
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): the
     * distinct per-window minima of the rolling k-gram hashes. Robust
     * document fingerprint for near-dup detection / provenance.
+    * Delegates to the native O(n) expression — the HOF formulation
+    * (slice+array_min per window) re-evaluates the hash array per
+    * window and was the q40 bottleneck at sf0.1.
     */
-  def winnowFingerprints(text: Column, k: Int, window: Int): Column = {
-    val hashes = charShingleHashes(text, k)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(hashes) - (window - 1), lit(1))),
-      i => array_min(slice(hashes, i, lit(window)))))
-  }
+  def winnowFingerprints(text: Column, k: Int, window: Int): Column =
+    TextExpressions.winnowFp(text, k, window)
 
   /** Tiny per-language stopword marker sets for heuristic language ID.
     * (The container has no NLP libs; this is the classic closed-class

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{SimHash, Text}
+import graft.functions.{SimHash, Text, TextExpressions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -42,12 +42,8 @@ object Dedup {
                    shingleSize: Int = 3, threshold: Double = 0.1): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    val shingles = array_distinct(
-      Text.wordShingles(Text.tokens(col(textCol)), shingleSize))
-    val sigSlots = (0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }
-    val withSig = docs.select(col(idCol).as("id"), array(sigSlots: _*).as("sig"))
+    val withSig = docs.select(col(idCol).as("id"),
+      TextExpressions.minhashSig(col(textCol), k, shingleSize).as("sig"))
     val bandCols = (0 until bands).map(b => xxhash64(slice(col("sig"), b * r + 1, r)))
     val entries = withSig
       .select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
@@ -107,7 +103,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 2,
                         maxDf: Int = 50, threshold: Double = 0.2): DataFrame = {
-    val grams = array_distinct(Text.wordShingles(Text.tokens(col(textCol)), n))
+    val grams = TextExpressions.shingleSet(col(textCol), n)
     val exploded = docs
       .select(col(idCol).as("id"), explode(grams).as("gram"), size(grams).as("n_grams"))
     val rare = exploded.groupBy(col("gram"))

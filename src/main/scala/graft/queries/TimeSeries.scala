@@ -87,13 +87,14 @@ object TimeSeries {
     Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"ts", $"value")
       .withColumn("prev", lag($"value", 1).over(w))
-      .withColumn("ret", round(($"value" - $"prev") / $"prev", 6))
+      // nullif guards ANSI divide-by-zero (value can be exactly 0.0)
+      .withColumn("ret", round(($"value" - $"prev") / nullif($"prev", lit(0.0)), 6))
       .select($"user_id", $"event_id", $"ret")
   }
 
   val q24Sql: String =
     """SELECT user_id, event_id,
-      |  round((value - lag(value) OVER w) / (lag(value) OVER w), 6) AS ret
+      |  round((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0.0), 6) AS ret
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 

@@ -112,7 +112,7 @@ object TrainingData {
   /** q40_fingerprint — winnowing fingerprints (k=8, window=4). */
   def q40Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = Text.winnowFingerprints($"text", k = 8, window = 4)
+    val fp = graft.functions.TextExpressions.winnowFp($"text", k = 8, window = 4)
     Tables.documents(spark, dir)
       .select($"doc_id", fp.as("fps"))
       .select($"doc_id", size($"fps").as("n_fingerprints"),
