@@ -23,18 +23,26 @@ object Bench {
     // JVM + session warmup so q1 doesn't absorb one-time startup cost
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    // A failing query must be machine-visible: it is excluded from the
+    // per-query map and the total, and lands in "errors" instead — a
+    // broken query must never make the benchmark look green or faster.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                  Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+                }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

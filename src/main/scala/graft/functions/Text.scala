@@ -73,8 +73,11 @@ object Text {
       "n_chars" -> nChars,
       "n_tokens" -> nTokens,
       "avg_token_len" -> round((nChars - nTokens + 1).cast("double") / nTokens, 4),
+      // nullif guard: an empty document must yield NULL, not abort the
+      // job with DIVIDE_BY_ZERO under Spark 4's default ANSI mode
       "punct_ratio" -> round(
-        (nChars - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") / nChars, 6),
+        (nChars - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") /
+          nullif(nChars, lit(0)), 6),
       "stopword_ratio" -> round(
         markerHits(toks, stopwordMarkers("en")).cast("double") / nTokens, 6))
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,22 +48,43 @@ object Ann {
 
   /** LSH-bucketed ANN: candidates from any of `tables` b-bit sign
     * buckets, exact cosine rerank, top-k per query.
+    *
+    * `dim = -1` (default) derives the dimension from the corpus with
+    * one LIMIT-1 scan at plan time: a wrong hardcoded dim would make
+    * `zip_with` null-pad every dot product, collapsing all vectors into
+    * bucket 0 and degenerating the candidate join toward a cross
+    * product — so the dimension is validated, never assumed.
+    *
+    * The bucket id is ONE higher-order-function expression over a
+    * nested plane-matrix literal (sign of each plane·v folded into a
+    * bit-weighted sum). The previous formulation unrolled tables×bits
+    * dot products into the expression tree — a >1 MB task binary whose
+    * codegen dominated q36's wall time.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              tables: Int = 8, bits: Int = 8, dim: Int = 64,
+              tables: Int = 8, bits: Int = 8, dim: Int = -1,
               seed: Long = 42L, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(tables, bits, dim, seed)
-    def bucketCol(vec: org.apache.spark.sql.Column, t: Int) = {
-      val bitCols = (0 until bits).map { b =>
-        val plane = typedlit(planes(t)(b).toSeq)
-        when(Vectors.dot(Vectors.toDouble(vec), plane) > 0, 1L << b).otherwise(0L)
-      }
-      bitCols.reduce(_ + _)
+    val d = if (dim > 0) dim
+            else corpus.select(size(col(vecCol)).as("d")).first().getInt(0)
+    require(d > 0, s"embedding dimension must be positive, got $d")
+    val planes = hyperplanes(tables, bits, d, seed)
+    val planesLit = typedlit(planes.map(_.map(_.toSeq).toSeq).toSeq)
+    def bucketsCol(vec: Column): Column = {
+      val v = Vectors.toDouble(vec)
+      transform(planesLit, tbl => aggregate(
+        tbl,
+        struct(lit(0L).as("acc"), lit(1L).as("w")),
+        (st, plane) => struct(
+          (st.getField("acc") +
+            when(Vectors.dot(v, plane) > 0, st.getField("w"))
+              .otherwise(lit(0L))).as("acc"),
+          (st.getField("w") * 2).as("w")),
+        st => st.getField("acc")))
     }
     def withBuckets(df: DataFrame, id: String, vec: String) = df
       .select(col(idCol).as(id), col(vecCol).as(vec),
-        posexplode(array((0 until tables).map(t => bucketCol(col(vecCol), t)): _*)))
+        posexplode(bucketsCol(col(vecCol))))
       .withColumnRenamed("pos", "table_idx")
       .withColumnRenamed("col", "bucket")
     val qb = withBuckets(queries, "query_id", "q_vec")

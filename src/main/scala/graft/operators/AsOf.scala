@@ -42,20 +42,24 @@ object AsOf {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val r = right.select(
-      col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        rightVals.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
+    // All right values ride in ONE struct: the struct itself is non-null
+    // for every reference row (even when every field is NULL), so
+    // last(..., ignoreNulls) resolves to the matched row's values — a
+    // NULL field in the most-recent reference row stays NULL instead of
+    // falling back to an older row, and match existence (struct
+    // non-null), not value non-nullness, drives inner semantics. Same
+    // row-match behavior as DuckDB ASOF JOIN for nullable right columns.
+    val r = right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(rightVals.map { case (in, out) => col(in).as(out) }: _*).as("__rv"))
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
-      case (df, (_, out)) =>
-        df.withColumn(out, last(col(s"__r_$out"), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
     val out = filled
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ rightVals.map { case (_, o) => col(o) }: _*)
-    if (inner) out.filter(rightVals.map { case (_, o) => col(o).isNotNull }.reduce(_ || _))
-    else out
+    val matched = if (inner) out.filter(col("__match").isNotNull) else out
+    matched.select(left.columns.map(col) ++
+      rightVals.map { case (_, o) => col("__match").getField(o).as(o) }: _*)
   }
 }

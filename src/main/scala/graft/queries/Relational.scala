@@ -312,19 +312,27 @@ object Relational {
       |GROUP BY kind""".stripMargin
 
   /** q15_cte_view — TPC-H Q15 shape: derived revenue view + max-equality
-    * self-filter via broadcast of the 1-row max.
+    * self-filter.
+    *
+    * The max is a global window over the ALREADY-AGGREGATED view (one
+    * row per suppkey — dimension cardinality even at 100 TB), so
+    * lineitem is scanned exactly once; the round-1 plan materialized
+    * the view twice (agg for max + again for the join). The surviving
+    * (~1-row) side is broadcast into the supplier join.
     */
   def q15CteView(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val revenue = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
       .groupBy($"l_suppkey")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("total_revenue"))
-    val maxRev = revenue.agg(max($"total_revenue").as("mx"))
+    val top = revenue
+      .withColumn("mx", max($"total_revenue").over(Window.partitionBy()))
+      .filter($"total_revenue" === $"mx")
     Tables.supplier(spark, dir)
-      .join(revenue, $"s_suppkey" === $"l_suppkey")
-      .join(broadcast(maxRev), $"total_revenue" === $"mx")
+      .join(broadcast(top), $"s_suppkey" === $"l_suppkey")
       .select($"s_suppkey", $"s_name", $"total_revenue")
   }
 
@@ -424,13 +432,22 @@ object Relational {
 
   /** q20_approx_distinct — HLL approx_count_distinct next to the exact
     * count; rows-only check (sketch estimates are engine-specific).
+    *
+    * The two aggregates are computed in SEPARATE passes joined on the
+    * (tiny) group key: mixing count(DISTINCT) with HLL in one agg makes
+    * Catalyst rewrite via Expand, which carries the ~12 KB HLL buffer
+    * as partial-agg state for every distinct (event_type, user_id)
+    * combination — that was 21 s of the round-1 bench (vs ~1 s split).
+    * The exact side is a two-level groupBy (map-side partial agg on the
+    * pair key, then count per group), which scales linearly.
     */
   def q20ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .groupBy($"event_type")
-      .agg(
-        approx_count_distinct($"user_id", 0.01).as("approx_users"),
-        countDistinct($"user_id").as("exact_users"))
+    val ev = Tables.events(spark, dir).select($"event_type", $"user_id")
+    val approx = ev.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+    val exact = ev.groupBy($"event_type", $"user_id").agg(count(lit(1)))
+      .groupBy($"event_type").agg(count(lit(1)).as("exact_users"))
+    approx.join(exact, Seq("event_type"))
   }
 }

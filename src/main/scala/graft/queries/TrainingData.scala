@@ -84,7 +84,7 @@ object TrainingData {
       |  round(CAST(length(text) - len(regexp_split_to_array(lower(trim(text)), '\s+')) + 1 AS DOUBLE)
       |        / len(regexp_split_to_array(lower(trim(text)), '\s+')), 4) AS avg_token_len,
       |  round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-      |        / length(text), 6) AS punct_ratio,
+      |        / nullif(length(text), 0), 6) AS punct_ratio,
       |  round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
       |          t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
       |        / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS stopword_ratio
