@@ -55,11 +55,11 @@ object Ann {
     * bucket 0 and degenerating the candidate join toward a cross
     * product — so the dimension is validated, never assumed.
     *
-    * The bucket id is ONE higher-order-function expression over a
-    * nested plane-matrix literal (sign of each plane·v folded into a
-    * bit-weighted sum). The previous formulation unrolled tables×bits
-    * dot products into the expression tree — a >1 MB task binary whose
-    * codegen dominated q36's wall time.
+    * Bucket ids come from a native Catalyst expression
+    * ([[graft.functions.LshSig]]) — one primitive loop per row. The
+    * unrolled per-bit `when` formulation shipped a >1 MB task binary,
+    * and the HOF rewrite allocated boxed structs per (table, bit,
+    * component); both dominated q36's wall time.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               tables: Int = 8, bits: Int = 8, dim: Int = -1,
@@ -69,19 +69,9 @@ object Ann {
             else corpus.select(size(col(vecCol)).as("d")).first().getInt(0)
     require(d > 0, s"embedding dimension must be positive, got $d")
     val planes = hyperplanes(tables, bits, d, seed)
-    val planesLit = typedlit(planes.map(_.map(_.toSeq).toSeq).toSeq)
-    def bucketsCol(vec: Column): Column = {
-      val v = Vectors.toDouble(vec)
-      transform(planesLit, tbl => aggregate(
-        tbl,
-        struct(lit(0L).as("acc"), lit(1L).as("w")),
-        (st, plane) => struct(
-          (st.getField("acc") +
-            when(Vectors.dot(v, plane) > 0, st.getField("w"))
-              .otherwise(lit(0L))).as("acc"),
-          (st.getField("w") * 2).as("w")),
-        st => st.getField("acc")))
-    }
+    val planesSeq: Seq[Seq[Seq[Double]]] = planes.map(_.map(_.toSeq).toSeq).toSeq
+    def bucketsCol(vec: Column): Column =
+      graft.functions.VectorExpressions.lshSig(vec, planesSeq)
     def withBuckets(df: DataFrame, id: String, vec: String) = df
       .select(col(idCol).as(id), col(vecCol).as(vec),
         posexplode(bucketsCol(col(vecCol))))

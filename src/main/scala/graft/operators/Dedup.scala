@@ -99,12 +99,28 @@ object Dedup {
       col("id").as("doc_a"), col("sim").as("sim_a"))
     val b = entries.select(col("chunk_idx"), col("chunk_val"),
       col("id").as("doc_b"), col("sim").as("sim_b"))
+    // Pair dedup is a FILTER, not a distinct: a pair agreeing on
+    // several chunks is emitted only from its first agreeing chunk,
+    // computed from the two simhashes in place. The distinct()
+    // formulation shuffled every candidate pair (millions on a
+    // near-dup-dense corpus); this emits each survivor exactly once
+    // with zero extra exchanges.
+    def chunkOf(sim: org.apache.spark.sql.Column, c: Int) = {
+      val lo = c * width
+      val w = if (c == chunks - 1) 64 - lo else width
+      val shifted = shiftrightunsigned(sim, lo)
+      if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1L))
+    }
+    val firstMatch = (chunks - 1 to 0 by -1).foldLeft(lit(chunks)) {
+      case (acc, c) =>
+        when(chunkOf(col("sim_a"), c) === chunkOf(col("sim_b"), c), lit(c))
+          .otherwise(acc)
+    }
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming && col("chunk_idx") === firstMatch)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** Exact n-gram Jaccard similarity over candidate pairs from a
@@ -125,8 +141,15 @@ object Dedup {
     // The round-1 formulation scanned the corpus twice (df pass + semi
     // join) and self-joined the full exploded postings — 14 s at sf0.1
     // vs ~2 s for this plan.
+    // Two-step select: the gram array must be materialized as a column
+    // BEFORE size()/explode() reference it — selecting
+    // `size(grams), explode(grams)` in one step plans the size() into
+    // the post-Generate projection, re-shingling the full document once
+    // per exploded gram row (256k evaluations instead of 5k at sf0.1).
     val exploded = docs
-      .select(col(idCol).as("id"), size(grams).as("n_grams"), explode(grams).as("gram"))
+      .select(col(idCol).as("id"), grams.as("grams"))
+      .select(col("id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
     val rare = exploded
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("df").between(2, maxDf))
