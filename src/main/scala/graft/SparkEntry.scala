@@ -51,10 +51,23 @@ object SparkEntry {
       "q40_fingerprint" -> (D.q40Fingerprint _),
       "q41_multimodal_meta" -> (D.q41MultimodalMeta _),
       "q42_embedding_stats" -> (D.q42EmbeddingStats _),
+      "q43_cosine_dedup" -> (E.q43CosineDedup _),
+      "q44_ann_ivf" -> (E.q44AnnIvf _),
+      "q45_pivot" -> (E.q45Pivot _),
+      "q46_unpivot" -> (E.q46Unpivot _),
+      "q47_range_join" -> (E.q47RangeJoin _),
+      "q48_salted_join" -> (E.q48SaltedJoin _),
+      "q49_merge_upsert" -> (E.q49MergeUpsert _),
+      "q50_quality_audit" -> (E.q50QualityAudit _),
+      "q51_rolling_corr" -> (E.q51RollingCorr _),
+      "q52_sketch_union" -> (E.q52SketchUnion _),
+      "q53_cube" -> (E.q53Cube _),
+      "q54_window_range_frame" -> (E.q54RangeFrame _),
     )
   }
   private def T = graft.queries.TimeSeries
   private def D = graft.queries.TrainingData
+  private def E = graft.queries.Extended
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
@@ -95,6 +108,16 @@ object SparkEntry {
       "q39_token_count" -> D.q39Sql,
       "q41_multimodal_meta" -> D.q41Sql,
       "q42_embedding_stats" -> D.q42Sql,
+      "q43_cosine_dedup" -> E.q43Sql,
+      "q45_pivot" -> E.q45Sql,
+      "q46_unpivot" -> E.q46Sql,
+      "q47_range_join" -> E.q47Sql,
+      "q48_salted_join" -> E.q48Sql,
+      "q49_merge_upsert" -> E.q49Sql,
+      "q50_quality_audit" -> E.q50Sql,
+      "q51_rolling_corr" -> E.q51Sql,
+      "q53_cube" -> E.q53Sql,
+      "q54_window_range_frame" -> E.q54Sql,
     )
   }
 }

@@ -24,10 +24,10 @@ object Vectors {
   def norm2(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity of two (non-zero) vectors, in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a)
-    val bd = toDouble(b)
-    dot(ad, bd) / (norm2(ad) * norm2(bd))
-  }
+  /** Cosine similarity of two (non-zero) vectors, in double.
+    * Delegates to the fused native expression — identical accumulation
+    * order (hence identical result) to the HOF formulation
+    * `dot(a,b)/(norm2(a)*norm2(b))`, at a fraction of the per-pair cost.
+    */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 }

@@ -30,6 +30,75 @@ object Ann {
     Array.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: every (a, b) with
+    * cosine(a, b) >= threshold, via a broadcast-nested-loop self-join.
+    *
+    * This is the EXACT tier — O(n²) pairs with an O(d) fused native
+    * cosine per pair — intended for verification and for bounded
+    * subsets (the broadcast side must fit an executor). The 100 TB
+    * path is the same rerank applied to LSH candidates
+    * ([[lshTopK]]-style banding with a threshold filter instead of
+    * top-k); this operator is what certifies that path's recall on a
+    * sample.
+    */
+  def cosinePairs(vectors: DataFrame, threshold: Double,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos_raw", Vectors.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into `nCentroids` cells; each query probes its `nProbe` nearest
+    * cells and pays exact cosine only against those cells' members.
+    *
+    * Centroids are the (deterministic) first `nCentroids` corpus
+    * vectors — the seeding step of k-means; at 100 TB the cell
+    * assignment is ONE broadcast pass over the corpus (centroids are
+    * tiny) with a map-side `max_by` argmax, no shuffle at all, and the
+    * candidate join shuffles only on cell id — the classic IVF
+    * partition-pruning trade: nProbe/nCentroids of the corpus is
+    * scanned per query instead of all of it.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cell"), col(vecCol).as("cent_vec"))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int) = {
+      val sims = df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .join(broadcast(cent))
+        .withColumn("cell_sim", Vectors.cosine(col(vec), col("cent_vec")))
+      if (keep == 1)
+        // map-side argmax: partial max_by per partition, no window sort
+        sims.groupBy(col(id), col(vec))
+          .agg(max_by(col("cell"), col("cell_sim")).as("cell"))
+      else {
+        val w = Window.partitionBy(col(id))
+          .orderBy(col("cell_sim").desc, col("cell"))
+        sims.withColumn("cell_rnk", row_number().over(w))
+          .filter(col("cell_rnk") <= keep)
+          .select(col(id), col(vec), col("cell"))
+      }
+    }
+    val corpusCells = assign(corpus, "neighbor_id", "c_vec", 1)
+    val queryCells = assign(queries, "query_id", "q_vec", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", Vectors.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos_sim"), col("rnk"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",

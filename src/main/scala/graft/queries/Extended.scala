@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Ann
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended operator coverage (SURVEY §2, q43–q54): embedding-cosine
+  * dedup, IVF ANN, pivot/unpivot, range join, skew-salted join, merge
+  * upsert, data-quality audit, rolling correlation, sketch merge, CUBE,
+  * and time-range window frames.
+  */
+object Extended {
+
+  /** q43_cosine_dedup — exact embedding-cosine near-dup pairs over a
+    * bounded subset (the certification tier for the LSH scale path).
+    */
+  def q43CosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Ann.cosinePairs(Tables.embeddings(spark, dir).filter($"vec_id" < 1000),
+      threshold = 0.4)
+  }
+
+  val q43Sql: String =
+    """SELECT id_a, id_b, round(c, 6) AS cos_sim FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                           CAST(b.embedding AS DOUBLE[])) AS c
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
+      |WHERE c >= 0.4""".stripMargin
+
+  /** q44_ann_ivf — IVF cell-probed ANN, top-3 per query. */
+  def q44AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Ann.ivfTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+  }
+
+  /** q45_pivot — order-status counts pivoted into columns per market
+    * segment. Explicit pivot values keep the schema static (no extra
+    * distinct-values job, plan is known at compile time).
+    */
+  def q45Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+  }
+
+  val q45Sql: String =
+    """SELECT c_mktsegment AS seg,
+      |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** q46_unpivot — melt the pivoted wide table back to long form. */
+  def q46Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = q45Pivot(spark, dir)
+    wide.unpivot(Array(col("seg")), Array(col("F"), col("O"), col("P")),
+      "status", "n")
+  }
+
+  val q46Sql: String =
+    """SELECT c_mktsegment AS seg, o_orderstatus AS status, count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q47_range_join — for each purchase, the count of clicks by the
+    * same user in the preceding hour.
+    *
+    * Spark plan: equi-join on (user, hour-bucket) with the purchase
+    * side exploded to its two covering buckets, then an exact range
+    * filter — a linear bucketed range join instead of the
+    * broadcast-nested-loop Catalyst would pick for a raw theta join.
+    * Purchases with zero clicks are restored by a final left join.
+    */
+  def q47RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("p_sec"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_timestamp($"ts").as("c_sec"))
+    val pB = p.withColumn("bucket",
+      explode(array(floor($"p_sec" / 3600) - 1, floor($"p_sec" / 3600))))
+    val cB = c.withColumn("bucket", floor($"c_sec" / 3600))
+    val counts = pB.join(cB, Seq("user_id", "bucket"))
+      .filter($"c_sec" >= $"p_sec" - 3600 && $"c_sec" < $"p_sec")
+      .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
+    p.join(counts, Seq("event_id"), "left_outer")
+      .select($"event_id", coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+  }
+
+  val q47Sql: String =
+    """SELECT p.event_id, count(c.user_id) AS n_clicks
+      |FROM events p LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id""".stripMargin
+
+  /** q48_salted_join — skew-resistant salted shuffle join: the fact
+    * side gets a deterministic salt in [0, 8), the dimension side is
+    * replicated once per salt, and the join key becomes (key, salt) —
+    * a hot orderkey now spreads over 8 reducers instead of one. Result
+    * is identical to the unsalted join (the oracle).
+    */
+  def q48SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val salts = 8
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(xxhash64($"l_linenumber", $"l_orderkey"), lit(salts)).cast("int"))
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .withColumn("salt", explode(typedlit((0 until salts).toArray)))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+  }
+
+  val q48Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q49_merge_upsert — SCD1 merge: a delta batch (every 10th order,
+    * repriced) upserts into the base snapshot; delta wins on key
+    * collision. One union + one keyed window pass — the scalable merge
+    * shape (no join fan-out, partial sort per key).
+    */
+  def q49MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice", lit("base").as("src"))
+    val delta = Tables.orders(spark, dir)
+      .filter($"o_orderkey" % 10 === 0)
+      // ×2 is exact in binary floating point — no rounding step, so the
+      // Spark and DuckDB values are bit-identical (×1.1 + round(2) hit
+      // HALF_UP-vs-FP-round disagreements at .005 boundaries)
+      .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"),
+        lit("delta").as("src"))
+    val w = Window.partitionBy($"o_orderkey")
+      .orderBy(when($"src" === "delta", 0).otherwise(1))
+    base.unionByName(delta)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderkey", $"o_totalprice", $"src")
+  }
+
+  val q49Sql: String =
+    """WITH all_rows AS (
+      |  SELECT o_orderkey, o_totalprice, 'base' AS src FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice * 2, 'delta' FROM orders
+      |  WHERE o_orderkey % 10 = 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |    ORDER BY CASE src WHEN 'delta' THEN 0 ELSE 1 END) AS rn
+      |  FROM all_rows)
+      |SELECT o_orderkey, o_totalprice, src FROM ranked WHERE rn = 1""".stripMargin
+
+  /** q50_quality_audit — single-pass data-quality profile of lineitem:
+    * row/key counts, domain violations, value ranges. One scan, one
+    * single-row aggregate — the shape of a 100 TB table audit.
+    */
+  def q50QualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val dupKeys = li.groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("c")).filter($"c" > 1)
+      .agg(count(lit(1)).as("dup_keys"))
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when($"l_quantity".isNull, 1L).otherwise(0L)).as("null_qty"),
+      sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("nonpos_qty"),
+      sum(when($"l_discount" < 0 || $"l_discount" > 1, 1L).otherwise(0L)).as("bad_discount"),
+      min($"l_shipdate").as("min_shipdate"),
+      max($"l_shipdate").as("max_shipdate"))
+      .crossJoin(dupKeys)
+  }
+
+  val q50Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n_rows,
+      |  (SELECT CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS null_qty,
+      |  (SELECT CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS nonpos_qty,
+      |  (SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS bad_discount,
+      |  (SELECT min(l_shipdate) FROM lineitem) AS min_shipdate,
+      |  (SELECT max(l_shipdate) FROM lineitem) AS max_shipdate,
+      |  (SELECT count(*) FROM (
+      |     SELECT l_orderkey, l_linenumber FROM lineitem
+      |     GROUP BY 1, 2 HAVING count(*) > 1)) AS dup_keys""".stripMargin
+
+  /** q51_rolling_corr — 20-row trailing correlation between event value
+    * and event time per user (drift detector). Only full windows are
+    * emitted so both engines agree on frame membership.
+    */
+  def q51RollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val frame = ord.rowsBetween(-19, 0)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"value",
+        $"ts".cast("double").as("tsd"))
+      .withColumn("corr20", corr($"value", $"tsd").over(frame))
+      .withColumn("rn", row_number().over(ord))
+      .filter($"rn" >= 20)
+      .select($"event_id", round($"corr20", 4).as("corr20"))
+  }
+
+  val q51Sql: String =
+    """SELECT event_id, round(c, 4) AS corr20 FROM (
+      |  SELECT event_id,
+      |    corr(value, epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn >= 20""".stripMargin
+
+  /** q52_sketch_union — mergeable HLL sketches (DataSketches): per-type
+    * user sketches built on two disjoint halves of the stream, merged
+    * without rescanning — the pattern that makes distinct-count
+    * incremental at 100 TB (sketch per partition/day, union at read).
+    * rows-only: estimates are engine-specific.
+    */
+  def q52SketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"user_id", $"event_id")
+    val h1 = ev.filter($"event_id" % 2 === 0).groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("s1"))
+    val h2 = ev.filter($"event_id" % 2 =!= 0).groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("s2"))
+    h1.join(h2, Seq("event_type"))
+      .select($"event_type",
+        hll_sketch_estimate(hll_union($"s1", $"s2")).as("est_users"))
+  }
+
+  /** q53_cube — CUBE over (status, priority): all 4 grouping sets in
+    * one pass (Expand + single shuffle), not 4 scans.
+    */
+  def q53Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("prio"),
+        $"n", $"total")
+  }
+
+  val q53Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS prio,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** q54_window_range_frame — 7-day trailing spend per customer: a
+    * RANGE frame over event-time seconds (peers at equal timestamps
+    * are all included, unlike a ROWS frame).
+    */
+  def q54RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".cast("long"))
+      .rangeBetween(-7L * 86400, 0)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        round(sum($"o_totalprice").over(w), 2).as("trailing_7d"))
+  }
+
+  val q54Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+      |FROM orders""".stripMargin
+}

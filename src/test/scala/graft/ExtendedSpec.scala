@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.Ann
+import graft.queries.Extended
+import org.apache.spark.sql.functions._
+
+/** Specs for the q43–q54 extended operator family. */
+class ExtendedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("cosinePairs finds exactly the planted near-duplicate pair") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.14f, 0f), 0), // cos ≈ 0.990 with vec 0
+      (2L, Array(0f, 1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Ann.cosinePairs(vecs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("IVF ANN: an exact duplicate vector is its query's top neighbor") {
+    val emb = Tables.embeddings(spark, sf)
+    // vec_id 0 duplicated under a fresh id lands in the same cell
+    val dup = emb.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(99999L))
+    val corpus = emb.unionByName(dup)
+    val out = Ann.ivfTopK(emb.filter($"vec_id" === 0), corpus, k = 1,
+      nCentroids = 8, nProbe = 2)
+    val top = out.filter($"rnk" === 1).select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(99999L))
+  }
+
+  test("salted join result equals the plain join") {
+    val salted = Extended.q48SaltedJoin(spark, sf)
+      .orderBy("o_orderpriority").collect().toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("merge upsert: delta wins on collision, base rows survive elsewhere") {
+    val out = Extended.q49MergeUpsert(spark, sf)
+    val total = Tables.orders(spark, sf).count()
+    assert(out.count() == total) // one row per key
+    assert(out.filter($"o_orderkey" % 10 === 0 && $"src" =!= "delta").count() == 0)
+    assert(out.filter($"o_orderkey" % 10 =!= 0 && $"src" =!= "base").count() == 0)
+  }
+
+  // events.ts is stored as raw int64 nanos in the driver's parquet
+  // (see Tables.eventsSchema) — test fixtures must match that encoding
+  private def nanos(s: String): Long = ts(s).getTime * 1000000L
+
+  test("bucketed range join counts exactly the clicks in the window") {
+    val ev = Seq(
+      (1L, nanos("2024-01-01 10:00:00"), 7L, "purchase", 1.0, ""),
+      (2L, nanos("2024-01-01 09:30:00"), 7L, "click", 1.0, ""),   // in window
+      (3L, nanos("2024-01-01 09:00:00"), 7L, "click", 1.0, ""),   // boundary: ts-1h inclusive
+      (4L, nanos("2024-01-01 08:59:59"), 7L, "click", 1.0, ""),   // too old
+      (5L, nanos("2024-01-01 10:00:00"), 7L, "click", 1.0, ""),   // at purchase ts: excluded
+      (6L, nanos("2024-01-01 09:45:00"), 8L, "click", 1.0, "")    // other user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("rj").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Extended.q47RangeJoin(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L))
+  }
+
+  test("rolling corr emits only full 20-row windows; linear series → 1.0") {
+    val rows = (1 to 30).map(i =>
+      (i.toLong, (1700000000000L + i * 60000L) * 1000000L, 5L,
+        "view", i.toDouble, ""))
+    val tmp = java.nio.file.Files.createTempDirectory("rc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Extended.q51RollingCorr(spark, tmp)
+      .as[(Long, Double)].collect().toMap
+    assert(out.size == 11) // rows 20..30
+    assert(out.values.forall(v => math.abs(v - 1.0) < 1e-9)) // value ∝ time
+  }
+
+  test("range-frame window sums peers and the trailing 7 days") {
+    val orders = Seq(
+      (1L, 5L, "O", 10.0, ts("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, 5L, "O", 20.0, ts("2024-01-05 00:00:00"), "1-URGENT"),
+      (3L, 5L, "O", 40.0, ts("2024-01-20 00:00:00"), "1-URGENT"),
+      (4L, 5L, "O", 80.0, ts("2024-01-20 00:00:00"), "1-URGENT") // peer ts
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val tmp = java.nio.file.Files.createTempDirectory("rf").toString
+    orders.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Extended.q54RangeFrame(spark, tmp)
+      .select("o_orderkey", "trailing_7d").as[(Long, Double)].collect().toMap
+    // key 2: includes key 1 (4 days apart); keys 3,4: peers include each other
+    assert(out == Map(1L -> 10.0, 2L -> 30.0, 3L -> 120.0, 4L -> 120.0))
+  }
+
+  test("pivot and unpivot round-trip to the grouped counts") {
+    val long = Extended.q46Unpivot(spark, sf)
+      .as[(String, String, Long)].collect().toSet
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderstatus").agg(count(lit(1)))
+      .as[(String, String, Long)].collect().toSet
+    assert(long == direct)
+  }
+
+  test("sketch union estimate is close to the exact distinct count") {
+    val out = Extended.q52SketchUnion(spark, sf)
+      .select($"event_type", $"est_users").as[(String, Double)].collect().toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id").cast("double"))
+      .as[(String, Double)].collect().toMap
+    assert(out.keySet == exact.keySet)
+    out.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) / exact(k) < 0.05,
+        s"$k: est $est vs exact ${exact(k)}")
+    }
+  }
+}
