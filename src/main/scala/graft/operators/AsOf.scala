@@ -27,18 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param left      query side (all its columns are kept)
-    * @param right     reference side
-    * @param key       equi-key column name present on both sides
-    * @param leftTs    event-time column on `left`
-    * @param rightTs   event-time column on `right`
-    * @param rightVals (rightColumn, outputName) values carried to the left
-    * @param inner     when true, drops left rows with no reference in effect
+  /** @param left         query side (all its columns are kept)
+    * @param right        reference side
+    * @param key          equi-key column name present on both sides
+    * @param leftTs       event-time column on `left`
+    * @param rightTs      event-time column on `right`
+    * @param rightVals    (rightColumn, outputName) values carried to the left
+    * @param inner        when true, drops left rows with no reference in effect
+    * @param toleranceSec max staleness: a reference older than this many
+    *                     seconds before the query row counts as NO match
+    *                     (the securities-master "quote too stale" rule).
+    *                     None = unbounded lookback.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
            rightVals: Seq[(String, String)],
-           inner: Boolean = true): DataFrame = {
+           inner: Boolean = true,
+           toleranceSec: Option[Long] = None): DataFrame = {
+    require(rightVals.forall(_._2 != "__rts"), "__rts is reserved")
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
@@ -50,16 +56,26 @@ object AsOf {
     // non-null), not value non-nullness, drives inner semantics. Same
     // row-match behavior as DuckDB ASOF JOIN for nullable right columns.
     val r = right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
-      struct(rightVals.map { case (in, out) => col(in).as(out) }: _*).as("__rv"))
+      struct(col(rightTs).as("__rts") +:
+        rightVals.map { case (in, out) => col(in).as(out) }: _*).as("__rv"))
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("__rv"), ignoreNulls = true).over(w)
+    // staleness: the matched ref's own timestamp rides in the struct, so
+    // the tolerance cut is a row-local filter after the window pass
+    val withinTol = toleranceSec match {
+      case Some(tol) =>
+        when(col("__ts").cast("double") -
+          matched.getField("__rts").cast("double") <= tol.toDouble, matched)
+      case None => matched
+    }
     val filled = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__match", withinTol)
     val out = filled
       .filter(col("__side") === 1)
-    val matched = if (inner) out.filter(col("__match").isNotNull) else out
-    matched.select(left.columns.map(col) ++
+    val kept = if (inner) out.filter(col("__match").isNotNull) else out
+    kept.select(left.columns.map(col) ++
       rightVals.map { case (_, o) => col("__match").getField(o).as(o) }: _*)
   }
 }

@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.functions.{CosineSim, MinHashSig, ShingleSet, SimHash64, WinnowFP}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extension registering the graft native expressions as SQL
+  * functions, so the engine's text/vector primitives are reachable from
+  * pure `spark.sql(...)` (and thus from JDBC/thrift front-ends), not
+  * only from the Scala DSL:
+  *
+  *   spark.sql("SELECT graft_simhash64(split(text, ' ')) FROM docs")
+  *
+  * Install via
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * or `SparkSession.builder().withExtensions(new GraftExtensions()(_))`.
+  *
+  * Static parameters (k, n, window sizes) arrive as SQL literals and
+  * are extracted at resolution time — the resulting expression is the
+  * same constant-folded native operator the DSL builds.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** The full SQL function surface (shared by the session-extension
+    * path and [[install]]).
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a token array"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two vectors"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(text, k, shingle_n) - k-slot MinHash signature"),
+      (children: Seq[Expression]) => MinHashSig(children.head,
+        intLit(children(1), "k"), intLit(children(2), "shingle_n"))),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(text, n) - distinct word n-gram shingles"),
+      (children: Seq[Expression]) => ShingleSet(children.head,
+        intLit(children(1), "n"))),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "graft_winnow(text, k, window) - winnowing fingerprints"),
+      (children: Seq[Expression]) => WinnowFP(children.head,
+        intLit(children(1), "k"), intLit(children(2), "window"))))
+
+  /** Register the functions on a live session (for sessions created
+    * without the extension config — notebooks, REPLs, test harnesses).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, b) =>
+      org.apache.spark.sql.GraftRegistryBridge.registerFunction(spark, id, inf, b)
+    }
+}

@@ -281,4 +281,144 @@ object Extended {
       |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
       |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS trailing_7d
       |FROM orders""".stripMargin
+
+  /** q55_stratified_sample — deterministic per-stratum sampling (the
+    * train/val split + data-mixing primitive): 20% of 'en' docs, 50% of
+    * everything else, keyed on doc_id so the split is reproducible
+    * across runs and engines (no RNG — a resumable 100 TB pipeline
+    * cannot depend on partition-order-sensitive random streams).
+    */
+  def q55StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sampled = when($"lang" === "en", $"doc_id" % 100 < 20)
+      .otherwise($"doc_id" % 100 < 50)
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"))
+  }
+
+  val q55Sql: String =
+    """SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN (lang = 'en' AND doc_id % 100 < 20)
+      |    OR (lang <> 'en' AND doc_id % 100 < 50) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** q56_vocab — corpus vocabulary: top-100 tokens by document
+    * frequency. Explode → map-side-combined count → TakeOrdered: the
+    * shuffle carries one row per (partition, token), not per
+    * occurrence.
+    */
+  def q56Vocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token").limit(100)
+  }
+
+  val q56Sql: String =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  /** q57_tfidf — top-3 TF-IDF terms per document. tf and df come from
+    * ONE tokenization pass (df is an aggregate of the tf relation);
+    * the corpus size joins in as a broadcast scalar.
+    */
+  def q57Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select($"doc_id", explode(graft.functions.Text.tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score_raw".desc, $"token")
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_raw", $"tf" * log($"n_docs".cast("double") / $"df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"token", round($"score_raw", 4).as("tfidf"), $"rnk")
+  }
+
+  val q57Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |    FROM documents)
+      |  GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.token AS token,
+      |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS score_raw,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.token) AS rnk
+      |  FROM tf, df, n WHERE tf.token = df.token)
+      |SELECT doc_id, token, round(score_raw, 4) AS tfidf, rnk
+      |FROM scored WHERE rnk <= 3""".stripMargin
+
+  /** q58_pipeline — the end-to-end training-data prep shape: quality
+    * gate → exact dedup (keep canonical) → language filter → token
+    * accounting. Each stage is the operator already certified on its
+    * own; this query certifies the composition.
+    */
+  def q58Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = graft.functions.Text.tokens($"text")
+    val quality = docs
+      .withColumn("n_tokens", size(toks))
+      .filter($"n_tokens" >= 10 && $"lang" === "en")
+    val w = Window.partitionBy($"text").orderBy($"doc_id")
+    quality
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1) // canonical copy per distinct text
+      .select($"doc_id", $"n_tokens",
+        ceil(length($"text").cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
+  }
+
+  val q58Sql: String =
+    """WITH quality AS (
+      |  SELECT doc_id, text,
+      |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+      |  FROM documents WHERE lang = 'en'),
+      |dedup AS (
+      |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM quality WHERE n_tokens >= 10)
+      |SELECT doc_id, n_tokens,
+      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM dedup WHERE rn = 1""".stripMargin
+
+  /** q59_asof_tolerance — as-of join with a staleness bound: each click
+    * gets the user's most recent purchase value, but only if that
+    * purchase is at most 1 day old ("quote too stale" rule). Same
+    * single-shuffle union+window plan as q21, tolerance applied as a
+    * row-local filter.
+    */
+  def q59AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    graft.operators.AsOf.join(clicks, purchases, key = "user_id",
+      leftTs = "ts", rightTs = "ts",
+      rightVals = Seq("value" -> "last_purchase_value"),
+      inner = true, toleranceSec = Some(86400L))
+      .select($"event_id", round($"last_purchase_value", 2).as("last_purchase_value"))
+  }
+
+  val q59Sql: String =
+    """SELECT e.event_id, round(p.value, 2) AS last_purchase_value
+      |FROM events e JOIN LATERAL (
+      |  SELECT value FROM events p
+      |  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+      |    AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 DAY
+      |  ORDER BY p.ts DESC LIMIT 1) p ON true
+      |WHERE e.event_type = 'click'""".stripMargin
 }

@@ -61,6 +61,36 @@ object Streams {
     t
   }
 
+  /** Stream-stream interval join (conversion attribution): each click
+    * joined to the same user's purchases within the following hour.
+    * Watermarks on BOTH sides + the time-range predicate bound the join
+    * state Spark must keep — without them a stream-stream join buffers
+    * forever.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr("""user_id = p_user AND
+              p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"""))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("p_ts"), col("p_value"))
+  }
+
+  /** Streaming exact dedup: drops replayed event_ids while keeping only
+    * watermark-bounded state (ids older than the watermark are evicted
+    * — the at-least-once-source → effectively-once pattern).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -13,3 +13,19 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Bridge to the `private[sql]` session FunctionRegistry, so graft can
+  * register its native expressions as SQL functions on an ALREADY
+  * RUNNING session (the extension path in graft.plans.GraftExtensions
+  * covers session construction; this covers notebooks/REPLs that got
+  * their session handed to them).
+  */
+object GraftRegistryBridge {
+  def registerFunction(
+      spark: SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+}

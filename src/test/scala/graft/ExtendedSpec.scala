@@ -112,6 +112,38 @@ class ExtendedSpec extends SparkTestBase {
     assert(long == direct)
   }
 
+  test("as-of tolerance drops stale matches but keeps fresh ones") {
+    val l = Seq((1L, ts("2024-01-02 00:00:00"), "fresh"),
+      (2L, ts("2024-01-10 00:00:00"), "stale")).toDF("k", "ts", "tag")
+    val r = Seq((1L, ts("2024-01-01 23:00:00"), 10.0),
+      (2L, ts("2024-01-01 00:00:00"), 20.0)).toDF("k", "rts", "v")
+    val out = graft.operators.AsOf.join(l, r, "k", "ts", "rts",
+      Seq("v" -> "v"), inner = true, toleranceSec = Some(86400L))
+      .select("tag", "v").as[(String, Double)].collect().toMap
+    assert(out == Map("fresh" -> 10.0)) // 9-day-old ref rejected
+  }
+
+  test("stratified sample rates are exact per stratum") {
+    val out = Extended.q55StratifiedSample(spark, sf)
+      .as[(String, Long, Long)].collect()
+    out.foreach { case (lang, total, sampled) =>
+      assert(sampled > 0 && sampled < total, s"$lang: $sampled/$total")
+    }
+  }
+
+  test("tfidf ranks a rare planted term above stop-terms") {
+    val docs = (1L to 20L).map(i =>
+        (i, if (i == 7) "common words here plus uniqterm" else "common words here plus filler",
+          "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = Extended.q57Tfidf(spark, tmp)
+      .filter($"doc_id" === 7 && $"rnk" === 1)
+      .select("token").as[String].collect()
+    assert(top.toSeq == Seq("uniqterm"))
+  }
+
   test("sketch union estimate is close to the exact distinct count") {
     val out = Extended.q52SketchUnion(spark, sf)
       .select($"event_type", $"est_users").as[(String, Double)].collect().toMap

@@ -1,0 +1,48 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** SQL-surface spec: the graft native expressions registered as SQL
+  * functions (extension/install path) and used from pure spark.sql.
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("graft functions are callable from pure SQL after install") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_simhash64(array('alpha', 'beta')) AS sh,
+        |  graft_cosine(array(3.0D, 4.0D), array(4.0D, 3.0D)) AS cos,
+        |  size(graft_minhash('a b c d e', 16, 2)) AS mh_k,
+        |  graft_shingles('a b c', 2) AS sh2,
+        |  size(graft_winnow('the quick brown fox jumps', 4, 3)) AS wn
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == spark.sql(
+      "SELECT graft_simhash64(array('alpha', 'beta'))").collect()(0).getLong(0))
+    assert(math.abs(r.getDouble(1) - 24.0 / 25.0) < 1e-12)
+    assert(r.getInt(2) == 16)
+    assert(r.getSeq[String](3).toSet == Set("a b", "b c"))
+    assert(r.getInt(4) > 0)
+  }
+
+  test("SQL and DSL paths produce identical simhashes over real docs") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash64(split(lower(trim(text)), '\\s+')) AS h
+        |FROM docs_ext""".stripMargin)
+    val viaDsl = Tables.documents(spark, sf).select($"doc_id",
+      graft.functions.SimHash.simhash64(
+        graft.functions.Text.tokens($"text")).as("h"))
+    assert(viaSql.except(viaDsl).count() == 0 && viaDsl.except(viaSql).count() == 0)
+  }
+
+  test("non-literal static parameter fails with a clear message") {
+    GraftExtensions.install(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash('x', cast(rand() * 4 AS INT) + 1, 2)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

@@ -43,6 +43,44 @@ class StreamingSpec extends SparkTestBase {
     assert(out.filter($"n_events" < 1).count() == 0)
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    val stream = Streams.eventsStream(spark, streamDir)
+    val q = Streams.clickPurchaseJoin(stream).writeStream
+      .outputMode("append").format("memory").queryName("attr_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val out = spark.table("attr_out")
+    assert(out.count() > 0)
+    // interval contract: purchase inside (click_ts, click_ts + 1h]
+    assert(out.filter($"p_ts" < $"click_ts" ||
+      $"p_ts" > $"click_ts" + expr("interval 1 hour")).count() == 0)
+    // agrees with the equivalent batch join on the same data
+    val ev = Tables.events(spark, sf)
+    val batch = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .join(ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value".as("p_value")),
+        expr("user_id = p_user AND p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour"))
+      .select($"click_id", $"p_ts")
+    assert(out.select($"click_id", $"p_ts").except(batch).count() == 0)
+  }
+
+  test("streaming dedup drops replayed events within the watermark") {
+    // replay the same file twice: every event_id arrives twice
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val stream = Streams.eventsStream(spark, dir.toString)
+    val q = Streams.dedupedEvents(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val out = spark.table("dedup_out")
+    val distinctIds = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(out.count() == distinctIds)
+    assert(out.select("event_id").distinct().count() == distinctIds)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batch = SparkEntry.queries("q27_sessionize")(spark, sf)
     val stream = Streams.eventsStream(spark, streamDir)
