@@ -421,4 +421,52 @@ object Extended {
       |    AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 DAY
       |  ORDER BY p.ts DESC LIMIT 1) p ON true
       |WHERE e.event_type = 'click'""".stripMargin
+
+  /** q60_gap_fill — calendar alignment + forward fill: one row per
+    * (user, day) over each user's active date range, carrying the last
+    * observed value forward across silent days (the daily-bar
+    * gap-filling step of a securities master).
+    *
+    * Plan: per-day last value (keyed window), per-user day spine
+    * (sequence + explode — rows bounded by date range, not data), left
+    * join, then ONE forward-fill window pass. Everything shuffles on
+    * user_id only.
+    */
+  def q60GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"value", $"event_id",
+        date_trunc("day", $"ts").as("d"))
+    val wDay = Window.partitionBy($"user_id", $"d")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val daily = ev.withColumn("rn", row_number().over(wDay))
+      .filter($"rn" === 1).select($"user_id", $"d", $"value".as("close"))
+    val spine = ev.groupBy($"user_id").agg(min($"d").as("mn"), max($"d").as("mx"))
+      .select($"user_id",
+        explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("d"))
+    val wFill = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "d"), "left_outer")
+      .withColumn("close_ff", last($"close", ignoreNulls = true).over(wFill))
+      .select($"user_id", $"d".as("day"), $"close_ff")
+  }
+
+  val q60Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, value, event_id, date_trunc('day', ts) AS d FROM events),
+      |daily AS (
+      |  SELECT user_id, d, value AS close FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, d
+      |      ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      |  WHERE rn = 1),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+      |  FROM (SELECT user_id, min(d) AS mn, max(d) AS mx FROM ev GROUP BY user_id)),
+      |joined AS (
+      |  SELECT s.user_id, s.d, daily.close FROM spine s
+      |  LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d)
+      |SELECT user_id, d AS day,
+      |  last_value(close IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff
+      |FROM joined""".stripMargin
 }

@@ -51,6 +51,38 @@ class SourcesSpec extends SparkTestBase {
     assert(!plan.contains("AUTOMOBILE"))
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    // co-located join: both sides bucketed on the join key → the sort-
+    // merge join reads buckets pairwise, no Exchange in the plan. At
+    // 100 TB this is the difference between joining in place and
+    // re-shuffling both fact tables every query.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.load(spark, sf, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+      Tables.load(spark, sf, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it computes the same answer as the shuffled join
+      val plain = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(joined.except(plain).count() == 0 && plain.except(joined).count() == 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("parquet writes round numeric aggregates stably") {
     val agg = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag").agg(round(sum($"l_quantity"), 2).as("s"))
