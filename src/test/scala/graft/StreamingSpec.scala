@@ -81,6 +81,19 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("event_id").distinct().count() == distinctIds)
   }
 
+  test("incremental PIT upsert sink converges to the batch q29 result") {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_pit").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pit_ck").toString
+    val stream = Streams.eventsStream(spark, streamDir)
+    val q = Streams.pitUpsertSink(stream, tableDir, ckpt)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val snapshot = spark.read.parquet(s"$tableDir/current")
+      .select($"user_id", $"event_type", $"ts".as("latest_ts"),
+        $"value".as("latest_value"))
+    val batch = SparkEntry.queries("q29_pit_latest")(spark, sf)
+    assert(snapshot.except(batch).count() == 0 && batch.except(snapshot).count() == 0)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batch = SparkEntry.queries("q27_sessionize")(spark, sf)
     val stream = Streams.eventsStream(spark, streamDir)
