@@ -333,10 +333,12 @@ object Extended {
     val tf = docs
       .select($"doc_id", explode(graft.functions.Text.tokens($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    // df = rows per token in the tf relation — a window over token, not
+    // a groupBy+self-join (which re-executed the whole tf subtree and
+    // added two more exchanges)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id").orderBy($"score_raw".desc, $"token")
-    tf.join(df, Seq("token"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy($"token")))
       .crossJoin(broadcast(n))
       .withColumn("score_raw", $"tf" * log($"n_docs".cast("double") / $"df"))
       .withColumn("rnk", row_number().over(w))

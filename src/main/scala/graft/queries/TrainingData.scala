@@ -68,6 +68,31 @@ object TrainingData {
         Text.langId(Text.tokens($"text")).as("pred_lang"))
   }
 
+  /** q37's oracle mirrors langId's tie-break exactly: Spark's
+    * greatest(struct(score, lang)) picks the highest score, ties going
+    * to the lexicographically greatest lang — hence the
+    * reverse-alphabetical CASE chain (zh, fr, es, en, de).
+    */
+  val q37Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','mit','nicht'))) AS s_de,
+      |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+      |  len(list_filter(toks, t -> t IN ('el','la','los','y','es','en','para','que'))) AS s_es,
+      |  len(list_filter(toks, t -> t IN ('le','la','les','et','est','dans','pour','que'))) AS s_fr,
+      |  len(list_filter(toks, t -> t IN ('的','是','不','了','在','人','有','我'))) AS s_zh
+      |FROM t)
+      |SELECT doc_id, lang,
+      |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |       WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+      |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |       ELSE 'de' END AS pred_lang
+      |FROM s""".stripMargin
+
   /** q38_quality_score — Gopher/C4-style quality metrics. */
   def q38QualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
