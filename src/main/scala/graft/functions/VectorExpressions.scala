@@ -117,6 +117,68 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Positions of the `n` nearest centroids (by cosine, descending; ties
+  * to the lower position) for a vector — the IVF coarse-quantizer
+  * assignment as ONE row-local expression over the centroid matrix.
+  * Replaces a broadcast-join + vector-keyed groupBy argmax: the corpus
+  * is never shuffled to learn its cell.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val cent: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val centNorm: Array[Double] =
+    cent.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val v = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      v(i) = if (arr.isNullAt(i)) 0.0
+             else if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val sims = new Array[Double](cent.length)
+    var c = 0
+    while (c < cent.length) {
+      val p = cent(c)
+      val d = math.min(m, p.length)
+      var dot = 0.0; var j = 0
+      while (j < d) { dot += v(j) * p(j); j += 1 }
+      sims(c) = dot / centNorm(c) // query norm is constant across cells
+      c += 1
+    }
+    val k = math.min(n, cent.length)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](cent.length)
+    var s = 0
+    while (s < k) {
+      var best = -1
+      var c2 = 0
+      while (c2 < cent.length) {
+        if (!taken(c2) && (best < 0 || sims(c2) > sims(best))) best = c2
+        c2 += 1
+      }
+      taken(best) = true
+      out(s) = best.toLong
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
+}
+
 object VectorExpressions {
   /** array<long>: per-table random-hyperplane bucket ids of a vector. */
   def lshSig(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
@@ -126,4 +188,9 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** array<long>: positions of the n nearest centroids for a vector. */
+  def nearestCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    GraftColumnBridge.column(NearestCells(
+      GraftColumnBridge.expression(vec), centroids, n))
 }

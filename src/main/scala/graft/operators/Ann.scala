@@ -57,37 +57,34 @@ object Ann {
     * cells and pays exact cosine only against those cells' members.
     *
     * Centroids are the (deterministic) first `nCentroids` corpus
-    * vectors — the seeding step of k-means; at 100 TB the cell
-    * assignment is ONE broadcast pass over the corpus (centroids are
-    * tiny) with a map-side `max_by` argmax, no shuffle at all, and the
-    * candidate join shuffles only on cell id — the classic IVF
-    * partition-pruning trade: nProbe/nCentroids of the corpus is
-    * scanned per query instead of all of it.
+    * vectors — the seeding step of k-means — collected once to the
+    * driver as model parameters (nCentroids × dim doubles, bounded).
+    * Cell assignment is then a row-local native expression
+    * ([[graft.functions.NearestCells]]): the corpus learns its cell in
+    * the scan projection with ZERO shuffle, and the only exchange is
+    * the candidate join on cell id — the classic IVF partition-pruning
+    * trade: nProbe/nCentroids of the corpus is scanned per query
+    * instead of all of it. (An earlier formulation broadcast-joined
+    * centroids and argmax-grouped on (id, vector) — 7 exchanges and a
+    * vector-keyed shuffle of the whole corpus.)
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val cent = corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cell"), col(vecCol).as("cent_vec"))
-    def assign(df: DataFrame, id: String, vec: String, keep: Int) = {
-      val sims = df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .join(broadcast(cent))
-        .withColumn("cell_sim", Vectors.cosine(col(vec), col("cent_vec")))
-      if (keep == 1)
-        // map-side argmax: partial max_by per partition, no window sort
-        sims.groupBy(col(id), col(vec))
-          .agg(max_by(col("cell"), col("cell_sim")).as("cell"))
-      else {
-        val w = Window.partitionBy(col(id))
-          .orderBy(col("cell_sim").desc, col("cell"))
-        sims.withColumn("cell_rnk", row_number().over(w))
-          .filter(col("cell_rnk") <= keep)
-          .select(col(id), col(vec), col("cell"))
-      }
-    }
-    val corpusCells = assign(corpus, "neighbor_id", "c_vec", 1)
-    val queryCells = assign(queries, "query_id", "q_vec", nProbe)
+    val centroids: Seq[Seq[Double]] = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .collect().toSeq
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq)
+    require(centroids.nonEmpty, "no centroid rows found")
+    def cells(vec: Column, n: Int): Column =
+      graft.functions.VectorExpressions.nearestCells(vec, centroids, n)
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      element_at(cells(col(vecCol), 1), 1).as("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(cells(col(vecCol), nProbe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     queryCells.join(corpusCells, Seq("cell"))

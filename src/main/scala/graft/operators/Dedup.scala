@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{SimHash, Text, TextExpressions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication family for the training-data pipeline: exact,
   * MinHash-LSH, SimHash, and n-gram Jaccard near-dup detection.
@@ -121,6 +122,45 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming && col("chunk_idx") === firstMatch)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Connected components over a near-dup pair set: the step that turns
+    * pairwise candidates into dedup CLUSTERS (label = smallest doc id
+    * in the component, the canonical survivor).
+    *
+    * Min-label propagation, driver-coordinated like every Pregel-style
+    * loop: each iteration is one join + one map-side-combinable min-agg
+    * (both shuffling only (node, label) longs, never documents), with
+    * `localCheckpoint` truncating lineage so plan depth stays constant.
+    * Iterations needed = component diameter — for near-dup clusters
+    * that is 2–4, and `maxIter` hard-bounds pathological chains.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a",
+               bCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrLabels = edges
+        .join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = labels.unionByName(nbrLabels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
   }
 
   /** Exact n-gram Jaccard similarity over candidate pairs from a

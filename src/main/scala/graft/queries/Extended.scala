@@ -453,6 +453,19 @@ object Extended {
       .select($"user_id", $"d".as("day"), $"close_ff")
   }
 
+  /** q61_dedup_clusters — near-dup pairs (MinHash-LSH) resolved into
+    * connected components; one row per cluster with its canonical doc
+    * and size. rows-only: the pair set is sketch-derived.
+    */
+  def q61DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.operators.Dedup.minHashPairs(Tables.documents(spark, dir))
+    graft.operators.Dedup.clusters(pairs)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"cluster_id")
+  }
+
   val q60Sql: String =
     """WITH ev AS (
       |  SELECT user_id, ts, value, event_id, date_trunc('day', ts) AS d FROM events),

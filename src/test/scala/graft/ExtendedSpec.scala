@@ -144,6 +144,25 @@ class ExtendedSpec extends SparkTestBase {
     assert(top.toSeq == Seq("uniqterm"))
   }
 
+  test("connected components resolve chained pairs into clusters") {
+    // chain 1-2-3 plus island 10-11: two clusters labeled by their min
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("multimodal features feed ANN directly (decode → embed → search)") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val feats = graft.operators.Multimodal.decodeFeatures(spark, docs)
+      .select($"doc_id", $"features")
+    val out = graft.operators.Ann.bruteForceTopK(
+      feats.filter($"doc_id" === 0), feats, k = 3,
+      idCol = "doc_id", vecCol = "features")
+    assert(out.count() == 3)
+    assert(out.filter($"rnk" === 1).select("cos_sim").as[Double].collect()(0) <= 1.0)
+  }
+
   test("sketch union estimate is close to the exact distinct count") {
     val out = Extended.q52SketchUnion(spark, sf)
       .select($"event_type", $"est_users").as[(String, Double)].collect().toMap
