@@ -51,6 +51,27 @@ class SourcesSpec extends SparkTestBase {
     assert(!plan.contains("AUTOMOBILE"))
   }
 
+  test("orc round-trip preserves rows") {
+    val src = Tables.load(spark, sf, "supplier")
+    src.write.mode("overwrite").orc(s"$tmp/supplier_orc")
+    val back = spark.read.schema(Tables.supplierSchema).orc(s"$tmp/supplier_orc")
+    assert(back.except(src).count() == 0 && src.except(back).count() == 0)
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    val v1 = Tables.load(spark, sf, "region")
+    v1.write.mode("overwrite").parquet(s"$tmp/evolving/gen=1")
+    v1.withColumn("r_comment", concat(lit("c_"), $"r_name"))
+      .write.mode("overwrite").parquet(s"$tmp/evolving/gen=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/evolving")
+    assert(merged.columns.toSet ==
+      Set("r_regionkey", "r_name", "r_comment", "gen"))
+    // old-generation rows surface the new column as NULL
+    assert(merged.filter($"gen" === 1 && $"r_comment".isNotNull).count() == 0)
+    assert(merged.filter($"gen" === 2 && $"r_comment".isNull).count() == 0)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     // co-located join: both sides bucketed on the join key → the sort-
     // merge join reads buckets pairwise, no Exchange in the plan. At
