@@ -213,11 +213,15 @@ object Extended {
       .withColumn("corr20", corr($"value", $"tsd").over(frame))
       .withColumn("rn", row_number().over(ord))
       .filter($"rn" >= 20)
-      .select($"event_id", round($"corr20", 4).as("corr20"))
+      // decimal-space round: normalizes -0.0 and pins half-boundary
+      // rounding to the same half-up rule in both engines (see q24)
+      .select($"event_id",
+        round($"corr20".cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
+          .cast("double").as("corr20"))
   }
 
   val q51Sql: String =
-    """SELECT event_id, round(c, 4) AS corr20 FROM (
+    """SELECT event_id, CAST(round(CAST(c AS DECIMAL(28,12)), 4) AS DOUBLE) AS corr20 FROM (
       |  SELECT event_id,
       |    corr(value, epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c,
@@ -465,6 +469,31 @@ object Extended {
       .agg(count(lit(1)).as("n_members"))
       .orderBy($"cluster_id")
   }
+
+  /** q62_json_extract — semi-structured ingestion: typed extraction
+    * from the JSON `props` column with `from_json` (schema-on-read for
+    * the payload — codegen'd Jackson parse, no UDF), aggregated per
+    * type. The everyday "events carry a JSON blob" ETL shape.
+    */
+  def q62JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .withColumn("p", from_json($"props", propsSchema))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"p.k").as("sum_k"),
+        round(avg($"p.k"), 4).as("avg_k"),
+        max($"p.k").as("max_k"))
+  }
+
+  val q62Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
 
   val q60Sql: String =
     """WITH ev AS (

@@ -87,14 +87,21 @@ object TimeSeries {
     Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"ts", $"value")
       .withColumn("prev", lag($"value", 1).over(w))
-      // nullif guards ANSI divide-by-zero (value can be exactly 0.0)
-      .withColumn("ret", round(($"value" - $"prev") / nullif($"prev", lit(0.0)), 6))
+      // nullif guards ANSI divide-by-zero (value can be exactly 0.0).
+      // The round happens in DECIMAL space: a ratio like 8.0046875
+      // terminates exactly on a half boundary at 6dp, where Spark's
+      // BigDecimal HALF_UP and DuckDB's binary-double rounding disagree
+      // (bit one row at sf0.1); via decimal(28,12) both engines apply
+      // half-up to the same decimal value — and -0.0 normalizes to 0.
+      .withColumn("ret", round((($"value" - $"prev") / nullif($"prev", lit(0.0)))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6).cast("double"))
       .select($"user_id", $"event_id", $"ret")
   }
 
   val q24Sql: String =
     """SELECT user_id, event_id,
-      |  round((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0.0), 6) AS ret
+      |  CAST(round(CAST((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0.0)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS ret
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
