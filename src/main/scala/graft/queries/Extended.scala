@@ -457,6 +457,81 @@ object Extended {
       .select($"user_id", $"d".as("day"), $"close_ff")
   }
 
+  /** q63_funnel — conversion funnel: per event type stage, how many
+    * users reached it AFTER completing the previous stage (signup →
+    * click → purchase), with first-touch timestamps. One groupBy pass
+    * (conditional min aggregates), no joins.
+    */
+  def q63Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"ts")).as("t_signup"),
+        min(when($"event_type" === "click", $"ts")).as("t_click_any"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_purchase_any"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when($"t_signup".isNotNull, 1L).otherwise(0L)).as("n_signup"),
+      sum(when($"t_signup".isNotNull && $"t_click_any" > $"t_signup", 1L)
+        .otherwise(0L)).as("n_click_after_signup"),
+      sum(when($"t_signup".isNotNull && $"t_purchase_any" > $"t_signup", 1L)
+        .otherwise(0L)).as("n_purchase_after_signup"))
+  }
+
+  val q63Sql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase_any
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click_any > t_signup
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_signup,
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_purchase_any > t_signup
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_signup
+      |FROM per_user""".stripMargin
+
+  /** q64_event_paths — top-10 per-user event-type journeys: the ordered
+    * path string assembled ROW-LOCALLY from a sorted struct array (no
+    * per-event shuffle beyond the user groupBy), then a count + top-k.
+    */
+  def q64EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path").limit(10)
+  }
+
+  val q64Sql: String =
+    """SELECT path, count(*) AS n_users FROM (
+      |  SELECT user_id,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM events GROUP BY user_id)
+      |GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin
+
+  /** q65_approx_quantile — mergeable quantile sketch next to the exact
+    * percentile (the quantile analog of q20's HLL check): at 100 TB the
+    * sketch is the only option, the exact column certifies it at test
+    * scale. rows-only: sketch estimates are engine-specific.
+    */
+  def q65ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(approx_percentile($"value", lit(0.5), lit(10000)), 2).as("approx_p50"),
+        round(percentile($"value", lit(0.5)), 2).as("exact_p50"),
+        round(approx_percentile($"value", lit(0.99), lit(10000)), 2).as("approx_p99"))
+  }
+
   /** q61_dedup_clusters — near-dup pairs (MinHash-LSH) resolved into
     * connected components; one row per cluster with its canonical doc
     * and size. rows-only: the pair set is sketch-derived.
