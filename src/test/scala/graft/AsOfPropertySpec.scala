@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+/** Differential test: AsOf.join vs an in-memory brute-force reference
+  * over seeded random datasets — covers key/timestamp collisions between
+  * sides, NULL right values, tolerance bounds, inner/outer, in
+  * combinations a hand-written example suite won't reach.
+  *
+  * (key, rts) pairs are unique on the right so the expected match is
+  * well-defined; left rows collide freely with right timestamps to
+  * exercise the >= (ref-at-t matches query-at-t) convention.
+  */
+class AsOfPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def runCase(seed: Int, inner: Boolean,
+                      tol: Option[Long]): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val nKeys = 1 + rnd.nextInt(4)
+    val left = (0 until 30).map { i =>
+      (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(1000).toLong), i.toLong)
+    }
+    val rightPairs = rnd.shuffle((0 until 1000).toList).take(25)
+    val right = rightPairs.map { t =>
+      (rnd.nextInt(nKeys).toLong, ts(t.toLong),
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(100).toDouble))
+    }.distinct // unique (key, rts, v); (key, rts) dups removed below
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+
+    val lDf = left.toDF("k", "ts", "row_id")
+    val rDf = right.toDF("k", "rts", "v")
+
+    val got = AsOf.join(lDf, rDf, "k", "ts", "rts",
+      Seq("v" -> "v"), inner = inner, toleranceSec = tol)
+      .select($"row_id", $"v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    // brute force: latest right row with same key, rts <= ts, within tol
+    val expectedAll = left.map { case (k, lts, id) =>
+      val matches = right.filter { case (rk, rts, _) =>
+        rk == k && !rts.after(lts) &&
+          tol.forall(t => (lts.getTime - rts.getTime) / 1000 <= t)
+      }
+      val best = if (matches.isEmpty) None
+                 else Some(matches.maxBy(_._2.getTime))
+      (id, best)
+    }
+    val expected = expectedAll
+      .filter { case (_, best) => !inner || best.isDefined }
+      .map { case (id, best) => id -> best.flatMap(_._3) }
+      .toMap
+
+    assert(got == expected,
+      s"seed=$seed inner=$inner tol=$tol:\n got=$got\n exp=$expected")
+  }
+
+  test("as-of join matches brute force over 60 random cases") {
+    for (seed <- 0 until 20) {
+      runCase(seed, inner = true, tol = None)
+      runCase(seed + 1000, inner = false, tol = None)
+      runCase(seed + 2000, inner = true, tol = Some(50L))
+    }
+  }
+}
