@@ -443,11 +443,14 @@ object Relational {
     */
   def q20ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir).select($"event_type", $"user_id")
-    val approx = ev.groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
-    val exact = ev.groupBy($"event_type", $"user_id").agg(count(lit(1)))
-      .groupBy($"event_type").agg(count(lit(1)).as("exact_users"))
-    approx.join(exact, Seq("event_type"))
+    // HLL is duplicate-insensitive, so the estimate over the DISTINCT
+    // (type, user) pairs equals the estimate over the raw stream — both
+    // aggregates ride one two-level pipeline: map-side partial agg on
+    // the pair key, then per-type count + sketch. No Expand, no join.
+    Tables.events(spark, dir)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)))
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
+        count(lit(1)).as("exact_users"))
   }
 }
