@@ -532,6 +532,61 @@ object Extended {
         round(approx_percentile($"value", lit(0.99), lit(10000)), 2).as("approx_p99"))
   }
 
+  /** q66_window_distribution — the distribution window family: ntile
+    * quartiles, percent_rank, cume_dist and frame-bounded first/last
+    * value over per-customer spend.
+    */
+  def q66WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"))
+    val w = Window.orderBy($"spend".desc, $"o_custkey")
+    spend
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6).cast("double"))
+      .withColumn("cume", round(cume_dist().over(w)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6).cast("double"))
+  }
+
+  val q66Sql: String =
+    """SELECT o_custkey, spend,
+      |  ntile(4) OVER w AS quartile,
+      |  CAST(round(CAST(percent_rank() OVER w AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct_rank,
+      |  CAST(round(CAST(cume_dist() OVER w AS DECIMAL(28,12)), 6) AS DOUBLE) AS cume
+      |FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      |      FROM orders GROUP BY o_custkey)
+      |WINDOW w AS (ORDER BY spend DESC, o_custkey)""".stripMargin
+
+  /** q67_set_ops — INTERSECT / EXCEPT: customers active in both halves
+    * of the year vs only the first half (planned as semi/anti joins on
+    * pre-aggregated key sets).
+    */
+  def q67SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+    val h1 = ord.filter($"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+      .select($"o_custkey").distinct()
+    val h2 = ord.filter($"o_orderdate" >= lit("1996-07-01").cast("timestamp"))
+      .select($"o_custkey").distinct()
+    val both = h1.intersect(h2).agg(count(lit(1)).as("n")).select(lit("both_halves").as("cohort"), $"n")
+    val onlyH1 = h1.except(h2).agg(count(lit(1)).as("n")).select(lit("only_h1").as("cohort"), $"n")
+    val onlyH2 = h2.except(h1).agg(count(lit(1)).as("n")).select(lit("only_h2").as("cohort"), $"n")
+    both.unionByName(onlyH1).unionByName(onlyH2)
+  }
+
+  val q67Sql: String =
+    """WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+      |            WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+      |h2 AS (SELECT DISTINCT o_custkey FROM orders
+      |       WHERE o_orderdate >= TIMESTAMP '1996-07-01')
+      |SELECT 'both_halves' AS cohort, count(*) AS n FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+      |UNION ALL
+      |SELECT 'only_h1', count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+      |UNION ALL
+      |SELECT 'only_h2', count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin
+
   /** q61_dedup_clusters — near-dup pairs (MinHash-LSH) resolved into
     * connected components; one row per cluster with its canonical doc
     * and size. rows-only: the pair set is sketch-derived.
