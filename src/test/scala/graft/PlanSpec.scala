@@ -1,0 +1,58 @@
+package graft
+
+/** Plan-shape regression guards: the properties that make these
+  * operators survive a 100 TB scale-up, asserted on the physical plan
+  * so a future refactor can't silently trade them away.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(p: String, token: String): Int = p.split(token).length - 1
+
+  test("as-of joins run on a single exchange (union+window, no range join)") {
+    for (q <- Seq("q21_asof_join", "q59_asof_tolerance")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
+      assert(count(p, "NestedLoop") == 0, s"$q: nested-loop join crept in")
+    }
+  }
+
+  test("selective filters reach the parquet scan") {
+    val p = plan("q2_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(p_size,10"), p)
+    // projection pruned: unused columns (e.g. p_brand) not read
+    assert(!p.contains("p_brand"), p)
+  }
+
+  test("dimension chains broadcast instead of shuffling the fact side") {
+    val p = plan("q4_broadcast_join")
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q9_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("exact dedup aggregates partially before the shuffle") {
+    val p = plan("q31_dedup_exact")
+    assert(count(p, "HashAggregate") >= 2, p) // partial + final
+    assert(count(p, "Exchange") == 1, p)
+  }
+
+  test("IVF assignment adds no shuffle beyond the candidate join") {
+    val p = plan("q44_ann_ivf")
+    assert(count(p, "Exchange") <= 3, s"IVF plan regressed:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p)
+  }
+
+  test("lineitem scans read only the projected columns") {
+    val p = plan("q6_selective_filter")
+    // q6 needs 4 columns; the scan schema must not include the rest
+    assert(p.contains("l_extendedprice") && !p.contains("l_returnflag"), p)
+  }
+}
