@@ -68,6 +68,18 @@ object Multimodal {
       }
   }
 
+  /** "Resize" analog for opaque payloads: keep every `stride`-th byte
+    * (the spatial-downsampling stand-in — a real codec would decode,
+    * resample, re-encode; the Spark-side contract is a binary→binary
+    * column op that composes with the rest of the pipeline). Native
+    * expression: one byte loop per row, no HOF boxing.
+    */
+  def resizePayload(docs: DataFrame, stride: Int = 4): DataFrame =
+    attachPayload(docs)
+      .withColumn("resized",
+        graft.functions.BinaryExpressions.byteStride(col("payload"), stride))
+      .withColumn("resized_bytes", octet_length(col("resized")))
+
   /** Frame sampling for chunked payloads ("video"): split the payload
     * into fixed-size chunks and keep every `stride`-th — pure column
     * ops, no decode needed for temporal subsampling.

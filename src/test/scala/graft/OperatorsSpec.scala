@@ -129,6 +129,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(f.width == f2.width && f.features.toSeq == f2.features.toSeq)
   }
 
+  test("payload resize keeps every stride-th byte") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val out = Multimodal.resizePayload(docs, stride = 3)
+      .select("resized").collect()(0).getAs[Array[Byte]](0)
+    assert(new String(out, "UTF-8") == "adgj")
+  }
+
+  test("minhash estimate tracks true jaccard on random docs") {
+    val rnd = new scala.util.Random(7)
+    // mutations of one base document → a spread of true jaccards
+    val base = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 20L).map { id =>
+      val mutated = base.map(w =>
+        if (rnd.nextInt(10) < id / 2) s"m${rnd.nextInt(1000)}" else w)
+      (id, mutated.mkString(" "))
+    }
+    def shingles(t: String) = {
+      val toks = t.split(" ").toSeq
+      if (toks.length <= 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val est = Dedup.minHashPairs(docs.toDF("doc_id", "text"),
+      k = 128, bands = 32, threshold = 0.0)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every banded pair's estimate is within 0.25 of the true jaccard
+    // (k=128 → stderr ≈ sqrt(j(1-j)/128) ≈ 0.045; 0.25 ≈ 5σ)
+    est.foreach { case ((a, b), e) =>
+      val sa = shingles(docs(a.toInt)._2); val sb = shingles(docs(b.toInt)._2)
+      val truth = (sa & sb).size.toDouble / (sa | sb).size
+      assert(math.abs(e - truth) < 0.25, s"($a,$b): est $e vs true $truth")
+    }
+    assert(est.nonEmpty)
+  }
+
   test("frame sampling keeps every stride-th chunk") {
     val docs = Seq((1L, "x" * 100)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(docs, chunkBytes = 32, stride = 2)
