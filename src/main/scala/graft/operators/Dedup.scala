@@ -154,13 +154,29 @@ object Dedup {
       val next = labels.unionByName(nbrLabels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      // iteration 0 always changes labels (any edge implies a smaller
+      // min somewhere) — skip its convergence-count job
+      changed = if (iter == 0) 1L
+        else next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
       labels = next
       iter += 1
     }
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Corpus compaction — the APPLY step of near-dup dedup: drop every
+    * document that belongs to a cluster but is not its canonical
+    * (minimum-id) member. Left-anti join on the (tiny) non-canonical
+    * id set; documents never shuffle.
+    */
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id"): DataFrame = {
+    val dropIds = clusters(pairs)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("__drop_id"))
+    docs.join(broadcast(dropIds), col(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** Exact n-gram Jaccard similarity over candidate pairs from a

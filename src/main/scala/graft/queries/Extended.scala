@@ -625,6 +625,19 @@ object Extended {
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q68_dedup_corpus — the full dedup APPLY: MinHash pairs → clusters
+    * → compacted corpus, summarized per lang. rows-only (sketch-based
+    * pair set).
+    */
+  def q68DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.operators.Dedup.minHashPairs(docs)
+    graft.operators.Dedup.dedupCorpus(docs, pairs)
+      .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
   val q60Sql: String =
     """WITH ev AS (
       |  SELECT user_id, ts, value, event_id, date_trunc('day', ts) AS d FROM events),

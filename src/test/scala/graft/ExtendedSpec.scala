@@ -152,6 +152,15 @@ class ExtendedSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("corpus compaction keeps exactly one doc per near-dup cluster") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"),
+      (42L, "f")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = graft.operators.Dedup.dedupCorpus(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 42L)) // canonical per cluster + untouched doc
+  }
+
   test("multimodal features feed ANN directly (decode → embed → search)") {
     val docs = Tables.documents(spark, sf).limit(50)
     val feats = graft.operators.Multimodal.decodeFeatures(spark, docs)
