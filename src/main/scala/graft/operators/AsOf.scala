@@ -75,7 +75,7 @@ object AsOf {
     val out = filled
       .filter(col("__side") === 1)
     val kept = if (inner) out.filter(col("__match").isNotNull) else out
-    kept.select(left.columns.map(col) ++
-      rightVals.map { case (_, o) => col("__match").getField(o).as(o) }: _*)
+    kept.select((left.columns.map(col) ++
+      rightVals.map { case (_, o) => col("__match").getField(o).as(o) }).toIndexedSeq: _*)
   }
 }

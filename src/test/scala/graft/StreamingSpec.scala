@@ -43,6 +43,20 @@ class StreamingSpec extends SparkTestBase {
     assert(out.filter($"n_events" < 1).count() == 0)
   }
 
+  test("streamed window aggregates equal the batch plan on closed windows") {
+    val stream = Streams.eventsStream(spark, streamDir)
+    val q = Streams.windowedCounts(stream).writeStream
+      .outputMode("append").format("memory").queryName("win_cmp").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("win_cmp")
+    val batch = Streams.windowedCounts(Tables.events(spark, sf))
+    // append mode emits only watermark-closed windows; every emitted row
+    // must match the batch aggregation exactly
+    assert(streamed.count() > 0)
+    assert(streamed.join(batch,
+      Seq("window", "event_type", "n", "total"), "left_anti").count() == 0)
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     val stream = Streams.eventsStream(spark, streamDir)
     val q = Streams.clickPurchaseJoin(stream).writeStream
