@@ -96,6 +96,47 @@ object Ann {
         round(col("cos_raw"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** LSH-bucketed embedding near-dup pairs — the 100 TB path of
+    * [[cosinePairs]]: candidates only where two vectors share a sign
+    * bucket in ANY of the `tables` hash tables (linear bucket join),
+    * exact cosine rerank, threshold filter. Pair dedup is a FILTER
+    * (emit only from the first agreeing table, computed from the two
+    * signature arrays in place), not a shuffle.
+    *
+    * Candidate recall is governed by tables×bits: P(candidate) =
+    * 1-(1-(1-θ/π)^bits)^tables for angle θ. [[cosinePairs]] on a
+    * sample certifies the configured recall.
+    */
+  def lshCosinePairs(vectors: DataFrame, threshold: Double,
+                     tables: Int = 8, bits: Int = 8, dim: Int = -1,
+                     seed: Long = 42L, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim
+            else vectors.select(size(col(vecCol)).as("d")).first().getInt(0)
+    require(d > 0, s"embedding dimension must be positive, got $d")
+    val planes = hyperplanes(tables, bits, d, seed)
+    val planesSeq: Seq[Seq[Seq[Double]]] = planes.map(_.map(_.toSeq).toSeq).toSeq
+    val withSig = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      graft.functions.VectorExpressions.lshSig(col(vecCol), planesSeq).as("sig"))
+    val entries = withSig
+      .select(col("id"), col("vec"), col("sig"), posexplode(col("sig")))
+      .withColumnRenamed("pos", "table_idx")
+      .withColumnRenamed("col", "bucket")
+    val a = entries.select(col("table_idx"), col("bucket"),
+      col("id").as("id_a"), col("vec").as("vec_a"), col("sig").as("sig_a"))
+    val b = entries.select(col("table_idx"), col("bucket"),
+      col("id").as("id_b"), col("vec").as("vec_b"), col("sig").as("sig_b"))
+    val firstMatch =
+      array_position(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        lit(true)) - 1
+    a.join(b, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("table_idx") === firstMatch)
+      .withColumn("cos_raw", Vectors.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",

@@ -31,6 +31,16 @@ object Extended {
       |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
       |WHERE c >= 0.4""".stripMargin
 
+  /** q69_dedup_embedding_lsh — the scalable embedding near-dup path:
+    * LSH-bucketed candidates + exact rerank at threshold 0.4. rows-only
+    * (candidate recall is banding-limited by design; q43 is the exact
+    * certification tier).
+    */
+  def q69DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    Ann.lshCosinePairs(Tables.embeddings(spark, dir), threshold = 0.4,
+      tables = 16, bits = 6)
+  }
+
   /** q44_ann_ivf — IVF cell-probed ANN, top-3 per query. */
   def q44AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

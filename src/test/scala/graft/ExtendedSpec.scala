@@ -152,6 +152,19 @@ class ExtendedSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("LSH cosine pairs are a subset of exact pairs and find planted dups") {
+    val emb = Tables.embeddings(spark, sf)
+    val dup = emb.filter($"vec_id" === 3).withColumn("vec_id", lit(88888L))
+    val corpus = emb.unionByName(dup)
+    val lsh = Ann.lshCosinePairs(corpus, threshold = 0.3)
+      .select("id_a", "id_b", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Ann.cosinePairs(corpus, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${lsh -- exact}")
+    assert(lsh.contains((3L, 88888L, 1.0)), "planted duplicate missed")
+  }
+
   test("corpus compaction keeps exactly one doc per near-dup cluster") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"),
       (42L, "f")).toDF("doc_id", "text")
