@@ -41,6 +41,34 @@ object Extended {
       tables = 16, bits = 6)
   }
 
+  /** q70_name_match — entity resolution by edit distance (the
+    * securities-master "same instrument, different feed spelling"
+    * primitive): candidate pairs are BUCKETED by brand and
+    * length-prefiltered (|Δlen| ≤ k bounds Levenshtein from below), so
+    * the quadratic distance computation runs only inside small blocks —
+    * standard blocking, linear shuffle.
+    */
+  def q70NameMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_name")
+    val a = p.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("name_a"))
+    val b = p.select($"p_brand", $"p_partkey".as("key_b"), $"p_name".as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter($"key_a" < $"key_b" &&
+        abs(length($"name_a") - length($"name_b")) <= 3)
+      .withColumn("lev", levenshtein($"name_a", $"name_b"))
+      .filter($"lev" <= 3)
+      .select($"key_a", $"key_b", $"lev")
+  }
+
+  val q70Sql: String =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  levenshtein(a.p_name, b.p_name) AS lev
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      | AND abs(length(a.p_name) - length(b.p_name)) <= 3
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
+
   /** q44_ann_ivf — IVF cell-probed ANN, top-3 per query. */
   def q44AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
