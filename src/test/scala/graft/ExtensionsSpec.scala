@@ -1,6 +1,7 @@
 package graft
 
 import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
 
 /** SQL-surface spec: the graft native expressions registered as SQL
   * functions (extension/install path) and used from pure spark.sql.
@@ -36,6 +37,24 @@ class ExtensionsSpec extends SparkTestBase {
       graft.functions.SimHash.simhash64(
         graft.functions.Text.tokens($"text")).as("h"))
     assert(viaSql.except(viaDsl).count() == 0 && viaDsl.except(viaSql).count() == 0)
+  }
+
+  test("levenshtein prefilter rule injects the length bound once") {
+    import spark.implicits._
+    import graft.plans.LevenshteinPrefilter
+    val df = Tables.part(spark, sf)
+      .filter(levenshtein($"p_name", lit("small ring")) <= 2)
+    val once = LevenshteinPrefilter(df.queryExecution.analyzed)
+    val twice = LevenshteinPrefilter(once)
+    assert(once.toString.contains("abs((length(p_name"), once.toString)
+    assert(once.toString == twice.toString) // idempotent
+    // soundness: the guard is implied by the predicate it guards, so the
+    // guarded filter must keep exactly the rows the plain filter keeps
+    val plain = df.count()
+    val guarded = Tables.part(spark, sf)
+      .filter(abs(length($"p_name") - length(lit("small ring"))) <= 2 &&
+        levenshtein($"p_name", lit("small ring")) <= 2).count()
+    assert(guarded == plain)
   }
 
   test("non-literal static parameter fails with a clear message") {
