@@ -252,4 +252,33 @@ object TimeSeries {
       |  SELECT event_type AS et, avg(value) AS m, stddev_samp(value) AS s
       |  FROM events GROUP BY event_type) ON event_type = et
       |WHERE abs((value - m) / s) > 2.5""".stripMargin
+
+  /** q71_ewma — exponentially weighted moving average per user: the
+    * classic RECURSIVE time-series smoother (ewma_t = α·x_t +
+    * (1-α)·ewma_{t-1}) that no SQL window frame expresses. Typed
+    * Dataset path: groupByKey + flatMapGroups with an in-group sort —
+    * per-group state is one double, group size is one user's history
+    * (the same bound every keyed window in this module relies on).
+    * rows-only: DuckDB has no recursive-window equivalent.
+    */
+  case class EwmaRow(user_id: Long, ts_us: Long, event_id: Long,
+                     value: Double, ewma: Double)
+
+  def ewma(spark: SparkSession, dir: String, alpha: Double): org.apache.spark.sql.Dataset[EwmaRow] = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user: Long, rows: Iterator[(Long, Long, Long, Double)]) =>
+        var s = Double.NaN
+        rows.toSeq.sortBy(r => (r._2, r._3)).iterator.map { case (_, tsUs, id, v) =>
+          s = if (s.isNaN) v else alpha * v + (1 - alpha) * s
+          EwmaRow(user, tsUs, id, v, math.rint(s * 10000) / 10000)
+        }
+      }
+  }
+
+  def q71Ewma(spark: SparkSession, dir: String): DataFrame =
+    ewma(spark, dir, alpha = 0.2).toDF()
 }

@@ -137,6 +137,30 @@ object Streams {
       }
       .start()
 
+  /** Streaming EWMA per user via mapGroupsWithState: state is ONE
+    * double per user regardless of stream length; each batch folds its
+    * (sorted) events into the smoothed value and emits the user's
+    * current EWMA — the incremental twin of the batch
+    * [[graft.queries.TimeSeries.ewma]] (same fold order → identical
+    * floating-point result).
+    */
+  def ewmaState(spark: SparkSession, events: DataFrame,
+                alpha: Double): Dataset[(Long, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Double, (Long, Double)](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[Double]) =>
+          var s = state.getOption.getOrElse(Double.NaN)
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            s = if (s.isNaN) e.value else alpha * e.value + (1 - alpha) * s
+          }
+          state.update(s)
+          (user, math.rint(s * 10000) / 10000)
+      }
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -95,6 +95,25 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("event_id").distinct().count() == distinctIds)
   }
 
+  test("streaming EWMA state equals the batch EWMA's final value per user") {
+    val stream = Streams.eventsStream(spark, streamDir)
+    val q = Streams.ewmaState(spark, stream, alpha = 0.2).toDF("user_id", "ewma")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ewma_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // last emitted value per user (single static batch → one row each,
+    // but guard against multi-batch replay by keeping the last)
+    val streamed = spark.table("ewma_out")
+      .groupBy($"user_id").agg(last($"ewma").as("ewma"))
+    val batch = graft.queries.TimeSeries.ewma(spark, sf, alpha = 0.2).toDF()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"ts_us".desc, $"event_id".desc)))
+      .filter($"rn" === 1).select($"user_id", $"ewma")
+    assert(streamed.count() > 0)
+    assert(streamed.join(batch, Seq("user_id", "ewma"), "left_anti").count() == 0)
+  }
+
   test("incremental PIT upsert sink converges to the batch q29 result") {
     val tableDir = java.nio.file.Files.createTempDirectory("graft_pit").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_pit_ck").toString
