@@ -221,8 +221,13 @@ object Dedup {
         col("a.n_grams").as("n_a"), col("b.n_grams").as("n_b"))
       .agg(count(lit(1)).as("shared"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")), 4).as("jaccard"))
+        // decimal-space round: small-integer ratios land exactly on
+        // half boundaries where double-rounding rules diverge across
+        // engines; decimal(28,12) pins half-up everywhere
+        round((col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
+          .cast("double").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -33,6 +33,35 @@ object TrainingData {
   def q34NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
 
+  /** q34 is exact (deterministic df-capped inverted index), so it gets
+    * a full SQL oracle: same shingling (whole text when <= n tokens),
+    * same df band, same decimal-space rounding.
+    */
+  val q34Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams),
+      |rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+      |f AS (SELECT ex.* FROM ex JOIN rare USING (gram)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+      |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b,
+      |  CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS jaccard
+      |FROM pairs
+      |WHERE CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) >= 0.2""".stripMargin
+
   /** q35_ann_bruteforce — exact cosine top-5 for query vectors 0–9. */
   def q35AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
