@@ -110,7 +110,8 @@ object Ann {
   def lshCosinePairs(vectors: DataFrame, threshold: Double,
                      tables: Int = 8, bits: Int = 8, dim: Int = -1,
                      seed: Long = 42L, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     maxBucket: Int = 100000): DataFrame = {
     val d = if (dim > 0) dim
             else vectors.select(size(col(vecCol)).as("d")).first().getInt(0)
     require(d > 0, s"embedding dimension must be positive, got $d")
@@ -118,10 +119,19 @@ object Ann {
     val planesSeq: Seq[Seq[Seq[Double]]] = planes.map(_.map(_.toSeq).toSeq).toSeq
     val withSig = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
       graft.functions.VectorExpressions.lshSig(col(vecCol), planesSeq).as("sig"))
-    val entries = withSig
+    // runaway-bucket guard: one bucket of n members costs n²/2 pairs;
+    // buckets beyond maxBucket are dropped (documented recall trade —
+    // exact-duplicate mass belongs to exact dedup, not LSH)
+    val raw = withSig
       .select(col("id"), col("vec"), col("sig"), posexplode(col("sig")))
       .withColumnRenamed("pos", "table_idx")
       .withColumnRenamed("col", "bucket")
+    val entries =
+      if (maxBucket <= 0) raw
+      else raw.withColumn("__bsz", count(lit(1)).over(
+          Window.partitionBy(col("table_idx"), col("bucket"))))
+        .filter(col("__bsz") <= maxBucket)
+        .drop("__bsz")
     val a = entries.select(col("table_idx"), col("bucket"),
       col("id").as("id_a"), col("vec").as("vec_a"), col("sig").as("sig_a"))
     val b = entries.select(col("table_idx"), col("bucket"),

@@ -18,6 +18,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Runaway-bucket guard for banded candidate generation: a bucket of
+    * n members yields n²/2 candidate pairs, so one degenerate bucket
+    * (a mass of exact duplicates that should have been removed by
+    * [[exact]] dedup first, or an adversarial cluster) can dwarf the
+    * rest of the job. Buckets above `cap` are DROPPED — a documented
+    * recall trade, window-counted on the same partitioning the join
+    * shuffle needs anyway. Caps default high enough to be inert at
+    * test scale.
+    */
+  private def capBuckets(entries: DataFrame, keys: Seq[String],
+                         cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (cap <= 0) entries
+    else entries
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bsz") <= cap)
+      .drop("__bsz")
+  }
+
   /** Exact dedup by content hash: canonical id + multiplicity per
     * distinct text. Map-side partial agg makes the shuffle O(distinct).
     */
@@ -40,16 +60,18 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
-                   shingleSize: Int = 3, threshold: Double = 0.1): DataFrame = {
+                   shingleSize: Int = 3, threshold: Double = 0.1,
+                   maxBucket: Int = 100000): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
     val withSig = docs.select(col(idCol).as("id"),
       TextExpressions.minhashSig(col(textCol), k, shingleSize).as("sig"))
     val bandCols = (0 until bands).map(b => xxhash64(slice(col("sig"), b * r + 1, r)))
-    val entries = withSig
+    val entries = capBuckets(withSig
       .select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("col", "band_hash"),
+      Seq("band_idx", "band_hash"), maxBucket)
     val a = entries.select(col("band_idx"), col("band_hash"),
       col("id").as("doc_a"), col("sig").as("sig_a"))
     val b = entries.select(col("band_idx"), col("band_hash"),
@@ -80,7 +102,8 @@ object Dedup {
     * corpora or the band join fans out.
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+                   idCol: String = "doc_id", maxHamming: Int = 3,
+                   maxBucket: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val chunks = maxHamming + 1
     val width = 64 / chunks                // first `chunks-1` chunks this wide
@@ -92,10 +115,11 @@ object Dedup {
       val shifted = shiftrightunsigned(col("sim"), lo)
       if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1L))
     }
-    val entries = withSim
+    val entries = capBuckets(withSim
       .select(col("id"), col("sim"), posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk_idx")
-      .withColumnRenamed("col", "chunk_val")
+      .withColumnRenamed("col", "chunk_val"),
+      Seq("chunk_idx", "chunk_val"), maxBucket)
     val a = entries.select(col("chunk_idx"), col("chunk_val"),
       col("id").as("doc_a"), col("sim").as("sim_a"))
     val b = entries.select(col("chunk_idx"), col("chunk_val"),

@@ -49,6 +49,17 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("hot-bucket cap bounds the candidate blowup from duplicate mass") {
+    // 120 identical docs: every band collides → 7140 pairs uncapped
+    val dupes = (0L until 120L).map(i => (i, "same text every time here"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minHashPairs(dupes, threshold = 0.0).count()
+    assert(uncapped == 120L * 119 / 2)
+    // cap below the bucket size → the degenerate bucket is dropped
+    val capped = Dedup.minHashPairs(dupes, threshold = 0.0, maxBucket = 50).count()
+    assert(capped == 0, s"expected degenerate bucket dropped, got $capped pairs")
+  }
+
   test("simhash banding recall is complete up to maxHamming (3 seeds)") {
     for (seed <- 0 until 3) {
       val docs = randomDocs(seed + 100, 40).toDF("doc_id", "text")
