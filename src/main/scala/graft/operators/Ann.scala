@@ -128,10 +128,14 @@ object Ann {
       .withColumnRenamed("col", "bucket")
     val entries =
       if (maxBucket <= 0) raw
-      else raw.withColumn("__bsz", count(lit(1)).over(
-          Window.partitionBy(col("table_idx"), col("bucket"))))
-        .filter(col("__bsz") <= maxBucket)
-        .drop("__bsz")
+      else {
+        // narrow agg → tiny hot set → broadcast anti-join (see
+        // Dedup.capBuckets for why not a window count)
+        val hot = raw.groupBy(col("table_idx"), col("bucket"))
+          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucket)
+          .select(col("table_idx"), col("bucket"))
+        raw.join(broadcast(hot), Seq("table_idx", "bucket"), "left_anti")
+      }
     val a = entries.select(col("table_idx"), col("bucket"),
       col("id").as("id_a"), col("vec").as("vec_a"), col("sig").as("sig_a"))
     val b = entries.select(col("table_idx"), col("bucket"),

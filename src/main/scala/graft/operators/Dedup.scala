@@ -28,15 +28,19 @@ object Dedup {
     * test scale.
     */
   private def capBuckets(entries: DataFrame, keys: Seq[String],
-                         cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                         cap: Int): DataFrame =
     if (cap <= 0) entries
-    else entries
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__bsz") <= cap)
-      .drop("__bsz")
-  }
+    else {
+      // hot-bucket keys from a NARROW aggregation (map-side combined,
+      // only the key columns shuffle), then a broadcast anti-join: the
+      // hot set is tiny by definition (every member holds > cap
+      // entries), and the entries side keeps its partitioning — unlike
+      // a window count, which re-shuffled the full-width entries twice.
+      val hot = entries.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > cap)
+        .select(keys.map(col): _*)
+      entries.join(broadcast(hot), keys, "left_anti")
+    }
 
   /** Exact dedup by content hash: canonical id + multiplicity per
     * distinct text. Map-side partial agg makes the shuffle O(distinct).
