@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, MinHashSig, ShingleSet, SimHash64, WinnowFP}
+import graft.functions.{ByteStride, CosineSim, LshSig, MinHashSig, ShingleSet, SimHash64, WinnowFP}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -60,7 +60,24 @@ object GraftExtensions {
     (FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "graft_winnow(text, k, window) - winnowing fingerprints"),
       (children: Seq[Expression]) => WinnowFP(children.head,
-        intLit(children(1), "k"), intLit(children(2), "window"))))
+        intLit(children(1), "k"), intLit(children(2), "window"))),
+    (FunctionIdentifier("graft_lsh_sig"),
+      info("graft_lsh_sig",
+        "graft_lsh_sig(vec, tables, bits, dim, seed) - per-table LSH bucket ids"),
+      (children: Seq[Expression]) => {
+        val (tables, bits, dim) = (intLit(children(1), "tables"),
+          intLit(children(2), "bits"), intLit(children(3), "dim"))
+        val seed = intLit(children(4), "seed").toLong
+        val rnd = new scala.util.Random(seed)
+        val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables, bits, dim)(
+          if (rnd.nextBoolean()) 1.0 else -1.0)
+        LshSig(children.head, planes)
+      }),
+    (FunctionIdentifier("graft_byte_stride"),
+      info("graft_byte_stride",
+        "graft_byte_stride(payload, stride) - every stride-th byte of a binary"),
+      (children: Seq[Expression]) => ByteStride(children.head,
+        intLit(children(1), "stride"))))
 
   /** Register the functions on a live session (for sessions created
     * without the extension config — notebooks, REPLs, test harnesses).

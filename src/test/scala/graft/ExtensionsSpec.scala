@@ -24,6 +24,12 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getInt(2) == 16)
     assert(r.getSeq[String](3).toSet == Set("a b", "b c"))
     assert(r.getInt(4) > 0)
+    val r2 = spark.sql(
+      """SELECT size(graft_lsh_sig(array(1.0D, -2.0D, 0.5D), 4, 8, 3, 42)) AS nt,
+        |  graft_byte_stride(CAST('abcdefgh' AS BINARY), 3) AS bs
+        |""".stripMargin).collect()(0)
+    assert(r2.getInt(0) == 4)
+    assert(new String(r2.getAs[Array[Byte]](1), "UTF-8") == "adg")
   }
 
   test("SQL and DSL paths produce identical simhashes over real docs") {
