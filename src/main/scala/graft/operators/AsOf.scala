@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * co-located). At equal timestamps the reference row sorts first
   * (side 0 < side 1), so a reference effective AT t matches a query at
   * t — the `>=` convention, same as DuckDB's ASOF JOIN.
+  *
+  * Precondition: (key, rightTs) should be unique on the reference side
+  * — when two reference rows share the same instant, which one wins is
+  * partition-order dependent (the same caveat DuckDB's ASOF JOIN
+  * carries). Deduplicate to point-in-time-latest first (q29 shape) if
+  * the feed can contain same-instant revisions.
   */
 object AsOf {
 
