@@ -51,6 +51,32 @@ class SourcesSpec extends SparkTestBase {
     assert(!plan.contains("AUTOMOBILE"))
   }
 
+  test("malformed feed rows are quarantined, not dropped silently") {
+    // a provider feed with one bad record: PERMISSIVE parse keeps the
+    // good rows and captures the raw bad line for quarantine/replay
+    val dir = s"$tmp/feed_csv"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/feed.csv"),
+      "1,ACME,100.5\n2,GLOBEX,not_a_number\n3,INITECH,99.25\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("px", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val feed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    val good = feed.filter($"_corrupt_record".isNull)
+    val quarantined = feed.filter($"_corrupt_record".isNotNull)
+    assert(good.count() == 2)
+    assert(quarantined.count() == 1)
+    assert(quarantined.select("_corrupt_record").as[String].collect()(0)
+      .contains("not_a_number"))
+    feed.unpersist()
+  }
+
   test("orc round-trip preserves rows") {
     val src = Tables.load(spark, sf, "supplier")
     src.write.mode("overwrite").orc(s"$tmp/supplier_orc")
