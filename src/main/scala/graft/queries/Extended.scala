@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Ann
+import graft.operators.{Ann, Scd2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -624,6 +624,33 @@ object Extended {
       |SELECT 'only_h1', count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
       |UNION ALL
       |SELECT 'only_h2', count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin
+
+  /** q72_scd2_apply — incremental SCD2 maintenance: build the dimension
+    * from 80% of history, apply the remaining 20% (which INTERLEAVES in
+    * event time — the late-arrival case) through
+    * [[graft.operators.Scd2.applyDelta]]. The oracle is the FULL
+    * rebuild over all records: hash-matching it proves the incremental
+    * path is exact, not just approximately converged.
+    */
+  def q72Scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.events(spark, dir)
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"user_id", $"event_type", $"ts", $"value", $"event_id")
+    val hist = recs.filter($"event_id" % 5 =!= 0)
+    val delta = recs.filter($"event_id" % 5 === 0)
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    val dim = hist.withColumn("valid_to", lead($"ts", 1).over(w))
+    Scd2.applyDelta(dim, delta, keys = Seq("user_id", "event_type"),
+      ts = "ts", rid = "event_id")
+      .select($"user_id", $"event_type", $"ts".as("valid_from"), $"valid_to", $"value")
+  }
+
+  val q72Sql: String =
+    """SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to,
+      |  value
+      |FROM events WHERE event_type IN ('signup', 'purchase')""".stripMargin
 
   /** q61_dedup_clusters — near-dup pairs (MinHash-LSH) resolved into
     * connected components; one row per cluster with its canonical doc

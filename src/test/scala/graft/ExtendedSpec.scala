@@ -165,6 +165,27 @@ class ExtendedSpec extends SparkTestBase {
     assert(lsh.contains((3L, 88888L, 1.0)), "planted duplicate missed")
   }
 
+  test("scd2 applyDelta: untouched keys pass through, touched keys re-split") {
+    val dim = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0, 100L, Some(ts("2024-01-05 00:00:00"))),
+      (1L, ts("2024-01-05 00:00:00"), 11.0, 101L, None),
+      (2L, ts("2024-01-02 00:00:00"), 20.0, 102L, None)
+    ).toDF("k", "ts", "v", "rid", "valid_to")
+    // late-arriving record splits key 1's first interval; key 2 untouched
+    val delta = Seq((1L, ts("2024-01-03 00:00:00"), 10.5, 200L))
+      .toDF("k", "ts", "v", "rid")
+    val out = graft.operators.Scd2.applyDelta(dim, delta,
+      keys = Seq("k"), ts = "ts", rid = "rid")
+      .select("k", "ts", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)))).toSet
+    assert(out == Set(
+      (1L, ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00"))),
+      (1L, ts("2024-01-03 00:00:00"), Some(ts("2024-01-05 00:00:00"))),
+      (1L, ts("2024-01-05 00:00:00"), None),
+      (2L, ts("2024-01-02 00:00:00"), None)))
+  }
+
   test("corpus compaction keeps exactly one doc per near-dup cluster") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"),
       (42L, "f")).toDF("doc_id", "text")
