@@ -15,6 +15,11 @@ run / fork := true
 // machine-read JSON lines, and sbt's default "[info] " decoration
 // breaks downstream json parsing of the bench output.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the bench JSON must be the LAST stdout line: sbt's
+// "[success] Total time: …" trailer otherwise lands after it and the
+// round-2 driver bench record came back parsed:null.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -679,14 +679,18 @@ object Extended {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"p.k").as("sum_k"),
-        round(avg($"p.k"), 4).as("avg_k"),
+        // decimal-space round: avg of bigints is a derived double whose
+        // half-boundary rounding diverges between engines; decimal(28,12)
+        // pins half-up on both sides (same fix as q24/q49/q51)
+        round(avg($"p.k").cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
+          .cast("double").as("avg_k"),
         max($"p.k").as("max_k"))
   }
 
   val q62Sql: String =
     """SELECT event_type, count(*) AS n,
       |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-      |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  CAST(round(CAST(avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_k,
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
