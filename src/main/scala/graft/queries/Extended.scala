@@ -652,18 +652,63 @@ object Extended {
       |  value
       |FROM events WHERE event_type IN ('signup', 'purchase')""".stripMargin
 
-  /** q61_dedup_clusters — near-dup pairs (MinHash-LSH) resolved into
-    * connected components; one row per cluster with its canonical doc
-    * and size. rows-only: the pair set is sketch-derived.
+  /** q61_dedup_clusters — near-dup pairs resolved into connected
+    * components; one row per cluster with its canonical doc and size.
+    *
+    * Pair source is the EXACT deterministic n-gram Jaccard index (q34
+    * shape) rather than a sketch, so the whole pipeline — pairs →
+    * min-label components → cluster sizes — gets a full DuckDB oracle
+    * (recursive CTE transitive closure). The sketch-based pair sources
+    * stay covered by q32/q33.
     */
   def q61DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = graft.operators.Dedup.minHashPairs(Tables.documents(spark, dir))
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
     graft.operators.Dedup.clusters(pairs)
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_members"))
       .orderBy($"cluster_id")
   }
+
+  /** Shared oracle fragment: exact bigram-Jaccard pairs (q34 semantics)
+    * closed into components by a recursive CTE — min reachable id =
+    * canonical cluster label, same fixpoint [[graft.operators.Dedup.clusters]]
+    * converges to.
+    */
+  private val dedupClusterCte: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams),
+      |rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+      |f AS (SELECT ex.* FROM ex JOIN rare USING (gram)),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+      |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |p AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) >= 0.2),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION SELECT doc_b, doc_a FROM p),
+      |reach(node, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+      |""".stripMargin
+
+  val q61Sql: String = dedupClusterCte +
+    "SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id"
 
   /** q62_json_extract — semi-structured ingestion: typed extraction
     * from the JSON `props` column with `from_json` (schema-on-read for
@@ -694,18 +739,24 @@ object Extended {
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** q68_dedup_corpus — the full dedup APPLY: MinHash pairs → clusters
-    * → compacted corpus, summarized per lang. rows-only (sketch-based
-    * pair set).
+  /** q68_dedup_corpus — the full dedup APPLY: near-dup pairs → clusters
+    * → compacted corpus (non-canonical members dropped), summarized per
+    * lang. Exact jaccard pair source (q34 shape) → full SQL oracle; the
+    * MinHash scale path stays covered by q32.
     */
   def q68DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val pairs = graft.operators.Dedup.minHashPairs(docs)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs)
     graft.operators.Dedup.dedupCorpus(docs, pairs)
       .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
       .orderBy($"lang")
   }
+
+  val q68Sql: String = dedupClusterCte +
+    """SELECT d.lang, count(*) AS n_kept FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)
+      |GROUP BY d.lang""".stripMargin
 
   val q60Sql: String =
     """WITH ev AS (
