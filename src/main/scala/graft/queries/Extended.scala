@@ -50,14 +50,44 @@ object Extended {
     */
   def q70NameMatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_name")
-    val a = p.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("name_a"))
-    val b = p.select($"p_brand", $"p_partkey".as("key_b"), $"p_name".as("name_b"))
-    a.join(b, Seq("p_brand"))
+    // Character-set bitmask, computed ONCE per row before the self-join:
+    // one edit changes the char set by at most 2 membership bits
+    // (substitution = maybe-clear one + maybe-set one), so
+    // lev(a,b) <= 3  ⇒  bit_count(mask_a XOR mask_b) <= 6. The xor/
+    // popcount guard is codegen'd and prunes ~2/3 of blocked candidates
+    // before the allocation-heavy Levenshtein ever runs; mod-64 bit
+    // collisions only ever weaken the filter, never the recall.
+    val charMask = (c: org.apache.spark.sql.Column) =>
+      aggregate(transform(split(c, ""),
+          ch => call_function("shiftleft", lit(1L), ascii(ch) % 64)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val p = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand", $"p_name", charMask($"p_name").as("mask"))
+    val a = p.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("name_a"),
+      $"mask".as("mask_a"))
+    val b = p.select($"p_brand", $"p_partkey".as("key_b"), $"p_name".as("name_b"),
+      $"mask".as("mask_b"))
+    // The block self-join expands ~400× before filtering: the probe
+    // side must be spread across the cluster FIRST or the expansion
+    // (and every per-pair predicate) funnels through however few
+    // partitions the scan produced — locally one small parquet file =
+    // ONE task doing all 7.7M pairs. A 20k-row pre-shuffle is free;
+    // the dim-sized build side is broadcast. The partition count is
+    // pinned (AQE would coalesce a kilobyte-sized shuffle back to one
+    // partition, re-serializing the expansion — the classic
+    // small-input/huge-output trap).
+    a.repartition(spark.sessionState.conf.numShufflePartitions, col("key_a"))
+      .join(broadcast(b), Seq("p_brand"))
       .filter($"key_a" < $"key_b" &&
-        abs(length($"name_a") - length($"name_b")) <= 3)
-      .withColumn("lev", levenshtein($"name_a", $"name_b"))
-      .filter($"lev" <= 3)
+        abs(length($"name_a") - length($"name_b")) <= 3 &&
+        bit_count($"mask_a".bitwiseXOR($"mask_b")) <= 6)
+      // levenshtein with a threshold runs the banded O(k·n) DP and bails
+      // out early (returns -1) once the distance provably exceeds k —
+      // identical results to the full matrix for the kept rows. It sits
+      // in its own Project ABOVE the guard Filter, so it only ever
+      // evaluates on guard survivors.
+      .withColumn("lev", levenshtein($"name_a", $"name_b", 3))
+      .filter($"lev" >= 0)
       .select($"key_a", $"key_b", $"lev")
   }
 
