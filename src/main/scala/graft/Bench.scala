@@ -69,7 +69,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val warmTotal = warmOk.map(_._2).sum
+    // Full detail first (humans / local logs), compact line LAST: the
+    // driver records only the final ~2000 chars of stdout and parses the
+    // last line as JSON — the full per-query map with warm+cold is ~3.7 KB
+    // and was truncated mid-line every round (BENCH_r1..r3 parsed:null).
+    // The compact line shortens each query key to its "qNN" prefix and
+    // reports warm (steady-state) seconds, keeping the line well under
+    // the tail window.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warm_total":$warmTotal%.3f,"queries_warm":$warmQs,"errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val warmShort = warmOk.map { case (k, v, _) => "\"" + shortKey(k) + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(f"""{"metric":"warm_total","value":$warmTotal%.3f,"unit":"sec","queries":$warmShort,"cold_total":$total%.3f,"n_queries":${warmOk.size},"n_failed":${results.size - ok.size},"sf":$sfNum}""")
     spark.stop()
   }
 }

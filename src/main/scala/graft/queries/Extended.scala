@@ -764,7 +764,7 @@ object Extended {
 
   val q62Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(round(CAST(avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_k,
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
