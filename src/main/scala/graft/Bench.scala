@@ -80,8 +80,13 @@ object Bench {
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     val warmShort = warmOk.map { case (k, v, _) => "\"" + shortKey(k) + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(f"""{"metric":"warm_total","value":$warmTotal%.3f,"unit":"sec","queries":$warmShort,"cold_total":$total%.3f,"n_queries":${warmOk.size},"n_failed":${results.size - ok.size},"sf":$sfNum}""")
+    // sf pattern disallows a trailing dot (e.g. dir "sf2.final" must not
+    // emit the invalid unquoted JSON number `2.`).
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // n_failed on the warm line counts BOTH passes: a query that succeeds
+    // cold but fails warm must not silently vanish from the summary.
+    val nFailed = SparkEntry.queries.size - warmOk.map(_._1).toSet.intersect(ok.map(_._1).toSet).size
+    println(f"""{"metric":"warm_total","value":$warmTotal%.3f,"unit":"sec","queries":$warmShort,"cold_total":$total%.3f,"n_queries":${warmOk.size},"n_failed":$nFailed,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -23,9 +23,19 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // A filtered run writes to a distinct subdir so stale dumps of
+    // unselected queries can never be mistaken for current output, and
+    // the active filter is logged for the human driving the dev loop.
+    val effOut = if (only.isDefined) s"$outDir/only" else outDir
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] SPARK_GRAFT_ONLY active: ${selected.size}/${SparkEntry.queries.size} " +
+        s"queries (${names.toSeq.sorted.mkString(",")}) -> $effOut")
+      new java.io.File(effOut).mkdirs()
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(s"$effOut/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
