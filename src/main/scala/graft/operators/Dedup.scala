@@ -166,27 +166,40 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Callers emit each undirected pair once (a < b), so symmetrizing
+    // needs no distinct(): a duplicate edge would only feed an identical
+    // (node, label) candidate into the min-agg — results unchanged, and
+    // the full-edge-set shuffle a distinct() costs is saved.
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var changed = 1L
+    // Convergence via the monotone invariant: every per-node label only
+    // ever decreases, so the label SUM strictly decreases until the
+    // fixpoint — one narrow agg job over the just-checkpointed frame,
+    // instead of the shuffle-join-and-count of consecutive label frames
+    // a changed-row check costs. Decimal(38,0) keeps the sum exact (a
+    // long sum could wrap at corpus scale and alias two distinct states).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(sum(col("label")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).first()
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+    }
+    var prevSum: java.math.BigDecimal = null // iter 0 always changes; skip its compare
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val nbrLabels = edges
         .join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
       val next = labels.unionByName(nbrLabels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      // iteration 0 always changes labels (any edge implies a smaller
-      // min somewhere) — skip its convergence-count job
-      changed = if (iter == 0) 1L
-        else next.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).count()
+      val s = labelSum(next)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
