@@ -214,4 +214,52 @@ object TrainingData {
       |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0,
       |  max(len(embedding)) AS dim
       |FROM embeddings GROUP BY label""".stripMargin
+
+  /** q85_frame_sample — temporal subsampling of chunked binary
+    * payloads ([[graft.operators.Multimodal.sampleFrames]]): every 4th
+    * 32-byte "frame" with its size and content hash. Pure column ops
+    * (sequence/explode/substring on binary) — no decode, no UDF, and
+    * the explode fan-out is bounded by payload size, not corpus size.
+    * The corpus is ASCII, so the byte-level frame math has an exact
+    * DuckDB mirror over the text column.
+    */
+  def q85FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Multimodal.sampleFrames(Tables.documents(spark, dir))
+      .select($"doc_id", $"frame_idx",
+        octet_length($"frame").as("frame_bytes"),
+        md5($"frame").as("frame_md5"))
+  }
+
+  val q85Sql: String =
+    """SELECT doc_id, frame_idx,
+      |  octet_length(CAST(substring(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32) AS BLOB)) AS frame_bytes,
+      |  md5(substring(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_md5
+      |FROM (
+      |  SELECT doc_id, text, unnest(generate_series(0,
+      |    greatest(CAST(floor((octet_length(CAST(text AS BLOB)) - 1) / 32) AS BIGINT), 0),
+      |    4)) AS frame_idx
+      |  FROM documents)""".stripMargin
+
+  /** q86_decode_stub — the batched decode path
+    * ([[graft.operators.Multimodal.decodeFeatures]]): typed
+    * mapPartitions in MediaCodec.batchSize groups, the Scala analog of
+    * mapInPandas. The stub codec derives metadata deterministically
+    * from the payload, so even this non-codegen path gets a full SQL
+    * oracle (the feature vector itself is spec-tested, not hashed).
+    */
+  def q86DecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Multimodal
+      .decodeFeatures(spark, Tables.documents(spark, dir))
+      .select($"doc_id", $"n_bytes".cast("long").as("n_bytes"), $"magic",
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"))
+  }
+
+  val q86Sql: String =
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  hex(CAST(left(text, 4) AS BLOB)) AS magic,
+      |  64 + (octet_length(CAST(text AS BLOB)) * 31 + doc_id) % 512 AS width,
+      |  64 + (octet_length(CAST(text AS BLOB)) * 17 + doc_id) % 512 AS height
+      |FROM documents""".stripMargin
 }
