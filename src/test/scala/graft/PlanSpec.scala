@@ -55,4 +55,51 @@ class PlanSpec extends SparkTestBase {
     // q6 needs 4 columns; the scan schema must not include the rest
     assert(p.contains("l_extendedprice") && !p.contains("l_returnflag"), p)
   }
+
+  test("keyed window + same-key agg share one exchange (q73/q81)") {
+    // the window shuffles on user_id and the following groupBy(user_id)
+    // reuses that partitioning — a second exchange here would double the
+    // shuffle volume of every per-key time-series metric at 100 TB
+    for (q <- Seq("q73_drawdown", "q81_twap")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
+    }
+  }
+
+  test("top-n per group pushes the rank limit below the shuffle") {
+    val p = plan("q78_topn_per_group")
+    // agg-first + integer keys let Spark apply WindowGroupLimit on the
+    // map side: only ~3 rows per brand cross the window exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(count(p, "BroadcastHashJoin") == 1 && count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("MAD outlier screen joins its stats frames by broadcast only") {
+    val p = plan("q80_mad_outliers")
+    assert(count(p, "SortMergeJoin") == 0, p)
+    assert(count(p, "BroadcastHashJoin") == 3, p)
+  }
+
+  test("Q22 shape: scalar subquery broadcasts, NOT EXISTS is a broadcast anti join") {
+    val p = plan("q77_no_order_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("beta joins the broadcast market series without a fact shuffle") {
+    val p = plan("q76_beta")
+    assert(count(p, "SortMergeJoin") == 0, p)
+    assert(count(p, "BroadcastHashJoin") == 1, p)
+  }
+
+  test("sweep-line concurrency runs on two exchanges") {
+    val p = plan("q83_concurrency")
+    assert(count(p, "Exchange") <= 2, s"q83 plan regressed:\n$p")
+  }
+
+  test("vwap scan is pruned to the four needed columns") {
+    val p = plan("q74_vwap")
+    assert(p.contains("l_extendedprice") && !p.contains("l_discount") &&
+      !p.contains("l_orderkey"), p)
+  }
 }
