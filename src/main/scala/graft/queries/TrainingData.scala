@@ -262,4 +262,43 @@ object TrainingData {
       |  64 + (octet_length(CAST(text AS BLOB)) * 31 + doc_id) % 512 AS width,
       |  64 + (octet_length(CAST(text AS BLOB)) * 17 + doc_id) % 512 AS height
       |FROM documents""".stripMargin
+
+  /** q87_incremental_dedup — incremental near-dup maintenance
+    * ([[graft.operators.Dedup.ngramJaccardPairsIncremental]]): every
+    * 5th document plays the role of a freshly-ingested delta batch;
+    * only delta×base and delta×delta pairs are scored (base×base is
+    * never re-paired). The oracle is the full q34 pair set filtered to
+    * delta-touching pairs — scores must be identical to a full run.
+    */
+  def q87IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.ngramJaccardPairsIncremental(Tables.documents(spark, dir),
+      isDelta = $"doc_id" % 5 === 0)
+  }
+
+  val q87Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams),
+      |rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+      |f AS (SELECT ex.* FROM ex JOIN rare USING (gram)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+      |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b,
+      |  CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS jaccard
+      |FROM pairs
+      |WHERE CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) >= 0.2""".stripMargin
 }

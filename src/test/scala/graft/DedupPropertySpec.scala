@@ -60,6 +60,17 @@ class DedupPropertySpec extends SparkTestBase {
     assert(capped == 0, s"expected degenerate bucket dropped, got $capped pairs")
   }
 
+  test("incremental jaccard == full pairs restricted to delta-touching") {
+    val docs = Tables.documents(spark, sf)
+    val delta = col("doc_id") % 5 === 0
+    val inc = Dedup.ngramJaccardPairsIncremental(docs, delta)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.ngramJaccardPairs(docs)
+      .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full, s"incremental diverged: ${inc.diff(full)} / ${full.diff(inc)}")
+  }
+
   test("simhash banding recall is complete up to maxHamming (3 seeds)") {
     for (seed <- 0 until 3) {
       val docs = randomDocs(seed + 100, 40).toDF("doc_id", "text")
