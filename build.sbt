@@ -35,5 +35,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g forced full GCs in the back half of the 87-query bench (every
+  // query's hash/sort/broadcast state churns the same heap); the box
+  // has 128 GiB — size the single-JVM "cluster" like one.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 87 queries × 2 passes of unique whole-stage-codegen classes blow
+  // through the default 240 MB code cache, after which the JIT stops
+  // compiling and the tail of the run executes interpreted (~2× slower).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -173,8 +173,13 @@ object Dedup {
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Initial labels fold the would-be first iteration into node
+    // discovery: the same groupBy that dedupes src nodes also takes the
+    // 1-hop min — one pass instead of distinct + join + re-agg.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("node"),
+        least(col("src"), col("__mn")).as("label"))
       .localCheckpoint(true)
     // Convergence via the monotone invariant: every per-node label only
     // ever decreases, so the label SUM strictly decreases until the
@@ -187,7 +192,9 @@ object Dedup {
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).first()
       if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
     }
-    var prevSum: java.math.BigDecimal = null // iter 0 always changes; skip its compare
+    // priming the sum lets a diameter-2 component (the common near-dup
+    // case) converge after ONE loop iteration instead of two
+    var prevSum: java.math.BigDecimal = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -198,7 +205,7 @@ object Dedup {
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       val s = labelSum(next)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
