@@ -173,21 +173,28 @@ object Extended {
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id""".stripMargin
 
-  /** q48_salted_join — skew-resistant salted shuffle join: the fact
-    * side gets a deterministic salt in [0, 8), the dimension side is
-    * replicated once per salt, and the join key becomes (key, salt) —
-    * a hot orderkey now spreads over 8 reducers instead of one. Result
-    * is identical to the unsalted join (the oracle).
+  /** q48_salted_join — skew-resistant salted shuffle join, hot-key
+    * tier: a cheap pre-aggregation finds the keys whose fact-side
+    * multiplicity exceeds `hotThreshold`; ONLY those keys are salted
+    * (fact rows get a deterministic salt in [0, 8), the dimension rows
+    * are replicated once per salt), everything else joins plainly with
+    * salt 0. A hot orderkey spreads over 8 reducers while the dimension
+    * pays replication only for the (tiny, broadcast) hot set — not ×8
+    * across the board, which at 100 TB would octuple the dim shuffle to
+    * protect keys that were never skewed. Result is identical to the
+    * unsalted join (the oracle); with no hot keys the plan degenerates
+    * to exactly the plain join plus one constant column.
     */
   def q48SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val salts = 8
-    val li = Tables.lineitem(spark, dir)
-      .withColumn("salt", pmod(xxhash64($"l_linenumber", $"l_orderkey"), lit(salts)).cast("int"))
-    val ord = Tables.orders(spark, dir)
-      .select($"o_orderkey", $"o_orderpriority")
-      .withColumn("salt", explode(typedlit((0 until salts).toArray)))
-    li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+    // hotThreshold is exercised by the synthetic-skew spec; TPC-H
+    // orderkeys max out at 7 lineitems, so here the hot set is empty
+    // and the plan is certified to degenerate to the plain join
+    graft.operators.Skew.saltedJoin(
+        Tables.lineitem(spark, dir),
+        Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority"),
+        factKey = "l_orderkey", dimKey = "o_orderkey",
+        saltSource = xxhash64($"l_linenumber", $"l_orderkey"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))

@@ -10,6 +10,21 @@ class ExtendedSpec extends SparkTestBase {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("hot-key salted join: skewed key spreads over salts, result equals plain join") {
+    // 5000 rows on one hot key + a uniform tail; threshold 100 salts
+    // ONLY the hot key
+    val fact = ((0 until 5000).map(i => (1L, i.toLong)) ++
+      (0 until 200).map(i => (2L + i % 50, i.toLong)))
+      .toDF("k", "v")
+    val dim = (1L to 60L).map(k => (k, s"name_$k")).toDF("dk", "dname")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", "dk",
+      saltSource = xxhash64($"v"), salts = 8, hotThreshold = 100)
+      .select("k", "v", "dk", "dname")
+    val plain = fact.join(dim, $"k" === $"dk").select("k", "v", "dk", "dname")
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+    assert(salted.count() == plain.count()) // multiplicity preserved too
+  }
+
   test("cosinePairs finds exactly the planted near-duplicate pair") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f), 0),
