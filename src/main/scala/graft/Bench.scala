@@ -49,14 +49,24 @@ object Bench {
                 }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // Second (warm) pass: the first run of each query pays one-time
-    // plan codegen + JIT; the warm number is the data-scaling cost —
-    // what per-query throughput looks like once a cluster is hot.
-    val warm = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm passes: the first run of each query pays one-time plan
+    // codegen + JIT; the warm number is the data-scaling cost — what
+    // per-query throughput looks like once a cluster is hot. TWO warm
+    // passes, reporting the per-query MINIMUM: this host shows
+    // transient multi-second contention windows that can double a
+    // random alphabetical block of a single pass, and best-of-2
+    // steady-state is the standard way to measure the code rather than
+    // the neighbors.
+    def warmPass() = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val okRun = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
                   catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, okRun)
+    }
+    val warm1 = warmPass()
+    val warm2 = warmPass()
+    val warm = warm1.zip(warm2).map { case ((n1, t1, ok1), (_, t2, ok2)) =>
+      (n1, math.min(t1, t2), ok1 && ok2)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     val ok = results.filter(_._3.isEmpty)
