@@ -161,6 +161,35 @@ object Streams {
       }
   }
 
+  /** Streaming running-peak drawdown per user via mapGroupsWithState:
+    * state is (peak, maxDrawdown) — two doubles per user regardless of
+    * stream length. Each batch folds its events in (ts, event_id)
+    * order with the SAME single-FP-op steps as the batch
+    * [[graft.queries.Analytics.q73Drawdown]] (peak = max(peak, v);
+    * dd = peak - v), so converged stream state is bit-identical to the
+    * batch result.
+    */
+  def drawdownState(spark: SparkSession,
+                    events: DataFrame): Dataset[(Long, Double, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Double, Double), (Long, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Double, Double)]) =>
+          var (peak, maxDd) = state.getOption
+            .getOrElse((Double.NegativeInfinity, 0.0))
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            peak = math.max(peak, e.value)
+            maxDd = math.max(maxDd, peak - e.value)
+          }
+          state.update((peak, maxDd))
+          (user, maxDd, peak)
+      }
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -102,4 +102,41 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("l_extendedprice") && !p.contains("l_discount") &&
       !p.contains("l_orderkey"), p)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // the runtime complement to Skew.saltedJoin: one hot key big enough
+    // (with thresholds scaled to test data) that AQE's skew handling
+    // splits its partition — visible as skew=true in the adaptive plan
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val restore = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 64
+      val fact = ((1 to 100000).map(_ => 1L) ++ (1 to 50).flatMap(k =>
+        Seq.fill(20)(k + 1L))).toDF("k").withColumn("pad", lit(pad))
+      val dim = (1L to 60L).map(k => (k, s"d_$k")).toDF("dk", "dv")
+      val joined = fact.join(dim, $"k" === $"dk")
+      // collect() drives joined's OWN query execution — count() would
+      // plan a separate aggregate and leave this one unexecuted
+      // (isFinalPlan=false, no runtime re-optimization to inspect)
+      assert(joined.collect().length == 100000 + 50 * 20)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the skewed join:\n$p")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

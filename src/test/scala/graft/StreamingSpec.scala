@@ -114,6 +114,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.join(batch, Seq("user_id", "ewma"), "left_anti").count() == 0)
   }
 
+  test("streaming drawdown state equals the batch q73 result per user") {
+    val stream = Streams.eventsStream(spark, streamDir)
+    val q = Streams.drawdownState(spark, stream)
+      .toDF("user_id", "max_drawdown", "peak_value")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dd_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("dd_out")
+      .groupBy($"user_id").agg(last($"max_drawdown").as("max_drawdown"),
+        last($"peak_value").as("peak_value"))
+    val batch = SparkEntry.queries("q73_drawdown")(spark, sf)
+    assert(streamed.count() > 0)
+    // identical FP fold → exact equality, no tolerance needed
+    assert(streamed.join(batch,
+      Seq("user_id", "max_drawdown", "peak_value"), "left_anti").count() == 0)
+  }
+
   test("incremental PIT upsert sink converges to the batch q29 result") {
     val tableDir = java.nio.file.Files.createTempDirectory("graft_pit").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_pit_ck").toString
