@@ -32,9 +32,11 @@ object Multimodal {
     def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
       batch.map { case (id, bytes) =>
         val magic = bytes.take(4).map(b => f"$b%02X").mkString
-        // fake dimensions/features derived only from the payload → stable
-        val width = 64 + (math.abs(bytes.length * 31 + id.toInt) % 512)
-        val height = 64 + (math.abs(bytes.length * 17 + id.toInt) % 512)
+        // fake dimensions/features derived only from the payload → stable.
+        // Long arithmetic: Int math would overflow-wrap for doc ids above
+        // 2^31 or ~69 MB payloads and diverge from the BIGINT oracle
+        val width = (64 + math.abs(bytes.length.toLong * 31 + id) % 512).toInt
+        val height = (64 + math.abs(bytes.length.toLong * 17 + id) % 512).toInt
         val feats = Array.tabulate(8)(i =>
           (if (bytes.isEmpty) 0f
            else bytes(i % bytes.length).toFloat / 128f))

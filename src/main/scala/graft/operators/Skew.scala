@@ -37,8 +37,11 @@ object Skew {
       .select(col(factKey).as("__hot_key"))
     val f = fact
       .join(broadcast(hot), col(factKey) === col("__hot_key"), "left_outer")
+      // coalesce: a NULL saltSource on a hot row would null the join
+      // key and silently DROP the row from the inner join — salt 0
+      // keeps it (mildly unbalanced beats wrong)
       .withColumn("__salt", when(col("__hot_key").isNotNull,
-          pmod(saltSource, lit(salts)).cast("int"))
+          coalesce(pmod(saltSource, lit(salts)).cast("int"), lit(0)))
         .otherwise(lit(0)))
       .drop("__hot_key")
     val d = dim

@@ -230,7 +230,13 @@ object Analytics {
       .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
     withMed.join(broadcast(mad.select($"event_type", $"mad")), Seq("event_type"))
       .groupBy($"event_type", $"med", $"mad")
-      .agg(sum(when(abs($"value" - $"med") > $"mad" * 3, 1L).otherwise(0L))
+      // both comparison sides are decimal-rounded: med/mad are
+      // interpolated percentiles that may differ across engines by an
+      // ulp, and a row sitting exactly on the 3·MAD boundary would
+      // otherwise flip the count — after identical 6-digit rounding the
+      // two engines compare identical numbers
+      .agg(sum(when(decRound(abs($"value" - $"med"), 6) >
+          decRound($"mad" * 3, 6), 1L).otherwise(0L))
         .as("n_outliers"))
       .select($"event_type", decRound($"med", 4).as("med"),
         decRound($"mad", 4).as("mad"), $"n_outliers")
@@ -248,8 +254,10 @@ object Analytics {
       |SELECT e.event_type,
       |  CAST(round(CAST(d.med AS DECIMAL(28,12)), 4) AS DOUBLE) AS med,
       |  CAST(round(CAST(d.mad AS DECIMAL(28,12)), 4) AS DOUBLE) AS mad,
-      |  CAST(sum(CASE WHEN abs(e.value - d.med) > d.mad * 3 THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_outliers
+      |  CAST(sum(CASE WHEN
+      |      CAST(round(CAST(abs(e.value - d.med) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |      > CAST(round(CAST(d.mad * 3 AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM events e JOIN mad d ON e.event_type = d.event_type
       |GROUP BY e.event_type, d.med, d.mad""".stripMargin
 

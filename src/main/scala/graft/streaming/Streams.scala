@@ -166,8 +166,13 @@ object Streams {
     * stream length. Each batch folds its events in (ts, event_id)
     * order with the SAME single-FP-op steps as the batch
     * [[graft.queries.Analytics.q73Drawdown]] (peak = max(peak, v);
-    * dd = peak - v), so converged stream state is bit-identical to the
-    * batch result.
+    * dd = peak - v), so with in-order delivery ACROSS batches the
+    * converged state is bit-identical to the batch result. Unlike peak
+    * (an order-insensitive max), drawdown is order-dependent: events
+    * arriving in a LATER micro-batch than a successor understate it,
+    * so a production deployment must feed this from a per-key-ordered
+    * source (e.g. compacted kafka partitions keyed by user) or buffer
+    * by watermark before the fold — same caveat as [[ewmaState]].
     */
   def drawdownState(spark: SparkSession,
                     events: DataFrame): Dataset[(Long, Double, Double)] = {
