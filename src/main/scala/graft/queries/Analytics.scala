@@ -426,4 +426,67 @@ object Analytics {
       |  count(DISTINCT u.user_id) AS n_users
       |FROM ue u JOIN cohort c ON u.user_id = c.user_id
       |GROUP BY c.cohort_week, date_diff('day', c.cohort_week, u.wk) // 7""".stripMargin
+
+  /** q88_interval_overlap — interval-overlap join: user sessions (q27
+    * shape) against the daily trading window [09:30, 16:00), reporting
+    * per-day session count and total in-window µs. The "how much of
+    * the activity landed inside market hours" audit.
+    *
+    * Scale plan: each session explodes to the days it covers (bounded
+    * by interval length, not corpus size) and joins the window
+    * implicitly by construction — a linear bucketed interval join, the
+    * same shape as q47, never a theta join. Overlap is exact integer
+    * µs arithmetic end to end.
+    */
+  def q88IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("is_new", when($"prev_ts".isNull ||
+        (unix_micros($"ts") - unix_micros($"prev_ts")) > 1800L * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
+    sess
+      .withColumn("day", explode(sequence(date_trunc("day", $"s_start"),
+        date_trunc("day", $"s_end"), expr("interval 1 day"))))
+      .withColumn("overlap_us",
+        least(unix_micros($"s_end"), unix_micros($"day") + 57600000000L) -
+        greatest(unix_micros($"s_start"), unix_micros($"day") + 34200000000L))
+      .filter($"overlap_us" > 0)
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_sessions"), sum($"overlap_us").as("overlap_us"))
+  }
+
+  val q88Sql: String =
+    """WITH sess AS (
+      |  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+      |  GROUP BY user_id, session_id),
+      |sd AS (
+      |  SELECT s_start, s_end,
+      |    unnest(generate_series(date_trunc('day', s_start),
+      |      date_trunc('day', s_end), INTERVAL 1 DAY)) AS day
+      |  FROM sess),
+      |o AS (
+      |  SELECT day,
+      |    least(epoch_us(s_end), epoch_us(day) + 57600000000) -
+      |    greatest(epoch_us(s_start), epoch_us(day) + 34200000000) AS overlap_us
+      |  FROM sd)
+      |SELECT day, count(*) AS n_sessions, CAST(sum(overlap_us) AS BIGINT) AS overlap_us
+      |FROM o WHERE overlap_us > 0 GROUP BY day""".stripMargin
 }

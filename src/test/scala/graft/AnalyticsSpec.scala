@@ -97,6 +97,13 @@ class AnalyticsSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("q88 overlap never exceeds the trading window length per session-day") {
+    val df = SparkEntry.queries("q88_interval_overlap")(spark, sf)
+    val windowUs = (16L * 3600 - (9L * 3600 + 1800)) * 1000000L
+    assert(df.filter(col("overlap_us") <= 0).count() == 0)
+    assert(df.filter(col("overlap_us") > col("n_sessions") * windowUs).count() == 0)
+  }
+
   test("q84 retention: week-0 cohort sizes sum to the distinct user count") {
     val df = SparkEntry.queries("q84_retention")(spark, sf)
     val week0 = df.filter(col("weeks_since") === 0)
