@@ -44,13 +44,25 @@ object AsOf {
     *                     seconds before the query row counts as NO match
     *                     (the securities-master "quote too stale" rule).
     *                     None = unbounded lookback.
+    * @param direction    "backward" (default): greatest rightTs <= leftTs —
+    *                     price in effect AT the query time. "forward":
+    *                     smallest rightTs >= leftTs — next observation
+    *                     after the query time (fill-forward's dual, e.g.
+    *                     "first quote after the order"). Both treat an
+    *                     equal-timestamp reference as a match, and both
+    *                     run as the same single window pass with the
+    *                     frame (and the equal-ts tie order) mirrored.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
            rightVals: Seq[(String, String)],
            inner: Boolean = true,
-           toleranceSec: Option[Long] = None): DataFrame = {
+           toleranceSec: Option[Long] = None,
+           direction: String = "backward"): DataFrame = {
     require(rightVals.forall(_._2 != "__rts"), "__rts is reserved")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
@@ -64,16 +76,28 @@ object AsOf {
     val r = right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
       struct(col(rightTs).as("__rts") +:
         rightVals.map { case (in, out) => col(in).as(out) }: _*).as("__rv"))
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = last(col("__rv"), ignoreNulls = true).over(w)
+    // Backward: ref sorts BEFORE the query at equal ts (side 0 < 1) so a
+    // ref effective AT t is inside the query's preceding frame. Forward
+    // mirrors both the frame and the tie order (query first) so an
+    // equal-ts ref lands inside the following frame — the >= convention
+    // on both directions.
+    val w =
+      if (backward) Window.partitionBy(col(key))
+        .orderBy(col("__ts").asc, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else Window.partitionBy(col(key))
+        .orderBy(col("__ts").asc, col("__side").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched =
+      if (backward) last(col("__rv"), ignoreNulls = true).over(w)
+      else first(col("__rv"), ignoreNulls = true).over(w)
     // staleness: the matched ref's own timestamp rides in the struct, so
     // the tolerance cut is a row-local filter after the window pass
+    val gapSec =
+      if (backward) col("__ts").cast("double") - matched.getField("__rts").cast("double")
+      else matched.getField("__rts").cast("double") - col("__ts").cast("double")
     val withinTol = toleranceSec match {
-      case Some(tol) =>
-        when(col("__ts").cast("double") -
-          matched.getField("__rts").cast("double") <= tol.toDouble, matched)
+      case Some(tol) => when(gapSec <= tol.toDouble, matched)
       case None => matched
     }
     val filled = l.unionByName(r, allowMissingColumns = true)

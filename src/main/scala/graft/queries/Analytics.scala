@@ -489,4 +489,33 @@ object Analytics {
       |  FROM sd)
       |SELECT day, count(*) AS n_sessions, CAST(sum(overlap_us) AS BIGINT) AS overlap_us
       |FROM o WHERE overlap_us > 0 GROUP BY day""".stripMargin
+
+  /** q89_asof_forward — forward as-of join: each click matched to the
+    * NEXT purchase by the same user within one day (order → next fill,
+    * the dual of q59's backward price-in-effect). Same single
+    * union+window pass as backward [[graft.operators.AsOf]], with the
+    * frame mirrored.
+    */
+  def q89AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    graft.operators.AsOf.join(clicks, purchases, key = "user_id",
+      leftTs = "ts", rightTs = "ts",
+      rightVals = Seq("value" -> "next_purchase_value"),
+      inner = true, toleranceSec = Some(86400L), direction = "forward")
+      .select($"event_id", round($"next_purchase_value", 2).as("next_purchase_value"))
+  }
+
+  val q89Sql: String =
+    """SELECT e.event_id, round(p.value, 2) AS next_purchase_value
+      |FROM events e JOIN LATERAL (
+      |  SELECT value FROM events p
+      |  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+      |    AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 DAY
+      |  ORDER BY p.ts ASC LIMIT 1) p ON true
+      |WHERE e.event_type = 'click'""".stripMargin
 }

@@ -12,7 +12,7 @@ class PlanSpec extends SparkTestBase {
   private def count(p: String, token: String): Int = p.split(token).length - 1
 
   test("as-of joins run on a single exchange (union+window, no range join)") {
-    for (q <- Seq("q21_asof_join", "q59_asof_tolerance")) {
+    for (q <- Seq("q21_asof_join", "q59_asof_tolerance", "q89_asof_forward")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
       assert(count(p, "NestedLoop") == 0, s"$q: nested-loop join crept in")
