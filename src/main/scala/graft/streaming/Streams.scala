@@ -195,6 +195,46 @@ object Streams {
       }
   }
 
+  /** Streaming ingest dedup — the streaming twin of q87's incremental
+    * maintenance: each arriving document micro-batch is near-dup-scored
+    * against the corpus ingested SO FAR (delta×base + delta×delta via
+    * [[graft.operators.Dedup.ngramJaccardPairsIncremental]] — base×base
+    * never re-paired), emitted pairs append to `pairsDir`, and the batch
+    * joins the base corpus at `baseDir`. Across batches every pair is
+    * emitted exactly once: a pair materializes in the batch where its
+    * LATER document arrives.
+    *
+    * With `maxDf = Int.MaxValue` the union of emitted pairs equals the
+    * one-shot batch run exactly (a gram's min-df=2 gate only ever
+    * excludes grams that cannot form a pair yet). Under a finite df cap
+    * the per-batch document frequencies lag the final corpus — the
+    * standard streaming-ingest drift, bounded by the cap and irrelevant
+    * to exact-duplicate mass (which exact dedup removes first).
+    */
+  def dedupIngestSink(docs: DataFrame, baseDir: String, pairsDir: String,
+                      checkpointDir: String,
+                      maxDf: Int = Int.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ss = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
+        val hasBase = fs.exists(new org.apache.hadoop.fs.Path(baseDir)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(baseDir))
+            .exists(_.getPath.getName.endsWith(".parquet"))
+        val delta = batch.toDF().withColumn("is_delta", lit(true))
+        val all = if (hasBase)
+          ss.read.schema(Tables.documentsSchema).parquet(baseDir)
+            .withColumn("is_delta", lit(false)).unionByName(delta)
+        else delta
+        graft.operators.Dedup
+          .ngramJaccardPairsIncremental(all, col("is_delta"), maxDf = maxDf)
+          .write.mode("append").parquet(pairsDir)
+        batch.toDF().write.mode("append").parquet(baseDir)
+        ()
+      }
+      .start()
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

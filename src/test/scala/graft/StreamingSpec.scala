@@ -144,6 +144,37 @@ class StreamingSpec extends SparkTestBase {
     assert(snapshot.except(batch).count() == 0 && batch.except(snapshot).count() == 0)
   }
 
+  test("streaming ingest dedup emits exactly the batch pair set") {
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    // two ingest generations as two separate file drops
+    Seq(0, 1).foreach { gen =>
+      val tmp = root.resolve(s"tmp$gen").toString
+      docs.filter($"doc_id" % 2 === gen).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    val stream = spark.readStream.schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Streams.dedupIngestSink(stream,
+      baseDir = root.resolve("base").toString,
+      pairsDir = root.resolve("pairs").toString,
+      checkpointDir = root.resolve("ckpt").toString)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.read.parquet(root.resolve("pairs").toString)
+      .as[(Long, Long, Double)].collect().toSet
+    // uncapped df on both sides: min-df=2 only excludes grams that
+    // cannot form a pair yet, so streamed union == one-shot batch run
+    val full = graft.operators.Dedup
+      .ngramJaccardPairs(docs, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == full,
+      s"extra=${streamed.diff(full).size} missing=${full.diff(streamed).size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batch = SparkEntry.queries("q27_sessionize")(spark, sf)
     val stream = Streams.eventsStream(spark, streamDir)
