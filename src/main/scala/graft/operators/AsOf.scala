@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   * (side 0 < side 1), so a reference effective AT t matches a query at
   * t — the `>=` convention, same as DuckDB's ASOF JOIN.
   *
-  * Precondition: (key, rightTs) should be unique on the reference side
-  * — when two reference rows share the same instant, which one wins is
-  * partition-order dependent (the same caveat DuckDB's ASOF JOIN
-  * carries). Deduplicate to point-in-time-latest first (q29 shape) if
-  * the feed can contain same-instant revisions.
+  * Same-instant reference rows: when two reference rows share
+  * (key, rightTs), the one with the greatest (rts, values…) struct wins
+  * — deterministic on both engines via a tie key inside the sort the
+  * window already pays for (DuckDB's ASOF JOIN picks arbitrarily
+  * here). Prefer deduplicating to point-in-time-latest first (q29
+  * shape) if the feed carries same-instant revisions with a meaningful
+  * winner, and always when right values are non-orderable (maps).
   */
 object AsOf {
 
@@ -50,8 +52,8 @@ object AsOf {
     *                     after the query time (fill-forward's dual, e.g.
     *                     "first quote after the order"). Both treat an
     *                     equal-timestamp reference as a match, and both
-    *                     run as the same single window pass with the
-    *                     frame (and the equal-ts tie order) mirrored.
+    *                     run as the same single O(n) window pass —
+    *                     forward just reverses the time sort.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
@@ -76,28 +78,37 @@ object AsOf {
     val r = right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
       struct(col(rightTs).as("__rts") +:
         rightVals.map { case (in, out) => col(in).as(out) }: _*).as("__rv"))
-    // Backward: ref sorts BEFORE the query at equal ts (side 0 < 1) so a
-    // ref effective AT t is inside the query's preceding frame. Forward
-    // mirrors both the frame and the tie order (query first) so an
-    // equal-ts ref lands inside the following frame — the >= convention
-    // on both directions.
-    val w =
-      if (backward) Window.partitionBy(col(key))
-        .orderBy(col("__ts").asc, col("__side").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      else Window.partitionBy(col(key))
-        .orderBy(col("__ts").asc, col("__side").desc)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val matched =
-      if (backward) last(col("__rv"), ignoreNulls = true).over(w)
-      else first(col("__rv"), ignoreNulls = true).over(w)
+    // Both directions use the SAME incremental unboundedPreceding frame
+    // (O(n) per partition — one running-state update per row); forward
+    // just reverses the time sort. Scanning timestamps downward, the
+    // last reference seen at-or-after the current row IS the smallest
+    // rts >= t. The naive currentRow→unboundedFollowing formulation
+    // re-aggregates the partition suffix for every output row
+    // (UnboundedFollowingWindowFunctionFrame, O(n²) per key) — never
+    // use it for as-of. In both sorts the ref at an equal timestamp
+    // orders before the query row (side 0 < 1), so a ref effective AT t
+    // matches a query at t — the >= convention on both directions.
+    // Third sort key __rv: when two reference rows share (key, ts), the
+    // greatest (rts, values…) struct wins DETERMINISTICALLY instead of
+    // partition-order-dependently — no extra shuffle, just a tie rule
+    // inside the sort the window already pays for. (Struct ordering
+    // requires orderable value types; deduplicate first if carrying
+    // maps.) The query side's __rv is null and __side already separates
+    // the sides, so the key only ever breaks ref-vs-ref ties.
+    val w = Window.partitionBy(col(key))
+      .orderBy(if (backward) col("__ts").asc else col("__ts").desc,
+        col("__side").asc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("__rv"), ignoreNulls = true).over(w)
     // staleness: the matched ref's own timestamp rides in the struct, so
-    // the tolerance cut is a row-local filter after the window pass
-    val gapSec =
-      if (backward) col("__ts").cast("double") - matched.getField("__rts").cast("double")
-      else matched.getField("__rts").cast("double") - col("__ts").cast("double")
+    // the tolerance cut is a row-local filter after the window pass.
+    // Exact integer µs: a double-seconds cast has ~0.5 µs ulp at current
+    // epochs, enough to flip a row sitting exactly on the bound.
+    val gapUs =
+      if (backward) unix_micros(col("__ts")) - unix_micros(matched.getField("__rts"))
+      else unix_micros(matched.getField("__rts")) - unix_micros(col("__ts"))
     val withinTol = toleranceSec match {
-      case Some(tol) => when(gapSec <= tol.toDouble, matched)
+      case Some(tol) => when(gapUs <= tol * 1000000L, matched)
       case None => matched
     }
     val filled = l.unionByName(r, allowMissingColumns = true)

@@ -501,6 +501,8 @@ object Analytics {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id", $"user_id", $"ts")
+    // same-µs duplicate purchases: AsOf's struct tie key picks the max
+    // value deterministically; the oracle mirrors with p.value DESC
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"value")
     graft.operators.AsOf.join(clicks, purchases, key = "user_id",
@@ -516,6 +518,6 @@ object Analytics {
       |  SELECT value FROM events p
       |  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
       |    AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 DAY
-      |  ORDER BY p.ts ASC LIMIT 1) p ON true
+      |  ORDER BY p.ts ASC, p.value DESC LIMIT 1) p ON true
       |WHERE e.event_type = 'click'""".stripMargin
 }

@@ -485,6 +485,8 @@ object Extended {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id", $"user_id", $"ts")
+    // same-µs duplicate purchases: AsOf's struct tie key picks the max
+    // value deterministically; the oracle mirrors with p.value DESC
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"value")
     graft.operators.AsOf.join(clicks, purchases, key = "user_id",
@@ -500,7 +502,7 @@ object Extended {
       |  SELECT value FROM events p
       |  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
       |    AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 DAY
-      |  ORDER BY p.ts DESC LIMIT 1) p ON true
+      |  ORDER BY p.ts DESC, p.value DESC LIMIT 1) p ON true
       |WHERE e.event_type = 'click'""".stripMargin
 
   /** q60_gap_fill — calendar alignment + forward fill: one row per

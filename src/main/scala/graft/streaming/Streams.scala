@@ -123,8 +123,9 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          ss.sparkContext.hadoopConfiguration)
+        // the table path's own filesystem, not the default FS
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(ss.sparkContext.hadoopConfiguration)
         val cur = new org.apache.hadoop.fs.Path(s"$tableDir/current")
         val existing =
           if (fs.exists(cur)) Some(ss.read.parquet(cur.toString)) else None
@@ -210,27 +211,45 @@ object Streams {
     * the per-batch document frequencies lag the final corpus — the
     * standard streaming-ingest drift, bounded by the cap and irrelevant
     * to exact-duplicate mass (which exact dedup removes first).
+    *
+    * Exactly-once under foreachBatch's at-least-once retries: every
+    * write is an OVERWRITE of a batchId-keyed subdirectory
+    * (`b<batchId>/`), and the base corpus a delta scores against is the
+    * subdirectories with id < batchId — a replayed batch overwrites its
+    * own partial output, never appends a duplicate and never scores
+    * against its own failed attempt. The batch lands in its base subdir
+    * FIRST and the delta is read back from parquet, so the source micro-
+    * batch is evaluated once, not once per downstream job.
     */
   def dedupIngestSink(docs: DataFrame, baseDir: String, pairsDir: String,
                       checkpointDir: String,
                       maxDf: Int = Int.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
-        val hasBase = fs.exists(new org.apache.hadoop.fs.Path(baseDir)) &&
-          fs.listStatus(new org.apache.hadoop.fs.Path(baseDir))
-            .exists(_.getPath.getName.endsWith(".parquet"))
-        val delta = batch.toDF().withColumn("is_delta", lit(true))
-        val all = if (hasBase)
-          ss.read.schema(Tables.documentsSchema).parquet(baseDir)
+        val basePath = new org.apache.hadoop.fs.Path(baseDir)
+        // the path's OWN filesystem — FileSystem.get(conf) would resolve
+        // the default FS and throw for an s3a:// base on an hdfs cluster
+        val fs = basePath.getFileSystem(ss.sparkContext.hadoopConfiguration)
+        batch.toDF().write.mode("overwrite").parquet(s"$baseDir/b$batchId")
+        val delta = ss.read.schema(Tables.documentsSchema)
+          .parquet(s"$baseDir/b$batchId").withColumn("is_delta", lit(true))
+        val priorDirs =
+          if (!fs.exists(basePath)) Seq.empty[String]
+          else fs.listStatus(basePath).toSeq.map(_.getPath)
+            .filter { p =>
+              val n = p.getName
+              n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+                n.drop(1).toLong < batchId
+            }.map(_.toString)
+        val all =
+          if (priorDirs.isEmpty) delta
+          else ss.read.schema(Tables.documentsSchema).parquet(priorDirs: _*)
             .withColumn("is_delta", lit(false)).unionByName(delta)
-        else delta
         graft.operators.Dedup
           .ngramJaccardPairsIncremental(all, col("is_delta"), maxDf = maxDf)
-          .write.mode("append").parquet(pairsDir)
-        batch.toDF().write.mode("append").parquet(baseDir)
+          .write.mode("overwrite").parquet(s"$pairsDir/b$batchId")
         ()
       }
       .start()

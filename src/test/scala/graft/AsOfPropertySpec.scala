@@ -17,8 +17,8 @@ class AsOfPropertySpec extends SparkTestBase {
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
-  private def runCase(seed: Int, inner: Boolean,
-                      tol: Option[Long]): Unit = {
+  private def runCase(seed: Int, inner: Boolean, tol: Option[Long],
+                      direction: String = "backward"): Unit = {
     val rnd = new scala.util.Random(seed)
     val nKeys = 1 + rnd.nextInt(4)
     val left = (0 until 30).map { i =>
@@ -35,28 +35,35 @@ class AsOfPropertySpec extends SparkTestBase {
     val rDf = right.toDF("k", "rts", "v")
 
     val got = AsOf.join(lDf, rDf, "k", "ts", "rts",
-      Seq("v" -> "v"), inner = inner, toleranceSec = tol)
+      Seq("v" -> "v"), inner = inner, toleranceSec = tol,
+      direction = direction)
       .select($"row_id", $"v").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       .toMap
 
-    // brute force: latest right row with same key, rts <= ts, within tol
-    val expectedAll = left.map { case (k, lts, id) =>
+    // brute force: backward = latest right row with rts <= ts; forward =
+    // earliest with rts >= ts — same key, within tol, either way
+    val backward = direction == "backward"
+    val expected = left.map { case (k, lts, id) =>
       val matches = right.filter { case (rk, rts, _) =>
-        rk == k && !rts.after(lts) &&
-          tol.forall(t => (lts.getTime - rts.getTime) / 1000 <= t)
+        rk == k &&
+          (if (backward) !rts.after(lts) else !rts.before(lts)) &&
+          tol.forall { t =>
+            val gapMs = if (backward) lts.getTime - rts.getTime
+                        else rts.getTime - lts.getTime
+            gapMs / 1000 <= t
+          }
       }
       val best = if (matches.isEmpty) None
-                 else Some(matches.maxBy(_._2.getTime))
+        else Some(if (backward) matches.maxBy(_._2.getTime)
+                  else matches.minBy(_._2.getTime))
       (id, best)
-    }
-    val expected = expectedAll
-      .filter { case (_, best) => !inner || best.isDefined }
+    }.filter { case (_, best) => !inner || best.isDefined }
       .map { case (id, best) => id -> best.flatMap(_._3) }
       .toMap
 
     assert(got == expected,
-      s"seed=$seed inner=$inner tol=$tol:\n got=$got\n exp=$expected")
+      s"$direction seed=$seed inner=$inner tol=$tol:\n got=$got\n exp=$expected")
   }
 
   test("as-of join matches brute force over 60 random cases") {
@@ -67,46 +74,11 @@ class AsOfPropertySpec extends SparkTestBase {
     }
   }
 
-  private def runForwardCase(seed: Int, inner: Boolean,
-                             tol: Option[Long]): Unit = {
-    val rnd = new scala.util.Random(seed)
-    val nKeys = 1 + rnd.nextInt(4)
-    val left = (0 until 30).map { i =>
-      (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(1000).toLong), i.toLong)
-    }
-    val right = rnd.shuffle((0 until 1000).toList).take(25).map { t =>
-      (rnd.nextInt(nKeys).toLong, ts(t.toLong),
-        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(100).toDouble))
-    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
-
-    val got = AsOf.join(left.toDF("k", "ts", "row_id"),
-      right.toDF("k", "rts", "v"), "k", "ts", "rts",
-      Seq("v" -> "v"), inner = inner, toleranceSec = tol,
-      direction = "forward")
-      .select($"row_id", $"v").collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
-      .toMap
-
-    // brute force: EARLIEST right row with same key, rts >= ts, within tol
-    val expected = left.map { case (k, lts, id) =>
-      val matches = right.filter { case (rk, rts, _) =>
-        rk == k && !rts.before(lts) &&
-          tol.forall(t => (rts.getTime - lts.getTime) / 1000 <= t)
-      }
-      (id, if (matches.isEmpty) None else Some(matches.minBy(_._2.getTime)))
-    }.filter { case (_, best) => !inner || best.isDefined }
-      .map { case (id, best) => id -> best.flatMap(_._3) }
-      .toMap
-
-    assert(got == expected,
-      s"forward seed=$seed inner=$inner tol=$tol:\n got=$got\n exp=$expected")
-  }
-
   test("forward as-of join matches brute force over 60 random cases") {
     for (seed <- 0 until 20) {
-      runForwardCase(seed, inner = true, tol = None)
-      runForwardCase(seed + 1000, inner = false, tol = None)
-      runForwardCase(seed + 2000, inner = true, tol = Some(50L))
+      runCase(seed, inner = true, tol = None, direction = "forward")
+      runCase(seed + 1000, inner = false, tol = None, direction = "forward")
+      runCase(seed + 2000, inner = true, tol = Some(50L), direction = "forward")
     }
   }
 }

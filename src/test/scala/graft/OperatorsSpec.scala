@@ -28,6 +28,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Map("t1" -> 100.0, "t2" -> 102.0))
   }
 
+  test("as-of resolves same-instant reference duplicates to the max value, both directions") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "ts", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-01 10:00:00"), 9.0), // same instant: greatest struct wins
+      (1L, ts("2024-01-01 10:00:00"), 7.0)
+    ).toDF("k", "rts", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOf.join(l, r, "k", "ts", "rts", Seq("v" -> "v"),
+        inner = true, direction = dir).select("v").as[Double].collect()
+      assert(out.toSeq == Seq(9.0), s"direction=$dir got ${out.toSeq}")
+    }
+  }
+
   test("as-of outer join keeps unmatched left rows") {
     val l = Seq((1L, ts("2024-01-01 08:00:00"), "x")).toDF("k", "ts", "tag")
     val r = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rts", "v")

@@ -163,7 +163,9 @@ class StreamingSpec extends SparkTestBase {
       pairsDir = root.resolve("pairs").toString,
       checkpointDir = root.resolve("ckpt").toString)
     try { q.processAllAvailable() } finally { q.stop() }
-    val streamed = spark.read.parquet(root.resolve("pairs").toString)
+    // pairs land in batchId-keyed subdirs (exactly-once overwrite keys)
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(root.resolve("pairs").toString)
       .as[(Long, Long, Double)].collect().toSet
     // uncapped df on both sides: min-df=2 only excludes grams that
     // cannot form a pair yet, so streamed union == one-shot batch run
