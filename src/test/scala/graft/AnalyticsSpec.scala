@@ -4,9 +4,63 @@ import org.apache.spark.sql.functions._
 
 /** Invariant checks for the round-5 analytics batch (q73–q84).
   * Value-level correctness is the DuckDB oracle gate; these pin the
-  * semantic contracts that survive any data change.
+  * semantic contracts that survive any data change, plus synthetic-
+  * fixture differentials for the order-sensitive operators.
   */
 class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Synthetic events fixture: (event_id, ts_micros, user_id, type,
+    * value) written the way the real table is stored (raw nanos longs).
+    */
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_synth").toString
+    rows.map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q83 equals brute-force interval stacking, including a zero-concurrency day") {
+    val h = 3600L * 1000000L
+    // three overlapping clicks in one burst, one isolated click whose
+    // 30-min interval ends on the NEXT day (that day's max conc is 0)
+    val rows = Seq(
+      (1L, 10 * h, 1L, "click", 1.0),                 // day0 10:00
+      (2L, 10 * h + 600L * 1000000L, 2L, "click", 1.0), // 10:10
+      (3L, 10 * h + 1200L * 1000000L, 3L, "click", 1.0), // 10:20
+      (4L, 47 * h + 3000L * 1000000L, 4L, "click", 1.0)) // day1 23:50 → ends day2
+    val dir = writeEvents(rows)
+    val got = SparkEntry.queries("q83_concurrency")(spark, dir)
+      .select($"day", $"max_concurrency").as[(java.sql.Timestamp, Long)]
+      .collect().toMap.map { case (d, c) => (d.getTime / 86400000L, c) }
+    // brute force: conc(pt) = #{intervals with start <= pt < end}
+    val iv = rows.map { case (_, us, _, _, _) => (us, us + 1800L * 1000000L) }
+    val pts = iv.flatMap { case (s, e) => Seq(s, e) }.distinct
+    val expected = pts.groupBy(_ / (86400L * 1000000L)).map { case (day, ps) =>
+      day -> ps.map(p => iv.count { case (s, e) => s <= p && p < e }.toLong).max
+    }
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(expected.values.exists(_ == 0L)) // the end-points-only day is present
+    assert(expected.values.max == 3L)
+  }
+
+  test("q82 linear interpolation matches hand computation on a gapped series") {
+    val day = 86400L * 1000000L
+    val noon = 12L * 3600L * 1000000L
+    // user 9: values on days 0, 3, 6 only → days 1-2 and 4-5 interpolate
+    val rows = Seq(
+      (1L, 0 * day + noon, 9L, "view", 1.0),
+      (2L, 3 * day + noon, 9L, "view", 4.0),
+      (3L, 6 * day + noon, 9L, "view", 10.0))
+    val dir = writeEvents(rows)
+    val got = SparkEntry.queries("q82_interpolate")(spark, dir)
+      .select($"day", $"close_interp").as[(java.sql.Timestamp, Double)]
+      .collect().toMap.map { case (d, v) => (d.getTime / 86400000L, v) }
+    val expected = Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0,
+      4L -> 6.0, 5L -> 8.0, 6L -> 10.0)
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 
   test("q73 drawdown is non-negative and bounded by the peak") {
     val df = SparkEntry.queries("q73_drawdown")(spark, sf)
