@@ -257,26 +257,47 @@ object Dedup {
                                    threshold: Double = 0.2): DataFrame =
     ngramJaccardImpl(docs, textCol, idCol, n, maxDf, threshold, Some(isDelta))
 
+  /** Exact Jaccard similarity over ARBITRARY item sets — the same
+    * df-capped inverted-index plan as [[ngramJaccardPairs]] applied to
+    * any (id, array-of-items) frame: order baskets, tag sets, entity
+    * feature sets. Items shared by more than `maxDf` rows are pruned
+    * before the self-join (prefix filter); output columns stay
+    * doc_a/doc_b/jaccard.
+    */
+  def setJaccardPairs(rows: DataFrame, idCol: String, setCol: String,
+                      maxDf: Int = 50, threshold: Double = 0.2,
+                      isDelta: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    jaccardImpl(rows.select(col(idCol).as("id"),
+      isDelta.getOrElse(lit(true)).as("is_delta"),
+      col(setCol).as("grams")), maxDf, threshold, isDelta.isDefined)
+
   private def ngramJaccardImpl(docs: DataFrame, textCol: String,
                                idCol: String, n: Int, maxDf: Int,
                                threshold: Double,
-                               isDelta: Option[org.apache.spark.sql.Column]): DataFrame = {
+                               isDelta: Option[org.apache.spark.sql.Column]): DataFrame =
+    jaccardImpl(docs.select(col(idCol).as("id"),
+      isDelta.getOrElse(lit(true)).as("is_delta"),
+      TextExpressions.shingleSet(col(textCol), n).as("grams")),
+      maxDf, threshold, incremental = isDelta.isDefined)
+
+  /** Shared pair machinery over a prepared (id, is_delta, grams) frame.
+    *
+    * One scan + one shuffle on gram: document frequency comes from a
+    * window over the gram partition (sort-based, no giant buffers), so
+    * stop-grams are dropped BEFORE any postings list is materialized.
+    * (The round-1 formulation scanned the corpus twice and self-joined
+    * the full exploded postings — 14 s at sf0.1 vs ~2 s for this plan.)
+    * Two-step select below: the gram array must be materialized as a
+    * column BEFORE size()/explode() reference it — selecting
+    * `size(grams), explode(grams)` in one step plans the size() into
+    * the post-Generate projection, re-evaluating the set expression
+    * once per exploded row (256k evaluations instead of 5k at sf0.1).
+    */
+  private def jaccardImpl(prepared: DataFrame, maxDf: Int,
+                          threshold: Double,
+                          incremental: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = TextExpressions.shingleSet(col(textCol), n)
-    // One scan + one shuffle on gram: document frequency comes from a
-    // window over the gram partition (sort-based, no giant buffers), so
-    // stop-grams are dropped BEFORE any postings list is materialized.
-    // The round-1 formulation scanned the corpus twice (df pass + semi
-    // join) and self-joined the full exploded postings — 14 s at sf0.1
-    // vs ~2 s for this plan.
-    // Two-step select: the gram array must be materialized as a column
-    // BEFORE size()/explode() reference it — selecting
-    // `size(grams), explode(grams)` in one step plans the size() into
-    // the post-Generate projection, re-shingling the full document once
-    // per exploded gram row (256k evaluations instead of 5k at sf0.1).
-    val exploded = docs
-      .select(col(idCol).as("id"),
-        isDelta.getOrElse(lit(true)).as("is_delta"), grams.as("grams"))
+    val exploded = prepared
       .select(col("id"), col("is_delta"), size(col("grams")).as("n_grams"),
         explode(col("grams")).as("gram"))
     val rare = exploded
@@ -292,7 +313,7 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       // incremental mode: base×base pairs never reach the shared-gram
       // aggregation (row-local filter, before any pair shuffles)
-      .filter(if (isDelta.isDefined) col("a.is_delta") || col("b.is_delta")
+      .filter(if (incremental) col("a.is_delta") || col("b.is_delta")
               else lit(true))
     pairs
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),

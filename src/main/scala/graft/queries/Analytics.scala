@@ -520,4 +520,83 @@ object Analytics {
       |    AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 DAY
       |  ORDER BY p.ts ASC, p.value DESC LIMIT 1) p ON true
       |WHERE e.event_type = 'click'""".stripMargin
+
+  /** q90_weighted_median — quantity-weighted median price per
+    * returnflag (lower weighted median: smallest price whose cumulative
+    * weight reaches half the total). Spark has no weighted percentile;
+    * this is the scalable formulation — one keyed sort-window for the
+    * cumulative weight, no collect.
+    *
+    * FP discipline: the cumulative weight is summed in the ORDER the
+    * window defines (price, orderkey, linenumber — total, so ties are
+    * deterministic), which makes every partial sum bit-identical across
+    * engines; the half-total threshold is derived from the LAST ordered
+    * cumsum, not a separately-ordered aggregate.
+    */
+  def q90WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+        $"l_linenumber", $"l_quantity")
+      .withColumn("cumw", sum($"l_quantity").over(wCum))
+      .withColumn("total", max($"cumw").over(wAll))
+      .filter($"cumw" >= $"total" / 2)
+      .groupBy($"l_returnflag")
+      .agg(min($"l_extendedprice").as("weighted_median_price"))
+  }
+
+  val q90Sql: String =
+    """SELECT l_returnflag, min(l_extendedprice) AS weighted_median_price
+      |FROM (
+      |  SELECT l_returnflag, l_extendedprice, cumw,
+      |    max(cumw) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM (
+      |    SELECT l_returnflag, l_extendedprice,
+      |      sum(l_quantity) OVER (PARTITION BY l_returnflag
+      |        ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |        ROWS UNBOUNDED PRECEDING) AS cumw
+      |    FROM lineitem))
+      |WHERE cumw >= total / 2
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** q91_basket_jaccard — set-similarity beyond text: orders whose
+    * part baskets overlap at Jaccard ≥ 0.5, via
+    * [[graft.operators.Dedup.setJaccardPairs]] (the q34 inverted-index
+    * plan generalized to arbitrary item sets). Entity-resolution /
+    * collaborative-filtering shape on relational data; popular parts
+    * above the df cap are prefix-filtered before the self-join.
+    */
+  def q91BasketJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("parts"))
+    graft.operators.Dedup.setJaccardPairs(baskets, idCol = "l_orderkey",
+      setCol = "parts", maxDf = 50, threshold = 0.5)
+  }
+
+  val q91Sql: String =
+    """WITH b AS (
+      |  SELECT l_orderkey, count(DISTINCT l_partkey) AS n
+      |  FROM lineitem GROUP BY l_orderkey),
+      |ex AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |rare AS (SELECT l_partkey FROM ex GROUP BY l_partkey
+      |         HAVING count(*) BETWEEN 2 AND 50),
+      |f AS (SELECT ex.* FROM ex JOIN rare USING (l_partkey)),
+      |cand AS (
+      |  SELECT a.l_orderkey AS doc_a, b2.l_orderkey AS doc_b, count(*) AS shared
+      |  FROM f a JOIN f b2
+      |    ON a.l_partkey = b2.l_partkey AND a.l_orderkey < b2.l_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(round(CAST(CAST(shared AS DOUBLE) / (ba.n + bb.n - shared)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS jaccard
+      |FROM cand JOIN b ba ON ba.l_orderkey = doc_a
+      |          JOIN b bb ON bb.l_orderkey = doc_b
+      |WHERE CAST(round(CAST(CAST(shared AS DOUBLE) / (ba.n + bb.n - shared)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) >= 0.5""".stripMargin
 }
