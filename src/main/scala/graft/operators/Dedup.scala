@@ -303,28 +303,43 @@ object Dedup {
     val rare = exploded
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("df").between(2, maxDf))
-    // Already hash-partitioned by gram from the window — this groupBy
-    // needs no exchange; lists are bounded by maxDf by construction.
-    val pairs = rare.groupBy(col("gram"))
-      .agg(collect_list(struct(col("id"), col("n_grams"), col("is_delta")))
-        .as("docs"))
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+    // Candidate pairs via a gram-keyed SELF-JOIN of the postings, both
+    // sides derived from ONE pinned-count repartition: Spark reuses the
+    // exchange (postings computed once), the explicit numPartitions
+    // exempts it from AQE coalescing (the postings are kilobyte-small
+    // but the join inflates them ~df× — the small-input/huge-output
+    // trap, see q70NameMatch), and the codegen'd join beats the
+    // earlier double-explode-of-collect_list formulation ~1.5× at the
+    // same 9M-candidate volume (order baskets, sf0.1).
+    val posted = rare
+      .repartition(rare.sparkSession.sessionState.conf.numShufflePartitions,
+        col("gram"))
+      .select(col("gram"), col("id"), col("n_grams"), col("is_delta"))
+    val a = posted.select(col("gram"), col("id").as("doc_a"),
+      col("n_grams").as("n_a"), col("is_delta").as("d_a"))
+    val b = posted.select(col("gram"), col("id").as("doc_b"),
+      col("n_grams").as("n_b"), col("is_delta").as("d_b"))
+    a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
       // incremental mode: base×base pairs never reach the shared-gram
       // aggregation (row-local filter, before any pair shuffles)
-      .filter(if (incremental) col("a.is_delta") || col("b.is_delta")
-              else lit(true))
-    pairs
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.n_grams").as("n_a"), col("b.n_grams").as("n_b"))
+      .filter(if (incremental) col("d_a") || col("d_b") else lit(true))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
+      .withColumn("__ratio", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")))
+      // cheap codegen'd prefilter: the BigDecimal round below is the
+      // ONE non-codegen op in this pipeline, and evaluating it on every
+      // candidate pair (9M at sf0.1 baskets) dominated the query. The
+      // 1e-3 margin over-keeps every row the 4-digit half-up round
+      // could still lift to the threshold; the exact decimal filter
+      // then decides on the (tiny) survivor set.
+      .filter(col("__ratio") >= threshold - 1e-3)
       .select(col("doc_a"), col("doc_b"),
         // decimal-space round: small-integer ratios land exactly on
         // half boundaries where double-rounding rules diverge across
         // engines; decimal(28,12) pins half-up everywhere
-        round((col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")))
+        round(col("__ratio")
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
           .cast("double").as("jaccard"))
       .filter(col("jaccard") >= threshold)
