@@ -119,4 +119,40 @@ object AsOf {
     kept.select((left.columns.map(col) ++
       rightVals.map { case (_, o) => col("__match").getField(o).as(o) }).toIndexedSeq: _*)
   }
+
+  /** As-of join against a SMALL GLOBAL reference (no key): calendars,
+    * published adjustment factors, index fixings — dims of at most a
+    * few thousand rows matched by billions of query rows.
+    *
+    * The keyed union-window plan above has no key to spread on here:
+    * it would funnel every query row through ONE window partition. The
+    * scale-correct plan for a tiny global dim is the opposite shape —
+    * interval-ize the reference with lead() (each row in effect from
+    * its timestamp until the next one) and BROADCAST it; each query
+    * row then finds its unique in-effect interval in a broadcast range
+    * join. The big side never shuffles and never sorts: the plan is
+    * embarrassingly parallel, cost |L|·|R| comparisons with |R| tiny
+    * and in cache.
+    *
+    * `right` must have distinct `rightTs` values (equal timestamps
+    * would make intervals overlap and duplicate matches) — dedupe to
+    * point-in-time-latest (q29 shape) first if the feed revises.
+    */
+  def broadcastJoin(left: DataFrame, right: DataFrame,
+                    leftTs: String, rightTs: String,
+                    rightVals: Seq[(String, String)],
+                    inner: Boolean = true): DataFrame = {
+    // Single-partition window over the dim is fine: the dim is tiny by
+    // contract (that's what makes the broadcast legal in the first
+    // place).
+    val w = Window.orderBy(col("__eff"))
+    val iv = right.select(col(rightTs).as("__eff") +:
+        rightVals.map { case (in, out) => col(in).as(out) }: _*)
+      .withColumn("__next", lead(col("__eff"), 1).over(w))
+    val cond = col(leftTs) >= col("__eff") &&
+      (col("__next").isNull || col(leftTs) < col("__next"))
+    left.join(broadcast(iv), cond, if (inner) "inner" else "left_outer")
+      .select((left.columns.map(col) ++
+        rightVals.map { case (_, o) => col(o) }).toIndexedSeq: _*)
+  }
 }

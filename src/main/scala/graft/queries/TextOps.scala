@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-preparation text operators (SURVEY §2 round 5b, q92–q96):
+  * normalization impact, chunking, eval-set contamination, inverted
+  * index, within-document repetition.
+  *
+  * All five are single-scan, row-local transforms followed by one keyed
+  * aggregation — the shapes that scale to a 100 TB corpus by adding
+  * partitions. The only self-join (q94) goes through a df-capped
+  * inverted index, never a cross product.
+  */
+object TextOps {
+
+  private val dec = DecimalType(28, 12)
+  private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
+    round(c.cast(dec), scale).cast("double")
+
+  /** Stopwords removed by the q92 normalization pass. */
+  private val stop = Seq("a", "the", "and", "of", "to", "in", "is", "that")
+
+  /** q92_stopword_normalize — dedup impact of a normalization pass:
+    * per source, distinct-document counts before vs after stopword
+    * stripping, plus the token reduction. The standard pre-dedup
+    * normalize step (C4/Gopher pipelines); the aggregation is
+    * map-side combined, so the shuffle carries one row per source.
+    */
+  def q92StopwordNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", $"text", Text.tokens($"text").as("toks"))
+      .select($"source", $"text", $"toks",
+        filter($"toks", t => !t.isin(stop: _*)).as("kept"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_distinct_raw"),
+        countDistinct(md5(concat_ws(" ", $"kept"))).as("n_distinct_norm"),
+        sum(size($"toks")).cast("long").as("tokens_raw"),
+        sum(size($"kept")).cast("long").as("tokens_kept"))
+  }
+
+  val q92Sql: String =
+    """WITH t AS (
+      |  SELECT source, text,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |k AS (
+      |  SELECT source, text, toks,
+      |    list_filter(toks, x -> x NOT IN
+      |      ('a','the','and','of','to','in','is','that')) AS kept
+      |  FROM t)
+      |SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct_raw,
+      |  count(DISTINCT md5(array_to_string(kept, ' '))) AS n_distinct_norm,
+      |  CAST(sum(len(toks)) AS BIGINT) AS tokens_raw,
+      |  CAST(sum(len(kept)) AS BIGINT) AS tokens_kept
+      |FROM k GROUP BY source""".stripMargin
+
+  /** q93_chunking — overlapping fixed-size token chunks (size 30,
+    * stride 20), the training-example splitter. Chunk starts come from
+    * a row-local sequence + explode; no shuffle at all until a
+    * downstream consumer asks for one. The token array is materialized
+    * in its OWN select before size()/explode() touch it (CollapseProject
+    * re-evaluates expensive exprs planted next to a Generate otherwise).
+    */
+  def q93Chunking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)),
+          lit(20))).as("start"))
+      .select($"doc_id", ($"start" / 20).cast("long").as("chunk_idx"),
+        slice($"toks", $"start" + 1, lit(30)).as("chunk"))
+      .select($"doc_id", $"chunk_idx", size($"chunk").as("n_tokens"),
+        md5(concat_ws(" ", $"chunk")).as("chunk_hash"))
+  }
+
+  val q93Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 20)) AS start FROM t)
+      |SELECT doc_id, start // 20 AS chunk_idx,
+      |  len(tk[start + 1 : start + 30]) AS n_tokens,
+      |  md5(array_to_string(tk[start + 1 : start + 30], ' ')) AS chunk_hash
+      |FROM s""".stripMargin
+
+  /** q94_contamination — eval-set leakage scan: documents sharing >= 3
+    * distinct 3-token shingles with a held-out eval doc (doc_id % 97).
+    * Inverted index on shingle with a document-frequency cap (window
+    * count over the gram partition, same plan as the q34 dedup family)
+    * so no hot shingle explodes the candidate join; at 100 TB the eval
+    * side of the join is tiny and broadcasts.
+    */
+  def q94Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.documents(spark, dir)
+      .select($"doc_id", Text.wordShingles(Text.tokens($"text"), 3).as("sh"))
+      .select($"doc_id", array_distinct($"sh").as("grams"))
+      .select($"doc_id", explode($"grams").as("gram"))
+    val f = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"gram")))
+      .filter($"df" <= 20)
+      .select($"doc_id", $"gram")
+    val eval = f.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("eval_id"), $"gram")
+    val corpus = f.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id".as("corpus_id"), $"gram")
+    corpus.join(broadcast(eval), "gram")
+      .groupBy($"eval_id", $"corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+  }
+
+  val q94Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(tk[i : i + 2], ' ')
+      |    for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS g
+      |  FROM t),
+      |ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+      |f AS (
+      |  SELECT doc_id, gram FROM (
+      |    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM ex)
+      |  WHERE df <= 20)
+      |SELECT a.doc_id AS eval_id, b.doc_id AS corpus_id, count(*) AS n_shared
+      |FROM f a JOIN f b ON a.gram = b.gram
+      |WHERE a.doc_id % 97 = 0 AND b.doc_id % 97 <> 0
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING count(*) >= 3""".stripMargin
+
+  /** q95_posting_lists — inverted-index build: per token, document
+    * frequency and the head (first 15 sorted doc_ids) of the posting
+    * list. One explode + one map-side-combined aggregation. The csv
+    * head keeps the oracle comparable; a full-scale index would write
+    * the complete postings bucketed by token instead — and at 100 TB
+    * stop-token postings must be banded or df-capped (q34's trick)
+    * before anything collects them.
+    */
+  def q95PostingLists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .select($"doc_id", explode(array_distinct($"toks")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list($"doc_id")).as("ps"))
+      .filter($"df" >= 5)
+      .select($"token", $"df",
+        array_join(transform(slice($"ps", 1, 15), _.cast("string")), ",")
+          .as("postings_head"))
+  }
+
+  val q95Sql: String =
+    """WITH ex AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'))) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS df,
+      |  array_to_string(list(doc_id ORDER BY doc_id)[1:15], ',') AS postings_head
+      |FROM ex GROUP BY token HAVING count(*) >= 5""".stripMargin
+
+  /** q96_repetition — degenerate-text detector: distinct-bigram ratio
+    * per document (low ratio = the doc repeats itself; the Gopher
+    * repetition filters' core signal). Entirely row-local — scales as
+    * a pure map.
+    */
+  def q96Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", Text.wordShingles($"toks", 2).as("bi"))
+      .select($"doc_id", size($"bi").as("n_bigrams"),
+        size(array_distinct($"bi")).as("n_distinct"))
+      .select($"doc_id", $"n_bigrams", $"n_distinct",
+        decRound($"n_distinct" / $"n_bigrams", 4).as("distinct_ratio"))
+      .withColumn("flag_repetitive", $"distinct_ratio" < 0.6)
+  }
+
+  val q96Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))] AS bi
+      |  FROM t WHERE len(tk) >= 2),
+      |m AS (
+      |  SELECT doc_id, len(bi) AS n_bigrams, len(list_distinct(bi)) AS n_distinct
+      |  FROM b)
+      |SELECT doc_id, n_bigrams, n_distinct,
+      |  CAST(round(CAST(n_distinct / n_bigrams AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS distinct_ratio,
+      |  CAST(round(CAST(n_distinct / n_bigrams AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    < 0.6 AS flag_repetitive
+      |FROM m""".stripMargin
+}

@@ -281,4 +281,74 @@ object TimeSeries {
 
   def q71Ewma(spark: SparkSession, dir: String): DataFrame =
     ewma(spark, dir, alpha = 0.2).toDF()
+
+  /** q97_rolling_vol — 20-observation realized volatility of simple
+    * returns per user. Both window passes (lag → return, 20-row
+    * trailing stddev) ride the SAME (user_id, ts) shuffle+sort — one
+    * exchange total; partial windows dropped (first 20 returns per
+    * user). Decimal-space rounding per the oracle convention.
+    */
+  def q97RollingVol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("ret", $"value" / lag($"value", 1).over(w) - 1)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("v", stddev_samp($"ret").over(w.rowsBetween(-19, 0)))
+      .filter($"rn" >= 21)
+      .select($"event_id",
+        round($"v".cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
+          .cast("double").as("vol20"))
+  }
+
+  val q97Sql: String =
+    """SELECT event_id, CAST(round(CAST(v AS DECIMAL(28,12)), 4) AS DOUBLE) AS vol20
+      |FROM (
+      |  SELECT event_id,
+      |    stddev_samp(ret) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        - 1 AS ret
+      |    FROM events))
+      |WHERE rn >= 21""".stripMargin
+
+  /** q98_factor_adjust — the security-master adjustment-factor apply:
+    * a daily factor is computed from each day's observations, published
+    * at the NEXT midnight, and only every third day (sparse feed); each
+    * event is scaled by the factor in effect at its timestamp. The
+    * factor table is a GLOBAL tiny dim, so this is
+    * [[AsOf.broadcastJoin]] — the event side never shuffles, unlike the
+    * keyed union-window as-of (q21) which would funnel a keyless join
+    * through one partition.
+    */
+  def q98FactorAdjust(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val ev = Tables.events(spark, dir)
+    val rates = ev.groupBy(date_trunc("DAY", $"ts").as("day"))
+      .agg(avg($"value").as("r"))
+      .filter(dayofmonth($"day") % 3 === 1)
+      .select(($"day" + expr("INTERVAL 1 DAY")).as("eff_ts"),
+        round($"r".cast(dec), 6).cast("double").as("rate"))
+    AsOf.broadcastJoin(ev.select($"event_id", $"ts", $"value"), rates,
+        leftTs = "ts", rightTs = "eff_ts", rightVals = Seq("rate" -> "rate"))
+      .select($"event_id", $"value", $"rate",
+        round(($"value" * $"rate").cast(dec), 4).cast("double").as("adj_value"))
+  }
+
+  val q98Sql: String =
+    """WITH rates AS (
+      |  SELECT date_trunc('day', ts) + INTERVAL 1 DAY AS eff_ts,
+      |    CAST(round(CAST(avg(value) AS DECIMAL(28,12)), 6) AS DOUBLE) AS rate
+      |  FROM events
+      |  GROUP BY date_trunc('day', ts)
+      |  HAVING date_part('day', date_trunc('day', ts)) % 3 = 1)
+      |SELECT e.event_id, e.value, r.rate,
+      |  CAST(round(CAST(e.value * r.rate AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS adj_value
+      |FROM events e ASOF JOIN rates r ON e.ts >= r.eff_ts""".stripMargin
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structure + invariant checks for q92–q98 at sf0.001 (value-level
+  * correctness is the DuckDB oracle gate at sf0.01).
+  */
+class TextOpsSpec extends SparkTestBase {
+
+  test("q92 normalization only ever merges documents") {
+    val rows = SparkEntry.queries("q92_stopword_normalize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val raw = r.getAs[Long]("n_distinct_raw")
+      val norm = r.getAs[Long]("n_distinct_norm")
+      assert(norm <= raw && raw <= nDocs)
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_raw"))
+    }
+  }
+
+  test("q93 chunks cover every doc, sizes within [1,30]") {
+    val df = SparkEntry.queries("q93_chunking")(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(df.select("doc_id").distinct().count() == nDocs)
+    assert(df.filter(col("chunk_idx") === 0).count() == nDocs)
+    assert(df.filter(col("n_tokens") < 1 || col("n_tokens") > 30).count() == 0)
+    // stride 20 < size 30: consecutive chunks overlap, so every token
+    // index is covered — chunk count must be ceil(n_tokens/20) per doc.
+    val bad = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .join(df.groupBy("doc_id").agg(count(lit(1)).as("chunks")), "doc_id")
+      .filter(col("chunks") =!= ceil(col("n") / lit(20.0)).cast("long"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("q94 contamination pairs respect the eval/corpus split") {
+    val rows = SparkEntry.queries("q94_contamination")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eval_id") % 97 == 0)
+      assert(r.getAs[Long]("corpus_id") % 97 != 0)
+      assert(r.getAs[Long]("n_shared") >= 3)
+    }
+  }
+
+  test("q95 posting heads are sorted, capped at 15, df consistent") {
+    val rows = SparkEntry.queries("q95_posting_lists")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getAs[String]("postings_head").split(",").map(_.toLong)
+      assert(ids.length <= 15 && ids.length <= r.getAs[Long]("df"))
+      assert(ids.sameElements(ids.sorted))
+      assert(r.getAs[Long]("df") >= 5)
+    }
+  }
+
+  test("q96 repetition ratio in (0,1], distinct <= total") {
+    val rows = SparkEntry.queries("q96_repetition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_bigrams"))
+      val ratio = r.getAs[Double]("distinct_ratio")
+      assert(ratio > 0 && ratio <= 1.0)
+    }
+  }
+
+  test("q97 rolling vol: non-negative, one row per obs past the 20th return") {
+    val df = SparkEntry.queries("q97_rolling_vol")(spark, sf).cache()
+    assert(df.filter(col("vol20") < 0).count() == 0)
+    val expected = Tables.events(spark, sf).groupBy("user_id").count()
+      .agg(sum(greatest(col("count") - 20, lit(0L)))).collect()(0).getLong(0)
+    assert(df.count() == expected)
+    df.unpersist()
+  }
+
+  test("q98 / AsOf.broadcastJoin matches the keyed as-of on a constant key") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"value").withColumn("k", lit(0))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val rates = Tables.events(spark, sf)
+      .groupBy(date_trunc("DAY", $"ts").as("day"))
+      .agg(avg($"value").as("r"))
+      .filter(dayofmonth($"day") % 3 === 1)
+      .select(($"day" + expr("INTERVAL 1 DAY")).as("eff_ts"),
+        round($"r".cast(dec), 6).cast("double").as("rate"))
+      .withColumn("k", lit(0))
+    val viaBroadcast = graft.operators.AsOf.broadcastJoin(
+      ev.drop("k"), rates.drop("k"), "ts", "eff_ts", Seq("rate" -> "rate"))
+    val viaKeyed = graft.operators.AsOf.join(ev, rates, key = "k",
+        leftTs = "ts", rightTs = "eff_ts", rightVals = Seq("rate" -> "rate"))
+      .drop("k")
+    assert(viaBroadcast.count() > 0)
+    assert(viaBroadcast.exceptAll(viaKeyed).count() == 0)
+    assert(viaKeyed.exceptAll(viaBroadcast).count() == 0)
+  }
+}
