@@ -69,18 +69,24 @@ object TextOps {
     * in its OWN select before size()/explode() touch it (CollapseProject
     * re-evaluates expensive exprs planted next to a Generate otherwise).
     */
-  def q93Chunking(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", Text.tokens($"text").as("toks"))
-      .select($"doc_id", $"toks",
-        explode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)),
+  def q93Chunking(spark: SparkSession, dir: String): DataFrame =
+    chunks(Tables.documents(spark, dir))
+
+  /** Shared chunker over any (doc_id, text, …) frame — used by batch
+    * q93 and the s9 ingest stream, so ingest-time chunking equals
+    * offline chunking by construction (every transform here is
+    * stateless/row-local, hence streaming-safe unchanged).
+    */
+  def chunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
           lit(20))).as("start"))
-      .select($"doc_id", ($"start" / 20).cast("long").as("chunk_idx"),
-        slice($"toks", $"start" + 1, lit(30)).as("chunk"))
-      .select($"doc_id", $"chunk_idx", size($"chunk").as("n_tokens"),
-        md5(concat_ws(" ", $"chunk")).as("chunk_hash"))
-  }
+      .select(col("doc_id"), (col("start") / 20).cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(30)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), size(col("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
 
   val q93Sql: String =
     """WITH t AS (

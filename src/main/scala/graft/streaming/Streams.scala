@@ -254,6 +254,21 @@ object Streams {
       }
       .start()
 
+  /** s9 — streaming corpus-prep gate: ingest-time quality screen +
+    * chunk split. Entirely STATELESS (no watermark, no state store),
+    * so the exact batch operators compose with Structured Streaming
+    * unchanged: a Gopher-style length/stopword gate from
+    * [[graft.functions.Text.qualityMetrics]], then the shared
+    * [[graft.queries.TextOps.chunks]] splitter. Ingest-time prep
+    * equals offline prep by construction — differential-tested in
+    * StreamingSpec against the same plan run in batch mode.
+    */
+  def corpusPrepStream(docs: DataFrame): DataFrame = {
+    val m = graft.functions.Text.qualityMetrics(col("text")).toMap
+    graft.queries.TextOps.chunks(
+      docs.filter(m("n_tokens") >= 20 && m("stopword_ratio") >= 0.05))
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

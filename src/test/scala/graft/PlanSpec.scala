@@ -139,4 +139,28 @@ class PlanSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("chunking is shuffle-free (row-local explode, no exchange)") {
+    val p = plan("q93_chunking")
+    assert(count(p, "Exchange") == 0, s"q93: expected 0 exchanges\n$p")
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("rolling vol stacks both window passes on one exchange") {
+    val p = plan("q97_rolling_vol")
+    assert(count(p, "Exchange") == 1, s"q97: expected 1 exchange\n$p")
+  }
+
+  test("global-dim as-of broadcasts the factor table, never shuffles events") {
+    val p = plan("q98_factor_adjust")
+    // the event side must reach the join without an exchange: the only
+    // exchanges allowed belong to the tiny factor-dim aggregation
+    // (groupBy day) and its single-partition interval window.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only SHUFFLE exchanges belong to the tiny factor dim (its
+    // groupBy-day agg + the single-partition interval window); the
+    // event side reaches the join scan-direct.
+    val shuffles = count(p, "Exchange") - count(p, "BroadcastExchange")
+    assert(shuffles <= 2, s"q98: event side shuffled\n$p")
+  }
 }

@@ -177,6 +177,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming corpus-prep gate equals the same plan run in batch") {
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_prep")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    Seq(0, 1).foreach { gen =>
+      val tmp = root.resolve(s"tmp$gen").toString
+      docs.filter($"doc_id" % 2 === gen).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    val stream = spark.readStream.schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Streams.corpusPrepStream(stream).writeStream
+      .format("memory").queryName("s9_prep").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("s9_prep")
+      .as[(Long, Long, Int, String)].collect().toSet
+    val batch = Streams.corpusPrepStream(docs)
+      .as[(Long, Long, Int, String)].collect().toSet
+    assert(streamed == batch,
+      s"extra=${streamed.diff(batch).size} missing=${batch.diff(streamed).size}")
+    assert(streamed.nonEmpty)
+    // the gate must actually gate: fewer docs chunked than ingested
+    assert(streamed.map(_._1).size < docs.count())
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batch = SparkEntry.queries("q27_sessionize")(spark, sf)
     val stream = Streams.eventsStream(spark, streamDir)
