@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -101,26 +100,31 @@ object TextOps {
 
   /** q94_contamination — eval-set leakage scan: documents sharing >= 3
     * distinct 3-token shingles with a held-out eval doc (doc_id % 97).
-    * Inverted index on shingle with a document-frequency cap (window
-    * count over the gram partition, same plan as the q34 dedup family)
-    * so no hot shingle explodes the candidate join; at 100 TB the eval
-    * side of the join is tiny and broadcasts.
+    *
+    * One scan, one shuffle: the inverted index is grouped by shingle
+    * ONCE, with the eval/corpus split carried as two posting arrays
+    * inside the same aggregate; candidate pairs come from exploding
+    * the (tiny) per-gram cross of those arrays. The document-frequency
+    * cap bounds every posting list, so the explosion is ≤ df² per gram
+    * — no window pass, no self-join, no recomputation of the shingle
+    * scan per side. Shingling itself is the native ShingleSet
+    * expression (one pass, one hash-set per row) — the HOF
+    * slice+concat_ws formulation re-slices per position and was 10×
+    * slower at sf0.1 (same lesson as q34/q40).
     */
   def q94Contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ex = Tables.documents(spark, dir)
-      .select($"doc_id", Text.wordShingles(Text.tokens($"text"), 3).as("sh"))
-      .select($"doc_id", array_distinct($"sh").as("grams"))
+      .select($"doc_id",
+        graft.functions.TextExpressions.shingleSet($"text", 3).as("grams"))
       .select($"doc_id", explode($"grams").as("gram"))
-    val f = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"gram")))
-      .filter($"df" <= 20)
-      .select($"doc_id", $"gram")
-    val eval = f.filter($"doc_id" % 97 === 0)
-      .select($"doc_id".as("eval_id"), $"gram")
-    val corpus = f.filter($"doc_id" % 97 =!= 0)
-      .select($"doc_id".as("corpus_id"), $"gram")
-    corpus.join(broadcast(eval), "gram")
+    ex.groupBy($"gram")
+      .agg(count(lit(1)).as("df"),
+        collect_list(when($"doc_id" % 97 === 0, $"doc_id")).as("eval_ids"),
+        collect_list(when($"doc_id" % 97 =!= 0, $"doc_id")).as("corpus_ids"))
+      .filter($"df" <= 20 && size($"eval_ids") > 0 && size($"corpus_ids") > 0)
+      .select(explode($"eval_ids").as("eval_id"), $"corpus_ids")
+      .select($"eval_id", explode($"corpus_ids").as("corpus_id"))
       .groupBy($"eval_id", $"corpus_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= 3)
@@ -132,8 +136,11 @@ object TextOps {
       |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
       |  FROM documents),
       |sh AS (
-      |  SELECT doc_id, list_distinct([array_to_string(tk[i : i + 2], ' ')
-      |    for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS g
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct([array_to_string(tk[i : i + 2], ' ')
+      |           for i in range(1, len(tk) - 1)])
+      |    END AS g
       |  FROM t),
       |ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
       |f AS (

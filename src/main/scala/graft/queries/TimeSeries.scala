@@ -293,7 +293,11 @@ object TimeSeries {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.events(spark, dir)
       .select($"user_id", $"ts", $"event_id", $"value")
-      .withColumn("ret", $"value" / lag($"value", 1).over(w) - 1)
+      // nullif guard: a zero previous observation yields a NULL return
+      // (undefined pct-change), not a DIVIDE_BY_ZERO abort under Spark
+      // 4's default ANSI mode; stddev then skips it on both engines.
+      .withColumn("ret",
+        $"value" / nullif(lag($"value", 1).over(w), lit(0.0)) - 1)
       .withColumn("rn", row_number().over(w))
       .withColumn("v", stddev_samp($"ret").over(w.rowsBetween(-19, 0)))
       .filter($"rn" >= 21)
@@ -311,8 +315,8 @@ object TimeSeries {
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM (
       |    SELECT user_id, ts, event_id,
-      |      value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |        - 1 AS ret
+      |      value / nullif(lag(value) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id), 0) - 1 AS ret
       |    FROM events))
       |WHERE rn >= 21""".stripMargin
 
