@@ -71,6 +71,24 @@ class DedupPropertySpec extends SparkTestBase {
     assert(inc == full, s"incremental diverged: ${inc.diff(full)} / ${full.diff(inc)}")
   }
 
+  test("prefix-filtered set-jaccard equals the all-pairs plan") {
+    // order baskets at sf0.001 (small sets) plus a high-threshold text
+    // run: both shapes must agree exactly with the default plan.
+    val baskets = Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("parts"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val viaPrefix = Dedup.setJaccardPairs(baskets, "l_orderkey", "parts",
+        maxDf = 50, threshold = t, prefixFilter = true)
+        .as[(Long, Long, Double)].collect().toSet
+      val viaAll = Dedup.setJaccardPairs(baskets, "l_orderkey", "parts",
+        maxDf = 50, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaPrefix == viaAll,
+        s"t=$t: extra=${viaPrefix.diff(viaAll)} missing=${viaAll.diff(viaPrefix)}")
+      assert(t > 0.3 || viaAll.nonEmpty) // the comparison must compare something
+    }
+  }
+
   test("simhash banding recall is complete up to maxHamming (3 seeds)") {
     for (seed <- 0 until 3) {
       val docs = randomDocs(seed + 100, 40).toDF("doc_id", "text")
