@@ -82,8 +82,15 @@ object GraftExtensions {
   /** Register the functions on a live session (for sessions created
     * without the extension config — notebooks, REPLs, test harnesses).
     */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, inf, b) =>
       org.apache.spark.sql.GraftRegistryBridge.registerFunction(spark, id, inf, b)
     }
+    // typed Aggregators go through the session UDF registry (they wrap
+    // an encoder pair, not a Catalyst Expression builder, so the
+    // injectFunction path above doesn't apply)
+    spark.udf.register("graft_bitmap_distinct",
+      org.apache.spark.sql.functions.udaf(graft.functions.BitmapDistinct))
+    ()
+  }
 }

@@ -599,4 +599,23 @@ object Analytics {
       |          JOIN b bb ON bb.l_orderkey = doc_b
       |WHERE CAST(round(CAST(CAST(shared AS DOUBLE) / (ba.n + bb.n - shared)
       |    AS DECIMAL(28,12)), 4) AS DOUBLE) >= 0.5""".stripMargin
+
+  /** q99_bitmap_distinct — exact distinct users per event type via the
+    * [[graft.functions.BitmapDistinct]] typed Aggregator: per-partition
+    * bitmaps OR together map-side, so the shuffle carries a few KB per
+    * group instead of one row per (group, user) — the exact-count
+    * companion to the q20/q52 HLL sketches for dictionary-encoded id
+    * domains.
+    */
+  def q99BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.BitmapDistinct.distinctCount($"user_id")
+        .as("n_users"))
+  }
+
+  val q99Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
 }

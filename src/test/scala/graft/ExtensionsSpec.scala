@@ -63,6 +63,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(guarded == plain)
   }
 
+  test("bitmap distinct aggregator equals count(distinct) from SQL and DSL") {
+    GraftExtensions.install(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("ev_bitmap")
+    val viaSql = spark.sql(
+      """SELECT event_type, graft_bitmap_distinct(user_id) AS n
+        |FROM ev_bitmap GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDsl = SparkEntry.queries("q99_bitmap_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == exact && viaDsl == exact)
+    // domain guard: out-of-range ids must fail loudly, not corrupt
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(-1L).toDF("id")
+        .agg(graft.functions.BitmapDistinct.distinctCount($"id")).collect()
+    }
+    assert(e.getMessage.contains("BitmapDistinct") ||
+      Option(e.getCause).exists(_.getMessage.contains("BitmapDistinct")))
+  }
+
   test("non-literal static parameter fails with a clear message") {
     GraftExtensions.install(spark)
     val e = intercept[Exception] {
