@@ -62,19 +62,67 @@ class SourcesSpec extends SparkTestBase {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("px", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
-    val feed = spark.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(dir).cache()
-    val good = feed.filter($"_corrupt_record".isNull)
-    val quarantined = feed.filter($"_corrupt_record".isNotNull)
+      org.apache.spark.sql.types.StructField("px", org.apache.spark.sql.types.DoubleType)))
+    val (good, quarantined) =
+      graft.sources.Ingest.quarantineCsv(spark, dir, schema)
     assert(good.count() == 2)
+    assert(good.columns.toSeq == Seq("id", "name", "px"))
     assert(quarantined.count() == 1)
     assert(quarantined.select("_corrupt_record").as[String].collect()(0)
       .contains("not_a_number"))
-    feed.unpersist()
+  }
+
+  test("manifest-tracked incremental ingest is exactly-once across reruns") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest2")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmpd = root.resolve(s"tmp_$name").toString
+      df.coalesce(1).write.parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, landing.resolve(s"$name.parquet"))
+    }
+    val sup = Tables.load(spark, sf, "supplier")
+    drop("gen0", sup.filter($"s_suppkey" % 2 === 0))
+    drop("gen1", sup.filter($"s_suppkey" % 2 === 1))
+    val table = root.resolve("table").toString
+    val mf = root.resolve("MANIFEST").toString
+    val r1 = graft.sources.Ingest.incrementalIngest(
+      spark, landing.toString, table, mf, Tables.supplierSchema)
+    assert(r1.newFiles.size == 2 && r1.rowsIngested == sup.count())
+    assert(spark.read.parquet(table).count() == sup.count())
+    // rerun with nothing new: no-op
+    val r2 = graft.sources.Ingest.incrementalIngest(
+      spark, landing.toString, table, mf, Tables.supplierSchema)
+    assert(r2.newFiles.isEmpty)
+    assert(spark.read.parquet(table).count() == sup.count())
+    // a third file arrives: only it is ingested
+    val extra = sup.filter($"s_suppkey" < 3)
+    drop("gen2", extra)
+    val r3 = graft.sources.Ingest.incrementalIngest(
+      spark, landing.toString, table, mf, Tables.supplierSchema)
+    assert(r3.newFiles.size == 1 && r3.rowsIngested == extra.count())
+    val total = sup.count() + extra.count()
+    assert(spark.read.parquet(table).count() == total)
+    // crash replay: manifest lost the gen2 line (crash between data
+    // write and manifest advance) — the rerun overwrites gen2's own
+    // partition instead of appending duplicates, then heals the manifest
+    val lines = java.nio.file.Files.readString(java.nio.file.Paths.get(mf))
+      .split("\n").filter(l => l.nonEmpty && !l.contains("gen2"))
+    // rewrite through the Hadoop FS API — the local ChecksumFileSystem
+    // keeps a .crc sidecar that a direct java.nio write would invalidate
+    val mfPath = new org.apache.hadoop.fs.Path(mf)
+    val hfs = mfPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(mfPath, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val r4 = graft.sources.Ingest.incrementalIngest(
+      spark, landing.toString, table, mf, Tables.supplierSchema)
+    assert(r4.newFiles.size == 1)
+    assert(spark.read.parquet(table).count() == total, "replay duplicated rows")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(mf))
+      .contains("gen2"))
   }
 
   test("orc round-trip preserves rows") {
