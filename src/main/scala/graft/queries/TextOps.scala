@@ -203,6 +203,48 @@ object TextOps {
       .withColumn("flag_repetitive", $"distinct_ratio" < 0.6)
   }
 
+  /** q100_unigram_logprob — language-model-style quality score: the
+    * per-document mean log-probability of its tokens under the
+    * corpus's own unigram distribution (the cheap proxy for "does this
+    * read like the corpus" used before real LM perplexity filters).
+    * Two passes over one tokenization: frequency build (map-side
+    * combined) and per-doc scoring; the corpus total rides in via a
+    * broadcast scalar, the frequency table via a broadcast join — the
+    * fact explode never reshuffles except for the final per-doc
+    * aggregation.
+    */
+  def q100UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .select($"doc_id", explode($"toks").as("token"))
+    val freq = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum($"cnt").as("total"))
+    val lp = freq.crossJoin(broadcast(total))
+      .select($"token",
+        log($"cnt".cast("double") / $"total".cast("double")).as("lp"))
+    toks.join(broadcast(lp), "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        decRound(avg($"lp"), 4).as("avg_logprob"))
+  }
+
+  val q100Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |freq AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+      |lp AS (
+      |  SELECT token, ln(CAST(cnt AS DOUBLE) / total) AS lp
+      |  FROM freq, tot)
+      |SELECT tk.doc_id, count(*) AS n_tokens,
+      |  CAST(round(CAST(avg(lp.lp) AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS avg_logprob
+      |FROM tk JOIN lp ON tk.token = lp.token
+      |GROUP BY tk.doc_id""".stripMargin
+
   val q96Sql: String =
     """WITH t AS (
       |  SELECT doc_id,

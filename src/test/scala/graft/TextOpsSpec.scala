@@ -65,6 +65,14 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q100 unigram logprob: negative scores, every doc scored") {
+    val df = SparkEntry.queries("q100_unigram_logprob")(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    // every token probability is < 1, so every mean log-prob is < 0
+    assert(df.filter(col("avg_logprob") >= 0).count() == 0)
+    df.unpersist()
+  }
+
   test("q97 rolling vol: non-negative, one row per obs past the 20th return") {
     val df = SparkEntry.queries("q97_rolling_vol")(spark, sf).cache()
     assert(df.filter(col("vol20") < 0).count() == 0)
