@@ -329,16 +329,27 @@ object TimeSeries {
     * keyed union-window as-of (q21) which would funnel a keyless join
     * through one partition.
     */
-  def q98FactorAdjust(spark: SparkSession, dir: String): DataFrame = {
+  /** The sparse factor dim shared by batch q98 and the s10 stream-
+    * static twin: per-day mean value, published at the NEXT midnight,
+    * only every third day.
+    */
+  def dailyFactors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-    val ev = Tables.events(spark, dir)
-    val rates = ev.groupBy(date_trunc("DAY", $"ts").as("day"))
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("DAY", $"ts").as("day"))
       .agg(avg($"value").as("r"))
       .filter(dayofmonth($"day") % 3 === 1)
       .select(($"day" + expr("INTERVAL 1 DAY")).as("eff_ts"),
         round($"r".cast(dec), 6).cast("double").as("rate"))
-    AsOf.broadcastJoin(ev.select($"event_id", $"ts", $"value"), rates,
+  }
+
+  def q98FactorAdjust(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val ev = Tables.events(spark, dir)
+    AsOf.broadcastJoin(ev.select($"event_id", $"ts", $"value"),
+        dailyFactors(spark, dir),
         leftTs = "ts", rightTs = "eff_ts", rightVals = Seq("rate" -> "rate"))
       .select($"event_id", $"value", $"rate",
         round(($"value" * $"rate").cast(dec), 4).cast("double").as("adj_value"))

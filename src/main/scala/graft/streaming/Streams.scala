@@ -269,6 +269,25 @@ object Streams {
       docs.filter(m("n_tokens") >= 20 && m("stopword_ratio") >= 0.05))
   }
 
+  /** s10 — stream-STATIC as-of apply: the live event stream scaled by
+    * the latest published factor from a static (batch-maintained)
+    * reference table, via [[graft.operators.AsOf.broadcastJoin]]. A
+    * stream-static join needs no watermark and no state store — the
+    * static side is re-planned (and re-broadcast) each micro-batch, so
+    * a nightly factor-table rebuild is picked up without restarting
+    * the query; the stream side never shuffles. Exact twin of batch
+    * q98 over the same files (differential in StreamingSpec).
+    */
+  def factorAdjustStream(events: DataFrame, rates: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    graft.operators.AsOf.broadcastJoin(
+        events.select(col("event_id"), col("ts"), col("value")), rates,
+        leftTs = "ts", rightTs = "eff_ts", rightVals = Seq("rate" -> "rate"))
+      .select(col("event_id"), col("value"), col("rate"),
+        round((col("value") * col("rate")).cast(dec), 4).cast("double")
+          .as("adj_value"))
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

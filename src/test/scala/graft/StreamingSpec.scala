@@ -204,6 +204,27 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.map(_._1).size < docs.count())
   }
 
+  test("stream-static factor apply equals the batch q98 result") {
+    // stream the events files; the factor table stays a STATIC frame —
+    // re-broadcast per micro-batch, no state, no watermark
+    val root = java.nio.file.Files.createTempDirectory("graft_s10")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val src = new java.io.File(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src.toPath, inDir.resolve("events.parquet"))
+    val stream = Streams.eventsStream(spark, inDir.toString)
+    val rates = graft.queries.TimeSeries.dailyFactors(spark, sf)
+    val q = Streams.factorAdjustStream(stream, rates).writeStream
+      .format("memory").queryName("s10_factor").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("s10_factor")
+      .as[(Long, Double, Double, Double)].collect().toSet
+    val batch = SparkEntry.queries("q98_factor_adjust")(spark, sf)
+      .as[(Long, Double, Double, Double)].collect().toSet
+    assert(streamed == batch,
+      s"extra=${streamed.diff(batch).size} missing=${batch.diff(streamed).size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batch = SparkEntry.queries("q27_sessionize")(spark, sf)
     val stream = Streams.eventsStream(spark, streamDir)
