@@ -264,6 +264,18 @@ object TimeSeries {
   case class EwmaRow(user_id: Long, ts_us: Long, event_id: Long,
                      value: Double, ewma: Double)
 
+  /** EWMA display rounding, shared by the batch plan and the s6
+    * streaming state so their outputs stay bit-identical. Two-step
+    * decimal half-up (scale 12 then scale 4) mirrors the oracle's
+    * `round(CAST(s AS DECIMAL(28,12)), 4)` EXACTLY — a single-step
+    * round of the full binary expansion diverges when digits 5–12 sit
+    * on a …49999… boundary that the decimal(28,12) cast first lifts
+    * to …5.
+    */
+  private[graft] def ewmaRound(s: Double): Double =
+    BigDecimal(s).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def ewma(spark: SparkSession, dir: String, alpha: Double): org.apache.spark.sql.Dataset[EwmaRow] = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -274,13 +286,36 @@ object TimeSeries {
         var s = Double.NaN
         rows.toSeq.sortBy(r => (r._2, r._3)).iterator.map { case (_, tsUs, id, v) =>
           s = if (s.isNaN) v else alpha * v + (1 - alpha) * s
-          EwmaRow(user, tsUs, id, v, math.rint(s * 10000) / 10000)
+          EwmaRow(user, tsUs, id, v, ewmaRound(s))
         }
       }
   }
 
   def q71Ewma(spark: SparkSession, dir: String): DataFrame =
     ewma(spark, dir, alpha = 0.2).toDF()
+
+  /** q71's oracle: the same recursion as a recursive CTE. The per-user
+    * fold applies the SAME IEEE ops in the SAME order on both engines
+    * (`0.2*v + (1 - 0.2)*s` — the literal `0.8` is a DIFFERENT double
+    * than `1 - 0.2`, so the SQL spells out the subtraction), and the
+    * display round goes through decimal(28,12) then 4 on both sides.
+    */
+  val q71Sql: String =
+    """WITH RECURSIVE seq AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |ew AS (
+      |  SELECT user_id, rn, ts_us, event_id, value, value AS s
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s2.user_id, s2.rn, s2.ts_us, s2.event_id, s2.value,
+      |    0.2 * s2.value + (1 - 0.2) * ew.s
+      |  FROM seq s2 JOIN ew ON s2.user_id = ew.user_id AND s2.rn = ew.rn + 1)
+      |SELECT user_id, ts_us, event_id, value,
+      |  CAST(round(CAST(s AS DECIMAL(28,12)), 4) AS DOUBLE) AS ewma
+      |FROM ew""".stripMargin
 
   /** q97_rolling_vol — 20-observation realized volatility of simple
     * returns per user. Both window passes (lag → return, 20-row

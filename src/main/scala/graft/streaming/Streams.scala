@@ -158,7 +158,7 @@ object Streams {
             s = if (s.isNaN) e.value else alpha * e.value + (1 - alpha) * s
           }
           state.update(s)
-          (user, math.rint(s * 10000) / 10000)
+          (user, graft.queries.TimeSeries.ewmaRound(s))
       }
   }
 
