@@ -618,4 +618,41 @@ object Analytics {
   val q99Sql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** q101_winsorized — robust mean via p05/p95 winsorization per
+    * return flag (the feature-engineering companion to the q80 MAD
+    * screen: clamp the tails instead of dropping them). Percentile
+    * frame is per-group tiny → broadcast back onto the fact scan; one
+    * full shuffle total (the stats agg), the clamped re-aggregation
+    * reuses the scan.
+    */
+  def q101Winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice")
+    val stats = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_extendedprice", lit(0.05)).as("p05"),
+        percentile($"l_extendedprice", lit(0.95)).as("p95"))
+    li.join(broadcast(stats), "l_returnflag")
+      .select($"l_returnflag", $"l_extendedprice",
+        greatest(least($"l_extendedprice", $"p95"), $"p05").as("w"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        decRound(avg($"l_extendedprice"), 4).as("raw_mean"),
+        decRound(avg($"w"), 4).as("winsor_mean"))
+  }
+
+  val q101Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS p05,
+      |    quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT li.l_returnflag, count(*) AS n,
+      |  CAST(round(CAST(avg(li.l_extendedprice) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS raw_mean,
+      |  CAST(round(CAST(avg(greatest(least(li.l_extendedprice, s.p95), s.p05))
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS winsor_mean
+      |FROM lineitem li JOIN s USING (l_returnflag)
+      |GROUP BY li.l_returnflag""".stripMargin
 }

@@ -225,6 +225,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming bitmap-distinct aggregation converges to batch q99") {
+    // the custom typed Aggregator drops into a streaming groupBy
+    // unchanged: the state store holds one bitmap per group, each
+    // micro-batch ORs into it — exact distinct counts over a stream
+    // without a shuffle-per-(group,id) expansion
+    val root = java.nio.file.Files.createTempDirectory("graft_s11")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
+      inDir.resolve("events.parquet"))
+    val stream = Streams.eventsStream(spark, inDir.toString)
+      .groupBy($"event_type")
+      .agg(graft.functions.BitmapDistinct.distinctCount($"user_id").as("n_users"))
+    val q = stream.writeStream.format("memory").queryName("s11_bitmap")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("s11_bitmap")
+      .as[(String, Long)].collect().toSet
+    val batch = SparkEntry.queries("q99_bitmap_distinct")(spark, sf)
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batch = SparkEntry.queries("q27_sessionize")(spark, sf)
     val stream = Streams.eventsStream(spark, streamDir)
