@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions.udaf
   * — an unbounded-domain dense bitmap is a memory bomb, so the bound
   * is enforced, not assumed.
   */
-object BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
+object BitmapDistinct extends Aggregator[java.lang.Long, Array[Long], Long] {
   /** Domain bound: 2^26 ids = at most 8 MB of bitmap per group. */
   val MaxId: Long = 1L << 26
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(b: Array[Long], id: Long): Array[Long] = {
+  /** NULL ids are skipped — same semantics as `count(DISTINCT id)`
+    * (hence the boxed input type: a primitive-Long encoder would abort
+    * the job on the first NULL row instead).
+    */
+  override def reduce(b: Array[Long], boxed: java.lang.Long): Array[Long] = {
+    if (boxed == null) return b
+    val id = boxed.longValue()
     require(id >= 0 && id < MaxId,
       s"BitmapDistinct id outside [0, $MaxId): $id — dictionary-encode or use HLL")
     val w = (id >>> 6).toInt
@@ -53,6 +59,12 @@ object BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 
+  /** The UserDefinedFunction form (explicit boxed-input encoder so
+    * NULLs reach [[reduce]] instead of failing deserialization).
+    */
+  def udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(BitmapDistinct, Encoders.LONG)
+
   /** Column form, usable in any groupBy().agg(...). */
-  def distinctCount(ids: Column): Column = udaf(BitmapDistinct).apply(ids)
+  def distinctCount(ids: Column): Column = udf.apply(ids)
 }

@@ -142,6 +142,13 @@ object AsOf {
                     leftTs: String, rightTs: String,
                     rightVals: Seq[(String, String)],
                     inner: Boolean = true): DataFrame = {
+    require(!left.columns.contains("__eff") && !left.columns.contains("__next"),
+      "__eff/__next are reserved column names on the left side")
+    rightVals.foreach { case (_, out) =>
+      require(!left.columns.contains(out),
+        s"output column '$out' already exists on the left side")
+      require(out != "__eff" && out != "__next", "__eff/__next are reserved")
+    }
     // Single-partition window over the dim is fine: the dim is tiny by
     // contract (that's what makes the broadcast legal in the first
     // place).

@@ -90,7 +90,7 @@ object GraftExtensions {
     // an encoder pair, not a Catalyst Expression builder, so the
     // injectFunction path above doesn't apply)
     spark.udf.register("graft_bitmap_distinct",
-      org.apache.spark.sql.functions.udaf(graft.functions.BitmapDistinct))
+      graft.functions.BitmapDistinct.udf)
     ()
   }
 }

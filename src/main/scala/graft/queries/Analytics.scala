@@ -23,7 +23,7 @@ object Analytics {
 
   private val dec = DecimalType(28, 12)
   private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
-    round(c.cast(dec), scale).cast("double")
+    graft.functions.Num.decRound(c, scale)
 
   /** q73_drawdown — running-peak drawdown per user over the event value
     * series: `max(peak - value)` where peak is the running maximum.

@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-preparation text operators (SURVEY §2 round 5b, q92–q96):
   * normalization impact, chunking, eval-set contamination, inverted
@@ -17,12 +16,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextOps {
 
-  private val dec = DecimalType(28, 12)
   private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
-    round(c.cast(dec), scale).cast("double")
+    graft.functions.Num.decRound(c, scale)
 
-  /** Stopwords removed by the q92 normalization pass. */
-  private val stop = Seq("a", "the", "and", "of", "to", "in", "is", "that")
+  /** Stopwords removed by the q92 normalization pass — the SAME set the
+    * language-ID markers and the s9 quality gate use, so the
+    * normalization and the gate can't silently desynchronize.
+    */
+  private val stop = Text.stopwordMarkers("en")
 
   /** q92_stopword_normalize — dedup impact of a normalization pass:
     * per source, distinct-document counts before vs after stopword

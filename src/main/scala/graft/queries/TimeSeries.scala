@@ -295,10 +295,12 @@ object TimeSeries {
     ewma(spark, dir, alpha = 0.2).toDF()
 
   /** q71's oracle: the same recursion as a recursive CTE. The per-user
-    * fold applies the SAME IEEE ops in the SAME order on both engines
-    * (`0.2*v + (1 - 0.2)*s` — the literal `0.8` is a DIFFERENT double
-    * than `1 - 0.2`, so the SQL spells out the subtraction), and the
-    * display round goes through decimal(28,12) then 4 on both sides.
+    * fold applies the SAME IEEE ops in the SAME order on both engines —
+    * the SQL spells out `(1 - 0.2)` to mirror the Scala expression
+    * shape `(1 - alpha)` (the values coincide with the literal 0.8;
+    * keeping the shapes identical is what makes that a non-question) —
+    * and the display round goes through decimal(28,12) then 4 on both
+    * sides.
     */
   val q71Sql: String =
     """WITH RECURSIVE seq AS (
@@ -336,9 +338,7 @@ object TimeSeries {
       .withColumn("rn", row_number().over(w))
       .withColumn("v", stddev_samp($"ret").over(w.rowsBetween(-19, 0)))
       .filter($"rn" >= 21)
-      .select($"event_id",
-        round($"v".cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
-          .cast("double").as("vol20"))
+      .select($"event_id", graft.functions.Num.decRound($"v", 4).as("vol20"))
   }
 
   val q97Sql: String =
@@ -370,24 +370,22 @@ object TimeSeries {
     */
   def dailyFactors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     Tables.events(spark, dir)
       .groupBy(date_trunc("DAY", $"ts").as("day"))
       .agg(avg($"value").as("r"))
       .filter(dayofmonth($"day") % 3 === 1)
       .select(($"day" + expr("INTERVAL 1 DAY")).as("eff_ts"),
-        round($"r".cast(dec), 6).cast("double").as("rate"))
+        graft.functions.Num.decRound($"r", 6).as("rate"))
   }
 
   def q98FactorAdjust(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val ev = Tables.events(spark, dir)
     AsOf.broadcastJoin(ev.select($"event_id", $"ts", $"value"),
         dailyFactors(spark, dir),
         leftTs = "ts", rightTs = "eff_ts", rightVals = Seq("rate" -> "rate"))
       .select($"event_id", $"value", $"rate",
-        round(($"value" * $"rate").cast(dec), 4).cast("double").as("adj_value"))
+        graft.functions.Num.decRound($"value" * $"rate", 4).as("adj_value"))
   }
 
   val q98Sql: String =

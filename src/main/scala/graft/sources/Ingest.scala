@@ -68,8 +68,17 @@ object Ingest {
       try out.write((done ++ fresh).toSeq.sorted.mkString("", "\n", "\n")
         .getBytes("UTF-8"))
       finally out.close()
-      if (mfs.exists(mPath)) mfs.delete(mPath, false)
-      mfs.rename(tmp, mPath)
+      // rename/delete report failure as `false` on some filesystems
+      // instead of throwing — a silent swap failure would leave an
+      // empty/old manifest and re-ingest the whole landing dir forever,
+      // so surface it loudly here (the data write is idempotent, so a
+      // retry after this error is safe)
+      if (mfs.exists(mPath) && !mfs.delete(mPath, false))
+        throw new java.io.IOException(
+          s"could not remove old manifest $manifestPath for swap")
+      if (!mfs.rename(tmp, mPath))
+        throw new java.io.IOException(
+          s"manifest swap failed: rename($tmp, $manifestPath) returned false")
       IngestResult(fresh, rows)
     } finally prevMode match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -77,12 +86,20 @@ object Ingest {
     }
   }
 
+  /** The two halves of a quarantined feed parse, plus the cache handle:
+    * call [[unpersist]] once both halves are consumed.
+    */
+  final case class QuarantinedFeed(good: DataFrame, quarantined: DataFrame,
+                                   private val feed: DataFrame) {
+    def unpersist(): Unit = { feed.unpersist(); () }
+  }
+
   /** PERMISSIVE CSV parse split into (good, quarantined): bad rows keep
     * their raw line for replay instead of vanishing — a feed that
     * silently drops records fails audits, not jobs.
     */
   def quarantineCsv(spark: SparkSession, dir: String,
-                    schema: StructType): (DataFrame, DataFrame) = {
+                    schema: StructType): QuarantinedFeed = {
     val withCorrupt = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("_corrupt_record",
         org.apache.spark.sql.types.StringType))
@@ -96,7 +113,9 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(dir)
       .cache()
-    (feed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
-      feed.filter(col("_corrupt_record").isNotNull))
+    QuarantinedFeed(
+      feed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      feed.filter(col("_corrupt_record").isNotNull),
+      feed)
   }
 }

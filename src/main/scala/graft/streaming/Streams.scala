@@ -278,15 +278,13 @@ object Streams {
     * the query; the stream side never shuffles. Exact twin of batch
     * q98 over the same files (differential in StreamingSpec).
     */
-  def factorAdjustStream(events: DataFrame, rates: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+  def factorAdjustStream(events: DataFrame, rates: DataFrame): DataFrame =
     graft.operators.AsOf.broadcastJoin(
         events.select(col("event_id"), col("ts"), col("value")), rates,
         leftTs = "ts", rightTs = "eff_ts", rightVals = Seq("rate" -> "rate"))
       .select(col("event_id"), col("value"), col("rate"),
-        round((col("value") * col("rate")).cast(dec), 4).cast("double")
+        graft.functions.Num.decRound(col("value") * col("rate"), 4)
           .as("adj_value"))
-  }
 
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._

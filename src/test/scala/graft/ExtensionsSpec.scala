@@ -85,6 +85,12 @@ class ExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("BitmapDistinct") ||
       Option(e.getCause).exists(_.getMessage.contains("BitmapDistinct")))
+    // NULL ids are skipped, same as count(DISTINCT ...)
+    val withNulls = Seq(Some(1L), None, Some(2L), Some(1L), None)
+      .toDF("id")
+      .agg(graft.functions.BitmapDistinct.distinctCount($"id"))
+      .collect()(0).getLong(0)
+    assert(withNulls == 2L)
   }
 
   test("non-literal static parameter fails with a clear message") {

@@ -63,13 +63,13 @@ class SourcesSpec extends SparkTestBase {
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("px", org.apache.spark.sql.types.DoubleType)))
-    val (good, quarantined) =
-      graft.sources.Ingest.quarantineCsv(spark, dir, schema)
-    assert(good.count() == 2)
-    assert(good.columns.toSeq == Seq("id", "name", "px"))
-    assert(quarantined.count() == 1)
-    assert(quarantined.select("_corrupt_record").as[String].collect()(0)
+    val feed = graft.sources.Ingest.quarantineCsv(spark, dir, schema)
+    assert(feed.good.count() == 2)
+    assert(feed.good.columns.toSeq == Seq("id", "name", "px"))
+    assert(feed.quarantined.count() == 1)
+    assert(feed.quarantined.select("_corrupt_record").as[String].collect()(0)
       .contains("not_a_number"))
+    feed.unpersist()
   }
 
   test("manifest-tracked incremental ingest is exactly-once across reruns") {
