@@ -624,7 +624,10 @@ object Analytics {
     * screen: clamp the tails instead of dropping them). Percentile
     * frame is per-group tiny → broadcast back onto the fact scan; one
     * full shuffle total (the stats agg), the clamped re-aggregation
-    * reuses the scan.
+    * reuses the scan. Exact percentiles buffer each group's values
+    * (ObjectHashAggregate) — at 100 TB swap the thresholds to
+    * approx_percentile (the q65 sketch); the clamp/mean pipeline is
+    * unchanged.
     */
   def q101Winsorized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
