@@ -645,6 +645,54 @@ object Analytics {
         decRound(avg($"w"), 4).as("winsor_mean"))
   }
 
+  /** q102_referential_audit — star-schema integrity: orphaned foreign
+    * keys per relationship, each via a LEFT ANTI join (the parent key
+    * set broadcasts when small; the child side aggregates to ONE row
+    * before the union, so the result is five tiny rows regardless of
+    * fact size). The q50 single-table audit's cross-table companion —
+    * a feed that drops a parent table shows up here, not in production
+    * joins.
+    */
+  def q102ReferentialAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def orphans(rel: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(rel).as("relation"), $"n_orphans")
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      orphans("lineitem->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      orphans("lineitem->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      orphans("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      orphans("orders->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      orphans("customer->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+    ).reduce(_ unionByName _)
+  }
+
+  val q102Sql: String =
+    """SELECT 'lineitem->orders' AS relation, count(*) AS n_orphans
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem->part', count(*) FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |UNION ALL
+      |SELECT 'lineitem->supplier', count(*) FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      |UNION ALL
+      |SELECT 'orders->customer', count(*) FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'customer->nation', count(*) FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)""".stripMargin
+
   val q101Sql: String =
     """WITH s AS (
       |  SELECT l_returnflag,
