@@ -81,4 +81,26 @@ class AsOfPropertySpec extends SparkTestBase {
       runCase(seed + 2000, inner = true, tol = Some(50L), direction = "forward")
     }
   }
+
+  test("broadcastJoin matches brute force over 20 random global-dim cases") {
+    for (seed <- 0 until 10; inner <- Seq(true, false)) {
+      val rnd = new scala.util.Random(seed + 5000)
+      val left = (0 until 30).map { i =>
+        (ts(rnd.nextInt(1000).toLong), i.toLong)
+      }
+      // unique rts by contract (see broadcastJoin scaladoc)
+      val right = rnd.shuffle((0 until 1000).toList).take(15)
+        .map(t => (ts(t.toLong), rnd.nextInt(100).toDouble))
+      val got = AsOf.broadcastJoin(left.toDF("ts", "row_id"),
+          right.toDF("rts", "v"), "ts", "rts", Seq("v" -> "v"), inner = inner)
+        .select($"row_id", $"v").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val expected = left.map { case (lts, id) =>
+        val m = right.filter { case (rts, _) => !rts.after(lts) }
+        (id, if (m.isEmpty) None else Some(m.maxBy(_._1.getTime)._2))
+      }.filter { case (_, best) => !inner || best.isDefined }.toMap
+      assert(got == expected, s"seed=$seed inner=$inner:\n got=$got\n exp=$expected")
+    }
+  }
 }
