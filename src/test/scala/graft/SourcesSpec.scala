@@ -125,6 +125,25 @@ class SourcesSpec extends SparkTestBase {
       .contains("gen2"))
   }
 
+  test("compaction collapses small files and preserves every row") {
+    val dir = s"$tmp/compact_me"
+    val src = Tables.load(spark, sf, "lineitem")
+    // simulate a small-file mess: 24 tiny files
+    src.repartition(24).write.mode("overwrite").parquet(dir)
+    val stats = graft.sources.Compact.compact(spark, dir,
+      targetBytes = Long.MaxValue) // everything fits one file
+    assert(stats.filesBefore == 24 && stats.filesAfter == 1)
+    assert(stats.rows == src.count())
+    // multiset equality (the synthetic key isn't guaranteed unique, so
+    // a sorted-collect compare would be order-ambiguous)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == src.count())
+    assert(after.exceptAll(src).count() == 0 && src.exceptAll(after).count() == 0)
+    // no stray swap dirs left behind
+    assert(!new java.io.File(dir + ".compact_tmp").exists())
+    assert(!new java.io.File(dir + ".pre_compact").exists())
+  }
+
   test("orc round-trip preserves rows") {
     val src = Tables.load(spark, sf, "supplier")
     src.write.mode("overwrite").orc(s"$tmp/supplier_orc")
