@@ -91,11 +91,14 @@ class AsOfPropertySpec extends SparkTestBase {
       // unique rts by contract (see broadcastJoin scaladoc)
       val right = rnd.shuffle((0 until 1000).toList).take(15)
         .map(t => (ts(t.toLong), rnd.nextInt(100).toDouble))
-      val got = AsOf.broadcastJoin(left.toDF("ts", "row_id"),
+      val rows = AsOf.broadcastJoin(left.toDF("ts", "row_id"),
           right.toDF("rts", "v"), "ts", "rts", Seq("v" -> "v"), inner = inner)
         .select($"row_id", $"v").collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
-        .toMap
+      val got = rows.toMap
+      // exactly one output row per matched left row — overlapping
+      // intervals would duplicate and the map would silently hide it
+      assert(rows.length == got.size, s"seed=$seed: duplicate join rows")
       val expected = left.map { case (lts, id) =>
         val m = right.filter { case (rts, _) => !rts.after(lts) }
         (id, if (m.isEmpty) None else Some(m.maxBy(_._1.getTime)._2))

@@ -144,6 +144,26 @@ class SourcesSpec extends SparkTestBase {
     assert(!new java.io.File(dir + ".pre_compact").exists())
   }
 
+  test("compaction refuses partitioned layouts, sink logs, and leftovers") {
+    // partitioned table → loud refusal, never a silent flatten
+    val part = s"$tmp/compact_part"
+    Tables.load(spark, sf, "region").write.mode("overwrite")
+      .partitionBy("r_regionkey").parquet(part)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.Compact.compact(spark, part)
+    }
+    assert(e1.getMessage.contains("partition"))
+    // leftover swap dir from a crashed run → refuse to start
+    val flat = s"$tmp/compact_leftover"
+    Tables.load(spark, sf, "region").write.mode("overwrite").parquet(flat)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(flat + ".pre_compact"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.Compact.compact(spark, flat)
+    }
+    assert(e2.getMessage.contains("previous compaction"))
+  }
+
   test("orc round-trip preserves rows") {
     val src = Tables.load(spark, sf, "supplier")
     src.write.mode("overwrite").orc(s"$tmp/supplier_orc")
