@@ -263,6 +263,33 @@ object TrainingData {
       |  64 + (octet_length(CAST(text AS BLOB)) * 17 + doc_id) % 512 AS height
       |FROM documents""".stripMargin
 
+  /** q103_resize_stub — the "resize" analog for opaque payloads
+    * ([[graft.operators.Multimodal.resizePayload]]): keep every 4th
+    * byte via the native ByteStride expression (binary→binary column
+    * op, one byte loop per row). The oracle mirrors the stride in
+    * character space — the corpus is ASCII, so characters ≡ bytes
+    * (q86's magic/byte-length oracle already certifies that).
+    */
+  def q103ResizeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Multimodal
+      .resizePayload(Tables.documents(spark, dir), stride = 4)
+      .select($"doc_id", $"n_bytes".cast("long").as("n_bytes"),
+        $"resized_bytes".cast("long").as("resized_bytes"),
+        md5($"resized").as("resized_md5"))
+  }
+
+  val q103Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(CAST(strided AS BLOB)) AS BIGINT) AS resized_bytes,
+      |  md5(strided) AS resized_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    array_to_string([text[i] for i in range(1, len(text) + 1)
+      |      if (i - 1) % 4 = 0], '') AS strided
+      |  FROM documents)""".stripMargin
+
   /** q87_incremental_dedup — incremental near-dup maintenance
     * ([[graft.operators.Dedup.ngramJaccardPairsIncremental]]): every
     * 5th document plays the role of a freshly-ingested delta batch;
