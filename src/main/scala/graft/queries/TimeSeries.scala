@@ -191,6 +191,41 @@ object TimeSeries {
       |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
       |GROUP BY user_id, session_id""".stripMargin
 
+  /** q104_session_window — the NATIVE `session_window` aggregate (the
+    * engine-managed dual of q27's manual lag/cumsum sessionization;
+    * same operator Structured Streaming uses for merging session
+    * state). Semantics differ from q27 at the exact boundary: the
+    * native window is end-EXCLUSIVE, so a gap of exactly 30 minutes
+    * starts a NEW session (q27's `>` keeps it) — the oracle mirrors
+    * `>=`, and session_end is last event + gap, not last event.
+    */
+  def q104SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("session_value"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events", $"session_value")
+  }
+
+  val q104Sql: String =
+    """SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM (
+      |    SELECT user_id, event_id, ts, value,
+      |      CASE WHEN lag(ts) OVER w IS NULL
+      |            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+      |GROUP BY user_id, sid""".stripMargin
+
   /** q28_scd2_intervals — SCD-type-2 validity intervals per (user,type):
     * valid_from = ts, valid_to = next change (NULL = current record).
     */
