@@ -194,10 +194,13 @@ object TimeSeries {
   /** q104_session_window — the NATIVE `session_window` aggregate (the
     * engine-managed dual of q27's manual lag/cumsum sessionization;
     * same operator Structured Streaming uses for merging session
-    * state). Semantics differ from q27 at the exact boundary: the
-    * native window is end-EXCLUSIVE, so a gap of exactly 30 minutes
-    * starts a NEW session (q27's `>` keeps it) — the oracle mirrors
-    * `>=`, and session_end is last event + gap, not last event.
+    * state). Boundary semantics: a session whose start EQUALS the
+    * previous session's end is MERGED (verified empirically on Spark
+    * 4.1.2 — events exactly 30 min apart form one session), i.e. the
+    * same `>`-splits boundary as q27; session_end is last event + gap
+    * rather than the last event itself. The boundary is pinned by a
+    * synthetic-fixture test, since the sf data contains no exact-gap
+    * pairs for the oracle to certify it.
     */
   def q104SessionWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -220,7 +223,7 @@ object TimeSeries {
       |  FROM (
       |    SELECT user_id, event_id, ts, value,
       |      CASE WHEN lag(ts) OVER w IS NULL
-      |            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |           THEN 1 ELSE 0 END AS is_new
       |    FROM events
       |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))

@@ -39,6 +39,27 @@ class QueriesSpec extends SparkTestBase {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q104 boundary: an exact 30-minute gap merges into one native session") {
+    // the sf fixtures have no exact-gap pairs, so the oracle can't
+    // certify this boundary — pin the engine behavior (and thus the
+    // oracle's `>`-splits mirror) on a synthetic pair
+    import spark.implicits._
+    val two = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")))
+      .toDF("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+    assert(two.count() == 1, "exact-gap events must merge into one session")
+    val split = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00.000001")))
+      .toDF("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+    assert(split.count() == 2, "a gap beyond 30 minutes must split")
+  }
+
   test("q29 pit latest: one row per (user, event_type)") {
     val df = SparkEntry.queries("q29_pit_latest")(spark, sf)
     assert(df.groupBy("user_id", "event_type").count()
