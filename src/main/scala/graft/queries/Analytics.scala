@@ -693,6 +693,53 @@ object Analytics {
       |SELECT 'customer->nation', count(*) FROM customer c
       |WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)""".stripMargin
 
+  /** q105_basket_lift — market-basket association: part pairs
+    * co-occurring in >= 2 orders, scored by lift
+    * (P(a,b) / (P(a)·P(b))). The co-occurrence self-join keys on
+    * l_orderkey, so fan-out is bounded by basket size squared (TPC-H
+    * baskets ≤ 7 lines — unbounded baskets would need the q34-style
+    * hot-bucket cap first); item frequencies and the order total ride
+    * back in via broadcasts.
+    */
+  def q105BasketLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val itemCnt = ex.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+    val tot = ex.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val a = ex.select($"l_orderkey", $"l_partkey".as("part_a"))
+    val b = ex.select($"l_orderkey", $"l_partkey".as("part_b"))
+    a.join(b, Seq("l_orderkey")).filter($"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("co_count"))
+      .filter($"co_count" >= 2)
+      .join(broadcast(itemCnt.select($"l_partkey".as("part_a"),
+        $"cnt".as("cnt_a"))), "part_a")
+      .join(broadcast(itemCnt.select($"l_partkey".as("part_b"),
+        $"cnt".as("cnt_b"))), "part_b")
+      .crossJoin(broadcast(tot))
+      .select($"part_a", $"part_b", $"co_count",
+        decRound(($"co_count" * $"n_orders") / ($"cnt_a" * $"cnt_b"), 4)
+          .as("lift"))
+  }
+
+  val q105Sql: String =
+    """WITH ex AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ic AS (SELECT l_partkey, count(*) AS cnt FROM ex GROUP BY l_partkey),
+      |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ex),
+      |co AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS co_count
+      |  FROM ex a JOIN ex b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT co.part_a, co.part_b, co.co_count,
+      |  CAST(round(CAST((co.co_count * tot.n_orders) / (ia.cnt * ib.cnt)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS lift
+      |FROM co
+      |JOIN ic ia ON ia.l_partkey = co.part_a
+      |JOIN ic ib ON ib.l_partkey = co.part_b
+      |CROSS JOIN tot""".stripMargin
+
   val q101Sql: String =
     """WITH s AS (
       |  SELECT l_returnflag,
