@@ -1,0 +1,424 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5c batch (SURVEY §2, q106–q114): technical indicators (RSI),
+  * Markov transition matrices, inter-arrival statistics, feature
+  * scaling, kNN classification, distribution-drift testing (KS),
+  * seasonality profiling, purged temporal splits, and PMI collocations
+  * — the statistical/ML-prep surface on top of the relational core.
+  *
+  * FP discipline (SURVEY §6): counts stay integral as long as possible;
+  * divisions happen once, on identical operand bit patterns in both
+  * engines (exact integer cums → one double division is bit-identical);
+  * window-averaged doubles are decimal-rounded on both sides.
+  */
+object Metrics {
+
+  private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
+    graft.functions.Num.decRound(c, scale)
+
+  /** q106_rsi — 14-observation RSI (Cutler's form: simple averages, not
+    * Wilder smoothing — the windowed-mean variant that parallelizes) per
+    * user over the event value series: 100·avgGain/(avgGain+avgLoss)
+    * over the trailing 14 diffs, emitted only for full windows. One
+    * keyed sort-window pass — the q23/q51 shuffle shape, three frames
+    * sharing one sort.
+    */
+  def q106Rsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w14 = wOrd.rowsBetween(-13, 0)
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("diff", $"value" - lag($"value", 1).over(wOrd))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("avg_gain", avg(when($"diff" > 0, $"diff").otherwise(0.0)).over(w14))
+      .withColumn("avg_loss", avg(when($"diff" < 0, -$"diff").otherwise(0.0)).over(w14))
+      .filter($"rn" >= 15)
+      // all-flat window (gain+loss = 0) → neutral 50, not a divide error
+      .select($"user_id", $"event_id",
+        decRound(coalesce(lit(100.0) * $"avg_gain" /
+          nullif($"avg_gain" + $"avg_loss", lit(0.0)), lit(50.0)), 4).as("rsi"))
+  }
+
+  val q106Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id,
+      |    value - lag(value) OVER w AS diff,
+      |    row_number() OVER w AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |a AS (
+      |  SELECT user_id, event_id, rn,
+      |    avg(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER f AS avg_gain,
+      |    avg(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER f AS avg_loss
+      |  FROM d
+      |  WINDOW f AS (PARTITION BY user_id ORDER BY rn
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id,
+      |  CAST(round(CAST(coalesce(100.0 * avg_gain /
+      |    nullif(avg_gain + avg_loss, 0.0), 50.0) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS rsi
+      |FROM a WHERE rn >= 15""".stripMargin
+
+  /** q107_transition_matrix — first-order Markov transitions between
+    * event types: per (prev, next) pair, count and row-conditional
+    * probability. The lag window shuffles on user_id; the transition
+    * aggregate is map-side combined down to |types|² rows, and the
+    * per-prev normalizer is a window over that tiny frame. Counts are
+    * integers; the probability is one exact division.
+    */
+  def q107TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wPrev = Window.partitionBy($"prev_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(wOrd))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        decRound($"n".cast("double") / sum($"n").over(wPrev), 6))
+  }
+
+  val q107Sql: String =
+    """WITH tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type,
+      |    event_type AS next_type
+      |  FROM events),
+      |g AS (
+      |  SELECT prev_type, next_type, count(*) AS n FROM tr
+      |  WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n,
+      |  CAST(round(CAST(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS prob
+      |FROM g""".stripMargin
+
+  /** q108_arrival_stats — inter-arrival statistics per user: gap count,
+    * mean/stddev/max gap (seconds), and the coefficient of variation
+    * (burstiness: CV ≫ 1 = bursty, ≈1 = Poisson). Gaps are exact
+    * integer µs diffs; converting to seconds is a single exact division
+    * before the moment aggregates, keeping magnitudes small enough that
+    * decimal rounding at 4 digits is far outside FP noise.
+    */
+  def q108ArrivalStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("gap_s",
+        (($"us" - lag($"us", 1).over(wOrd)).cast("double")) / 1e6)
+      .filter($"gap_s".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        decRound(avg($"gap_s"), 4).as("mean_gap_s"),
+        decRound(stddev_pop($"gap_s"), 4).as("sd_gap_s"),
+        decRound(max($"gap_s"), 4).as("max_gap_s"),
+        decRound(stddev_pop($"gap_s") / avg($"gap_s"), 4).as("cv"))
+  }
+
+  val q108Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS DOUBLE) / 1e6 AS gap_s
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_gaps,
+      |  CAST(round(CAST(avg(gap_s) AS DECIMAL(28,12)), 4) AS DOUBLE) AS mean_gap_s,
+      |  CAST(round(CAST(stddev_pop(gap_s) AS DECIMAL(28,12)), 4) AS DOUBLE) AS sd_gap_s,
+      |  CAST(round(CAST(max(gap_s) AS DECIMAL(28,12)), 4) AS DOUBLE) AS max_gap_s,
+      |  CAST(round(CAST(stddev_pop(gap_s) / avg(gap_s) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS cv
+      |FROM g WHERE gap_s IS NOT NULL GROUP BY user_id""".stripMargin
+
+  /** q109_minmax_scale — per-type min-max feature scaling of the event
+    * value onto [0,1]: the normalize step before any distance-based
+    * model. The per-type stats frame is tiny → broadcast back onto the
+    * fact scan (q101's shape); scaling is two exact FP ops on stored
+    * doubles and exactly-selected extremes — bit-identical across
+    * engines, rounding only for belt-and-braces.
+    */
+  def q109MinmaxScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+    val stats = ev.groupBy($"event_type")
+      .agg(min($"value").as("mn"), max($"value").as("mx"))
+    ev.join(broadcast(stats), "event_type")
+      .select($"event_id", $"event_type",
+        decRound(($"value" - $"mn") / nullif($"mx" - $"mn", lit(0.0)), 6)
+          .as("scaled"))
+  }
+
+  val q109Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, min(value) AS mn, max(value) AS mx
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type,
+      |  CAST(round(CAST((e.value - s.mn) / nullif(s.mx - s.mn, 0.0)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS scaled
+      |FROM events e JOIN s ON e.event_type = s.event_type""".stripMargin
+
+  /** q110_knn_classify — k-nearest-neighbor label prediction over the
+    * embeddings table: every 20th vector is a "query", its label is
+    * predicted by majority vote of its 5 exact-cosine neighbors
+    * (ties → smallest label). Reuses [[graft.operators.Ann
+    * .bruteForceTopK]] (query set broadcast, corpus never shuffled);
+    * the vote is a tiny two-stage aggregate. The evaluation harness
+    * shape for any embedding-quality check.
+    */
+  def q110KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val lbl = emb.select($"vec_id", $"label")
+    val nn = graft.operators.Ann.bruteForceTopK(
+      emb.filter($"vec_id" % 20 === 0), emb, k = 5)
+    val wVote = Window.partitionBy($"query_id")
+      .orderBy($"votes".desc, $"n_label")
+    nn.join(broadcast(lbl.select($"vec_id".as("neighbor_id"),
+        $"label".as("n_label"))), "neighbor_id")
+      .groupBy($"query_id", $"n_label").agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number().over(wVote))
+      .filter($"r" === 1)
+      .join(broadcast(lbl.select($"vec_id".as("query_id"),
+        $"label".as("true_label"))), "query_id")
+      .select($"query_id", $"true_label", $"n_label".as("pred_label"), $"votes")
+  }
+
+  val q110Sql: String =
+    """WITH nn AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(n.embedding AS DOUBLE[])) DESC,
+      |                 n.vec_id) AS rnk
+      |    FROM embeddings q, embeddings n
+      |    WHERE q.vec_id % 20 = 0 AND n.vec_id <> q.vec_id)
+      |  WHERE rnk <= 5),
+      |v AS (
+      |  SELECT nn.query_id, e.label AS n_label, count(*) AS votes
+      |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+      |  GROUP BY nn.query_id, e.label),
+      |p AS (
+      |  SELECT query_id, n_label AS pred_label, votes FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY votes DESC, n_label) AS r FROM v)
+      |  WHERE r = 1)
+      |SELECT p.query_id, q.label AS true_label, p.pred_label, p.votes
+      |FROM p JOIN embeddings q ON q.vec_id = p.query_id""".stripMargin
+
+  /** q111_ks_drift — two-sample Kolmogorov–Smirnov statistic between
+    * the train cohort (user_id%10 ≤ 7) and the held-out cohort, per
+    * event type: max |ECDF₁ − ECDF₂| over the pooled values. The drift
+    * gate a feature pipeline runs before re-training.
+    *
+    * Exactness: values are grouped first (ties collapse), cumulative
+    * counts are pure integers in one ordered window, and the ECDF
+    * difference is computed from identical integer operands — the
+    * division and subtraction are bit-identical across engines, so the
+    * max needs no tolerance at all.
+    */
+  def q111KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select($"event_type", $"value",
+        when($"user_id" % 10 <= 7, 1L).otherwise(0L).as("is_train"))
+      .groupBy($"event_type", $"value")
+      .agg(sum($"is_train").as("n1"), sum(lit(1L) - $"is_train").as("n2"))
+      .withColumn("c1", sum($"n1").over(wCum))
+      .withColumn("c2", sum($"n2").over(wCum))
+      .withColumn("t1", sum($"n1").over(wAll))
+      .withColumn("t2", sum($"n2").over(wAll))
+      .groupBy($"event_type")
+      .agg(max($"t1").as("n_train"), max($"t2").as("n_val"),
+        decRound(max(abs($"c1".cast("double") / $"t1" -
+          $"c2".cast("double") / $"t2")), 6).as("ks"))
+  }
+
+  val q111Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN user_id % 10 <= 7 THEN 1 ELSE 0 END AS is_train
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, value, sum(is_train) AS n1, sum(1 - is_train) AS n2
+      |  FROM s GROUP BY event_type, value),
+      |c AS (
+      |  SELECT event_type,
+      |    sum(n1) OVER w AS c1, sum(n2) OVER w AS c2,
+      |    sum(n1) OVER p AS t1, sum(n2) OVER p AS t2
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING),
+      |    p AS (PARTITION BY event_type))
+      |SELECT event_type,
+      |  CAST(max(t1) AS BIGINT) AS n_train, CAST(max(t2) AS BIGINT) AS n_val,
+      |  CAST(round(CAST(max(abs(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS ks
+      |FROM c GROUP BY event_type""".stripMargin
+
+  /** q112_seasonal_profile — day-of-week × hour activity matrix per
+    * event type with the within-type share: the seasonality baseline an
+    * anomaly monitor compares against. Integer counts off one scan; the
+    * share normalizer is a window over the ≤ |types|·168-row aggregate.
+    * Spark's dayofweek is 1=Sunday; shifted to 0=Sunday to match
+    * DuckDB's dow.
+    */
+  def q112SeasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wType = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select($"event_type", (dayofweek($"ts") - 1).as("dow"),
+        hour($"ts").as("hr"))
+      .groupBy($"event_type", $"dow", $"hr")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        decRound($"n".cast("double") / sum($"n").over(wType), 6))
+  }
+
+  val q112Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+      |    CAST(date_part('hour', ts) AS INT) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, dow, hr, n,
+      |  CAST(round(CAST(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS share
+      |FROM g""".stripMargin
+
+  /** q113_time_split — purged temporal train/val/test split: the first
+    * 70% of DAYS train, next 15% validate, rest test, with the single
+    * boundary day after each cut dropped (the embargo that stops
+    * look-ahead leakage through boundary-straddling windows — the
+    * standard financial-ML split discipline).
+    *
+    * The day spine is a distinct-days aggregate (map-side combined,
+    * hundreds of rows at any scale) ranked on the driver-sized frame and
+    * broadcast back — the fact table is never globally sorted, and the
+    * split assignment rides the scan.
+    */
+  def q113TimeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", date_trunc("day", $"ts").as("d"))
+    val days = ev.select($"d").distinct()
+    val nDays = days.agg(count(lit(1)).as("n_days"))
+    val ranked = days.crossJoin(broadcast(nDays))
+      .withColumn("rk", row_number().over(Window.orderBy($"d")))
+      .withColumn("n70", expr("(n_days * 70) div 100"))
+      .withColumn("n85", expr("(n_days * 85) div 100"))
+      .withColumn("split",
+        when($"rk" <= $"n70", "train")
+          .when($"rk" === $"n70" + 1, "embargo")
+          .when($"rk" <= $"n85", "val")
+          .when($"rk" === $"n85" + 1, "embargo")
+          .otherwise("test"))
+      .select($"d", $"split")
+    ev.join(broadcast(ranked), "d")
+      .filter($"split" =!= "embargo")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        countDistinct($"d").as("n_days"),
+        min($"d").as("first_day"), max($"d").as("last_day"))
+  }
+
+  val q113Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, date_trunc('day', ts) AS d FROM events),
+      |days AS (SELECT DISTINCT d FROM ev),
+      |ranked AS (
+      |  SELECT d, row_number() OVER (ORDER BY d) AS rk,
+      |    (SELECT count(*) FROM days) AS n_days
+      |  FROM days),
+      |assign AS (
+      |  SELECT d,
+      |    CASE WHEN rk <= (n_days * 70) // 100 THEN 'train'
+      |         WHEN rk = (n_days * 70) // 100 + 1 THEN 'embargo'
+      |         WHEN rk <= (n_days * 85) // 100 THEN 'val'
+      |         WHEN rk = (n_days * 85) // 100 + 1 THEN 'embargo'
+      |         ELSE 'test' END AS split
+      |  FROM ranked)
+      |SELECT a.split, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users,
+      |  count(DISTINCT e.d) AS n_days,
+      |  min(e.d) AS first_day, max(e.d) AS last_day
+      |FROM ev e JOIN assign a ON e.d = a.d
+      |WHERE a.split <> 'embargo'
+      |GROUP BY a.split""".stripMargin
+
+  /** q114_pmi — pointwise mutual information of adjacent token pairs
+    * (collocation mining: high-PMI bigrams are the multi-word units a
+    * tokenizer should learn). One tokenization feeds both the unigram
+    * and bigram counts; totals ride in as a broadcast scalar and the
+    * unigram table as two broadcast joins onto the (already count-
+    * filtered, hence tiny) bigram frame. PMI's divisions and log are
+    * performed on identical integer-derived operands in both engines —
+    * bit-identical before the defensive rounding.
+    */
+  def q114Pmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+    val totals = toks.agg(
+      sum(size($"toks")).cast("long").as("u_tot"),
+      sum(greatest(size($"toks") - 1, lit(0))).cast("long").as("b_tot"))
+    val uni = toks.select(explode($"toks").as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val bi = toks.filter(size($"toks") >= 2)
+      .select(explode(Text.wordShingles($"toks", 2)).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= 5)
+      .select(element_at(split($"bigram", " "), 1).as("w1"),
+        element_at(split($"bigram", " "), 2).as("w2"), $"c_ab")
+    bi.join(broadcast(uni.select($"token".as("w1"), $"cnt".as("c_a"))), "w1")
+      .join(broadcast(uni.select($"token".as("w2"), $"cnt".as("c_b"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select($"w1", $"w2", $"c_ab",
+        decRound(log(($"c_ab".cast("double") / $"b_tot") /
+          (($"c_a".cast("double") / $"u_tot") *
+           ($"c_b".cast("double") / $"u_tot"))), 4).as("pmi"))
+  }
+
+  val q114Sql: String =
+    """WITH t AS (
+      |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |tot AS (
+      |  SELECT CAST(sum(len(tk)) AS BIGINT) AS u_tot,
+      |    CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS b_tot
+      |  FROM t),
+      |uni AS (
+      |  SELECT token, count(*) AS cnt FROM (SELECT unnest(tk) AS token FROM t)
+      |  GROUP BY token),
+      |bi AS (
+      |  SELECT string_split(bigram, ' ')[1] AS w1,
+      |    string_split(bigram, ' ')[2] AS w2, count(*) AS c_ab
+      |  FROM (
+      |    SELECT unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])
+      |      AS bigram
+      |    FROM t WHERE len(tk) >= 2)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT bi.w1, bi.w2, bi.c_ab,
+      |  CAST(round(CAST(ln((CAST(bi.c_ab AS DOUBLE) / tot.b_tot) /
+      |    ((CAST(ua.cnt AS DOUBLE) / tot.u_tot) *
+      |     (CAST(ub.cnt AS DOUBLE) / tot.u_tot))) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS pmi
+      |FROM bi JOIN uni ua ON ua.token = bi.w1
+      |        JOIN uni ub ON ub.token = bi.w2
+      |        CROSS JOIN tot""".stripMargin
+}
