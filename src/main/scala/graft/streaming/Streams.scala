@@ -286,6 +286,31 @@ object Streams {
         graft.functions.Num.decRound(col("value") * col("rate"), 4)
           .as("adj_value"))
 
+  /** s12 — streaming OHLCV resample: watermarked tumbling-hour bars per
+    * event type, the incremental twin of batch q22. `min_by`/`max_by`
+    * are declarative aggregates, so the identical bar definition
+    * (open = value at min ts, close = value at max ts) folds
+    * incrementally in the state store — O(bars-in-flight) state, and
+    * append mode emits each bar exactly once when the watermark passes
+    * its hour boundary. Selection aggregates (open/high/low/close) are
+    * order-insensitive, so the streamed bar equals the batch bar
+    * exactly; only `volume` (an FP sum) carries summation-order noise,
+    * bounded by the differential test's tolerance.
+    */
+  def ohlcvStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        round(sum(col("value")), 2).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .select(col("window").getField("start").as("bucket"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("n_trades"))
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

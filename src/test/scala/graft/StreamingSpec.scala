@@ -78,6 +78,30 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select($"click_id", $"p_ts").except(batch).count() == 0)
   }
 
+  test("streaming ohlcv bars equal the batch q22 resample on closed windows") {
+    val stream = Streams.eventsStream(spark, streamDir)
+    val q = Streams.ohlcvStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("ohlcv_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ohlcv_out")
+    assert(streamed.count() > 0)
+    val batch = SparkEntry.queries("q22_ohlcv_resample")(spark, sf)
+      .withColumnRenamed("open", "b_open").withColumnRenamed("high", "b_high")
+      .withColumnRenamed("low", "b_low").withColumnRenamed("close", "b_close")
+      .withColumnRenamed("volume", "b_volume")
+      .withColumnRenamed("n_trades", "b_n")
+    val j = streamed.join(batch, Seq("bucket", "event_type"), "inner").cache()
+    // every emitted bar has a batch counterpart
+    assert(j.count() == streamed.count())
+    // selection aggregates are order-insensitive → exact; the FP volume
+    // sum folds in micro-batch order → tolerance
+    assert(j.filter($"open" =!= $"b_open" || $"high" =!= $"b_high" ||
+      $"low" =!= $"b_low" || $"close" =!= $"b_close" ||
+      $"n_trades" =!= $"b_n").count() == 0)
+    assert(j.filter(abs($"volume" - $"b_volume") > 1e-6).count() == 0)
+    j.unpersist()
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     // replay the same file twice: every event_id arrives twice
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup")
