@@ -86,6 +86,26 @@ object Ingest {
     }
   }
 
+  /** Schema-evolution read: parquet files written at different feed
+    * versions (columns added over time, columns retired) load as ONE
+    * frame shaped like `target` — `mergeSchema` unions the file
+    * schemas, columns a version never wrote come back null, and the
+    * final projection pins order and types (so a provider re-typing a
+    * column is a visible cast, not silent drift). The securities-master
+    * answer to "the vendor added a field last Tuesday": old files keep
+    * working, new fields flow through, and nothing downstream re-plans.
+    */
+  def evolvingRead(spark: SparkSession, target: StructType,
+                   paths: String*): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val withAll = target.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    withAll.select(target.fields.map(f => col(f.name).cast(f.dataType)
+      .as(f.name)).toSeq: _*)
+  }
+
   /** The two halves of a quarantined feed parse, plus the cache handle:
     * call [[unpersist]] once both halves are consumed.
     */
