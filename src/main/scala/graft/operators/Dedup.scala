@@ -283,6 +283,52 @@ object Dedup {
     else jaccardImpl(prepared, maxDf, threshold, isDelta.isDefined)
   }
 
+  /** Exact Jaccard CONTAINMENT pairs over word-shingle sets:
+    * shared / min(|A|, |B|) — the asymmetric near-dup measure that
+    * catches a short document embedded inside a longer one, which
+    * symmetric Jaccard dilutes away (a 50-gram doc fully contained in
+    * a 500-gram doc scores 1.0 here but only ~0.1 on Jaccard). Same
+    * one-scan df-capped postings self-join as [[ngramJaccardPairs]];
+    * the size-ratio length prefilter does NOT apply (any size pair can
+    * reach containment 1.0), so the df cap is the only candidate
+    * bound — which is exactly why `maxDf` matters more here.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", n: Int = 2,
+                       maxDf: Int = 50, threshold: Double = 0.6): DataFrame = {
+    val prepared = docs.select(col(idCol).as("id"),
+      TextExpressions.shingleSet(col(textCol), n).as("grams"))
+    val exploded = prepared
+      .select(col("id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+    val rare = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .filter(col("df").between(2, maxDf))
+    val posted = rare
+      .repartition(rare.sparkSession.sessionState.conf.numShufflePartitions,
+        col("gram"))
+      .select(col("gram"), col("id"), col("n_grams"))
+    val a = posted.select(col("gram"), col("id").as("doc_a"),
+      col("n_grams").as("n_a"))
+    val b = posted.select(col("gram"), col("id").as("doc_b"),
+      col("n_grams").as("n_b"))
+    a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("__ratio", col("shared").cast("double") /
+        least(col("n_a"), col("n_b")))
+      // same margin-then-exact-decimal two-step as the jaccard path:
+      // cheap codegen prefilter, BigDecimal round only on survivors
+      .filter(col("__ratio") >= threshold - 1e-3)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__ratio")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
+          .cast("double").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   private def ngramJaccardImpl(docs: DataFrame, textCol: String,
                                idCol: String, n: Int, maxDf: Int,
                                threshold: Double,

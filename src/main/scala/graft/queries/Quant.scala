@@ -1,0 +1,443 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5d batch (SURVEY §2, q115–q124): series diagnostics
+  * (autocorrelation, streaks, lead-lag cross-correlation, risk ratios,
+  * Bollinger breakouts) and corpus/ML-prep utilities (token entropy,
+  * containment dedup, deterministic sampling, class balance, token
+  * packing).
+  *
+  * FP discipline (SURVEY §6): counts and cumulative sums stay integral;
+  * double divisions happen on identical operand bit patterns in both
+  * engines where possible; order-dependent FP aggregates (corr, stddev
+  * over doubles) are decimal-rounded on both sides; any COMPARISON
+  * against an FP-derived boundary compares against the decimal-rounded
+  * boundary so the branch is engine-independent.
+  */
+object Quant {
+
+  private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
+    graft.functions.Num.decRound(c, scale)
+
+  /** q115_acf — sample autocorrelation of the event value series per
+    * event type at lags 1–3, as Pearson corr(x_t, x_{t−k}): the
+    * stationarity/memory diagnostic run before fitting any AR model.
+    * One keyed sort-window pass produces all three lag columns (three
+    * lags share one sort), then a single map-side-combinable aggregate;
+    * corr's co-moment accumulation is order-dependent FP, so the result
+    * is decimal-rounded on both sides.
+    */
+  def q115Acf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type", $"ts", $"event_id", $"value")
+      .withColumn("l1", lag($"value", 1).over(wOrd))
+      .withColumn("l2", lag($"value", 2).over(wOrd))
+      .withColumn("l3", lag($"value", 3).over(wOrd))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_obs"),
+        decRound(corr($"value", $"l1"), 4).as("acf1"),
+        decRound(corr($"value", $"l2"), 4).as("acf2"),
+        decRound(corr($"value", $"l3"), 4).as("acf3"))
+  }
+
+  val q115Sql: String =
+    """WITH l AS (
+      |  SELECT event_type, value,
+      |    lag(value, 1) OVER w AS l1,
+      |    lag(value, 2) OVER w AS l2,
+      |    lag(value, 3) OVER w AS l3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+      |SELECT event_type, count(*) AS n_obs,
+      |  CAST(round(CAST(corr(value, l1) AS DECIMAL(28,12)), 4) AS DOUBLE) AS acf1,
+      |  CAST(round(CAST(corr(value, l2) AS DECIMAL(28,12)), 4) AS DOUBLE) AS acf2,
+      |  CAST(round(CAST(corr(value, l3) AS DECIMAL(28,12)), 4) AS DOUBLE) AS acf3
+      |FROM l GROUP BY event_type""".stripMargin
+
+  /** q116_streaks — longest run of consecutive up-days and down-days in
+    * the daily mean-value series per event type (gaps-and-islands via
+    * the row_number difference trick). The daily aggregate is map-side
+    * combined to |types|·|days| rows before any window runs, and the
+    * day-over-day direction compares DECIMAL-ROUNDED daily means so the
+    * up/down branch is identical across engines (raw FP averages could
+    * differ in the last ulp and flip a sign).
+    */
+  def q116Streaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"d")
+    val wRun = Window.partitionBy($"event_type", $"dir").orderBy($"d")
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(decRound(avg($"value"), 6).as("v"))
+    daily
+      .withColumn("pv", lag($"v", 1).over(wOrd))
+      .filter($"pv".isNotNull)
+      .withColumn("dir",
+        when($"v" > $"pv", 1).when($"v" < $"pv", -1).otherwise(0))
+      .withColumn("grp",
+        row_number().over(wOrd) - row_number().over(wRun))
+      .groupBy($"event_type", $"dir", $"grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy($"event_type")
+      .agg(max(when($"dir" === 1, $"run_len")).as("max_up_streak"),
+        max(when($"dir" === -1, $"run_len")).as("max_down_streak"),
+        (sum($"run_len") + 1).as("n_days"))
+  }
+
+  val q116Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    CAST(round(CAST(avg(value) AS DECIMAL(28,12)), 6) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |dirs AS (
+      |  SELECT event_type, d, v,
+      |    lag(v) OVER w AS pv,
+      |    row_number() OVER w AS rn
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      |marked AS (
+      |  SELECT event_type, d, rn,
+      |    CASE WHEN v > pv THEN 1 WHEN v < pv THEN -1 ELSE 0 END AS dir
+      |  FROM dirs WHERE pv IS NOT NULL),
+      |runs AS (
+      |  SELECT event_type, dir,
+      |    rn - row_number() OVER (PARTITION BY event_type, dir ORDER BY d) AS grp
+      |  FROM marked),
+      |lens AS (
+      |  SELECT event_type, dir, grp, count(*) AS run_len
+      |  FROM runs GROUP BY 1, 2, 3)
+      |SELECT event_type,
+      |  max(CASE WHEN dir = 1 THEN run_len END) AS max_up_streak,
+      |  max(CASE WHEN dir = -1 THEN run_len END) AS max_down_streak,
+      |  sum(run_len) + 1 AS n_days
+      |FROM lens GROUP BY event_type""".stripMargin
+
+  /** q117_cross_corr — lead-lag cross-correlation between every pair of
+    * event types over their daily mean series: corr at lag 0 plus both
+    * one-day leads (does A's yesterday predict B's today, and vice
+    * versa). The daily frame is tiny (|types|·|days|) at ANY corpus
+    * scale — the pair self-join is broadcast, never shuffled; only the
+    * daily aggregate touches the fact table.
+    */
+  def q117CrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"d")
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(avg($"value").as("v"))
+      .withColumn("v_prev", lag($"v", 1).over(wOrd))
+    val a = daily.select($"event_type".as("type_a"), $"d",
+      $"v".as("va"), $"v_prev".as("va_prev"))
+    val b = daily.select($"event_type".as("type_b"), $"d",
+      $"v".as("vb"), $"v_prev".as("vb_prev"))
+    a.join(broadcast(b), Seq("d"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_days"),
+        decRound(corr($"va", $"vb"), 4).as("corr0"),
+        decRound(corr($"va_prev", $"vb"), 4).as("corr_a_leads"),
+        decRound(corr($"vb_prev", $"va"), 4).as("corr_b_leads"))
+  }
+
+  val q117Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d, avg(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ld AS (
+      |  SELECT event_type, d, v,
+      |    lag(v) OVER (PARTITION BY event_type ORDER BY d) AS v_prev
+      |  FROM daily)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*) AS n_days,
+      |  CAST(round(CAST(corr(a.v, b.v) AS DECIMAL(28,12)), 4) AS DOUBLE) AS corr0,
+      |  CAST(round(CAST(corr(a.v_prev, b.v) AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS corr_a_leads,
+      |  CAST(round(CAST(corr(b.v_prev, a.v) AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS corr_b_leads
+      |FROM ld a JOIN ld b ON a.d = b.d AND a.event_type < b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q118_sharpe — annualized Sharpe and Sortino ratios per event type
+    * from day-over-day returns of the daily mean value: mean return
+    * over (sample) volatility, and over downside deviation
+    * (root-mean-square of the negative returns only), both scaled by
+    * √252. The whole computation after the daily aggregate runs on a
+    * frame of |types|·|days| rows.
+    */
+  def q118Sharpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"d")
+    Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(avg($"value").as("v"))
+      .withColumn("r", $"v" / lag($"v", 1).over(wOrd) - 1.0)
+      .filter($"r".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_returns"),
+        decRound(avg($"r"), 6).as("mean_r"),
+        decRound(stddev_samp($"r"), 6).as("sd_r"),
+        // nullif guards: a constant-return series has sd 0 (and an
+        // all-gain one has downside 0) — ANSI Spark would throw where
+        // DuckDB yields inf; NULL on both sides instead
+        decRound(avg($"r") / nullif(stddev_samp($"r"), lit(0.0)) *
+          sqrt(lit(252.0)), 4).as("sharpe"),
+        decRound(avg($"r") /
+          nullif(sqrt(avg(when($"r" < 0, $"r" * $"r").otherwise(0.0))),
+            lit(0.0)) * sqrt(lit(252.0)), 4).as("sortino"))
+  }
+
+  val q118Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d, avg(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type,
+      |    v / lag(v) OVER (PARTITION BY event_type ORDER BY d) - 1.0 AS r
+      |  FROM daily)
+      |SELECT event_type, count(*) AS n_returns,
+      |  CAST(round(CAST(avg(r) AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_r,
+      |  CAST(round(CAST(stddev_samp(r) AS DECIMAL(28,12)), 6) AS DOUBLE) AS sd_r,
+      |  CAST(round(CAST(avg(r) / nullif(stddev_samp(r), 0.0) * sqrt(252.0)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS sharpe,
+      |  CAST(round(CAST(avg(r) /
+      |    nullif(sqrt(avg(CASE WHEN r < 0 THEN r * r ELSE 0.0 END)), 0.0)
+      |    * sqrt(252.0) AS DECIMAL(28,12)), 4) AS DOUBLE) AS sortino
+      |FROM r WHERE r IS NOT NULL GROUP BY event_type""".stripMargin
+
+  /** q119_entropy — per-document token Shannon entropy (bits) and
+    * type-token ratio: the vocabulary-diversity quality signals (low
+    * entropy = repetitive boilerplate; TTR near 0 = keyword stuffing).
+    * One tokenization, one explode, two integral aggregates; the
+    * per-token counts and totals are exact integers so every p·log₂p
+    * term is computed from identical operands in both engines, and the
+    * order-dependent term SUM is decimal-rounded.
+    */
+  def q119Entropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .select($"doc_id", explode($"toks").as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * log2($"c")).as("clogc"))
+      .select($"doc_id", $"n_tokens", $"n_types",
+        decRound($"n_types".cast("double") / $"n_tokens", 6).as("ttr"),
+        // H = log2(n) - (Σ c·log2 c)/n — one pass, no second join
+        decRound(log2($"n_tokens") -
+          $"clogc" / $"n_tokens".cast("double"), 4).as("entropy"))
+  }
+
+  val q119Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2),
+      |g AS (
+      |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+      |    sum(c * log2(c)) AS clogc
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+      |  CAST(round(CAST(CAST(n_types AS DOUBLE) / n_tokens
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS ttr,
+      |  CAST(round(CAST(log2(n_tokens) - clogc / CAST(n_tokens AS DOUBLE)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS entropy
+      |FROM g""".stripMargin
+
+  /** q120_containment — asymmetric near-dup detection via Jaccard
+    * CONTAINMENT (shared / min-set-size) over word bigram sets: catches
+    * a short document embedded in a longer one, which symmetric Jaccard
+    * (q34) dilutes below any usable threshold. Delegates to
+    * [[graft.operators.Dedup.containmentPairs]] — same one-scan
+    * df-capped postings self-join as the Jaccard path; see the operator
+    * doc for why the length prefilter cannot apply here.
+    */
+  def q120Containment(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+      Tables.documents(spark, dir), n = 2, maxDf = 50, threshold = 0.1)
+
+  val q120Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams),
+      |rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+      |f AS (SELECT ex.* FROM ex JOIN rare USING (gram)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+      |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b,
+      |  CAST(round(CAST(CAST(shared AS DOUBLE) / least(n_a, n_b)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS containment
+      |FROM pairs
+      |WHERE CAST(round(CAST(CAST(shared AS DOUBLE) / least(n_a, n_b)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) >= 0.1""".stripMargin
+
+  /** q121_group_sample — deterministic per-group sampling: the 5
+    * documents per (lang, source) cell with the smallest multiplicative
+    * hash of doc_id (Knuth's 2654435761 mod 2³²). Unlike rand()-based
+    * sampling this is reproducible across engines, runs, and retries —
+    * the property a training-data pipeline needs for auditable eval
+    * splits — and unlike "first 5 by id" it is unbiased w.r.t. insertion
+    * order. Pure integer arithmetic; one keyed window.
+    */
+  def q121GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCell = Window.partitionBy($"lang", $"source")
+      .orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        (($"doc_id" * lit(2654435761L)) % lit(4294967296L)).as("h"))
+      .withColumn("rk", row_number().over(wCell))
+      .filter($"rk" <= 5)
+      .select($"lang", $"source", $"rk", $"doc_id", $"h")
+  }
+
+  val q121Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang, source,
+      |    (doc_id * 2654435761) % 4294967296 AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, source, doc_id, h,
+      |    row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id)
+      |      AS rk
+      |  FROM h)
+      |SELECT lang, source, rk, doc_id, h FROM r WHERE rk <= 5""".stripMargin
+
+  /** q122_class_balance — label distribution of the embeddings table
+    * with each label's χ² contribution against the uniform expectation:
+    * the class-imbalance audit run before training a classifier. All
+    * inputs are exact integers; expectation, share, and contribution are
+    * single divisions on identical operands in both engines.
+    */
+  def q122ClassBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.embeddings(spark, dir)
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(wAll))
+      .withColumn("n_labels", count(lit(1)).over(wAll))
+      .select($"label", $"n",
+        decRound($"n".cast("double") / $"total", 6).as("share"),
+        decRound(($"n" - $"total".cast("double") / $"n_labels") *
+          ($"n" - $"total".cast("double") / $"n_labels") /
+          ($"total".cast("double") / $"n_labels"), 4).as("chi2_contrib"))
+  }
+
+  val q122Sql: String =
+    """WITH g AS (
+      |  SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      |t AS (
+      |  SELECT label, n, sum(n) OVER () AS total, count(*) OVER () AS n_labels
+      |  FROM g)
+      |SELECT label, n,
+      |  CAST(round(CAST(CAST(n AS DOUBLE) / total AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS share,
+      |  CAST(round(CAST(
+      |    (n - CAST(total AS DOUBLE) / n_labels) *
+      |    (n - CAST(total AS DOUBLE) / n_labels) /
+      |    (CAST(total AS DOUBLE) / n_labels) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS chi2_contrib
+      |FROM t""".stripMargin
+
+  /** q123_pack_chunks — sequential token-budget packing per source:
+    * docs in doc_id order are assigned to consecutive 2000-token bins
+    * by their EXCLUSIVE running token total (bin = prior-cum div 2000 —
+    * a doc straddling a boundary stays in the bin it started in), then
+    * summarized per bin. This is the batch-packing step that turns a
+    * corpus into fixed-budget training chunks. The cumulative sum is a
+    * keyed window (partitioned by source), never a global sort; counts
+    * are exact integers end-to-end.
+    */
+  def q123PackChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", size(Text.tokens($"text")).as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(wCum))
+      .withColumn("bin_id", expr("(cum - n_tok) div 2000"))
+      .groupBy($"source", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tok_total"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
+  val q123Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT source, (cum - n_tok) // 2000 AS bin_id,
+      |  count(*) AS n_docs, sum(n_tok) AS tok_total,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** q124_bollinger — Bollinger-band breakout counts per user: a
+    * 20-observation rolling mean ± 2 sample stddevs, counting closes
+    * above/below the bands over full windows only. The band edges are
+    * FP-derived (windowed mean/stddev), so BOTH engines compare the raw
+    * value against the DECIMAL-ROUNDED edges — the q80 3·MAD-boundary
+    * lesson: never branch on an unrounded FP threshold.
+    */
+  def q124Bollinger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w20 = wOrd.rowsBetween(-19, 0)
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("m", avg($"value").over(w20))
+      .withColumn("sd", stddev_samp($"value").over(w20))
+      .filter($"rn" >= 20)
+      .withColumn("ub", decRound($"m" + lit(2.0) * $"sd", 6))
+      .withColumn("lb", decRound($"m" - lit(2.0) * $"sd", 6))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when($"value" > $"ub", 1L).otherwise(0L)).as("n_above"),
+        sum(when($"value" < $"lb", 1L).otherwise(0L)).as("n_below"))
+  }
+
+  val q124Sql: String =
+    """WITH w AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER o AS rn,
+      |    avg(value) OVER f AS m,
+      |    stddev_samp(value) OVER f AS sd
+      |  FROM events
+      |  WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |    f AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |b AS (
+      |  SELECT user_id, value,
+      |    CAST(round(CAST(m + 2.0 * sd AS DECIMAL(28,12)), 6) AS DOUBLE) AS ub,
+      |    CAST(round(CAST(m - 2.0 * sd AS DECIMAL(28,12)), 6) AS DOUBLE) AS lb
+      |  FROM w WHERE rn >= 20)
+      |SELECT user_id, count(*) AS n_obs,
+      |  sum(CASE WHEN value > ub THEN 1 ELSE 0 END) AS n_above,
+      |  sum(CASE WHEN value < lb THEN 1 ELSE 0 END) AS n_below
+      |FROM b GROUP BY user_id""".stripMargin
+}

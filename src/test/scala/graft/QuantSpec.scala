@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks + synthetic-fixture differentials for the round-5d
+  * quant/corpus batch (q115–q124) and the containment-pairs operator.
+  * Value-level correctness is the DuckDB oracle gate; these pin
+  * semantic contracts that survive data changes.
+  */
+class QuantSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_synth").toString
+    rows.map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)], source: Long => String = _ => "synth"): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_synth").toString
+    rows.map { case (id, t) => (id, t, "en", source(id), t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val day = 86400L * 1000000L
+
+  test("containmentPairs: short doc embedded in long doc scores 1.0 where jaccard dilutes") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long_ = short + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long_),
+      (3L, "totally different content here entirely"),
+      (4L, "another unrelated document body text")).toDF("doc_id", "text")
+    val cont = operators.Dedup.containmentPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"expected (1,2,1.0) in ${cont.toSeq}")
+    // the same pair under symmetric jaccard sits far below 0.5
+    val jac = operators.Dedup.ngramJaccardPairs(docs, threshold = 0.01)
+      .filter($"doc_a" === 1 && $"doc_b" === 2)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.forall(_._3 < 0.2), s"jaccard unexpectedly high: ${jac.toSeq}")
+  }
+
+  test("containmentPairs >= jaccard for every co-reported pair (shared/min >= shared/union)") {
+    val docs = Tables.documents(spark, sf)
+    val c = operators.Dedup.containmentPairs(docs, threshold = 0.05)
+      .withColumnRenamed("containment", "c")
+    val j = operators.Dedup.ngramJaccardPairs(docs, threshold = 0.05)
+    val joined = c.join(j, Seq("doc_a", "doc_b"))
+      .filter($"c" < $"jaccard").count()
+    assert(joined == 0)
+  }
+
+  test("q115 acf: perfectly alternating series pins acf1 = -1, acf2 = 1") {
+    val rows = (1 to 40).map(i =>
+      (i.toLong, i * day, 1L, "t", if (i % 2 == 0) 10.0 else 20.0))
+    val got = SparkEntry.queries("q115_acf")(spark, writeEvents(rows))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(got._3 == -1.0 && got._4 == 1.0 && got._5 == -1.0)
+  }
+
+  test("q116 streaks: constructed 3-up/2-down daily series pins run lengths") {
+    // daily values: 1 2 3 4 (3 up-steps) then 3 2 (2 down-steps) then 2 (flat)
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 2.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, (i + 1) * day, 1L, "t", v) }
+    val got = SparkEntry.queries("q116_streaks")(spark, writeEvents(rows))
+      .as[(String, Option[Long], Option[Long], Long)].collect().head
+    assert(got._2.contains(3L), s"max_up $got")
+    assert(got._3.contains(2L), s"max_down $got")
+    assert(got._4 == 7L - 1L + 1L) // n_days = diffs + 1
+  }
+
+  test("q117 cross-corr: b lagging a by one day pins corr_a_leads = 1") {
+    // a: rising noise-free series; b(today) = a(yesterday) => a leads b
+    val aVals = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0)
+    val rows =
+      aVals.zipWithIndex.map { case (v, i) =>
+        ((i + 1).toLong, (i + 1) * day, 1L, "a", v) } ++
+      aVals.dropRight(1).zipWithIndex.map { case (v, i) =>
+        ((100 + i).toLong, (i + 2) * day, 1L, "b", v) }
+    val got = SparkEntry.queries("q117_cross_corr")(spark, writeEvents(rows))
+      .as[(String, String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got._5.contains(1.0), s"corr_a_leads $got")
+  }
+
+  test("q118 sharpe: constant-return series yields null sharpe (sd=0), not an ANSI error") {
+    // v doubles every day -> r = 1.0 constant -> sd_r = 0, no negatives
+    val rows = (1 to 10).map(i =>
+      (i.toLong, i * day, 1L, "t", math.pow(2.0, i).toDouble))
+    val got = SparkEntry.queries("q118_sharpe")(spark, writeEvents(rows))
+      .as[(String, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(got._3 == 1.0 && got._4 == 0.0 && got._5.isEmpty && got._6.isEmpty)
+  }
+
+  test("q119 entropy: uniform tokens pin log2(n) bits, repeated token pins 0") {
+    val dir = writeDocs(Seq((1L, "a b c d"), (2L, "x x x x")))
+    val got = SparkEntry.queries("q119_entropy")(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 4L, 1.0, 2.0)))
+    assert(got(2L) == ((2L, 4L, 1L, 0.25, 0.0)))
+  }
+
+  test("q121 group sample is deterministic and capped at 5 per cell") {
+    val df1 = SparkEntry.queries("q121_group_sample")(spark, sf)
+    val df2 = SparkEntry.queries("q121_group_sample")(spark, sf)
+    assert(df1.exceptAll(df2).isEmpty && df2.exceptAll(df1).isEmpty)
+    val over = df1.groupBy($"lang", $"source").count().filter($"count" > 5)
+    assert(over.isEmpty)
+  }
+
+  test("q123 packing: 800-token docs fill 2000-token bins 3-2-3 per the exclusive-cum rule") {
+    // prior-cum: 0,800,1600 -> bin 0; 2400,3200 -> bin 1; 4000,4800,5600 -> bin 2
+    val text = Array.fill(800)("w").mkString(" ")
+    val dir = writeDocs((1L to 8L).map(i => (i, text)))
+    val got = SparkEntry.queries("q123_pack_chunks")(spark, dir)
+      .orderBy($"bin_id")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._3).toSeq == Seq(3L, 2L, 3L), got.toSeq.toString)
+    assert(got.map(_._4).toSeq == Seq(2400L, 1600L, 2400L))
+  }
+
+  test("q124 bollinger: flat series breaks no bands; one spike breaks above") {
+    val flat = (1 to 30).map(i => (i.toLong, i * day, 1L, "t", 5.0))
+    val spiky = (1 to 30).map(i =>
+      (100L + i, i * day, 2L, "t", if (i == 25) 500.0 else 5.0 + (i % 3) * 0.1))
+    val got = SparkEntry.queries("q124_bollinger")(spark, writeEvents(flat ++ spiky))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 11L, 0L, 0L)))
+    assert(got(2L)._3 == 1L, s"spike not flagged: ${got(2L)}")
+  }
+}
