@@ -311,6 +311,46 @@ object Streams {
         col("event_type"), col("open"), col("high"), col("low"),
         col("close"), col("volume"), col("n_trades"))
 
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+                        event_id: Long, event_type: String)
+
+  /** s13 — streaming Markov transition counts per user via
+    * flatMapGroupsWithState: the incremental twin of batch q107. State
+    * is ONE string per user (the last seen event type) regardless of
+    * stream length; each micro-batch folds its events in (ts, event_id)
+    * order and emits that batch's (prev, next) transition INCREMENTS —
+    * summing all emitted rows reproduces the batch transition matrix
+    * exactly (pure integer counts, no FP caveat), including transitions
+    * that straddle a micro-batch boundary, which the carried last-type
+    * state stitches together. Same in-order-per-key delivery caveat as
+    * [[ewmaState]].
+    */
+  def transitionStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, String, String, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, (Long, String, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[TypedEvent], state: GroupState[String]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val counts = scala.collection.mutable.LinkedHashMap
+            .empty[(String, String), Long]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach { p =>
+              counts((p, e.event_type)) =
+                counts.getOrElse((p, e.event_type), 0L) + 1L
+            }
+            prev = Some(e.event_type)
+          }
+          prev.foreach(state.update)
+          counts.iterator.map { case ((a, b), n) => (user, a, b, n) }
+      }
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -271,6 +271,36 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming transition counts sum to the batch q107 matrix across micro-batches") {
+    // two files split at the global ts midpoint -> per-user in-order
+    // delivery across TWO micro-batches (maxFilesPerTrigger=1), so the
+    // carried last-type state must stitch boundary-straddling transitions
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100) // distinct mtimes: file source replays in mtime order
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.transitionStream(spark, stream)
+      .toDF("user_id", "prev_type", "next_type", "n")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("trans_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("trans_out")
+      .groupBy($"prev_type", $"next_type").agg(sum($"n").as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val batch = SparkEntry.queries("q107_transition_matrix")(spark, sf)
+      .select($"prev_type", $"next_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batch = SparkEntry.queries("q27_sessionize")(spark, sf)
     val stream = Streams.eventsStream(spark, streamDir)
