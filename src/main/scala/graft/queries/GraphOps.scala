@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5d graph analytics (SURVEY §2, q125–q126): fixed-iteration
+  * PageRank and BFS min-hop labelling over the part co-purchase graph
+  * (parts sharing an order), exercising the iterate-over-a-join shape
+  * that Pregel-style engines own — here as driver-side loops over
+  * declarative plans (see [[graft.operators.Graph]]).
+  *
+  * Oracle strategy: the DuckDB side UNROLLS the same fixed number of
+  * iterations as chained CTEs — identical arithmetic per step. BFS is
+  * integer-exact (min-hop is traversal-order invariant); PageRank's
+  * only engine-dependent step is the contribution sum's FP order, so
+  * ranks are decimal-rounded at 10 digits (noise ≤1e-13 relative after
+  * 5 iterations, values ~1/N).
+  */
+object GraphOps {
+
+  private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
+    graft.functions.Num.decRound(c, scale)
+
+  private def edges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.coOrderEdges(Tables.lineitem(spark, dir))
+
+  /** q125_pagerank — 5-iteration damped (0.85) PageRank over the
+    * co-purchase graph; vertex set = parts with ≥1 edge (no dangling
+    * mass). Emits every vertex with its rounded rank.
+    */
+  def q125Pagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(edges(spark, dir), iterations = 5)
+      .select(col("part"), decRound(col("pr"), 10).as("pr"))
+
+  private val edgesSql =
+    """edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT src AS part, count(*) AS deg FROM edges GROUP BY src),
+      |nv AS (SELECT count(*) AS n FROM deg)""".stripMargin
+
+  private def prStep(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT d.part,
+       |    (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv) +
+       |    0.85::DOUBLE * coalesce(m.mass, 0.0::DOUBLE) AS pr
+       |  FROM deg d LEFT JOIN (
+       |    SELECT e.dst, sum(p.pr / dg.deg) AS mass
+       |    FROM edges e JOIN $prev p ON e.src = p.part
+       |                 JOIN deg dg ON dg.part = p.part
+       |    GROUP BY e.dst) m ON m.dst = d.part)""".stripMargin
+
+  val q125Sql: String =
+    s"""WITH $edgesSql,
+       |p0 AS (SELECT part, 1.0::DOUBLE / (SELECT n FROM nv) AS pr FROM deg),
+       |${prStep("p0", "p1")},
+       |${prStep("p1", "p2")},
+       |${prStep("p2", "p3")},
+       |${prStep("p3", "p4")},
+       |${prStep("p4", "p5")}
+       |SELECT part,
+       |  CAST(round(CAST(pr AS DECIMAL(28,12)), 10) AS DOUBLE) AS pr
+       |FROM p5""".stripMargin
+
+  /** q126_bfs_hops — minimum hop distance (≤3) from the seed parts
+    * (partkey divisible by 100) to every reachable vertex of the
+    * co-purchase graph. Pure integers end-to-end.
+    */
+  def q126BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val seeds = e.select(col("src").as("part")).distinct()
+      .filter(col("part") % 100 === 0)
+    graft.operators.Graph.bfsHops(e, seeds, maxHops = 3)
+  }
+
+  val q126Sql: String =
+    s"""WITH $edgesSql,
+       |seeds AS (SELECT part FROM deg WHERE part % 100 = 0),
+       |r1 AS (SELECT DISTINCT e.dst AS part FROM edges e
+       |       JOIN seeds s ON e.src = s.part),
+       |r2 AS (SELECT DISTINCT e.dst AS part FROM edges e
+       |       JOIN r1 ON e.src = r1.part),
+       |r3 AS (SELECT DISTINCT e.dst AS part FROM edges e
+       |       JOIN r2 ON e.src = r2.part),
+       |lv AS (
+       |  SELECT part, 0 AS hop FROM seeds
+       |  UNION ALL SELECT part, 1 FROM r1
+       |  UNION ALL SELECT part, 2 FROM r2
+       |  UNION ALL SELECT part, 3 FROM r3)
+       |SELECT part, min(hop) AS hop FROM lv GROUP BY part""".stripMargin
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computable fixtures for the iterative graph operators
+  * (q125/q126 machinery). Oracle-level value checks live in the DuckDB
+  * gate; these pin the algorithmic contracts on graphs small enough to
+  * verify by hand.
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // path graph A–B–C as symmetric edges
+  private lazy val pathEdges =
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+
+  test("pageRank on a 3-node path: symmetric ends equal, center highest, mass sums to 1") {
+    val pr = operators.Graph.pageRank(pathEdges, iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr(1L) - pr(3L)) < 1e-15, s"ends differ: $pr")
+    assert(pr(2L) > pr(1L), s"center not highest: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass leak: ${pr.values.sum}")
+  }
+
+  test("pageRank single iteration matches the closed-form step") {
+    // after 1 iter from uniform 1/3: ends get .15/3 + .85*(1/3)/2,
+    // center gets .15/3 + .85*((1/3)/1 + (1/3)/1)
+    val pr = operators.Graph.pageRank(pathEdges, iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    // same FP steps as the operator: (1 - d)/n, NOT literal 0.15/3
+    // (they differ in the last ulp — the operator and its SQL oracle
+    // both use the (1 - d) form for exactly this reason)
+    val t = (1.0 - 0.85) / 3
+    assert(pr(1L) == t + 0.85 * (1.0 / 3 / 2))
+    assert(pr(2L) == t + 0.85 * (1.0 / 3 + 1.0 / 3))
+  }
+
+  test("bfsHops labels a 5-node path with exact hop distances and respects maxHops") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("part")
+    val hops = operators.Graph.bfsHops(edges, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3), hops.toString)
+    // node 5 is 4 hops out -> excluded at maxHops=3
+    assert(!hops.contains(5L))
+  }
+
+  test("bfsHops takes the MINIMUM hop when multiple paths reach a node") {
+    // triangle 1-2-3 plus tail 3-4: node 3 reachable in 1 (direct) not 2
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val hops = operators.Graph.bfsHops(edges, Seq(1L).toDF("part"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2), hops.toString)
+  }
+
+  test("coOrderEdges is symmetric and excludes self-pairs") {
+    val e = operators.Graph.coOrderEdges(Tables.lineitem(spark, sf))
+    assert(e.filter($"src" === $"dst").count() == 0)
+    val asym = e.select($"src", $"dst")
+      .exceptAll(e.select($"dst".as("src"), $"src".as("dst")))
+    assert(asym.count() == 0)
+  }
+}
