@@ -440,4 +440,125 @@ object Quant {
       |  sum(CASE WHEN value > ub THEN 1 ELSE 0 END) AS n_above,
       |  sum(CASE WHEN value < lb THEN 1 ELSE 0 END) AS n_below
       |FROM b GROUP BY user_id""".stripMargin
+
+  /** q127_skew_profile — join-key skew audit: the 10 hottest l_partkey
+    * values with their row counts and skew multiplier (freq / mean
+    * freq). This is the profiling pass that decides between a plain
+    * shuffle join, Skew.saltedJoin's hot-key replication, or AQE skew
+    * handling — run it BEFORE the join, not after it straggles. One
+    * map-side-combined aggregate; the mean rides in as a broadcast
+    * scalar. Integer counts; one division, identical operands.
+    */
+  def q127SkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("freq"))
+    val stats = freq.agg(count(lit(1)).as("n_keys"),
+      sum($"freq").as("n_rows"))
+    freq.crossJoin(broadcast(stats))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"freq".desc, $"l_partkey")))
+      .filter($"rk" <= 10)
+      .select($"rk", $"l_partkey", $"freq", $"n_keys",
+        decRound($"freq" * $"n_keys" / $"n_rows".cast("double"), 4)
+          .as("skew_x"))
+  }
+
+  val q127Sql: String =
+    """WITH freq AS (
+      |  SELECT l_partkey, count(*) AS freq FROM lineitem GROUP BY l_partkey),
+      |stats AS (
+      |  SELECT count(*) AS n_keys, sum(freq) AS n_rows FROM freq),
+      |ranked AS (
+      |  SELECT l_partkey, freq,
+      |    row_number() OVER (ORDER BY freq DESC, l_partkey) AS rk
+      |  FROM freq)
+      |SELECT r.rk, r.l_partkey, r.freq, s.n_keys,
+      |  CAST(round(CAST(r.freq * s.n_keys / CAST(s.n_rows AS DOUBLE)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS skew_x
+      |FROM ranked r CROSS JOIN stats s WHERE r.rk <= 10""".stripMargin
+
+  /** q128_ntile_bins — equal-frequency decile binning of the event
+    * value per type (the discretization step before decision-tree
+    * features or monotonic calibration), with per-bin stats. ntile's
+    * bucket boundaries are pure integer arithmetic over the row count;
+    * the (value, event_id) tiebreak makes the assignment total-order
+    * deterministic across engines.
+    */
+  def q128NtileBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("decile", ntile(10).over(wOrd))
+      .groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n"), min($"value").as("min_v"),
+        max($"value").as("max_v"), decRound(avg($"value"), 4).as("avg_v"))
+  }
+
+  val q128Sql: String =
+    """WITH d AS (
+      |  SELECT event_type, value,
+      |    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+      |      AS decile
+      |  FROM events)
+      |SELECT event_type, decile, count(*) AS n,
+      |  min(value) AS min_v, max(value) AS max_v,
+      |  CAST(round(CAST(avg(value) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_v
+      |FROM d GROUP BY 1, 2""".stripMargin
+
+  /** q129_abc_class — ABC (Pareto) classification of parts by revenue:
+    * A = parts covering the first 80% of cumulative revenue, B = to
+    * 95%, C = the tail. Per-part revenue is decimal-rounded AT SCALE 4
+    * — price·(1−disc) products have exactly four decimals, so every FP
+    * sum sits within noise of a scale-4 lattice point and NEVER at a
+    * rounding midpoint (rounding at 2 DID flip cents at sf0.1: true
+    * sums end in …45, exactly on the half-cent) — then cast to
+    * DECIMAL(18,4) so the cumulative sum and grand total are
+    * EXACT (order-independent) — the one place FP summation noise could
+    * otherwise flip a class at the 80%/95% boundary, because the
+    * running total's order is fixed but the grand total's is not. The
+    * share division happens on identical decimal-derived doubles.
+    *
+    * Scale note: the cumulative window here is global (fine for a
+    * per-part aggregate measured in millions); at billions of keys the
+    * same semantics run as a two-pass range-partitioned cumsum —
+    * repartitionByRange on (rev desc, key), per-partition partial sums,
+    * broadcast prefix offsets — no single-partition sort needed.
+    */
+  def q129AbcClass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.orderBy($"rev".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(decRound(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("rev"))
+      .withColumn("cum", sum($"rev").over(wCum))
+      .withColumn("total", sum($"rev").over(wAll))
+      .withColumn("share", $"cum".cast("double") / $"total".cast("double"))
+      .select($"l_partkey", $"rev".cast("double").as("rev"),
+        when($"share" <= 0.80, "A").when($"share" <= 0.95, "B")
+          .otherwise("C").as("cls"))
+  }
+
+  val q129Sql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(CAST(round(CAST(sum(l_extendedprice * (1.0 - l_discount))
+      |      AS DECIMAL(28,12)), 4) AS DOUBLE) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |c AS (
+      |  SELECT l_partkey, rev,
+      |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(rev) OVER () AS total
+      |  FROM rev)
+      |SELECT l_partkey, CAST(rev AS DOUBLE) AS rev,
+      |  CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+      |       WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS cls
+      |FROM c""".stripMargin
 }

@@ -127,6 +127,47 @@ class QuantSpec extends SparkTestBase {
     assert(got.map(_._4).toSeq == Seq(2400L, 1600L, 2400L))
   }
 
+  private def writeLineitem(rows: Seq[(Long, Long, Double, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_synth").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    rows.zipWithIndex.map { case ((ok, pk, price, disc), i) =>
+      (ok, pk, 1L, i + 1, 1.0, price, disc, 0.0, "N", "O", ts) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q127 skew profile ranks the hottest key first with the right multiplier") {
+    // part 1: 8 rows, parts 2..5: 1 row each -> mean 12/5, skew_x 8/(12/5)
+    val rows = (1 to 8).map(i => (i.toLong, 1L, 100.0, 0.0)) ++
+      (2 to 5).map(p => (100L + p, p.toLong, 100.0, 0.0))
+    val got = SparkEntry.queries("q127_skew_profile")(spark, writeLineitem(rows))
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(got.head == ((1, 1L, 8L, 5L, 3.3333)), got.head.toString)
+    assert(got.length == 5)
+  }
+
+  test("q128 ntile bins split 100 rows into 10 equal deciles in value order") {
+    val rows = (1 to 100).map(i =>
+      (i.toLong, i * day, 1L, "t", (101 - i).toDouble))
+    val got = SparkEntry.queries("q128_ntile_bins")(spark, writeEvents(rows))
+      .orderBy($"decile")
+      .as[(String, Int, Long, Double, Double, Double)].collect()
+    assert(got.length == 10 && got.forall(_._3 == 10L))
+    assert(got.head == (("t", 1, 10L, 1.0, 10.0, 5.5)))
+    assert(got.last == (("t", 10, 10L, 91.0, 100.0, 95.5)))
+  }
+
+  test("q129 abc: 80/15/5 revenue split classifies exactly one part per class") {
+    val rows = Seq((1L, 1L, 8000.0, 0.0), (2L, 2L, 1500.0, 0.0),
+      (3L, 3L, 500.0, 0.0))
+    val got = SparkEntry.queries("q129_abc_class")(spark, writeLineitem(rows))
+      .as[(Long, Double, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> "A", 2L -> "B", 3L -> "C"), got.toString)
+  }
+
   test("q124 bollinger: flat series breaks no bands; one spike breaks above") {
     val flat = (1 to 30).map(i => (i.toLong, i * day, 1L, "t", 5.0))
     val spiky = (1 to 30).map(i =>
