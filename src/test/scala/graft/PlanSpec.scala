@@ -197,4 +197,29 @@ class PlanSpec extends SparkTestBase {
     val shuffles = count(p, "Exchange") - count(p, "BroadcastExchange")
     assert(shuffles <= 2, s"q98: event side shuffled\n$p")
   }
+
+  test("q115 acf: three lag frames + the aggregate share one sort-window exchange") {
+    val p = plan("q115_acf")
+    assert(count(p, "Exchange hashpartitioning") <= 2, p) // window + final agg
+    assert(count(p, "Window") == 1, s"lags must share one Window op\n$p")
+  }
+
+  test("q117 cross-corr joins the tiny daily frames by broadcast only") {
+    val p = plan("q117_cross_corr")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "SortMergeJoin") == 0, s"pair join must not shuffle\n$p")
+  }
+
+  test("q127 skew profile broadcasts its one-row stats frame") {
+    val p = plan("q127_skew_profile")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("pagerank iteration joins the broadcast vertex frame; edges never sort-merge") {
+    val p = operators.Graph.pageRank(
+      operators.Graph.coOrderEdges(Tables.lineitem(spark, sf)), iterations = 1)
+      .queryExecution.executedPlan.toString
+    assert(count(p, "SortMergeJoin") == 0, s"rank join must broadcast\n$p")
+  }
 }
