@@ -69,10 +69,16 @@ object GraphOps {
     * co-purchase graph. Pure integers end-to-end.
     */
   def q126BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    // persist BEFORE deriving seeds: the seed subtree would otherwise
+    // re-run the whole co-order self-join as a second uncached scan
+    // (bfsHops persists the same plan — the cache manager dedupes)
     val e = edges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = e.select(col("src").as("part")).distinct()
       .filter(col("part") % 100 === 0)
-    graft.operators.Graph.bfsHops(e, seeds, maxHops = 3)
+    val out = graft.operators.Graph.bfsHops(e, seeds, maxHops = 3)
+    e.unpersist(blocking = false)
+    out
   }
 
   val q126Sql: String =
