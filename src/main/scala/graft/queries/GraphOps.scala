@@ -81,6 +81,53 @@ object GraphOps {
     out
   }
 
+  /** q130_snapshot_diff — reconciliation audit between two synthetic
+    * versions of the orders table (A drops keys divisible by 7, B drops
+    * keys divisible by 11 and bumps the price of keys divisible by 5):
+    * per diff class, row count and key range. See
+    * [[graft.operators.Reconcile.snapshotDiff]] — one full-outer
+    * shuffle join, row-local classification, four-row aggregate. The
+    * +10.0 price bump is identical FP arithmetic in both engines, so
+    * the CHANGED comparison is exact.
+    */
+  def q130SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val snapA = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val snapB = orders.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    graft.operators.Reconcile
+      .snapshotDiff(snapA, snapB, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"))
+      .groupBy(col("diff_class"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  val q130Sql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 7 <> 0),
+      |b AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 <> 0),
+      |d AS (
+      |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |    CASE WHEN a.o_orderkey IS NULL THEN 'ADDED'
+      |         WHEN b.o_orderkey IS NULL THEN 'REMOVED'
+      |         WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+      |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+      |           THEN 'CHANGED'
+      |         ELSE 'UNCHANGED' END AS diff_class
+      |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT diff_class, count(*) AS n,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM d GROUP BY diff_class""".stripMargin
+
   val q126Sql: String =
     s"""WITH $edgesSql,
        |seeds AS (SELECT part FROM deg WHERE part % 100 = 0),

@@ -351,6 +351,48 @@ object Streams {
       }
   }
 
+  /** s14 — streaming gap detection per user via flatMapGroupsWithState:
+    * the incremental twin of batch q26. State is ONE timestamp per user
+    * (the last seen event time); each micro-batch folds its events in
+    * (ts, event_id) order and emits every inter-event gap above the
+    * threshold — including gaps straddling a micro-batch boundary,
+    * which the carried last-ts state stitches. The data-quality monitor
+    * a feed-ingest pipeline runs live rather than in nightly batch.
+    * Same in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def gapDetectStream(spark: SparkSession, events: DataFrame,
+                      thresholdSec: Long = 4 * 3600)
+      : Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long,
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[Long]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            prev.foreach { p =>
+              // same µs-exact arithmetic + rounding as batch q26:
+              // Spark's round() is BigDecimal HALF_UP — math.rint
+              // (HALF_EVEN) would diverge on exact .0005 µs boundaries
+              val gapSec = java.math.BigDecimal.valueOf((t - p) / 1e6)
+                .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (gapSec > thresholdSec)
+                out += ((user, tsFromMicros(p), tsFromMicros(t), gapSec))
+            }
+            prev = Some(t)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -55,6 +55,21 @@ class GraphSpec extends SparkTestBase {
     assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2), hops.toString)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged and treats NULL transitions as CHANGED") {
+    val a = Seq((1L, Some("O"), 10.0), (2L, Some("F"), 20.0),
+      (3L, Some("O"), 30.0), (4L, None: Option[String], 40.0))
+      .toDF("k", "status", "price")
+    val b = Seq((1L, Some("O"), 10.0),            // unchanged
+      (3L, Some("O"), 35.0),                      // changed (price)
+      (4L, Some("O"), 40.0),                      // changed (NULL -> value)
+      (5L, Some("O"), 50.0))                      // added; key 2 removed
+      .toDF("k", "status", "price")
+    val got = operators.Reconcile.snapshotDiff(a, b, "k", Seq("status", "price"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "UNCHANGED", 2L -> "REMOVED", 3L -> "CHANGED",
+      4L -> "CHANGED", 5L -> "ADDED"), got.toString)
+  }
+
   test("coOrderEdges is symmetric and excludes self-pairs") {
     val e = operators.Graph.coOrderEdges(Tables.lineitem(spark, sf))
     assert(e.filter($"src" === $"dst").count() == 0)

@@ -301,6 +301,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming gap detection equals batch q26 including cross-batch gaps") {
+    // reuse the two-file mtime-ordered split so gaps straddling the
+    // micro-batch boundary must come from the carried last-ts state
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.gapDetectStream(spark, stream)
+      .toDF("user_id", "gap_start", "gap_end", "gap_sec")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("gap_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("gap_out")
+    val batch = SparkEntry.queries("q26_gap_detect")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batch = SparkEntry.queries("q27_sessionize")(spark, sf)
     val stream = Streams.eventsStream(spark, streamDir)
