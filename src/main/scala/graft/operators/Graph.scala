@@ -63,6 +63,9 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true) // vertex-sized; frees the loop from re-aggregating
     val n = deg.count()
+    require(n > 0,
+      "pageRank: empty edge list — every vertex needs >= 1 edge " +
+        "(an n=0 teleport term would silently yield Infinity ranks)")
     val teleport = (1.0 - damping) / n
     var rank = deg.select(col("part"), lit(1.0 / n).as("pr"))
     for (i <- 1 to iterations) {

@@ -19,6 +19,14 @@ object Reconcile {
 
   def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
                    valueCols: Seq[String]): DataFrame = {
+    // the b-side is disambiguated by a b_ prefix and presence is
+    // tracked in __a/__b marker columns — reject inputs that would
+    // silently collide with either convention
+    val reserved = (keyCol +: valueCols).filter(c =>
+      c.startsWith("b_") || c.startsWith("__"))
+    require(reserved.isEmpty,
+      s"snapshotDiff: column names ${reserved.mkString(", ")} collide " +
+        "with the b_/__ internal prefixes — rename before diffing")
     val aa = a.select((keyCol +: valueCols).map(col): _*)
       .withColumn("__a", lit(1))
     val bb = b.select((keyCol +: valueCols).map(c =>
