@@ -561,4 +561,104 @@ object Quant {
       |       WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
       |       ELSE 'C' END AS cls
       |FROM c""".stripMargin
+
+  /** q131_cusum — CUSUM changepoint detection per event type: the
+    * running sum of (daily mean − overall mean) peaks in magnitude at
+    * the most likely level-shift day. Both operands of every step are
+    * decimal-rounded FIRST, and the cumulative fold then runs over the
+    * identical value SEQUENCE in both engines — FP addition is
+    * deterministic given order, so the argmax needs no tolerance. The
+    * day frame is |types|·|days|; only the daily aggregate touches the
+    * fact table.
+    */
+  def q131Cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"d")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy($"event_type")
+      .orderBy(abs($"s").desc, $"d")
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(decRound(avg($"value"), 6).as("v"))
+    val mean = daily.groupBy($"event_type")
+      .agg(decRound(avg($"v"), 6).as("m"), count(lit(1)).as("n_days"))
+    daily.join(broadcast(mean), "event_type")
+      .withColumn("s", sum($"v" - $"m").over(wCum))
+      .withColumn("rk", row_number().over(wPick))
+      .filter($"rk" === 1)
+      .select($"event_type", $"n_days", $"d".as("changepoint_day"),
+        decRound(abs($"s"), 4).as("max_cusum"))
+  }
+
+  val q131Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    CAST(round(CAST(avg(value) AS DECIMAL(28,12)), 6) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(round(CAST(avg(v) AS DECIMAL(28,12)), 6) AS DOUBLE) AS m,
+      |    count(*) AS n_days
+      |  FROM daily GROUP BY event_type),
+      |c AS (
+      |  SELECT daily.event_type, daily.d, m.n_days,
+      |    sum(daily.v - m.m) OVER (PARTITION BY daily.event_type
+      |      ORDER BY daily.d ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM daily JOIN m ON daily.event_type = m.event_type),
+      |r AS (
+      |  SELECT event_type, n_days, d, s,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(s) DESC, d) AS rk
+      |  FROM c)
+      |SELECT event_type, n_days, d AS changepoint_day,
+      |  CAST(round(CAST(abs(s) AS DECIMAL(28,12)), 4) AS DOUBLE) AS max_cusum
+      |FROM r WHERE rk = 1""".stripMargin
+
+  /** q132_gini — Gini coefficient of revenue concentration across parts
+    * per return flag: G = 2·Σ(i·rev_i)/(n·Σrev) − (n+1)/n over revenues
+    * in ascending order. Reuses q129's decimal-lattice discipline —
+    * per-key revenue rounded at the product's exact scale 4 and cast to
+    * DECIMAL, so both Σrev and the rank-weighted Σ(i·rev_i) are exact
+    * integers-in-decimal and the final expression is computed from
+    * identical operands. 0 = perfectly even, →1 = winner-takes-all.
+    */
+  def q132Gini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wRank = Window.partitionBy($"l_returnflag")
+      .orderBy($"rev".asc, $"l_partkey")
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_partkey")
+      .agg(decRound(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("rev"))
+      .withColumn("i", row_number().over(wRank))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"rev").as("tot"), sum($"rev" * $"i").as("wsum"))
+      .select($"l_returnflag", $"n_parts",
+        decRound(lit(2.0) * $"wsum".cast("double") /
+          ($"n_parts" * $"tot".cast("double")) -
+          ($"n_parts" + 1).cast("double") / $"n_parts", 6).as("gini"))
+  }
+
+  val q132Sql: String =
+    """WITH rev AS (
+      |  SELECT l_returnflag, l_partkey,
+      |    CAST(CAST(round(CAST(sum(l_extendedprice * (1.0 - l_discount))
+      |      AS DECIMAL(28,12)), 4) AS DOUBLE) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, rev,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY rev ASC, l_partkey) AS i
+      |  FROM rev),
+      |g AS (
+      |  SELECT l_returnflag, count(*) AS n_parts,
+      |    sum(rev) AS tot, sum(rev * i) AS wsum
+      |  FROM r GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_parts,
+      |  CAST(round(CAST(2.0 * CAST(wsum AS DOUBLE) /
+      |    (n_parts * CAST(tot AS DOUBLE)) -
+      |    CAST(n_parts + 1 AS DOUBLE) / n_parts
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS gini
+      |FROM g""".stripMargin
 }

@@ -168,6 +168,27 @@ class QuantSpec extends SparkTestBase {
     assert(got == Map(1L -> "A", 2L -> "B", 3L -> "C"), got.toString)
   }
 
+  test("q131 cusum pins the level-shift day on a constructed step series") {
+    // 10 days at 5, then 10 days at 15: mean 10, cusum bottoms at -50
+    // exactly on the last pre-shift day
+    val rows = (1 to 20).map(i =>
+      (i.toLong, i * day, 1L, "t", if (i <= 10) 5.0 else 15.0))
+    val got = SparkEntry.queries("q131_cusum")(spark, writeEvents(rows))
+      .as[(String, Long, java.sql.Timestamp, Double)].collect().head
+    assert(got._2 == 20L && got._4 == 50.0, got.toString)
+    assert(got._3.toInstant == java.time.Instant.EPOCH.plusSeconds(10 * 86400))
+  }
+
+  test("q132 gini is exactly 0 for perfectly even revenues and in [0,1) on real data") {
+    val even = (1L to 4L).map(p => (p, p, 1000.0, 0.0))
+    val got = SparkEntry.queries("q132_gini")(spark, writeLineitem(even))
+      .as[(String, Long, Double)].collect().head
+    assert(got._2 == 4L && got._3 == 0.0, got.toString)
+    val real = SparkEntry.queries("q132_gini")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(real.nonEmpty && real.forall(r => r._3 >= 0.0 && r._3 < 1.0))
+  }
+
   test("q124 bollinger: flat series breaks no bands; one spike breaks above") {
     val flat = (1 to 30).map(i => (i.toLong, i * day, 1L, "t", 5.0))
     val spiky = (1 to 30).map(i =>
