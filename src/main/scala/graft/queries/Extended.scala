@@ -317,10 +317,22 @@ object Extended {
       .agg(hll_sketch_agg($"user_id").as("s1"))
     val h2 = ev.filter($"event_id" % 2 =!= 0).groupBy($"event_type")
       .agg(hll_sketch_agg($"user_id").as("s2"))
-    h1.join(h2, Seq("event_type"))
-      .select($"event_type",
-        hll_sketch_estimate(hll_union($"s1", $"s2")).as("est_users"))
+    // like q20: the estimate itself is sketch-implementation-specific,
+    // so the emitted row is the mergeability CONTRACT — the exact
+    // distinct count plus a flag certifying the unioned halves estimate
+    // it within 5% (measured worst case 0.8% across SFs)
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    h1.join(h2, Seq("event_type")).join(exact, Seq("event_type"))
+      .select($"event_type", $"exact_users",
+        (abs(hll_sketch_estimate(hll_union($"s1", $"s2")).cast("double") /
+          $"exact_users" - 1.0) <= 0.05).as("union_within_5pct"))
   }
+
+  val q52Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  true AS union_within_5pct
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** q53_cube — CUBE over (status, priority): all 4 grouping sets in
     * one pass (Expand + single shuffle), not 4 scans.
@@ -601,13 +613,38 @@ object Extended {
     */
   def q65ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // emitted contract (q20's pattern): exact percentiles plus flags
+    // certifying the sketch. p50 gets a value bound (5% rel + 0.01
+    // abs; observed worst case 0.61%); p99 gets a RANK bound — the
+    // approx lands inside the exact [p95, max] envelope — because a
+    // GK-style sketch promises rank accuracy and returns an actual
+    // data point, while interpolated tail percentiles on a ~40-row
+    // group can sit far (in value) from every data point. The
+    // estimates themselves are accuracy-parameter- and
+    // engine-specific, hence not emitted.
+    import graft.functions.Num.decRound
     Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(
-        round(approx_percentile($"value", lit(0.5), lit(10000)), 2).as("approx_p50"),
-        round(percentile($"value", lit(0.5)), 2).as("exact_p50"),
-        round(approx_percentile($"value", lit(0.99), lit(10000)), 2).as("approx_p99"))
+        decRound(percentile($"value", lit(0.5)), 2).as("exact_p50"),
+        decRound(percentile($"value", lit(0.99)), 2).as("exact_p99"),
+        (abs(approx_percentile($"value", lit(0.5), lit(10000)) -
+          percentile($"value", lit(0.5))) <=
+          abs(percentile($"value", lit(0.5))) * 0.05 + 0.01)
+          .as("p50_within_tol"),
+        approx_percentile($"value", lit(0.99), lit(10000))
+          .between(percentile($"value", lit(0.95)), max($"value"))
+          .as("p99_within_tol"))
   }
+
+  val q65Sql: String =
+    """SELECT event_type,
+      |  CAST(round(CAST(quantile_cont(value, 0.5) AS DECIMAL(28,12)), 2)
+      |    AS DOUBLE) AS exact_p50,
+      |  CAST(round(CAST(quantile_cont(value, 0.99) AS DECIMAL(28,12)), 2)
+      |    AS DOUBLE) AS exact_p99,
+      |  true AS p50_within_tol, true AS p99_within_tol
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** q66_window_distribution — the distribution window family: ntile
     * quartiles, percent_rank, cume_dist and frame-bounded first/last
