@@ -32,14 +32,35 @@ object Extended {
       |WHERE c >= 0.4""".stripMargin
 
   /** q69_dedup_embedding_lsh — the scalable embedding near-dup path:
-    * LSH-bucketed candidates + exact rerank at threshold 0.4. rows-only
-    * (candidate recall is banding-limited by design; q43 is the exact
-    * certification tier).
+    * LSH-bucketed candidates + exact rerank at threshold 0.4, certified
+    * (q32's pattern): the emitted row is the exact-pair count on the
+    * vec_id < 1000 certification slice (q43's proven-matchable ground
+    * truth — the full-corpus exact pair set is quadratic and belongs to
+    * no oracle) plus a flag that the banded path run over the FULL
+    * corpus recovered ≥ 50% of that slice (measured 67–76%; banding-
+    * limited recall is the documented trade of this tier).
     */
   def q69DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    Ann.lshCosinePairs(Tables.embeddings(spark, dir), threshold = 0.4,
-      tables = 16, bits = 6)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Ann.cosinePairs(emb.filter($"vec_id" < 1000), threshold = 0.4)
+      .select($"id_a", $"id_b")
+    val found = Ann.lshCosinePairs(emb, threshold = 0.4,
+      tables = 16, bits = 6).select($"id_a", $"id_b")
+    val n = truth.count()
+    val hits = truth.join(found, Seq("id_a", "id_b"), "left_semi").count()
+    Seq((n, n == 0 || hits.toDouble / n >= 0.5))
+      .toDF("n_true_pairs", "recall_ok")
   }
+
+  val q69Sql: String =
+    """SELECT count(*) AS n_true_pairs, true AS recall_ok FROM (
+      |  SELECT a.vec_id,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                           CAST(b.embedding AS DOUBLE[])) AS c
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
+      |WHERE c >= 0.4""".stripMargin
 
   /** q70_name_match — entity resolution by edit distance (the
     * securities-master "same instrument, different feed spelling"
@@ -101,10 +122,32 @@ object Extended {
 
   /** q44_ann_ivf — IVF cell-probed ANN, top-3 per query. */
   def q44AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    // certified like q36: cell assignment is quantizer-specific, so the
+    // emitted row is exact-neighbor count + a >= 80% recall flag for
+    // the nProbe=4 probe path (measured 97-100%)
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    Ann.ivfTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+    val truth = Ann.bruteForceTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+      .select($"query_id", $"neighbor_id")
+    val found = Ann.ivfTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+      .select($"query_id", $"neighbor_id")
+    val n = truth.count()
+    val hits = truth.join(found, Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    Seq((n, n == 0 || hits.toDouble / n >= 0.8))
+      .toDF("n_exact_neighbors", "recall_ok")
   }
+
+  val q44Sql: String =
+    """SELECT count(*) AS n_exact_neighbors, true AS recall_ok FROM (
+      |  SELECT q.vec_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+      |               n.vec_id) AS rnk
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+      |WHERE rnk <= 3""".stripMargin
 
   /** q45_pivot — order-status counts pivoted into columns per market
     * segment. Explicit pivot values keep the schema static (no extra

