@@ -640,6 +640,74 @@ object Quant {
           ($"n_parts" + 1).cast("double") / $"n_parts", 6).as("gini"))
   }
 
+  /** q133_rank_normalize — percentile-rank feature normalization per
+    * event type: (rank−1)/(n−1) maps every value onto [0,1] by rank —
+    * the distribution-free normalization (vs q109's min-max) robust to
+    * outliers. percent_rank is pure integer-rank arithmetic over a
+    * total order ((value, event_id) tiebreak), so the division is on
+    * identical integer operands — bit-exact, no rounding needed; one
+    * keyed sort-window.
+    */
+  def q133RankNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("rank_norm", percent_rank().over(wOrd))
+  }
+
+  val q133Sql: String =
+    """SELECT event_type, event_id, value,
+      |  percent_rank() OVER (PARTITION BY event_type
+      |    ORDER BY value, event_id) AS rank_norm
+      |FROM events""".stripMargin
+
+  /** q134_var — historical one-day Value-at-Risk and expected shortfall
+    * (CVaR) per event type from daily mean-value returns: VaR95 = the
+    * 5th-percentile return (exact interpolated percentile — q19's
+    * proven-matchable primitive), ES95 = the mean of returns at or
+    * below it. The tail-mean compares returns against the DECIMAL-
+    * ROUNDED VaR boundary (the q124 band lesson) so tail membership is
+    * engine-independent.
+    */
+  def q134Var(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"d")
+    val rets = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(avg($"value").as("v"))
+      .withColumn("r", $"v" / lag($"v", 1).over(wOrd) - 1.0)
+      .filter($"r".isNotNull)
+    val vars = rets.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_returns"),
+        decRound(percentile($"r", lit(0.05)), 6).as("var95"))
+    rets.join(broadcast(vars), "event_type")
+      .filter($"r" <= $"var95")
+      .groupBy($"event_type")
+      .agg(max($"n_returns").as("n_returns"), max($"var95").as("var95"),
+        count(lit(1)).as("n_tail"), decRound(avg($"r"), 6).as("es95"))
+  }
+
+  val q134Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d, avg(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |rets AS (
+      |  SELECT event_type,
+      |    v / lag(v) OVER (PARTITION BY event_type ORDER BY d) - 1.0 AS r
+      |  FROM daily),
+      |vars AS (
+      |  SELECT event_type, count(*) AS n_returns,
+      |    CAST(round(CAST(quantile_cont(r, 0.05) AS DECIMAL(28,12)), 6)
+      |      AS DOUBLE) AS var95
+      |  FROM rets WHERE r IS NOT NULL GROUP BY event_type)
+      |SELECT rets.event_type, max(vars.n_returns) AS n_returns,
+      |  max(vars.var95) AS var95, count(*) AS n_tail,
+      |  CAST(round(CAST(avg(rets.r) AS DECIMAL(28,12)), 6) AS DOUBLE) AS es95
+      |FROM rets JOIN vars ON rets.event_type = vars.event_type
+      |WHERE rets.r <= vars.var95
+      |GROUP BY rets.event_type""".stripMargin
+
   val q132Sql: String =
     """WITH rev AS (
       |  SELECT l_returnflag, l_partkey,

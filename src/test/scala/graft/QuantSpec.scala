@@ -189,6 +189,30 @@ class QuantSpec extends SparkTestBase {
     assert(real.nonEmpty && real.forall(r => r._3 >= 0.0 && r._3 < 1.0))
   }
 
+  test("q133 rank-normalize maps a 5-value series onto exact quarters of [0,1]") {
+    val rows = (1 to 5).map(i => (i.toLong, i * day, 1L, "t", i * 10.0))
+    val got = SparkEntry.queries("q133_rank_normalize")(spark, writeEvents(rows))
+      .orderBy($"value").as[(String, Long, Double, Double)].collect()
+    assert(got.map(_._4).toSeq == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+  }
+
+  test("q134 var: one crash day in twenty pins VaR95 to the tail return") {
+    // returns: 19 days of +1% and one -50% day -> 5th percentile sits
+    // inside the interpolation toward the crash; the crash is the tail
+    val vals = (1 to 21).map(i =>
+      if (i == 11) 100.0 * math.pow(1.01, 9) * 0.5 else 100.0 * math.pow(1.01, i - 1))
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, (i + 1) * day, 1L, "t", v) }
+    val got = SparkEntry.queries("q134_var")(spark, writeEvents(rows))
+      .as[(String, Long, Double, Long, Double)].collect().head
+    assert(got._2 == 20L, got.toString)       // 20 returns
+    // VaR95 is the INTERPOLATED 5th-percentile boundary (pulled negative
+    // by the crash); the crash itself shows up in the expected shortfall
+    assert(got._3 < 0, s"VaR95 should be negative: $got")
+    assert(got._4 == 1L, s"exactly the crash day in the tail: $got")
+    assert(got._5 == -0.5, s"ES95 is the crash return: $got")
+  }
+
   test("q124 bollinger: flat series breaks no bands; one spike breaks above") {
     val flat = (1 to 30).map(i => (i.toLong, i * day, 1L, "t", 5.0))
     val spiky = (1 to 30).map(i =>
