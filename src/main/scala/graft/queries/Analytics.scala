@@ -192,7 +192,11 @@ object Analytics {
     * and share: the distribution profile an ingest QA step publishes.
     * Bucketing is one exact FP op on the stored double (identical both
     * engines); counts are integers; share is a single int/int division
-    * — no rounding anywhere.
+    * — no rounding anywhere. Oracle note: DuckDB sum(BIGINT) returns
+    * HUGEINT, whose Arrow/pandas export is version-dependent (double in
+    * 1.0, decimal128 later) — every integral aggregate the oracle EMITS
+    * must be CAST to BIGINT or the driver's hash diverges (round-5
+    * lesson: this exact column).
     */
   def q79Histogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -208,8 +212,9 @@ object Analytics {
 
   val q79Sql: String =
     """SELECT bucket_lo, n,
-      |  sum(n) OVER (ORDER BY bucket_lo ROWS UNBOUNDED PRECEDING) AS cum_n,
-      |  CAST(n AS DOUBLE) / sum(n) OVER () AS share
+      |  CAST(sum(n) OVER (ORDER BY bucket_lo ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS BIGINT) AS share
       |FROM (
       |  SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) * 25000 AS bucket_lo,
       |    count(*) AS n
@@ -397,7 +402,7 @@ object Analytics {
       |    ORDER BY pt ROWS UNBOUNDED PRECEDING) AS conc
       |  FROM g)
       |SELECT event_type, date_trunc('day', make_timestamp(pt)) AS day,
-      |  max(conc) AS max_concurrency
+      |  CAST(max(conc) AS BIGINT) AS max_concurrency
       |FROM r GROUP BY event_type, date_trunc('day', make_timestamp(pt))""".stripMargin
 
   /** q84_retention — weekly cohort retention: users bucketed by first

@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * engines where possible; order-dependent FP aggregates (corr, stddev
   * over doubles) are decimal-rounded on both sides; any COMPARISON
   * against an FP-derived boundary compares against the decimal-rounded
-  * boundary so the branch is engine-independent.
+  * boundary so the branch is engine-independent. Type discipline
+  * (round-5 lesson): DuckDB sum(BIGINT/INTEGER) yields HUGEINT whose
+  * client export changed across DuckDB versions — every integral
+  * aggregate an oracle EMITS is CAST to BIGINT so both engines hand
+  * the checker int64.
   */
 object Quant {
 
@@ -115,7 +119,7 @@ object Quant {
       |SELECT event_type,
       |  max(CASE WHEN dir = 1 THEN run_len END) AS max_up_streak,
       |  max(CASE WHEN dir = -1 THEN run_len END) AS max_down_streak,
-      |  sum(run_len) + 1 AS n_days
+      |  CAST(sum(run_len) + 1 AS BIGINT) AS n_days
       |FROM lens GROUP BY event_type""".stripMargin
 
   /** q117_cross_corr — lead-lag cross-correlation between every pair of
@@ -391,8 +395,8 @@ object Quant {
       |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
       |      ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM t)
-      |SELECT source, (cum - n_tok) // 2000 AS bin_id,
-      |  count(*) AS n_docs, sum(n_tok) AS tok_total,
+      |SELECT source, (CAST(cum AS BIGINT) - n_tok) // 2000 AS bin_id,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_total,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2""".stripMargin
 
@@ -437,8 +441,8 @@ object Quant {
       |    CAST(round(CAST(m - 2.0 * sd AS DECIMAL(28,12)), 6) AS DOUBLE) AS lb
       |  FROM w WHERE rn >= 20)
       |SELECT user_id, count(*) AS n_obs,
-      |  sum(CASE WHEN value > ub THEN 1 ELSE 0 END) AS n_above,
-      |  sum(CASE WHEN value < lb THEN 1 ELSE 0 END) AS n_below
+      |  CAST(sum(CASE WHEN value > ub THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |  CAST(sum(CASE WHEN value < lb THEN 1 ELSE 0 END) AS BIGINT) AS n_below
       |FROM b GROUP BY user_id""".stripMargin
 
   /** q127_skew_profile — join-key skew audit: the 10 hottest l_partkey
