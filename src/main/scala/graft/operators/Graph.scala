@@ -12,14 +12,27 @@ import org.apache.spark.sql.functions._
   * Scale design: the per-iteration state (rank / visited frontier) is
   * one row per VERTEX while edges stay put — at sf0.1 the vertex frame
   * broadcasts and the edge table never shuffles; at billions of
-  * vertices the same plans run with the broadcast hint dropped (both
+  * vertices the SAME plans run with the broadcast hint dropped (both
   * sides hash-partition on the join key, and the iteration reuses that
-  * partitioning). Iterations are bounded and small (5 and 3), so plain
-  * chained lineage stays shallow — each iteration materializes via
-  * localCheckpoint to keep the growing plan from re-optimizing the
-  * whole history every step.
+  * partitioning). The hint is not hardcoded: `broadcastState` selects
+  * the path explicitly, and when unset each operator derives it from
+  * the measured vertex count against `BroadcastVertexLimit`, so a
+  * billion-vertex graph automatically takes the shuffle path instead
+  * of collecting vertex state to the driver. Iterations are bounded
+  * and small (5 and 3), so plain chained lineage stays shallow — each
+  * iteration materializes via localCheckpoint to keep the growing plan
+  * from re-optimizing the whole history every step.
   */
 object Graph {
+
+  /** Vertex-state rows above which the iteration joins switch from
+    * broadcast to shuffle. 5M rows of (key, rank/hop) is ~100 MB
+    * serialized — comfortably under Spark's 8 GB broadcast hard limit
+    * and small enough to ship to every executor once per iteration;
+    * past it, shipping beats nothing but a hash-partitioned join
+    * that co-locates with the (already partitioned) edge list.
+    */
+  val BroadcastVertexLimit: Long = 5L * 1000 * 1000
 
   /** Undirected-as-symmetric co-occurrence edges: distinct (src, dst)
     * part pairs sharing an order. The self-join is bounded by basket
@@ -52,7 +65,8 @@ object Graph {
     * at 10 digits — noise after 5 iterations is ≤1e-13 relative).
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               broadcastState: Option[Boolean] = None): DataFrame = {
     // the edge list is built EXACTLY ONCE: persist first, then the
     // eager deg checkpoint materializes the cache as a side effect, and
     // every iteration joins the cached frame. (An earlier version
@@ -67,16 +81,19 @@ object Graph {
       "pageRank: empty edge list — every vertex needs >= 1 edge " +
         "(an n=0 teleport term would silently yield Infinity ranks)")
     val teleport = (1.0 - damping) / n
+    // n is already measured for the teleport term, so the auto choice
+    // is free: vertex state broadcasts only while it provably fits
+    val st = stateHint(broadcastState.getOrElse(n <= BroadcastVertexLimit))
     var rank = deg.select(col("part"), lit(1.0 / n).as("pr"))
     for (i <- 1 to iterations) {
       // rank⋈deg is vertex-sized (two checkpointed locals) — building
       // it per pass is noise next to touching the edge list even once
       val contrib = cached
-        .join(broadcast(rank.join(deg, "part")), col("src") === col("part"))
+        .join(st(rank.join(deg, "part")), col("src") === col("part"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
       rank = deg.select(col("part"))
-        .join(broadcast(contrib), col("part") === col("dst"), "left")
+        .join(st(contrib), col("part") === col("dst"), "left")
         .select(col("part"),
           (lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)))
             .as("pr"))
@@ -96,19 +113,26 @@ object Graph {
     * traversal order, so ANY engine agrees bit-for-bit.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame,
-              maxHops: Int = 3): DataFrame = {
+              maxHops: Int = 3,
+              broadcastState: Option[Boolean] = None): DataFrame = {
     val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // visited can only grow to the vertex count; a plain edge-row count
+    // (no shuffle, one scan of the cache being built anyway) is a safe
+    // UPPER bound on it, so "count small → broadcast" never over-ships
+    // and a huge graph conservatively takes the shuffle path
+    val st = stateHint(broadcastState.getOrElse(
+      cached.count() <= BroadcastVertexLimit))
     var visited = seeds.select(col("part"), lit(0).as("hop")).distinct()
     var frontier = visited.select(col("part"))
     for (h <- 1 to maxHops) {
       val next = cached
-        .join(broadcast(frontier.withColumnRenamed("part", "f_part")),
+        .join(st(frontier.withColumnRenamed("part", "f_part")),
           col("src") === col("f_part"))
         .select(col("dst").as("part")).distinct()
         // visited is vertex-sized but checkpoint stats under-inform the
-        // planner — force the broadcast or this anti-join sort-merges
-        // the whole adjacency expansion every hop
-        .join(broadcast(visited.select(col("part"))), Seq("part"), "left_anti")
+        // planner — force the broadcast (when chosen) or this anti-join
+        // sort-merges the whole adjacency expansion every hop
+        .join(st(visited.select(col("part"))), Seq("part"), "left_anti")
         .localCheckpoint(eager = false)
       visited = visited.union(next.select(col("part"), lit(h).as("hop")))
       frontier = next
@@ -117,4 +141,12 @@ object Graph {
     cached.unpersist(blocking = false)
     out
   }
+
+  /** Broadcast the vertex-state side of an iteration join, or leave it
+    * to hash-partition with the edge list when the state is too large
+    * to ship. Identical results either way — only the physical join
+    * strategy changes.
+    */
+  private def stateHint(bcast: Boolean): DataFrame => DataFrame =
+    if (bcast) broadcast(_) else identity
 }

@@ -55,6 +55,35 @@ class GraphSpec extends SparkTestBase {
     assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2), hops.toString)
   }
 
+  test("pageRank shuffle path (broadcastState=false) matches the broadcast path") {
+    val e = operators.Graph.coOrderEdges(
+      Tables.lineitem(spark, sf).limit(2000))
+    val bc = operators.Graph.pageRank(e, iterations = 3,
+        broadcastState = Some(true))
+      .select($"part", round($"pr", 10).as("pr"))
+      .as[(Long, Double)].collect().toMap
+    val sh = operators.Graph.pageRank(e, iterations = 3,
+        broadcastState = Some(false))
+      .select($"part", round($"pr", 10).as("pr"))
+      .as[(Long, Double)].collect().toMap
+    // only the physical join strategy differs; the contribution sums
+    // may associate differently, so compare decimal-rounded ranks
+    assert(bc.keySet == sh.keySet)
+    assert(bc.forall { case (k, v) => math.abs(sh(k) - v) < 1e-9 },
+      "shuffle-path ranks diverge from broadcast-path ranks")
+  }
+
+  test("bfsHops shuffle path (broadcastState=false) matches the broadcast path exactly") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("part")
+    val bc = operators.Graph.bfsHops(edges, seeds, maxHops = 3,
+      broadcastState = Some(true)).as[(Long, Int)].collect().toMap
+    val sh = operators.Graph.bfsHops(edges, seeds, maxHops = 3,
+      broadcastState = Some(false)).as[(Long, Int)].collect().toMap
+    assert(bc == sh, s"$bc vs $sh")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged and treats NULL transitions as CHANGED") {
     val a = Seq((1L, Some("O"), 10.0), (2L, Some("F"), 20.0),
       (3L, Some("O"), 30.0), (4L, None: Option[String], 40.0))
