@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global ranking: per-group row numbers (and group totals)
+  * without ever putting a whole group in one task.
+  *
+  * A plain `row_number() OVER (PARTITION BY g ORDER BY k)` hash-
+  * partitions on g — with a low-cardinality g (an event_type, an
+  * exchange code) each partition is ONE task holding 1/|g| of the
+  * table, which stalls at 100 TB no matter how many executors exist.
+  * This operator runs the classic two-pass shape instead:
+  *
+  *   1. range-repartition on (g, k): rows land in P globally ordered
+  *      slices, each slice a normal-sized task;
+  *   2. count rows per (slice, g) — a P×|g|-row frame — and turn it
+  *      into per-slice prefix offsets with a window over that TINY
+  *      frame;
+  *   3. rank locally within (slice, g) and add the broadcast offset.
+  *
+  * The per-(slice, g) window is keyed on P×|g| values, so parallelism
+  * scales with P, not |g|. Output is identical to the single-window
+  * form whenever (g, k) is a total order (callers pass a unique
+  * tiebreaker — ties could otherwise land in either of two adjacent
+  * slices and renumber within the tie run).
+  */
+object Rank {
+
+  /** Adds `rankCol` (1-based global row number within each group, long)
+    * and `totalCol` (group row count, long) to `df`. `order` columns
+    * together with `group` must form a total order over the rows.
+    */
+  def groupRowNumber(df: DataFrame, group: Seq[String], order: Seq[String],
+                     rankCol: String = "rn",
+                     totalCol: String = "n_total"): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val composite = (group ++ order).map(col)
+    // one range exchange; the counts branch and the final join both
+    // read it, and Spark reuses the exchange (one shuffle, two readers)
+    val ranged = df.repartitionByRange(p, composite: _*)
+      .withColumn("__slice", spark_partition_id())
+    val sliceKey = "__slice" +: group
+    val counts = ranged.groupBy(sliceKey.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    // both windows run over the P×|groups| counts frame — driver-scale
+    val wOff = Window.partitionBy(group.map(col): _*).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(group.map(col): _*)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .withColumn(totalCol, sum(col("__cnt")).over(wTot))
+      .drop("__cnt")
+    val wLocal = Window.partitionBy(sliceKey.map(col): _*)
+      .orderBy(order.map(col): _*)
+    ranged.join(broadcast(offsets), sliceKey)
+      .withColumn(rankCol, row_number().over(wLocal).cast("long") + col("__off"))
+      .drop("__slice")
+  }
+
+  /** SQL-standard ntile bucket from a global rank and group total:
+    * n mod k leading buckets of size ceil(n/k), the rest floor(n/k) —
+    * exactly Spark's and DuckDB's ntile, as pure integer arithmetic,
+    * so it composes with [[groupRowNumber]] into a scalable ntile.
+    */
+  def ntileFromRank(rank: Column, total: Column, k: Int): Column = {
+    val q = ldiv(total, lit(k.toLong))
+    val rem = total - q * k
+    val big = q + 1L
+    // guard the small-bucket divisor: when q = 0 (fewer rows than
+    // buckets) every row takes the big-bucket branch, but Spark still
+    // evaluates the other branch's expression under ANSI mode
+    val qSafe = greatest(q, lit(1L))
+    (when(rank <= big * rem, ldiv(rank - 1, big))
+      .otherwise(rem + ldiv(rank - 1 - big * rem, qSafe)) + 1)
+      .cast("int")
+  }
+
+  /** Exact long floor-division for non-negative operands: `/` on longs
+    * promotes to double, whose quotient can misround next to 2^52 —
+    * subtracting the remainder first keeps every step in exact integer
+    * arithmetic.
+    */
+  private def ldiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  /** percent_rank from a global rank over a TOTAL order (no ties):
+    * (rank−1)/(n−1), with the SQL-standard 0.0 for single-row groups.
+    * Division happens on identical integer-derived operands in any
+    * engine — bit-exact, no rounding needed.
+    */
+  def percentRankFromRank(rank: Column, total: Column): Column =
+    when(total > 1,
+      (rank - 1).cast("double") / (total - 1).cast("double"))
+      .otherwise(lit(0.0))
+}

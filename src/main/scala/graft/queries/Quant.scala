@@ -487,14 +487,21 @@ object Quant {
     * features or monotonic calibration), with per-bin stats. ntile's
     * bucket boundaries are pure integer arithmetic over the row count;
     * the (value, event_id) tiebreak makes the assignment total-order
-    * deterministic across engines.
+    * deterministic across engines. event_type has ~5 values, so a
+    * plain `ntile() OVER (PARTITION BY event_type)` would put 20% of
+    * the table in ONE task — instead Rank.groupRowNumber range-
+    * partitions the sort and merges per-slice offsets, and the decile
+    * is the same integer formula DuckDB's ntile applies to that rank.
     */
   def q128NtileBins(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wOrd = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-    Tables.events(spark, dir)
-      .select($"event_type", $"event_id", $"value")
-      .withColumn("decile", ntile(10).over(wOrd))
+    val ranked = graft.operators.Rank.groupRowNumber(
+      Tables.events(spark, dir).select($"event_type", $"event_id", $"value"),
+      group = Seq("event_type"), order = Seq("value", "event_id"),
+      rankCol = "r", totalCol = "n_total")
+    ranked
+      .withColumn("decile",
+        graft.operators.Rank.ntileFromRank($"r", $"n_total", 10))
       .groupBy($"event_type", $"decile")
       .agg(count(lit(1)).as("n"), min($"value").as("min_v"),
         max($"value").as("max_v"), decRound(avg($"value"), 4).as("avg_v"))
@@ -649,15 +656,19 @@ object Quant {
     * the distribution-free normalization (vs q109's min-max) robust to
     * outliers. percent_rank is pure integer-rank arithmetic over a
     * total order ((value, event_id) tiebreak), so the division is on
-    * identical integer operands — bit-exact, no rounding needed; one
-    * keyed sort-window.
+    * identical integer operands — bit-exact, no rounding needed. Like
+    * q128, the rank comes from Rank.groupRowNumber so no task ever
+    * holds a whole event_type partition.
     */
   def q133RankNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wOrd = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-    Tables.events(spark, dir)
-      .select($"event_type", $"event_id", $"value")
-      .withColumn("rank_norm", percent_rank().over(wOrd))
+    graft.operators.Rank.groupRowNumber(
+      Tables.events(spark, dir).select($"event_type", $"event_id", $"value"),
+      group = Seq("event_type"), order = Seq("value", "event_id"),
+      rankCol = "r", totalCol = "n_total")
+      .withColumn("rank_norm",
+        graft.operators.Rank.percentRankFromRank($"r", $"n_total"))
+      .select($"event_type", $"event_id", $"value", $"rank_norm")
   }
 
   val q133Sql: String =

@@ -71,6 +71,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("scalable rank never windows a bare low-cardinality partition (q128/q133)") {
+    // event_type has ~5 values; a window hash-partitioned on it alone
+    // means one task per type holding 20% of the table. The two-pass
+    // rank range-partitions first, so every data-sized Window operator
+    // must be keyed on (__slice, event_type) — the tiny offsets frame
+    // (P×|types| rows) is the only one allowed to window per-type.
+    for (q <- Seq("q128_ntile_bins", "q133_rank_normalize")) {
+      val p = plan(q)
+      assert(p.contains("rangepartitioning"),
+        s"$q: range repartition missing\n$p")
+      val rowWindows = p.linesIterator
+        .filter(l => l.contains("windowspecdefinition") && l.contains("row_number"))
+      assert(rowWindows.forall(_.contains("__slice")),
+        s"$q: data-sized window not sliced\n$p")
+    }
+  }
+
   test("top-n per group pushes the rank limit below the shuffle") {
     val p = plan("q78_topn_per_group")
     // agg-first + integer keys let Spark apply WindowGroupLimit on the

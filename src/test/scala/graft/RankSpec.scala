@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Differential tests for the two-pass scalable rank (q128/q133
+  * machinery): on data small enough for the single-window form, the
+  * range-partitioned rank must reproduce Spark's own window functions
+  * bit-for-bit — same integer ranks, same ntile buckets, same
+  * percent_rank doubles.
+  */
+class RankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val ev = Tables.events(spark, sf)
+    .select($"event_type", $"event_id", $"value")
+
+  private lazy val wOrd =
+    Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+
+  test("groupRowNumber matches the native per-group window row_number") {
+    val twoPass = operators.Rank.groupRowNumber(ev,
+      Seq("event_type"), Seq("value", "event_id"), "r", "n_total")
+    val native = ev
+      .withColumn("r_native", row_number().over(wOrd).cast("long"))
+      .withColumn("n_native",
+        count(lit(1)).over(Window.partitionBy($"event_type")))
+    val joined = twoPass.join(native, Seq("event_type", "event_id", "value"))
+    assert(joined.count() == ev.count(), "join lost rows")
+    assert(joined.filter($"r" =!= $"r_native" ||
+      $"n_total" =!= $"n_native").count() == 0,
+      "two-pass rank diverges from native window")
+  }
+
+  test("ntileFromRank and percentRankFromRank match native ntile/percent_rank") {
+    val twoPass = operators.Rank.groupRowNumber(ev,
+      Seq("event_type"), Seq("value", "event_id"), "r", "n_total")
+      .withColumn("dec", operators.Rank.ntileFromRank($"r", $"n_total", 10))
+      .withColumn("pr", operators.Rank.percentRankFromRank($"r", $"n_total"))
+    val native = ev
+      .withColumn("dec_native", ntile(10).over(wOrd))
+      .withColumn("pr_native", percent_rank().over(wOrd))
+    val joined = twoPass.join(native, Seq("event_type", "event_id", "value"))
+    // percent_rank compares EXACTLY: both are (r-1)/(n-1) on identical
+    // integer operands, so the doubles must be bit-equal
+    assert(joined.filter($"dec" =!= $"dec_native" ||
+      $"pr" =!= $"pr_native").count() == 0,
+      "derived ntile/percent_rank diverge from native window functions")
+  }
+
+  test("ntileFromRank follows the SQL bucket-size rule when rows < buckets and on remainders") {
+    // 13 rows, 5 buckets: sizes 3,3,3,2,2
+    val sizes = (1 to 13).map(r =>
+      ((r, 13), ())).map(_._1)
+    val df = sizes.toDF("r", "n")
+      .select(operators.Rank.ntileFromRank($"r".cast("long"),
+        $"n".cast("long"), 5).as("b"))
+    val got = df.groupBy($"b").count().orderBy($"b")
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 3L), (2, 3L), (3, 3L), (4, 2L), (5, 2L)), got.toString)
+    // 3 rows, 10 buckets: each row its own leading bucket
+    val tiny = (1 to 3).map(r => (r.toLong, 3L)).toDF("r", "n")
+      .select(operators.Rank.ntileFromRank($"r", $"n", 10).as("b"))
+      .as[Int].collect().toSeq
+    assert(tiny == Seq(1, 2, 3), tiny.toString)
+  }
+}
