@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOf, Bitemporal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Security-master reference-data pipelines (SURVEY §2, q135–q138):
+  * point-in-time symbology resolution, corporate-action back-
+  * adjustment, trading-calendar completeness, and bitemporal
+  * corrections — the four capabilities a reference-data consumer uses
+  * daily on top of the raw time-series operators (q21–q30).
+  *
+  * The events table plays the securities feed: user_id is the
+  * security, 'signup' rows are reference/action records, 'purchase'
+  * rows are trades. Every plan shuffles on user_id (high-cardinality)
+  * or joins a broadcast dim — no low-cardinality windows. FP and type
+  * discipline follow the module-wide rules: ln/exp chains stay in one
+  * pinned-order window sum; integral aggregates are CAST to BIGINT at
+  * oracle emission.
+  */
+object SecurityMaster {
+
+  private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
+    graft.functions.Num.decRound(c, scale)
+
+  /** q135_symbology — point-in-time identifier cross-reference: each
+    * user's signup stream mints successive symbols (SCD2-style epochs:
+    * symbol i is in effect from its signup until the next), trades
+    * resolve the symbol in effect AT trade time via the as-of join,
+    * and the rollup reports per-symbol trade totals. Same-instant
+    * signups dedupe to the latest record first (q29 shape) so both
+    * engines see a unique epoch per (user, ts). One keyed window for
+    * the dim + the single-exchange as-of plan; the rollup groups on
+    * the same user key, so the fact table shuffles once end to end.
+    */
+  def q135Symbology(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val wDedup = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val xref = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("dup", row_number().over(wDedup)).filter($"dup" === 1)
+      .withColumn("seq", row_number().over(wSeq))
+      .select($"user_id", $"ts".as("eff_from"),
+        concat(lit("SYM-"), $"user_id", lit("-"), $"seq").as("symbol"))
+    val trades = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    AsOf.join(trades, xref, key = "user_id",
+        leftTs = "ts", rightTs = "eff_from",
+        rightVals = Seq("symbol" -> "symbol"))
+      .groupBy($"user_id", $"symbol")
+      .agg(count(lit(1)).as("n_trades"),
+        round(sum($"value"), 2).as("total_value"))
+  }
+
+  val q135Sql: String =
+    """WITH su AS (
+      |  SELECT user_id, ts, event_id FROM (
+      |    SELECT user_id, ts, event_id,
+      |      row_number() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) AS dup
+      |    FROM events WHERE event_type = 'signup')
+      |  WHERE dup = 1),
+      |x AS (
+      |  SELECT user_id, ts AS eff_from,
+      |    'SYM-' || user_id || '-' ||
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS symbol
+      |  FROM su),
+      |t AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT t.user_id, x.symbol, count(*) AS n_trades,
+      |  round(sum(t.value), 2) AS total_value
+      |FROM t ASOF JOIN x
+      |  ON t.user_id = x.user_id AND t.ts >= x.eff_from
+      |GROUP BY t.user_id, x.symbol""".stripMargin
+
+  /** q136_corp_actions — corporate-action back-adjustment: signup rows
+    * are the action feed (factor 1 + value/1000, the q25 convention),
+    * daily closes come from the purchase stream, and each bar's
+    * adjusted close multiplies in every action AFTER its day. The
+    * suffix log-factor is a per-user DESCENDING cumulative window over
+    * the (tiny) action frame — a pinned summation order both engines
+    * replay bit-identically — and bars pick it up with one forward
+    * as-of join, so the adjustment is O(bars + actions) with no
+    * quadratic action×bar product. Emitted in log space at 6dp (the
+    * q25 discipline) plus the exp-applied close at 4dp.
+    */
+  def q136CorpActions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val wBar = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val bars = ev.filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(wBar)).filter($"rn" === 1)
+      .select($"user_id", $"day", $"value".as("close"),
+        ($"day" + expr("interval 1 day")).as("bar_end"))
+    val wDedup = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val wSfx = Window.partitionBy($"user_id").orderBy($"ts".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val actions = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("dup", row_number().over(wDedup)).filter($"dup" === 1)
+      .withColumn("lf", log(lit(1.0) + $"value" / 1000.0))
+      .withColumn("sfx", sum($"lf").over(wSfx))
+      .select($"user_id", $"ts", $"sfx")
+    AsOf.join(bars, actions, key = "user_id",
+        leftTs = "bar_end", rightTs = "ts",
+        rightVals = Seq("sfx" -> "sfx"),
+        inner = false, direction = "forward")
+      .select($"user_id", $"day", $"close",
+        decRound(coalesce($"sfx", lit(0.0)), 6).as("log_adj"),
+        decRound($"close" * exp(coalesce($"sfx", lit(0.0))), 4).as("adj_close"))
+  }
+
+  val q136Sql: String =
+    """WITH bars AS (
+      |  SELECT user_id, day, value AS close, day + INTERVAL 1 DAY AS bar_end
+      |  FROM (
+      |    SELECT user_id, date_trunc('day', ts) AS day, value,
+      |      row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase')
+      |  WHERE rn = 1),
+      |su AS (
+      |  SELECT user_id, ts, ln(1.0 + value / 1000.0) AS lf FROM (
+      |    SELECT user_id, ts, value,
+      |      row_number() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) AS dup
+      |    FROM events WHERE event_type = 'signup')
+      |  WHERE dup = 1),
+      |actions AS (
+      |  SELECT user_id, ts,
+      |    sum(lf) OVER (PARTITION BY user_id ORDER BY ts DESC
+      |      ROWS UNBOUNDED PRECEDING) AS sfx
+      |  FROM su)
+      |SELECT b.user_id, b.day, b.close,
+      |  CAST(round(CAST(coalesce(a.sfx, 0.0) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS log_adj,
+      |  CAST(round(CAST(b.close * exp(coalesce(a.sfx, 0.0))
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS adj_close
+      |FROM bars b LEFT JOIN LATERAL (
+      |  SELECT sfx FROM actions a
+      |  WHERE a.user_id = b.user_id AND a.ts >= b.bar_end
+      |  ORDER BY a.ts ASC LIMIT 1) a ON true""".stripMargin
+
+  /** q137_trading_calendar — calendar-aware completeness audit: the
+    * exchange calendar (weekdays minus month-first holidays, generated
+    * from the global data span) is a tiny broadcast dim; each user's
+    * expected trading days are the calendar days inside their own
+    * activity span, and users missing any expected day are reported
+    * with the gap count and first missing session. This is q26's gap
+    * detector made calendar-aware — weekends and holidays stop firing
+    * false alerts. The fact table contributes one distinct-presence
+    * aggregate and one span aggregate, both keyed on user_id; the
+    * calendar join is broadcast, so nothing data-sized shuffles twice.
+    */
+  def q137TradingCalendar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+    val present = days.distinct()
+    val spine = days.agg(min($"day").as("mn"), max($"day").as("mx"))
+      .select(explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("day"))
+      .filter(dayofweek($"day").between(2, 6) && dayofmonth($"day") =!= 1)
+    val span = days.groupBy($"user_id")
+      .agg(min($"day").as("umn"), max($"day").as("umx"))
+    val expected = span.join(broadcast(spine),
+      $"day".between($"umn", $"umx"))
+    val nExp = expected.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_expected"))
+    val missing = expected.select($"user_id", $"day")
+      .join(present, Seq("user_id", "day"), "left_anti")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_missing"), min($"day").as("first_missing"))
+    nExp.join(missing, "user_id")
+      .select($"user_id", $"n_expected",
+        ($"n_expected" - $"n_missing").as("n_present"),
+        $"n_missing", $"first_missing")
+  }
+
+  val q137Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+      |span AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+      |trading AS (
+      |  SELECT day FROM (
+      |    SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      |    FROM span)
+      |  WHERE isodow(day) BETWEEN 1 AND 5 AND extract(day FROM day) <> 1),
+      |uspan AS (
+      |  SELECT user_id, min(day) AS umn, max(day) AS umx FROM d GROUP BY 1),
+      |expected AS (
+      |  SELECT u.user_id, t.day FROM uspan u
+      |  JOIN trading t ON t.day BETWEEN u.umn AND u.umx),
+      |present AS (SELECT DISTINCT user_id, day FROM d),
+      |missing AS (
+      |  SELECT e.user_id, e.day FROM expected e
+      |  WHERE NOT EXISTS (SELECT 1 FROM present p
+      |    WHERE p.user_id = e.user_id AND p.day = e.day)),
+      |ne AS (SELECT user_id, count(*) AS n_expected FROM expected GROUP BY 1),
+      |nm AS (SELECT user_id, count(*) AS n_missing, min(day) AS first_missing
+      |       FROM missing GROUP BY 1)
+      |SELECT ne.user_id, ne.n_expected,
+      |  ne.n_expected - nm.n_missing AS n_present,
+      |  nm.n_missing, nm.first_missing
+      |FROM ne JOIN nm ON ne.user_id = nm.user_id""".stripMargin
+
+  /** q138_bitemporal — valid-time × transaction-time corrections audit:
+    * each event corrects a (user, day) fact at knowledge time ts, with
+    * the VALID day lagging the record time by 0–2 days (event_id mod 3
+    * — the deterministic stand-in for a feed that restates recent
+    * sessions); the query rebuilds the snapshot "as known at" the
+    * start of the last feed day and compares it with the final state —
+    * which facts were believed differently, how many corrections ever
+    * arrived, how many landed after the cutoff. See [[Bitemporal]];
+    * everything is the one (user, day)-keyed shuffle, with the scalar
+    * cutoff riding in as a broadcast single-row frame.
+    */
+  def q138Bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("date_trunc('day', ts) - make_dt_interval(cast(event_id % 3 as int), 0, 0, 0)")
+          .as("day"),
+        $"ts", $"event_id", $"value")
+    val cut = base.agg(date_trunc("day", max($"ts")).as("kts"))
+    val iv = Bitemporal.intervals(base.crossJoin(broadcast(cut)),
+      keys = Seq("user_id"), validTs = "day", txTs = "ts", tie = "event_id")
+    val fin = iv.filter($"tx_to".isNull)
+      .select($"user_id", $"day", $"value".as("final_value"))
+    val known = Bitemporal.asKnownAt(iv, "ts", $"kts")
+      .select($"user_id", $"day", $"value".as("known_value"))
+    val stats = base.crossJoin(broadcast(cut))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_corrections"),
+        sum(when($"ts" > $"kts", 1L).otherwise(0L)).as("n_late"))
+    stats.join(fin, Seq("user_id", "day"))
+      .join(known, Seq("user_id", "day"), "left_outer")
+      .select($"user_id", $"day", $"final_value", $"known_value",
+        $"n_corrections", $"n_late",
+        when($"known_value".isNotNull && $"known_value" =!= $"final_value",
+          1).otherwise(0).as("revised"))
+  }
+
+  val q138Sql: String =
+    """WITH base AS (
+      |  SELECT user_id,
+      |    date_trunc('day', ts) - (event_id % 3) * INTERVAL 1 DAY AS day,
+      |    ts, event_id, value
+      |  FROM events),
+      |k AS (SELECT date_trunc('day', max(ts)) AS kts FROM base),
+      |iv AS (
+      |  SELECT user_id, day, ts, value,
+      |    lead(ts) OVER (PARTITION BY user_id, day ORDER BY ts, event_id)
+      |      AS tx_to
+      |  FROM base),
+      |fin AS (
+      |  SELECT user_id, day, value AS final_value FROM iv WHERE tx_to IS NULL),
+      |known AS (
+      |  SELECT user_id, day, value AS known_value FROM iv, k
+      |  WHERE ts <= kts AND (tx_to IS NULL OR kts < tx_to)),
+      |stats AS (
+      |  SELECT user_id, day, count(*) AS n_corrections,
+      |    CAST(sum(CASE WHEN ts > (SELECT kts FROM k) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_late
+      |  FROM base GROUP BY 1, 2)
+      |SELECT s.user_id, s.day, f.final_value, kn.known_value,
+      |  s.n_corrections, s.n_late,
+      |  CASE WHEN kn.known_value IS NOT NULL
+      |        AND kn.known_value <> f.final_value THEN 1 ELSE 0 END AS revised
+      |FROM stats s
+      |JOIN fin f ON s.user_id = f.user_id AND s.day = f.day
+      |LEFT JOIN known kn ON s.user_id = kn.user_id AND s.day = kn.day""".stripMargin
+}

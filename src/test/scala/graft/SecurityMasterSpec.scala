@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computable fixtures for the security-master batch (q135–q138)
+  * and the Bitemporal operator's late-correction contract. Value-level
+  * correctness at data scale is the DuckDB oracle gate; these pin the
+  * semantics on scenarios small enough to reason through.
+  */
+class SecurityMasterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_synth").toString
+    rows.map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val day = 86400L * 1000000L
+  private def d(epochDay: Long, hour: Long = 0L): Long =
+    epochDay * day + hour * 3600L * 1000000L
+
+  test("q135 symbology resolves each trade to the identifier epoch in effect at trade time") {
+    // user 1: symbols minted on day 1 and day 10; trades on day 0 (no
+    // symbol yet -> dropped), day 5 (epoch 1), day 12 twice (epoch 2)
+    val rows = Seq(
+      (1L, d(1), 1L, "signup", 0.0),
+      (2L, d(10), 1L, "signup", 0.0),
+      (3L, d(0), 1L, "purchase", 10.0),
+      (4L, d(5), 1L, "purchase", 20.0),
+      (5L, d(12), 1L, "purchase", 30.0),
+      (6L, d(12, 6), 1L, "purchase", 40.0))
+    val got = SparkEntry.queries("q135_symbology")(spark, writeEvents(rows))
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got == Map("SYM-1-1" -> ((1L, 20.0)), "SYM-1-2" -> ((2L, 70.0))),
+      got.toString)
+  }
+
+  test("q136 adjusts closes before an action by its factor and leaves later bars raw") {
+    // bars on day 1 and day 3; a 2x action (value 1000 -> factor 2)
+    // lands midday on day 2: day 1's close doubles, day 3's does not
+    val rows = Seq(
+      (1L, d(1, 12), 1L, "purchase", 100.0),
+      (2L, d(3, 12), 1L, "purchase", 50.0),
+      (3L, d(2, 12), 1L, "signup", 1000.0))
+    val got = SparkEntry.queries("q136_corp_actions")(spark, writeEvents(rows))
+      .as[(Long, java.sql.Timestamp, Double, Double, Double)].collect()
+      .map(r => r._2.toInstant.getEpochSecond / 86400L -> ((r._3, r._4, r._5)))
+      .toMap
+    assert(got(1L) == ((100.0, 0.693147, 200.0)), got.toString)
+    assert(got(3L) == ((50.0, 0.0, 50.0)), got.toString)
+  }
+
+  test("q137 counts only weekday non-holiday sessions and pins the first missing day") {
+    // 2024-01-08..12 is Mon..Fri (none is a month-first holiday);
+    // user 1 is silent on Wed the 10th only. Weekend days 13/14 are
+    // outside the span anyway; day 8 starts the span.
+    val jan8 = java.time.LocalDate.of(2024, 1, 8).toEpochDay
+    val present = Seq(0L, 1L, 3L, 4L) // Mon Tue Thu Fri offsets
+    val rows = present.zipWithIndex.map { case (off, i) =>
+      ((i + 1).toLong, d(jan8 + off, 9), 1L, "view", 1.0) }
+    val got = SparkEntry.queries("q137_trading_calendar")(spark, writeEvents(rows))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)].collect()
+    assert(got.length == 1, got.toSeq.toString)
+    val r = got.head
+    assert((r._1, r._2, r._3, r._4) == ((1L, 5L, 4L, 1L)), r.toString)
+    assert(r._5.toInstant.getEpochSecond == (jan8 + 2) * 86400L, r.toString)
+  }
+
+  test("q138 separates what was known at the cutoff from the final corrected state") {
+    // event_id % 3 back-dates the valid day: id 3 records day D1 on D1,
+    // id 5 RESTATES day D1 two days later (tx on D3), id 6 records D3
+    // itself. Cutoff = start of D3: fact D1 was believed 1.0 (revised
+    // to 2.0 after), fact D3 wasn't known at all.
+    val D1 = 11L; val D3 = 13L
+    val rows = Seq(
+      (3L, d(D1, 10), 1L, "view", 1.0),   // valid D1, tx D1 10:00
+      (5L, d(D3, 9), 1L, "view", 2.0),    // valid D1 (13-2), tx D3 09:00
+      (6L, d(D3, 12), 1L, "view", 9.0))   // valid D3, tx D3 12:00
+    val got = SparkEntry.queries("q138_bitemporal")(spark, writeEvents(rows))
+      .as[(Long, java.sql.Timestamp, Double, Option[Double], Long, Long, Int)]
+      .collect()
+      .map(r => r._2.toInstant.getEpochSecond / 86400L ->
+        ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got(D1) == ((2.0, Some(1.0), 2L, 1L, 1)), got.toString)
+    assert(got(D3) == ((9.0, None, 1L, 1L, 0)), got.toString)
+  }
+
+  test("Bitemporal: corrections recorded after K cannot change the as-known-at-K snapshot") {
+    val hist = Tables.events(spark, sf)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        $"ts", $"event_id", $"value")
+    val kts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    val early = hist.filter($"ts" <= lit(kts))
+    val full = operators.Bitemporal.asKnownAt(
+      operators.Bitemporal.intervals(hist, Seq("user_id"), "day", "ts", "event_id"),
+      "ts", lit(kts))
+    val truncated = operators.Bitemporal.asKnownAt(
+      operators.Bitemporal.intervals(early, Seq("user_id"), "day", "ts", "event_id"),
+      "ts", lit(kts))
+    val cols = Seq("user_id", "day", "ts", "value")
+    assert(full.select(cols.map(col): _*)
+      .exceptAll(truncated.select(cols.map(col): _*)).count() == 0)
+    assert(truncated.select(cols.map(col): _*)
+      .exceptAll(full.select(cols.map(col): _*)).count() == 0)
+  }
+}
