@@ -29,17 +29,21 @@ object Ingest {
 
   final case class IngestResult(newFiles: Seq[String], rowsIngested: Long)
 
-  /** Ingest any not-yet-seen `*.parquet` files from `srcDir` into the
-    * `ingest_src`-partitioned table at `tableDir`.
+  /** Ingest any not-yet-seen `*.<format>` files from `srcDir` into the
+    * `ingest_src`-partitioned table at `tableDir`. `format` is any
+    * Spark file source ("parquet" default; "json" for [[RestFeed]]
+    * landing pages, "csv" for flat feeds) — the manifest/overwrite
+    * idempotency machinery is format-agnostic.
     */
   def incrementalIngest(spark: SparkSession, srcDir: String,
                         tableDir: String, manifestPath: String,
-                        schema: StructType): IngestResult = {
+                        schema: StructType,
+                        format: String = "parquet"): IngestResult = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(srcDir)
     val fs = src.getFileSystem(conf)
     val listed = fs.listStatus(src).filter(_.isFile)
-      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+      .map(_.getPath.toString).filter(_.endsWith("." + format)).sorted.toSeq
     val mPath = new Path(manifestPath)
     val mfs = mPath.getFileSystem(conf)
     val done: Set[String] =
@@ -56,11 +60,12 @@ object Ingest {
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val batch = spark.read.schema(schema).parquet(fresh: _*)
+      def readFresh = spark.read.schema(schema).format(format).load(fresh: _*)
+      val batch = readFresh
         .withColumn("ingest_src",
-          regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1))
+          regexp_extract(input_file_name(), s"([^/]+)\\.$format", 1))
       batch.write.mode("overwrite").partitionBy("ingest_src").parquet(tableDir)
-      val rows = spark.read.schema(schema).parquet(fresh: _*).count()
+      val rows = readFresh.count()
       // manifest advances ONLY after the data landed: temp + rename so a
       // reader never sees a half-written manifest
       val tmp = new Path(manifestPath + ".tmp")

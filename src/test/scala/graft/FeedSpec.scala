@@ -1,0 +1,115 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end external-feed connectors: a cursor-paged REST pull
+  * against a local in-process HTTP stub (no network egress), and a
+  * partitioned JDBC read against embedded Derby — each landed through
+  * the SAME manifest/overwrite idempotency machinery the parquet
+  * ingest uses.
+  */
+class FeedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val tmp = java.nio.file.Files.createTempDirectory("graft_feed").toString
+
+  private val feedSchema = StructType(Seq(
+    StructField("id", LongType), StructField("px", DoubleType)))
+
+  /** Three-page feed: records 2 per page, next cursor in the header,
+    * absent header on the last page. Counts every request served.
+    */
+  private def startStub(): (HttpServer, AtomicInteger, String) = {
+    val served = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val pages = Map(
+      None -> (Seq("""{"id":1,"px":10.0}""", """{"id":2,"px":20.0}"""), Some("c2")),
+      Some("c2") -> (Seq("""{"id":3,"px":30.0}""", """{"id":4,"px":40.0}"""), Some("c3")),
+      Some("c3") -> (Seq("""{"id":5,"px":50.0}""", """{"id":6,"px":60.0}"""), None))
+    server.createContext("/feed", (ex: HttpExchange) => {
+      served.incrementAndGet()
+      val q = Option(ex.getRequestURI.getQuery)
+        .flatMap(_.split("&").collectFirst {
+          case kv if kv.startsWith("cursor=") => kv.stripPrefix("cursor=") })
+      val (records, next) = pages(q)
+      next.foreach(c => ex.getResponseHeaders.add("X-Next-Cursor", c))
+      val body = records.mkString("", "\n", "\n").getBytes(UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    (server, served, s"http://127.0.0.1:${server.getAddress.getPort}/feed")
+  }
+
+  test("paged REST pull is resumable, exactly-once per page, and lands through the manifest") {
+    val (server, served, url) = startStub()
+    try {
+      val landing = s"$tmp/rest_landing"
+      val state = s"$tmp/rest_cursor"
+      // first pull stops mid-feed; second resumes from the saved cursor
+      val first = sources.RestFeed.pull(url, landing, state, maxPages = 2)
+      assert(first.pagesFetched == 2 && !first.complete, first.toString)
+      val second = sources.RestFeed.pull(url, landing, state)
+      assert(second.pagesFetched == 1 && second.complete, second.toString)
+      // every page was requested exactly once across both pulls
+      assert(served.get() == 3, s"server saw ${served.get()} requests")
+      // a third pull is a no-op: the feed is marked done
+      assert(sources.RestFeed.pull(url, landing, state) ==
+        sources.RestFeed.PullResult(0, 0L, complete = true))
+      assert(served.get() == 3)
+
+      // landing -> parquet through the SAME manifest machinery as files
+      val table = s"$tmp/rest_table"
+      val manifest = s"$tmp/rest_manifest"
+      val r1 = sources.Ingest.incrementalIngest(spark, landing, table,
+        manifest, feedSchema, format = "json")
+      assert(r1.newFiles.size == 3 && r1.rowsIngested == 6L, r1.toString)
+      val back = spark.read.parquet(table)
+      assert(back.count() == 6)
+      assert(back.agg(sum($"px")).as[Double].collect()(0) == 210.0)
+      // re-running the ingest against an unchanged landing dir is a no-op
+      val r2 = sources.Ingest.incrementalIngest(spark, landing, table,
+        manifest, feedSchema, format = "json")
+      assert(r2.newFiles.isEmpty && spark.read.parquet(table).count() == 6)
+    } finally server.stop(0)
+  }
+
+  test("partitioned JDBC read stripes the source and snapshots land idempotently") {
+    val url = s"jdbc:derby:$tmp/derbydb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE quotes (id BIGINT PRIMARY KEY, px DOUBLE)")
+      val ins = conn.prepareStatement("INSERT INTO quotes VALUES (?, ?)")
+      (1 to 100).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setDouble(2, i * 1.5)
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+
+    val df = sources.JdbcFeed.partitionedRead(spark, url, "quotes",
+      partitionCol = "id", numPartitions = 4, props = props)
+    // the read really is striped: 4 independent range cursors
+    assert(df.rdd.getNumPartitions == 4, s"${df.rdd.getNumPartitions} stripes")
+    assert(df.count() == 100)
+    assert(df.agg(sum($"px")).as[Double].collect()(0) == 1.5 * 5050)
+
+    val table = s"$tmp/jdbc_table"
+    val n1 = sources.JdbcFeed.snapshotToParquet(spark, url, "quotes",
+      "id", 4, table, snapshotId = "2024-01-31", props = props)
+    // re-running the SAME snapshot overwrites itself, never duplicates
+    val n2 = sources.JdbcFeed.snapshotToParquet(spark, url, "quotes",
+      "id", 4, table, snapshotId = "2024-01-31", props = props)
+    assert(n1 == 100L && n2 == 100L)
+    assert(spark.read.parquet(table).count() == 100)
+  }
+}
