@@ -131,11 +131,8 @@ object Extended {
       .select($"query_id", $"neighbor_id")
     val found = Ann.ivfTopK(emb.filter($"vec_id" < 10), emb, k = 3)
       .select($"query_id", $"neighbor_id")
-    val n = truth.count()
-    val hits = truth.join(found, Seq("query_id", "neighbor_id"), "left_semi")
-      .count()
-    Seq((n, n == 0 || hits.toDouble / n >= 0.8))
-      .toDF("n_exact_neighbors", "recall_ok")
+    Certify.recallContract(spark, truth, found, Seq("query_id", "neighbor_id"),
+      minRecall = 0.8, nCol = "n_exact_neighbors")
   }
 
   val q44Sql: String =

@@ -27,24 +27,27 @@ object TrainingData {
     * recovered ≥ 85% of them (measured 100 % at every SF; the pair
     * stream itself remains available via
     * [[graft.operators.Dedup.minHashPairs]], property-tested in
-    * DedupPropertySpec).
+    * DedupPropertySpec). The MinHash operator runs over the FULL
+    * corpus (it is the thing being shipped); the exact tier is priced
+    * down to the deterministic half-corpus doc_id % 2 = 0 — the
+    * certification sample, mirrored in the oracle — because the
+    * inverted-index ground truth, not the sketch, dominated the round-5
+    * bench cost.
     */
   def q32DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val truth = Dedup.ngramJaccardPairs(docs, n = 3, maxDf = 50,
-      threshold = 0.5).select($"doc_a", $"doc_b")
+    val truth = Dedup.ngramJaccardPairs(docs.filter($"doc_id" % 2 === 0),
+      n = 3, maxDf = 50, threshold = 0.5).select($"doc_a", $"doc_b")
     val found = Dedup.minHashPairs(docs).select($"doc_a", $"doc_b")
-    val n = truth.count()
-    val hits = truth.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
-    Seq((n, n == 0 || hits.toDouble / n >= 0.85))
-      .toDF("n_true_pairs", "recall_ok")
+    Certify.recallContract(spark, truth, found, Seq("doc_a", "doc_b"),
+      minRecall = 0.85, nCol = "n_true_pairs")
   }
 
   val q32Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-      |  FROM documents),
+      |  FROM documents WHERE doc_id % 2 = 0),
       |grams AS (
       |  SELECT doc_id,
       |    CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
@@ -77,10 +80,8 @@ object TrainingData {
     val truth = Dedup.ngramJaccardPairs(docs, n = 2, maxDf = 50,
       threshold = 0.8).select($"doc_a", $"doc_b")
     val found = Dedup.simHashPairs(docs).select($"doc_a", $"doc_b")
-    val n = truth.count()
-    val hits = truth.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
-    Seq((n, n == 0 || hits.toDouble / n >= 0.5))
-      .toDF("n_true_pairs", "recall_ok")
+    Certify.recallContract(spark, truth, found, Seq("doc_a", "doc_b"),
+      minRecall = 0.5, nCol = "n_true_pairs")
   }
 
   val q33Sql: String =
@@ -176,11 +177,8 @@ object TrainingData {
       .select($"query_id", $"neighbor_id")
     val found = Ann.lshTopK(emb.filter($"vec_id" < 10), emb, k = 3,
       tables = 16, bits = 4).select($"query_id", $"neighbor_id")
-    val n = truth.count()
-    val hits = truth.join(found, Seq("query_id", "neighbor_id"), "left_semi")
-      .count()
-    Seq((n, n == 0 || hits.toDouble / n >= 0.6))
-      .toDF("n_exact_neighbors", "recall_ok")
+    Certify.recallContract(spark, truth, found, Seq("query_id", "neighbor_id"),
+      minRecall = 0.6, nCol = "n_exact_neighbors")
   }
 
   val q36Sql: String =
