@@ -393,6 +393,72 @@ object Streams {
       }
   }
 
+  case class BollState(recent: Seq[Double], n: Long)
+
+  /** s15 — streaming Bollinger band breaks per user via
+    * flatMapGroupsWithState: the incremental twin of batch q124. State
+    * is the last ≤19 values plus the row count — bounded per user
+    * regardless of stream length. Each full 20-row window re-folds the
+    * SAME FP recurrences Spark's sliding window frame runs in batch
+    * (ascending sum-fold ÷ n for avg; the CentralMomentAgg update
+    * m2 += δ·(δ − δ/n) for stddev_samp — probe-verified bit-identical),
+    * and the band edges go through the exact decimal(28,12)→6dp
+    * rounding of `Num.decRound`, so a streamed break decision equals
+    * the batch one bit-for-bit, including windows straddling a
+    * micro-batch boundary stitched by the carried tail. Same
+    * in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def bollingerStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, java.sql.Timestamp, Long, Int, Int)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BollState,
+        (Long, java.sql.Timestamp, Long, Int, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[BollState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, java.sql.Timestamp, Long, Int, Int)]
+          var st = state.getOption.getOrElse(BollState(Nil, 0L))
+          sorted.foreach { e =>
+            val win = (st.recent :+ e.value).takeRight(20)
+            val rn = st.n + 1
+            if (rn >= 20) {
+              var s = 0.0
+              win.foreach(s += _)
+              val m = s / 20
+              var n = 0.0; var avg = 0.0; var m2 = 0.0
+              win.foreach { x =>
+                n += 1
+                val delta = x - avg
+                val deltaN = delta / n
+                avg += deltaN
+                m2 += delta * (delta - deltaN)
+              }
+              val sd = math.sqrt(m2 / 19.0)
+              val ub = bandRound(m + 2.0 * sd)
+              val lb = bandRound(m - 2.0 * sd)
+              out += ((user, e.ts, e.event_id,
+                if (e.value > ub) 1 else 0, if (e.value < lb) 1 else 0))
+            }
+            st = BollState(win.takeRight(19), rn)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** JVM mirror of `Num.decRound(c, 6)` — the double→DECIMAL(28,12)
+    * cast rounds half-up at scale 12, then the explicit round trims to
+    * 6, so the two-step BigDecimal matches the SQL expression exactly
+    * (the q71 ewmaRound lesson at a different scale).
+    */
+  private def bandRound(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -301,6 +301,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming Bollinger breaks aggregate to the batch q124 counts across micro-batches") {
+    // two mtime-ordered files -> the carried 19-value tail must stitch
+    // windows straddling the micro-batch boundary for the counts to match
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_boll").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.bollingerStream(spark, stream)
+      .toDF("user_id", "ts", "event_id", "above", "below")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("boll_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("boll_out")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_obs"), sum($"above").as("n_above"),
+        sum($"below").as("n_below"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q124_bollinger")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the per-event signal is genuinely exercised: some breaks exist
+    assert(spark.table("boll_out").agg(sum($"above" + $"below"))
+      .as[Long].collect()(0) > 0)
+  }
+
   test("streaming gap detection equals batch q26 including cross-batch gaps") {
     // reuse the two-file mtime-ordered split so gaps straddling the
     // micro-batch boundary must come from the carried last-ts state
