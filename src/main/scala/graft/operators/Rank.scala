@@ -31,6 +31,19 @@ object Rank {
   /** Adds `rankCol` (1-based global row number within each group, long)
     * and `totalCol` (group row count, long) to `df`. `order` columns
     * together with `group` must form a total order over the rows.
+    *
+    * ONE data-sized shuffle and ONE sort total: the counts branch
+    * reads the range exchange directly (ReusedExchange, no sort), and
+    * the ranked branch derives each row's position inside its slice
+    * from `monotonically_increasing_id()` evaluated ABOVE the
+    * in-partition sort (id = slice << 33 | row index in slice-sorted
+    * order; the optimizer never reorders a nondeterministic projection
+    * across the sort). The broadcast offsets frame carries, per
+    * (slice, group): rows of EARLIER groups inside the slice (groups
+    * are contiguous in the slice sort, so position − prior = local
+    * rank) and rows of the group in earlier slices. No Window operator
+    * and no per-row codec ever touches the data-sized side. Bound: ≤
+    * 2^33 rows per slice — raise partition count long before that.
     */
   def groupRowNumber(df: DataFrame, group: Seq[String], order: Seq[String],
                      rankCol: String = "rn",
@@ -38,26 +51,33 @@ object Rank {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val composite = (group ++ order).map(col)
-    // one range exchange; the counts branch and the final join both
-    // read it, and Spark reuses the exchange (one shuffle, two readers)
+    // one range exchange with EXPLICIT partition count: both branches
+    // read the same materialized stage, and the explicit count exempts
+    // it from AQE coalescing — the two readers must agree on slice ids
     val ranged = df.repartitionByRange(p, composite: _*)
-      .withColumn("__slice", spark_partition_id())
-    val sliceKey = "__slice" +: group
-    val counts = ranged.groupBy(sliceKey.map(col): _*)
+    val counts = ranged.withColumn("__slice", spark_partition_id())
+      .groupBy(("__slice" +: group).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
-    // both windows run over the P×|groups| counts frame — driver-scale
+    // all three windows run over the P×|groups| counts frame
     val wOff = Window.partitionBy(group.map(col): _*).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(group.map(col): _*)
+    val wPrior = Window.partitionBy(col("__slice"))
+      .orderBy(group.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
       .withColumn(totalCol, sum(col("__cnt")).over(wTot))
+      .withColumn("__prior", coalesce(sum(col("__cnt")).over(wPrior), lit(0L)))
       .drop("__cnt")
-    val wLocal = Window.partitionBy(sliceKey.map(col): _*)
-      .orderBy(order.map(col): _*)
-    ranged.join(broadcast(offsets), sliceKey)
-      .withColumn(rankCol, row_number().over(wLocal).cast("long") + col("__off"))
-      .drop("__slice")
+    val ranked = ranged.sortWithinPartitions(composite: _*)
+      .withColumn("__slice", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    ranked.join(broadcast(offsets), "__slice" +: group)
+      .withColumn(rankCol,
+        col("__mid") - shiftleft(col("__slice").cast("long"), 33) -
+          col("__prior") + col("__off") + 1)
+      .drop("__slice", "__mid", "__prior", "__off")
   }
 
   /** SQL-standard ntile bucket from a global rank and group total:

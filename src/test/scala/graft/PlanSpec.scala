@@ -74,17 +74,23 @@ class PlanSpec extends SparkTestBase {
   test("scalable rank never windows a bare low-cardinality partition (q128/q133)") {
     // event_type has ~5 values; a window hash-partitioned on it alone
     // means one task per type holding 20% of the table. The two-pass
-    // rank range-partitions first, so every data-sized Window operator
-    // must be keyed on (__slice, event_type) — the tiny offsets frame
-    // (P×|types| rows) is the only one allowed to window per-type.
+    // rank range-partitions the data ONCE and derives local ranks from
+    // the per-partition sorted scan, so the plan must show the range
+    // exchange and NO row_number window anywhere (the tiny offsets
+    // frame windows only sum/count over P×|types| rows).
     for (q <- Seq("q128_ntile_bins", "q133_rank_normalize")) {
       val p = plan(q)
       assert(p.contains("rangepartitioning"),
         s"$q: range repartition missing\n$p")
-      val rowWindows = p.linesIterator
-        .filter(l => l.contains("windowspecdefinition") && l.contains("row_number"))
-      assert(rowWindows.forall(_.contains("__slice")),
-        s"$q: data-sized window not sliced\n$p")
+      assert(!p.contains("row_number"),
+        s"$q: a rank window crept back in\n$p")
+      // remaining hash exchanges are aggregates (tiny counts frame +
+      // the query's own rollup); the only Window operators allowed are
+      // the offset/total sums over the counts frame — nothing windows
+      // the data-sized side, so no window spec ever references `value`
+      val dataWindows = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition") && l.contains("value#"))
+      assert(dataWindows.isEmpty, s"$q: data-sized window present\n$p")
     }
   }
 
