@@ -80,6 +80,57 @@ object Rank {
       .drop("__slice", "__mid", "__prior", "__off")
   }
 
+  /** Adds `out` = the inclusive running sum of integer `valueCol`
+    * within each group in (group, order) order, without a
+    * low-cardinality single-task window — the q123 token-packing
+    * shape, where `PARTITION BY source` would put one source's whole
+    * corpus in one task. Same two-pass plan as [[groupRowNumber]]:
+    * range-partition, per-(slice, group) partial sums → broadcast
+    * prior-slice offsets, and the in-slice prefix from a sorted
+    * streaming scan (running sums need per-row state, so this is the
+    * one mapPartitions in the family — row-local, exact long
+    * arithmetic, order-independent result). `valueCol` must be a
+    * non-null integral column; (group, order) must totally order rows.
+    */
+  def groupRunningSum(df: DataFrame, group: Seq[String], order: Seq[String],
+                      valueCol: String, out: String = "cum"): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val composite = (group ++ order).map(col)
+    val ranged = df.repartitionByRange(p, composite: _*)
+    val sums = ranged.withColumn("__slice", spark_partition_id())
+      .groupBy(("__slice" +: group).map(col): _*)
+      .agg(sum(col(valueCol)).as("__s"))
+    val wOff = Window.partitionBy(group.map(col): _*).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__soff", coalesce(sum(col("__s")).over(wOff), lit(0L)))
+      .drop("__s")
+    val groupIdx = group.map(df.schema.fieldNames.indexOf(_))
+    val valIdx = df.schema.fieldNames.indexOf(valueCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField("__slice",
+          org.apache.spark.sql.types.IntegerType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("__lcum",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val local = ranged.sortWithinPartitions(composite: _*)
+      .mapPartitions { it =>
+        val slice = org.apache.spark.TaskContext.getPartitionId()
+        var curKey: Seq[Any] = null
+        var acc = 0L
+        it.map { row =>
+          val key = groupIdx.map(row.get)
+          if (key != curKey) { curKey = key; acc = 0L }
+          acc += row.getAs[Number](valIdx).longValue
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ slice :+ acc)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    local.join(broadcast(offsets), "__slice" +: group)
+      .withColumn(out, col("__lcum") + col("__soff"))
+      .drop("__slice", "__lcum", "__soff")
+  }
+
   /** SQL-standard ntile bucket from a global rank and group total:
     * n mod k leading buckets of size ceil(n/k), the rest floor(n/k) —
     * exactly Spark's and DuckDB's ntile, as pure integer arithmetic,

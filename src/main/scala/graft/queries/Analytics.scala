@@ -703,8 +703,12 @@ object Analytics {
     * (P(a,b) / (P(a)·P(b))). The co-occurrence self-join keys on
     * l_orderkey, so fan-out is bounded by basket size squared (TPC-H
     * baskets ≤ 7 lines — unbounded baskets would need the q34-style
-    * hot-bucket cap first); item frequencies and the order total ride
-    * back in via broadcasts.
+    * hot-bucket cap first); the order total rides back in as a
+    * broadcast scalar. The item-frequency frame is NOT hint-pinned:
+    * it is dim-scale only while parts are, so AQE picks broadcast
+    * when its runtime size allows and falls back to a co-keyed
+    * shuffle join at billion-part scale instead of collecting an
+    * over-size frame to the driver.
     */
   def q105BasketLift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -718,10 +722,10 @@ object Analytics {
     a.join(b, Seq("l_orderkey")).filter($"part_a" < $"part_b")
       .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("co_count"))
       .filter($"co_count" >= 2)
-      .join(broadcast(itemCnt.select($"l_partkey".as("part_a"),
-        $"cnt".as("cnt_a"))), "part_a")
-      .join(broadcast(itemCnt.select($"l_partkey".as("part_b"),
-        $"cnt".as("cnt_b"))), "part_b")
+      .join(itemCnt.select($"l_partkey".as("part_a"),
+        $"cnt".as("cnt_a")), "part_a")
+      .join(itemCnt.select($"l_partkey".as("part_b"),
+        $"cnt".as("cnt_b")), "part_b")
       .crossJoin(broadcast(tot))
       .select($"part_a", $"part_b", $"co_count",
         decRound(($"co_count" * $"n_orders") / ($"cnt_a" * $"cnt_b"), 4)

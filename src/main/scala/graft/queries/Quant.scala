@@ -368,17 +368,20 @@ object Quant {
     * by their EXCLUSIVE running token total (bin = prior-cum div 2000 —
     * a doc straddling a boundary stays in the bin it started in), then
     * summarized per bin. This is the batch-packing step that turns a
-    * corpus into fixed-budget training chunks. The cumulative sum is a
-    * keyed window (partitioned by source), never a global sort; counts
-    * are exact integers end-to-end.
+    * corpus into fixed-budget training chunks. Packing is inherently
+    * sequential per source, but the PREFIX SUM that drives it is not:
+    * Rank.groupRunningSum computes it hierarchically (per-slice pack +
+    * broadcast offset merge), so no task ever holds a source's whole
+    * corpus — `source` is exactly the low-cardinality key the round-5
+    * audit flagged. Counts are exact integers end-to-end.
     */
   def q123PackChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wCum = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select($"doc_id", $"source", size(Text.tokens($"text")).as("n_tok"))
-      .withColumn("cum", sum($"n_tok").over(wCum))
+    graft.operators.Rank.groupRunningSum(toks,
+        group = Seq("source"), order = Seq("doc_id"),
+        valueCol = "n_tok", out = "cum")
       .withColumn("bin_id", expr("(cum - n_tok) div 2000"))
       .groupBy($"source", $"bin_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tok_total"),

@@ -92,6 +92,12 @@ class PlanSpec extends SparkTestBase {
         l.contains("windowspecdefinition") && l.contains("value#"))
       assert(dataWindows.isEmpty, s"$q: data-sized window present\n$p")
     }
+    // q123's prefix sum follows the same rule: range exchange present,
+    // and no window ever touches the per-doc token counts
+    val p123 = plan("q123_pack_chunks")
+    assert(p123.contains("rangepartitioning"), p123)
+    assert(!p123.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("n_tok#")), p123)
   }
 
   test("top-n per group pushes the rank limit below the shuffle") {

@@ -48,6 +48,20 @@ class RankSpec extends SparkTestBase {
       "derived ntile/percent_rank diverge from native window functions")
   }
 
+  test("groupRunningSum matches the native per-group cumulative window sum") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars")
+    val native = docs.withColumn("cum_native",
+      sum($"n_chars").over(Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val twoPass = operators.Rank.groupRunningSum(docs,
+      Seq("source"), Seq("doc_id"), "n_chars", "cum")
+    val joined = twoPass.join(native, Seq("doc_id", "source", "n_chars"))
+    assert(joined.count() == docs.count(), "join lost rows")
+    assert(joined.filter($"cum" =!= $"cum_native").count() == 0,
+      "two-pass running sum diverges from native window")
+  }
+
   test("ntileFromRank follows the SQL bucket-size rule when rows < buckets and on remainders") {
     // 13 rows, 5 buckets: sizes 3,3,3,2,2
     val sizes = (1 to 13).map(r =>
