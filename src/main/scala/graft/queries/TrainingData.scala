@@ -420,6 +420,99 @@ object TrainingData {
       isDelta = $"doc_id" % 5 === 0)
   }
 
+  /** q139_embedding_quantize — int8 scalar quantization audit: each
+    * vector quantized per-vector (zero-point = min, scale = range/255,
+    * the standard asymmetric int8 scheme), reporting per-label mean and
+    * worst reconstruction error — the compression/recall trade check
+    * run before shipping a quantized ANN index. Entirely row-local
+    * array arithmetic (higher-order functions, no UDF) + one keyed
+    * aggregate. Float→double widening and in-order list folds are
+    * bit-identical across engines (the q35/q42 precedent); only the
+    * per-label MEAN is order-dependent FP, so it is decimal-rounded;
+    * the worst-error MAX is order-independent and emitted at 8dp.
+    */
+  def q139EmbeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = (c: org.apache.spark.sql.Column, s: Int) =>
+      graft.functions.Num.decRound(c, s)
+    val errs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("mn", array_min($"v"))
+      .withColumn("scale", (array_max($"v") - $"mn") / 255.0)
+      .withColumn("errs",
+        when($"scale" === 0.0, transform($"v", _ => lit(0.0)))
+          .otherwise(transform($"v", x =>
+            abs(x - ($"mn" + round((x - $"mn") / $"scale") * $"scale")))))
+      .select($"label",
+        (aggregate($"errs", lit(0.0), (acc, x) => acc + x) /
+          size($"errs").cast("double")).as("mae"),
+        array_max($"errs").as("maxe"))
+    errs.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        dec(avg($"mae"), 6).as("mean_abs_err"),
+        dec(max($"maxe"), 8).as("worst_abs_err"))
+  }
+
+  val q139Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT label, v, list_min(v) AS mn,
+      |    (list_max(v) - list_min(v)) / 255.0 AS scale
+      |  FROM v),
+      |e AS (
+      |  SELECT label,
+      |    CASE WHEN scale = 0 THEN [0.0 for x in v]
+      |         ELSE [abs(x - (mn + round((x - mn) / scale) * scale)) for x in v]
+      |    END AS errs
+      |  FROM s),
+      |m AS (
+      |  SELECT label, list_sum(errs) / CAST(len(errs) AS DOUBLE) AS mae,
+      |    list_max(errs) AS maxe
+      |  FROM e)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(round(CAST(avg(mae) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS mean_abs_err,
+      |  CAST(round(CAST(max(maxe) AS DECIMAL(28,12)), 8) AS DOUBLE)
+      |    AS worst_abs_err
+      |FROM m GROUP BY label""".stripMargin
+
+  /** q140_dataset_mixture — deterministic proportional mixture
+    * sampling: each source gets a target inclusion percentage from a
+    * deterministic rule on its id (20/40/60/80%), and a document is
+    * kept iff doc_id mod 100 falls under it — the reproducible
+    * hash-bucket subsampling a training-mix builder runs to hit
+    * per-source token budgets WITHOUT a shuffle (keep/drop is
+    * row-local; only the audit aggregate shuffles). Pure integer
+    * arithmetic end to end; the token tally rides on n_chars.
+    */
+  def q140DatasetMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("pct",
+        (lit(1) + pmod(regexp_extract($"source", "([0-9]+)", 1).cast("int"),
+          lit(4))) * 20)
+      .withColumn("keep", pmod($"doc_id", lit(100)) < $"pct")
+      .groupBy($"source", $"pct")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"keep", $"n_chars").otherwise(0L)).as("tok_sampled"))
+  }
+
+  val q140Sql: String =
+    """SELECT source,
+      |  (1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4)) * 20
+      |    AS pct,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 100 <
+      |    (1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4)) * 20
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(sum(CASE WHEN doc_id % 100 <
+      |    (1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4)) * 20
+      |    THEN n_chars ELSE 0 END) AS BIGINT) AS tok_sampled
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   val q87Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

@@ -184,4 +184,31 @@ class OperatorsSpec extends SparkTestBase {
     // 100 bytes → chunks 0..3 → kept 0, 2
     assert(frames.select("frame_idx").as[Long].collect().sorted.toSeq == Seq(0L, 2L))
   }
+
+  test("q139 int8 quantization error is bounded by half a quantization step") {
+    val got = SparkEntry.queries("q139_embedding_quantize")(spark, sf)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.length == 10 && got.map(_._2).sum == 500)
+    // synthetic embeddings are in [-1, 1]-ish; a 255-step grid over the
+    // per-vector range keeps the worst error under scale/2 = range/510
+    got.foreach { case (label, _, mae, worst) =>
+      assert(mae > 0 && worst > 0 && mae <= worst, s"label $label: $mae/$worst")
+      assert(worst < 0.01, s"label $label worst err $worst not int8-tight")
+    }
+  }
+
+  test("q140 mixture sampling hits each source's deterministic target rate") {
+    val got = SparkEntry.queries("q140_dataset_mixture")(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(got.length == 20)
+    got.foreach { case (source, pct, nDocs, nSampled, tok) =>
+      val num = "([0-9]+)".r.findFirstIn(source).get.toInt
+      assert(pct == (1 + num % 4) * 20, s"$source pct $pct")
+      // doc_ids are dense, so the realized rate equals the target
+      // within the granularity of one 100-bucket cycle over 25 docs
+      val rate = nSampled.toDouble / nDocs
+      assert(math.abs(rate - pct / 100.0) <= 0.2, s"$source rate $rate vs $pct%")
+      assert((nSampled == 0) == (tok == 0L))
+    }
+  }
 }
