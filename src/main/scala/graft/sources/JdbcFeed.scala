@@ -38,6 +38,69 @@ object JdbcFeed {
       math.max(1, numPartitions), props)
   }
 
+  /** Incremental watermark pull: land only rows with `keyCol` above
+    * the persisted high-water mark (a monotone numeric key — an
+    * append-only feed's sequence/id column), then advance the mark.
+    *
+    * Same crash discipline as [[Ingest.incrementalIngest]]: data lands
+    * FIRST (append of a strictly-new key range — a re-run after a
+    * crash between land and mark-advance re-reads the same range, and
+    * the batch tag makes the replay overwrite itself), the watermark
+    * file advances LAST via tempfile + rename. The pull itself is
+    * partition-parallel over the new key range.
+    *
+    * @return number of rows landed (0 when the source has nothing new)
+    */
+  def incrementalPull(spark: SparkSession, url: String, table: String,
+                      keyCol: String, numPartitions: Int,
+                      tableDir: String, watermarkPath: String,
+                      props: Properties = new Properties()): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wmPath = new org.apache.hadoop.fs.Path(watermarkPath)
+    val fs = wmPath.getFileSystem(conf)
+    val prev: Option[Long] =
+      if (!fs.exists(wmPath)) None
+      else {
+        val in = fs.open(wmPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      }
+    val pred = prev.map(w => s"$keyCol > $w").getOrElse("1=1")
+    val bounds = spark.read.jdbc(url,
+      s"(SELECT MIN($keyCol) AS lo, MAX($keyCol) AS hi FROM $table WHERE $pred) b",
+      props)
+    val row = bounds.collect()(0)
+    if (row.isNullAt(0)) return 0L
+    val (lo, hi) = (row.getAs[Number](0).longValue, row.getAs[Number](1).longValue)
+    val batch = spark.read.jdbc(url,
+      s"(SELECT * FROM $table WHERE $pred) t",
+      keyCol, lo, hi, math.max(1, numPartitions), props)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val n =
+      try {
+        // the batch is tagged by its own key range: a crash-replay of
+        // the identical range overwrites its own partition, so rows are
+        // never duplicated even though the write is an append overall
+        batch.withColumn("ingest_batch", lit(s"k$lo-$hi"))
+          .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+          .parquet(tableDir)
+        spark.read.parquet(tableDir)
+          .filter(col("ingest_batch") === s"k$lo-$hi").count()
+      } finally prevMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    val tmp = new org.apache.hadoop.fs.Path(watermarkPath + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(hi.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(wmPath) && !fs.delete(wmPath, false))
+      throw new java.io.IOException(s"could not remove old watermark $watermarkPath")
+    if (!fs.rename(tmp, wmPath))
+      throw new java.io.IOException(s"watermark swap failed for $watermarkPath")
+    n
+  }
+
   /** Land one snapshot of `table` as parquet under `tableDir`,
     * partitioned by the caller's `snapshotId` tag (dynamic overwrite:
     * re-running a snapshot replaces exactly itself).

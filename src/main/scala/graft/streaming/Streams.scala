@@ -138,6 +138,46 @@ object Streams {
       }
       .start()
 
+  /** s16 — streaming SCD2 dimension maintenance via foreachBatch: each
+    * micro-batch of reference records is applied to the persisted
+    * interval table with [[graft.operators.Scd2.applyDelta]] — only the
+    * keys the batch touches get their validity intervals rebuilt
+    * (late-arriving records reopen and re-split old intervals), and the
+    * snapshot publishes by pointer swap (the s5 versioned-dir pattern).
+    * This is live symbology/reference maintenance: the batch invariant
+    * applyDelta(build(H), D) == build(H ∪ D) means the streamed dim is
+    * ALWAYS equal to a from-scratch rebuild over everything delivered
+    * so far, which the differential test asserts across micro-batches.
+    */
+  def scd2Sink(events: DataFrame, keys: Seq[String], ts: String, rid: String,
+               tableDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(ss.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(s"$tableDir/current")
+        val delta = batch.toDF()
+        val merged =
+          if (fs.exists(cur))
+            graft.operators.Scd2.applyDelta(ss.read.parquet(cur.toString),
+              delta, keys, ts, rid)
+          else {
+            // first batch bootstraps the dim: build intervals from scratch
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*).orderBy(col(ts), col(rid))
+            delta.withColumn("valid_to", lead(col(ts), 1).over(w))
+          }
+        val next = new org.apache.hadoop.fs.Path(s"$tableDir/v$batchId")
+        merged.write.mode("overwrite").parquet(next.toString)
+        if (fs.exists(cur)) fs.delete(cur, true)
+        fs.rename(next, cur)
+        ()
+      }
+      .start()
+
   /** Streaming EWMA per user via mapGroupsWithState: state is ONE
     * double per user regardless of stream length; each batch folds its
     * (sorted) events into the smoothed value and emits the user's

@@ -112,4 +112,39 @@ class FeedSpec extends SparkTestBase {
     assert(n1 == 100L && n2 == 100L)
     assert(spark.read.parquet(table).count() == 100)
   }
+
+  test("incremental JDBC pull lands only rows above the watermark and advances it") {
+    val url = s"jdbc:derby:$tmp/derbyinc;create=true"
+    val props = new java.util.Properties()
+    def insert(range: Range): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("CREATE TABLE ticks (id BIGINT PRIMARY KEY, px DOUBLE)")
+        catch { case _: java.sql.SQLException => () } // exists on 2nd call
+        val ins = conn.prepareStatement("INSERT INTO ticks VALUES (?, ?)")
+        range.foreach { i =>
+          ins.setLong(1, i.toLong); ins.setDouble(2, i * 2.0); ins.addBatch()
+        }
+        ins.executeBatch()
+      } finally conn.close()
+    }
+    val table = s"$tmp/jdbc_inc"
+    val wm = s"$tmp/jdbc_wm"
+    insert(1 to 50)
+    assert(sources.JdbcFeed.incrementalPull(spark, url, "ticks", "id", 4,
+      table, wm, props) == 50L)
+    // nothing new -> no-op, no new files, watermark unchanged
+    assert(sources.JdbcFeed.incrementalPull(spark, url, "ticks", "id", 4,
+      table, wm, props) == 0L)
+    assert(spark.read.parquet(table).count() == 50)
+    // feed appends; the second pull lands ONLY the new key range
+    insert(51 to 80)
+    assert(sources.JdbcFeed.incrementalPull(spark, url, "ticks", "id", 4,
+      table, wm, props) == 30L)
+    val all = spark.read.parquet(table)
+    assert(all.count() == 80)
+    assert(all.select($"id").distinct().count() == 80)
+    assert(all.agg(sum($"px")).as[Double].collect()(0) == 2.0 * (80 * 81) / 2)
+  }
 }

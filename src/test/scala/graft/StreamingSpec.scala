@@ -334,6 +334,35 @@ class StreamingSpec extends SparkTestBase {
       .as[Long].collect()(0) > 0)
   }
 
+  test("streaming SCD2 maintenance converges to the from-scratch batch build") {
+    // two mtime-ordered micro-batches of signup records: the second
+    // interleaves in event time with the first, so applyDelta must
+    // reopen and re-split already-closed intervals — the live
+    // symbology-maintenance path, checked against build(H ∪ D)
+    val ev = Tables.events(spark, sf).filter($"event_type" === "signup")
+      .select($"user_id", $"event_type", $"ts", $"value", $"event_id")
+    // split by event_id parity, NOT time: both halves span the whole
+    // period, forcing genuine late-arrival interval splits in batch 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2s").toString
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/in/batch_a")
+    Thread.sleep(1100)
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/in/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/batch_*")
+    val q = Streams.scd2Sink(stream, keys = Seq("user_id", "event_type"),
+      ts = "ts", rid = "event_id",
+      tableDir = s"$dir/dim", checkpointDir = s"$dir/ckpt")
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.read.parquet(s"$dir/dim/current")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    val batch = ev.withColumn("valid_to", lead($"ts", 1).over(w))
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val cols = batch.columns.map(col).toIndexedSeq
+    assert(streamed.select(cols: _*).exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed.select(cols: _*)).isEmpty)
+  }
+
   test("streaming gap detection equals batch q26 including cross-batch gaps") {
     // reuse the two-file mtime-ordered split so gaps straddling the
     // micro-batch boundary must come from the carried last-ts state
