@@ -84,25 +84,26 @@ object Graph {
     // n is already measured for the teleport term, so the auto choice
     // is free: vertex state broadcasts only while it provably fits
     val st = stateHint(broadcastState.getOrElse(n <= BroadcastVertexLimit))
-    var rank = deg.select(col("part"), lit(1.0 / n).as("pr"))
+    // the state frame carries deg alongside pr, so each pass is ONE
+    // edge join + ONE vertex join — an earlier version rebuilt rank⋈deg
+    // per pass, a third (tiny but job-scheduling-visible) join
+    var state = deg.select(col("part"), lit(1.0 / n).as("pr"), col("deg"))
     for (i <- 1 to iterations) {
-      // rank⋈deg is vertex-sized (two checkpointed locals) — building
-      // it per pass is noise next to touching the edge list even once
       val contrib = cached
-        .join(st(rank.join(deg, "part")), col("src") === col("part"))
+        .join(st(state), col("src") === col("part"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
-      rank = deg.select(col("part"))
+      state = deg
         .join(st(contrib), col("part") === col("dst"), "left")
         .select(col("part"),
           (lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)))
-            .as("pr"))
+            .as("pr"), col("deg"))
       // cut lineage each pass; materialize the (vertex-sized) final
       // frame so the edge cache can be released before returning
-      rank = rank.localCheckpoint(eager = i == iterations)
+      state = state.localCheckpoint(eager = i == iterations)
     }
     cached.unpersist(blocking = false)
-    rank
+    state.select(col("part"), col("pr"))
   }
 
   /** BFS minimum-hop labelling: every vertex reachable from the seed
