@@ -247,6 +247,129 @@ object SecurityMaster {
           1).otherwise(0).as("revised"))
   }
 
+  /** q141_rolling_beta — 10-day rolling beta per user vs the all-user
+    * market series: covar_samp(user, market)/var_samp(market) over the
+    * trailing 10 daily means, emitted for full windows only — the
+    * time-varying exposure estimate behind q76's full-period beta. The
+    * market frame is a tiny daily aggregate broadcast onto each user's
+    * series; one keyed sort-window pass computes both moments (two
+    * frames share the sort). Sliding-window moment folds may associate
+    * differently across engines, so the ratio is decimal-rounded (the
+    * q51 rolling-corr precedent).
+    */
+  def q141RollingBeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("d"), $"value")
+    val userDaily = ev.groupBy($"user_id", $"d").agg(avg($"value").as("uv"))
+    val market = ev.groupBy($"d").agg(avg($"value").as("mv"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val w10 = w.rowsBetween(-9, 0)
+    userDaily.join(broadcast(market), Seq("d"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("beta_raw",
+        covar_samp($"uv", $"mv").over(w10) / var_samp($"mv").over(w10))
+      .filter($"rn" >= 10)
+      .select($"user_id", $"d".as("day"), decRound($"beta_raw", 4).as("beta10"))
+  }
+
+  val q141Sql: String =
+    """WITH ud AS (
+      |  SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS uv
+      |  FROM events GROUP BY 1, 2),
+      |mkt AS (
+      |  SELECT date_trunc('day', ts) AS d, avg(value) AS mv
+      |  FROM events GROUP BY 1),
+      |j AS (
+      |  SELECT ud.user_id, ud.d, ud.uv, mkt.mv FROM ud JOIN mkt USING (d)),
+      |r AS (
+      |  SELECT user_id, d,
+      |    row_number() OVER o AS rn,
+      |    covar_samp(uv, mv) OVER f / var_samp(mv) OVER f AS beta_raw
+      |  FROM j
+      |  WINDOW o AS (PARTITION BY user_id ORDER BY d),
+      |    f AS (PARTITION BY user_id ORDER BY d
+      |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, d AS day,
+      |  CAST(round(CAST(beta_raw AS DECIMAL(28,12)), 4) AS DOUBLE) AS beta10
+      |FROM r WHERE rn >= 10""".stripMargin
+
+  /** q142_pit_universe — point-in-time universe construction with
+    * rebalance diffs: each week's top-5 parts by revenue form the
+    * index membership, and consecutive memberships are diffed into
+    * adds/drops — the index-rebalance audit a securities master
+    * publishes. Weekly revenue is decimal-latticed (q129's lesson) so
+    * the rank order is engine-exact; the membership frames are
+    * week-keyed and tiny after the top-k, so the self-join diff is
+    * broadcast-scale. WindowGroupLimit pushes the rank cut below the
+    * shuffle (the q78 plan shape).
+    */
+  def q142PitUniverse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wRank = Window.partitionBy($"wk").orderBy($"rev".desc, $"l_partkey")
+    val members = Tables.lineitem(spark, dir)
+      .groupBy(date_trunc("week", $"l_shipdate").as("wk"), $"l_partkey")
+      .agg(decRound(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("rev"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= 5)
+      .select($"wk", $"l_partkey")
+    val wks = members.select($"wk").distinct()
+      .withColumn("prev_wk", lag($"wk", 1).over(Window.orderBy($"wk")))
+    val prev = members.select($"wk".as("prev_wk"), $"l_partkey")
+    val added = members.join(wks, "wk")
+      .join(prev, Seq("prev_wk", "l_partkey"), "left_anti")
+      .filter($"prev_wk".isNotNull)
+      .groupBy($"wk").agg(count(lit(1)).as("n_added"))
+    val dropped = prev.join(wks.filter($"prev_wk".isNotNull), "prev_wk")
+      .join(members, Seq("wk", "l_partkey"), "left_anti")
+      .groupBy($"wk").agg(count(lit(1)).as("n_dropped"))
+    members.groupBy($"wk").agg(count(lit(1)).as("n_members"))
+      .join(added, Seq("wk"), "left_outer")
+      .join(dropped, Seq("wk"), "left_outer")
+      .select($"wk", $"n_members",
+        coalesce($"n_added", lit(0L)).as("n_added"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+  }
+
+  val q142Sql: String =
+    """WITH rev AS (
+      |  SELECT date_trunc('week', l_shipdate) AS wk, l_partkey,
+      |    CAST(CAST(round(CAST(sum(l_extendedprice * (1.0 - l_discount))
+      |      AS DECIMAL(28,12)), 4) AS DOUBLE) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |members AS (
+      |  SELECT wk, l_partkey FROM (
+      |    SELECT wk, l_partkey,
+      |      row_number() OVER (PARTITION BY wk ORDER BY rev DESC, l_partkey)
+      |        AS rk
+      |    FROM rev) WHERE rk <= 5),
+      |wks AS (
+      |  SELECT wk, lag(wk) OVER (ORDER BY wk) AS prev_wk
+      |  FROM (SELECT DISTINCT wk FROM members)),
+      |added AS (
+      |  SELECT m.wk, count(*) AS n_added
+      |  FROM members m JOIN wks ON m.wk = wks.wk
+      |  WHERE wks.prev_wk IS NOT NULL AND NOT EXISTS (
+      |    SELECT 1 FROM members p
+      |    WHERE p.wk = wks.prev_wk AND p.l_partkey = m.l_partkey)
+      |  GROUP BY m.wk),
+      |dropped AS (
+      |  SELECT wks.wk, count(*) AS n_dropped
+      |  FROM members p JOIN wks ON p.wk = wks.prev_wk
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM members m
+      |    WHERE m.wk = wks.wk AND m.l_partkey = p.l_partkey)
+      |  GROUP BY wks.wk),
+      |base AS (
+      |  SELECT wk, count(*) AS n_members FROM members GROUP BY wk)
+      |SELECT base.wk, base.n_members,
+      |  coalesce(added.n_added, 0) AS n_added,
+      |  coalesce(dropped.n_dropped, 0) AS n_dropped
+      |FROM base
+      |LEFT JOIN added ON base.wk = added.wk
+      |LEFT JOIN dropped ON base.wk = dropped.wk""".stripMargin
+
   val q138Sql: String =
     """WITH base AS (
       |  SELECT user_id,

@@ -89,6 +89,44 @@ class SecurityMasterSpec extends SparkTestBase {
     assert(got(D3) == ((9.0, None, 1L, 1L, 0)), got.toString)
   }
 
+  test("q141 rolling beta is exactly 1.0 when the user IS the market") {
+    // a single active user: the market series equals their own series,
+    // so every full-window beta is cov(x,x)/var(x) = 1
+    val rows = (1 to 15).map(i =>
+      (i.toLong, d(i, 9), 1L, "view", 100.0 + i * i * 0.37))
+    val got = SparkEntry.queries("q141_rolling_beta")(spark, writeEvents(rows))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    assert(got.length == 6) // days 10..15 have full 10-day windows
+    assert(got.forall(_._3 == 1.0), got.toSeq.toString)
+  }
+
+  test("q142 universe diff counts the swapped member exactly once") {
+    // week 1 top-5 from parts 1..6 (part 6 lowest -> out); week 2 the
+    // revenues of parts 1 and 6 swap -> one add (6) and one drop (1)
+    val w1 = java.time.LocalDate.of(2024, 1, 1).toEpochDay // a Monday
+    val w2 = w1 + 7
+    def li(id: Long, part: Long, day: Long, price: Double) =
+      (id, part, price, day)
+    val rows =
+      (1L to 6L).map(p => li(p, p, w1, 1000.0 - p * 10)) ++
+      (1L to 6L).map(p => li(10L + p, p, w2,
+        if (p == 1L) 940.0 else if (p == 6L) 990.0 else 1000.0 - p * 10))
+    val dir = java.nio.file.Files.createTempDirectory("graft_univ").toString
+    rows.map { case (id, part, price, day) =>
+      (id, part, 1L, 1, 1.0, price, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(day * 86400000L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q142_pit_universe")(spark, dir)
+      .orderBy($"wk")
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect()
+    assert(got.length == 2, got.toSeq.toString)
+    assert(got(0)._2 == 5 && got(0)._3 == 0 && got(0)._4 == 0, got(0).toString)
+    assert(got(1)._2 == 5 && got(1)._3 == 1 && got(1)._4 == 1, got(1).toString)
+  }
+
   test("Bitemporal: corrections recorded after K cannot change the as-known-at-K snapshot") {
     val hist = Tables.events(spark, sf)
       .select($"user_id", date_trunc("day", $"ts").as("day"),
