@@ -626,21 +626,46 @@ object Analytics {
 
   /** q101_winsorized — robust mean via p05/p95 winsorization per
     * return flag (the feature-engineering companion to the q80 MAD
-    * screen: clamp the tails instead of dropping them). Percentile
-    * frame is per-group tiny → broadcast back onto the fact scan; one
-    * full shuffle total (the stats agg), the clamped re-aggregation
-    * reuses the scan. Exact percentiles buffer each group's values
-    * (ObjectHashAggregate) — at 100 TB swap the thresholds to
-    * approx_percentile (the q65 sketch); the clamp/mean pipeline is
-    * unchanged.
+    * screen: clamp the tails instead of dropping them). The exact
+    * interpolated thresholds come from ORDER STATISTICS over the
+    * scalable two-pass rank (Rank.groupRowNumber), not from a
+    * percentile aggregate that buffers each group's values in one
+    * ObjectHashAggregate task — so the plan holds at any group size:
+    * rank the group, pick the two rows bracketing α·(n−1), lerp. The
+    * oracle keeps quantile_cont: winsorization is CONTINUOUS at the
+    * threshold, so an ulp-level interpolation difference moves the
+    * clamped mean by at most ulp/n — far inside the 4dp round.
     */
   def q101Winsorized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
       .select($"l_returnflag", $"l_extendedprice")
-    val stats = li.groupBy($"l_returnflag")
-      .agg(percentile($"l_extendedprice", lit(0.05)).as("p05"),
-        percentile($"l_extendedprice", lit(0.95)).as("p95"))
+    // the rank feeds ONLY the 4-rows-per-group threshold pick; the
+    // clamped mean re-reads the cheap 2-column scan instead of the
+    // sorted/joined rank frame
+    val ranked = graft.operators.Rank.groupRowNumber(li,
+      group = Seq("l_returnflag"), order = Seq("l_extendedprice"),
+      rankCol = "r", totalCol = "n")
+    // rows at the bracketing ranks of both thresholds — ≤4 per group
+    val idx05 = lit(0.05) * ($"n" - 1).cast("double")
+    val idx95 = lit(0.95) * ($"n" - 1).cast("double")
+    val stats = ranked
+      .withColumn("lo05", floor(idx05).cast("long") + 1)
+      .withColumn("f05", idx05 - floor(idx05))
+      .withColumn("lo95", floor(idx95).cast("long") + 1)
+      .withColumn("f95", idx95 - floor(idx95))
+      .filter($"r" === $"lo05" || $"r" === $"lo05" + 1 ||
+        $"r" === $"lo95" || $"r" === $"lo95" + 1)
+      .groupBy($"l_returnflag")
+      .agg(
+        max(when($"r" === $"lo05", $"l_extendedprice")).as("v05lo"),
+        max(when($"r" === $"lo05" + 1, $"l_extendedprice")).as("v05hi"),
+        max(when($"r" === $"lo95", $"l_extendedprice")).as("v95lo"),
+        max(when($"r" === $"lo95" + 1, $"l_extendedprice")).as("v95hi"),
+        max($"f05").as("f05"), max($"f95").as("f95"))
+      .select($"l_returnflag",
+        ($"v05lo" + $"f05" * (coalesce($"v05hi", $"v05lo") - $"v05lo")).as("p05"),
+        ($"v95lo" + $"f95" * (coalesce($"v95hi", $"v95lo") - $"v95lo")).as("p95"))
     li.join(broadcast(stats), "l_returnflag")
       .select($"l_returnflag", $"l_extendedprice",
         greatest(least($"l_extendedprice", $"p95"), $"p05").as("w"))
