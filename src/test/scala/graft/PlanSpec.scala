@@ -98,6 +98,12 @@ class PlanSpec extends SparkTestBase {
     assert(p123.contains("rangepartitioning"), p123)
     assert(!p123.linesIterator.exists(l =>
       l.contains("windowspecdefinition") && l.contains("n_tok#")), p123)
+    // q101's thresholds are rank-derived order statistics — the plan
+    // must contain no percentile aggregate (which buffers a whole
+    // group's values in one ObjectHashAggregate task)
+    val p101 = plan("q101_winsorized")
+    assert(p101.contains("rangepartitioning"), p101)
+    assert(!p101.contains("percentile"), s"group-buffering percentile crept back\n$p101")
   }
 
   test("top-n per group pushes the rank limit below the shuffle") {

@@ -14,6 +14,12 @@ sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+# Round-5 lesson: builder-local green does NOT imply driver green when
+# the DuckDB versions differ (HUGEINT arrow export changed across
+# versions). Log the version so any mirror/driver discrepancy is
+# diagnosable from the transcript.
+print(f"[check_oracle] duckdb {duckdb.__version__}")
+
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
