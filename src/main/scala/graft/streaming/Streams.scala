@@ -178,6 +178,25 @@ object Streams {
       }
       .start()
 
+  /** s17 — streaming symbology resolution against an SCD2 interval
+    * dim: the payoff of maintaining intervals (s16) is that the as-of
+    * lookup STOPS needing a window — "identifier in effect at trade
+    * time" is a plain range-condition join (eff_from <= ts < valid_to),
+    * which Structured Streaming supports stream-static with no state
+    * at all. Each micro-batch of trades joins the current dim snapshot;
+    * trades before their user's first epoch drop out (inner join), and
+    * the result is row-for-row the batch as-of resolution (q135's
+    * shape) — the differential test proves it. At scale the dim is
+    * either broadcast (small) or co-partitioned on the key; nothing
+    * about the plan is stream-specific.
+    */
+  def symbologyResolveStream(trades: DataFrame, dim: DataFrame): DataFrame =
+    trades.join(dim,
+      trades("user_id") === dim("user_id") &&
+        trades("ts") >= dim("eff_from") &&
+        (dim("valid_to").isNull || trades("ts") < dim("valid_to")))
+      .select(trades("user_id"), trades("ts"), trades("value"), dim("symbol"))
+
   /** Streaming EWMA per user via mapGroupsWithState: state is ONE
     * double per user regardless of stream length; each batch folds its
     * (sorted) events into the smoothed value and emits the user's

@@ -363,6 +363,45 @@ class StreamingSpec extends SparkTestBase {
       batch.exceptAll(streamed.select(cols: _*)).isEmpty)
   }
 
+  test("streaming symbology resolution equals the batch as-of rollup (q135)") {
+    // build the SCD2 identifier dim once (the s16-maintained shape,
+    // with symbols minted per epoch), stream the purchases against it
+    val ev = Tables.events(spark, sf)
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sym").toString
+    ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("dup", row_number().over(wDedup)).filter($"dup" === 1)
+      .withColumn("seq", row_number().over(wSeq))
+      .select($"user_id", $"ts".as("eff_from"),
+        concat(lit("SYM-"), $"user_id", lit("-"), $"seq").as("symbol"))
+      .withColumn("valid_to", lead($"eff_from", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"eff_from")))
+      .write.parquet(s"$dir/dim")
+    ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+      .coalesce(1).write.parquet(s"$dir/trades")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/trades").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/trades")
+    val q = Streams.symbologyResolveStream(stream,
+        spark.read.parquet(s"$dir/dim"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sym_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sym_out")
+      .groupBy($"user_id", $"symbol")
+      .agg(count(lit(1)).as("n_trades"),
+        round(sum($"value"), 2).as("total_value"))
+    val batch = SparkEntry.queries("q135_symbology")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming gap detection equals batch q26 including cross-batch gaps") {
     // reuse the two-file mtime-ordered split so gaps straddling the
     // micro-batch boundary must come from the carried last-ts state
