@@ -80,6 +80,36 @@ class FeedSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("a non-retryable feed error fails the pull loudly; the cursor does not advance") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/gone", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      val state = s"$tmp/err_cursor"
+      val e = intercept[java.io.IOException] {
+        sources.RestFeed.pull(
+          s"http://127.0.0.1:${server.getAddress.getPort}/gone",
+          s"$tmp/err_landing", state)
+      }
+      assert(e.getMessage.contains("404"), e.getMessage)
+      // no state file written -> a fixed feed restarts from the top
+      assert(!new java.io.File(state).exists())
+    } finally server.stop(0)
+  }
+
+  test("partitioned JDBC read of an empty table keeps the schema and returns no rows") {
+    val url = s"jdbc:derby:$tmp/derbyempty;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement()
+      .execute("CREATE TABLE novals (id BIGINT PRIMARY KEY, px DOUBLE)")
+    finally conn.close()
+    val df = sources.JdbcFeed.partitionedRead(spark, url, "novals",
+      partitionCol = "id", numPartitions = 4)
+    assert(df.columns.toSeq == Seq("ID", "PX") && df.count() == 0)
+  }
+
   test("partitioned JDBC read stripes the source and snapshots land idempotently") {
     val url = s"jdbc:derby:$tmp/derbydb;create=true"
     val props = new java.util.Properties()

@@ -62,6 +62,27 @@ class RankSpec extends SparkTestBase {
       "two-pass running sum diverges from native window")
   }
 
+  test("rank operators handle empty and single-row inputs without failing") {
+    val empty = ev.filter(lit(false))
+    assert(operators.Rank.groupRowNumber(empty,
+      Seq("event_type"), Seq("value", "event_id")).count() == 0)
+    assert(operators.Rank.groupRunningSum(
+      Seq((1L, "a", 5L)).toDF("id", "g", "v").filter(lit(false)),
+      Seq("g"), Seq("id"), "v").count() == 0)
+    val one = Seq((1L, "a", 5L)).toDF("id", "g", "v")
+    val r1 = operators.Rank.groupRowNumber(one, Seq("g"), Seq("id"),
+      "r", "n").select($"r", $"n").as[(Long, Long)].collect()
+    assert(r1.toSeq == Seq((1L, 1L)))
+    val c1 = operators.Rank.groupRunningSum(one, Seq("g"), Seq("id"), "v")
+      .select($"cum").as[Long].collect()
+    assert(c1.toSeq == Seq(5L))
+    // percent_rank of a single-row group is 0.0 (SQL standard), not NaN
+    assert(operators.Rank.percentRankFromRank(lit(1L), lit(1L)) != null)
+    val pr = one.select(operators.Rank.percentRankFromRank(lit(1L), lit(1L)))
+      .as[Double].collect()(0)
+    assert(pr == 0.0)
+  }
+
   test("ntileFromRank follows the SQL bucket-size rule when rows < buckets and on remainders") {
     // 13 rows, 5 buckets: sizes 3,3,3,2,2
     val sizes = (1 to 13).map(r =>
