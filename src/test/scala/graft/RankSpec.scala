@@ -62,6 +62,27 @@ class RankSpec extends SparkTestBase {
       "two-pass running sum diverges from native window")
   }
 
+  test("two-pass rank is exact under extreme group skew (one group dominates every slice)") {
+    // 95% of rows in ONE group: the range partitioner must split that
+    // group across slices and the offset merge must stitch it exactly
+    val rows = (1 to 20000).map { i =>
+      (if (i <= 19000) "dominant" else s"tail${i % 53}", i.toLong)
+    }
+    val df = rows.toDF("g", "v").repartition(8) // scatter input first
+    val twoPass = operators.Rank.groupRowNumber(df, Seq("g"), Seq("v"), "r", "n")
+    val native = df.withColumn("r_native",
+      row_number().over(Window.partitionBy($"g").orderBy($"v")).cast("long"))
+    val joined = twoPass.join(native, Seq("g", "v"))
+    assert(joined.count() == 20000)
+    assert(joined.filter($"r" =!= $"r_native").count() == 0)
+    // the dominant group really does span multiple slices
+    val slices = df.repartitionByRange(
+      spark.sessionState.conf.numShufflePartitions, $"g", $"v")
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"), $"g")
+      .filter($"g" === "dominant").select($"p").distinct().count()
+    assert(slices > 1, s"dominant group landed in $slices slice(s)")
+  }
+
   test("rank operators handle empty and single-row inputs without failing") {
     val empty = ev.filter(lit(false))
     assert(operators.Rank.groupRowNumber(empty,
