@@ -65,7 +65,8 @@ object Analytics {
   }
 
   val q74Sql: String =
-    """SELECT l_returnflag, date_trunc('month', l_shipdate) AS mo,
+    """SELECT l_returnflag,
+      |  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mo,
       |  CAST(round(CAST(sum(l_extendedprice) / sum(l_quantity)
       |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS vwap,
       |  round(sum(l_quantity), 2) AS volume
@@ -401,7 +402,8 @@ object Analytics {
       |  SELECT event_type, pt, sum(net) OVER (PARTITION BY event_type
       |    ORDER BY pt ROWS UNBOUNDED PRECEDING) AS conc
       |  FROM g)
-      |SELECT event_type, date_trunc('day', make_timestamp(pt)) AS day,
+      |SELECT event_type,
+      |  CAST(date_trunc('day', make_timestamp(pt)) AS TIMESTAMP) AS day,
       |  CAST(max(conc) AS BIGINT) AS max_concurrency
       |FROM r GROUP BY event_type, date_trunc('day', make_timestamp(pt))""".stripMargin
 
@@ -427,7 +429,8 @@ object Analytics {
       |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
       |cohort AS (
       |  SELECT user_id, min(wk) AS cohort_week FROM ue GROUP BY user_id)
-      |SELECT c.cohort_week, date_diff('day', c.cohort_week, u.wk) // 7 AS weeks_since,
+      |SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+      |  date_diff('day', c.cohort_week, u.wk) // 7 AS weeks_since,
       |  count(DISTINCT u.user_id) AS n_users
       |FROM ue u JOIN cohort c ON u.user_id = c.user_id
       |GROUP BY c.cohort_week, date_diff('day', c.cohort_week, u.wk) // 7""".stripMargin

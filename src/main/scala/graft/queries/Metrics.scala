@@ -356,7 +356,8 @@ object Metrics {
       |SELECT a.split, count(*) AS n_events,
       |  count(DISTINCT e.user_id) AS n_users,
       |  count(DISTINCT e.d) AS n_days,
-      |  min(e.d) AS first_day, max(e.d) AS last_day
+      |  CAST(min(e.d) AS TIMESTAMP) AS first_day,
+      |  CAST(max(e.d) AS TIMESTAMP) AS last_day
       |FROM ev e JOIN assign a ON e.d = a.d
       |WHERE a.split <> 'embargo'
       |GROUP BY a.split""".stripMargin

@@ -624,7 +624,7 @@ object Quant {
       |    row_number() OVER (PARTITION BY event_type
       |      ORDER BY abs(s) DESC, d) AS rk
       |  FROM c)
-      |SELECT event_type, n_days, d AS changepoint_day,
+      |SELECT event_type, n_days, CAST(d AS TIMESTAMP) AS changepoint_day,
       |  CAST(round(CAST(abs(s) AS DECIMAL(28,12)), 4) AS DOUBLE) AS max_cusum
       |FROM r WHERE rk = 1""".stripMargin
 

@@ -138,7 +138,7 @@ object SecurityMaster {
       |    sum(lf) OVER (PARTITION BY user_id ORDER BY ts DESC
       |      ROWS UNBOUNDED PRECEDING) AS sfx
       |  FROM su)
-      |SELECT b.user_id, b.day, b.close,
+      |SELECT b.user_id, CAST(b.day AS TIMESTAMP) AS day, b.close,
       |  CAST(round(CAST(coalesce(a.sfx, 0.0) AS DECIMAL(28,12)), 6)
       |    AS DOUBLE) AS log_adj,
       |  CAST(round(CAST(b.close * exp(coalesce(a.sfx, 0.0))
@@ -290,7 +290,7 @@ object SecurityMaster {
       |  WINDOW o AS (PARTITION BY user_id ORDER BY d),
       |    f AS (PARTITION BY user_id ORDER BY d
       |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
-      |SELECT user_id, d AS day,
+      |SELECT user_id, CAST(d AS TIMESTAMP) AS day,
       |  CAST(round(CAST(beta_raw AS DECIMAL(28,12)), 4) AS DOUBLE) AS beta10
       |FROM r WHERE rn >= 10""".stripMargin
 
@@ -363,7 +363,7 @@ object SecurityMaster {
       |  GROUP BY wks.wk),
       |base AS (
       |  SELECT wk, count(*) AS n_members FROM members GROUP BY wk)
-      |SELECT base.wk, base.n_members,
+      |SELECT CAST(base.wk AS TIMESTAMP) AS wk, base.n_members,
       |  coalesce(added.n_added, 0) AS n_added,
       |  coalesce(dropped.n_dropped, 0) AS n_dropped
       |FROM base
