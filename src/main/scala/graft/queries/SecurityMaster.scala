@@ -370,6 +370,93 @@ object SecurityMaster {
       |LEFT JOIN added ON base.wk = added.wk
       |LEFT JOIN dropped ON base.wk = dropped.wk""".stripMargin
 
+  /** q143_golden_master — the capstone composition: every trade
+    * enriched in ONE pipeline with (a) the identifier in effect at
+    * trade time (q135's as-of resolution), (b) the cumulative
+    * corporate-action log-adjustment after the trade (q136's suffix
+    * window picked up by a forward as-of), and (c) whether the trade
+    * printed on a calendar session (q137's weekday/holiday rule — a
+    * row-local predicate here, no spine needed), rolled up per
+    * (symbol, session flag). This is the enriched-trades view a
+    * securities master actually serves: three reference surfaces, one
+    * fact scan, two as-of exchanges on the same user key, zero
+    * low-cardinality windows.
+    */
+  def q143GoldenMaster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val wDedup = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val refs = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("dup", row_number().over(wDedup)).filter($"dup" === 1)
+    val xref = refs
+      .withColumn("seq", row_number().over(wSeq))
+      .select($"user_id", $"ts".as("eff_from"),
+        concat(lit("SYM-"), $"user_id", lit("-"), $"seq").as("symbol"))
+    val wSfx = Window.partitionBy($"user_id").orderBy($"ts".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val actions = refs
+      .withColumn("lf", log(lit(1.0) + $"value" / 1000.0))
+      .withColumn("sfx", sum($"lf").over(wSfx))
+      .select($"user_id", $"ts", $"sfx")
+    val trades = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val withSym = AsOf.join(trades, xref, key = "user_id",
+      leftTs = "ts", rightTs = "eff_from",
+      rightVals = Seq("symbol" -> "symbol"))
+    val enriched = AsOf.join(withSym, actions, key = "user_id",
+        leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("sfx" -> "sfx"),
+        inner = false, direction = "forward")
+      .withColumn("on_session",
+        when(dayofweek($"ts").between(2, 6) && dayofmonth($"ts") =!= 1, 1)
+          .otherwise(0))
+    enriched.groupBy($"symbol", $"on_session")
+      .agg(count(lit(1)).as("n_trades"),
+        round(sum($"value"), 2).as("notional"),
+        decRound(avg(coalesce($"sfx", lit(0.0))), 6).as("avg_log_adj"))
+  }
+
+  val q143Sql: String =
+    """WITH su AS (
+      |  SELECT user_id, ts, event_id, value FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      row_number() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) AS dup
+      |    FROM events WHERE event_type = 'signup')
+      |  WHERE dup = 1),
+      |x AS (
+      |  SELECT user_id, ts AS eff_from,
+      |    'SYM-' || user_id || '-' ||
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS symbol
+      |  FROM su),
+      |actions AS (
+      |  SELECT user_id, ts,
+      |    sum(ln(1.0 + value / 1000.0)) OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC ROWS UNBOUNDED PRECEDING) AS sfx
+      |  FROM su),
+      |t AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |ws AS (
+      |  SELECT t.user_id, t.ts, t.value, x.symbol
+      |  FROM t ASOF JOIN x
+      |    ON t.user_id = x.user_id AND t.ts >= x.eff_from),
+      |en AS (
+      |  SELECT ws.*, a.sfx,
+      |    CASE WHEN isodow(ws.ts) BETWEEN 1 AND 5
+      |          AND extract(day FROM ws.ts) <> 1 THEN 1 ELSE 0 END
+      |      AS on_session
+      |  FROM ws LEFT JOIN LATERAL (
+      |    SELECT sfx FROM actions a
+      |    WHERE a.user_id = ws.user_id AND a.ts >= ws.ts
+      |    ORDER BY a.ts ASC LIMIT 1) a ON true)
+      |SELECT symbol, on_session, count(*) AS n_trades,
+      |  round(sum(value), 2) AS notional,
+      |  CAST(round(CAST(avg(coalesce(sfx, 0.0)) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS avg_log_adj
+      |FROM en GROUP BY symbol, on_session""".stripMargin
+
   val q138Sql: String =
     """WITH base AS (
       |  SELECT user_id,

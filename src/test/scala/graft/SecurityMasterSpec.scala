@@ -127,6 +127,35 @@ class SecurityMasterSpec extends SparkTestBase {
     assert(got(1)._2 == 5 && got(1)._3 == 1 && got(1)._4 == 1, got(1).toString)
   }
 
+  test("q143 golden master: symbol epoch, remaining adjustment and session flag compose per trade") {
+    // user 1: SYM-1-1 minted Tue Jan 2 (a 2x action, lf = ln 2),
+    // SYM-1-2 minted Wed Jan 10 (a no-op action, lf = 0). Trades land
+    // at 06:00 so each is AFTER its same-day mint instant: the only
+    // action strictly ahead of any trade is the Jan-10 no-op, so every
+    // kept trade carries zero remaining adjustment, and the session
+    // flag separates the Sunday print.
+    val jan1 = java.time.LocalDate.of(2024, 1, 1).toEpochDay // a Monday
+    val rows = Seq(
+      (1L, d(jan1 + 1), 1L, "signup", 1000.0),    // Tue Jan 2: mint SYM-1-1
+      (2L, d(jan1 + 9), 1L, "signup", 0.0),       // Wed Jan 10: mint SYM-1-2
+      (3L, d(jan1 + 1, 6), 1L, "purchase", 10.0), // Tue Jan 2: epoch 1, on-session
+      (4L, d(jan1 + 6, 6), 1L, "purchase", 20.0), // Sun Jan 7: epoch 1, OFF-session
+      (5L, d(jan1 + 11, 6), 1L, "purchase", 30.0)) // Fri Jan 12: epoch 2, on-session
+    val got = SparkEntry.queries("q143_golden_master")(spark, writeEvents(rows))
+      .as[(String, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      ("SYM-1-1", 1) -> ((1L, 10.0, 0.0)),
+      ("SYM-1-1", 0) -> ((1L, 20.0, 0.0)),
+      ("SYM-1-2", 1) -> ((1L, 30.0, 0.0))), got.toString)
+    // a trade BEFORE the first identifier epoch has no symbol and is
+    // dropped by the inner as-of — the rollup keeps exactly 3 trades
+    val rows2 = rows :+ (6L, d(jan1, 6), 1L, "purchase", 5.0) // Mon Jan 1: pre-epoch
+    val got2 = SparkEntry.queries("q143_golden_master")(spark, writeEvents(rows2))
+      .as[(String, Int, Long, Double, Double)].collect()
+    assert(got2.map(_._3).sum == 3L, got2.toSeq.toString)
+  }
+
   test("Bitemporal: corrections recorded after K cannot change the as-known-at-K snapshot") {
     val hist = Tables.events(spark, sf)
       .select($"user_id", date_trunc("day", $"ts").as("day"),
