@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Scalable global ranking: per-group row numbers (and group totals)
   * without ever putting a whole group in one task.
@@ -13,122 +14,283 @@ import org.apache.spark.sql.functions._
   * table, which stalls at 100 TB no matter how many executors exist.
   * This operator runs the classic two-pass shape instead:
   *
-  *   1. range-repartition on (g, k): rows land in P globally ordered
-  *      slices, each slice a normal-sized task;
-  *   2. count rows per (slice, g) — a P×|g|-row frame — and turn it
-  *      into per-slice prefix offsets with a window over that TINY
-  *      frame;
-  *   3. rank locally within (slice, g) and add the broadcast offset.
+  *   1. a reservoir sketch over the (group, order) key picks S−1
+  *      equi-depth boundary literals (the same sampling pass Spark's
+  *      own RangePartitioner runs inside repartitionByRange — done
+  *      here ONCE, driver-side, so the slice id becomes a row-local
+  *      expression instead of a partitioner side-effect);
+  *   2. count rows per (slice, g) with a map-side partial aggregate
+  *      (NO data shuffle — slice is row-local) and turn the tiny
+  *      S×|g| frame into per-(slice, g) prefix offsets on the driver;
+  *   3. rank locally within (slice, g) — a codegen-friendly window
+  *      over S×|g| balanced units — and add the broadcast offset.
   *
-  * The per-(slice, g) window is keyed on P×|g| values, so parallelism
-  * scales with P, not |g|. Output is identical to the single-window
-  * form whenever (g, k) is a total order (callers pass a unique
-  * tiebreaker — ties could otherwise land in either of two adjacent
-  * slices and renumber within the tie run).
+  * The earlier revision of this operator derived slices from
+  * `repartitionByRange` + `spark_partition_id()`, which forced the
+  * offsets branch to RE-scan and RE-shuffle the input (AQE in this
+  * Spark version does not reuse even canonically identical exchanges
+  * at runtime — measured, not assumed), and q123's running sum paid a
+  * per-row InternalRow→Row codec in a mapPartitions. Row-local slice
+  * ids remove both: the data is shuffled exactly once, by
+  * (__slice, group), and every per-row step stays in Tungsten.
+  *
+  * Per-(slice, g) window units hold ≤ ~n/S rows each (equi-depth
+  * boundaries), so parallelism scales with S = shuffle partitions,
+  * not |g|. Output is identical to the single-window form whenever
+  * (g, k) is a total order (callers pass a unique tiebreaker — ties
+  * could otherwise land in either of two adjacent slices and
+  * renumber within the tie run).
+  *
+  * Driver-side state is MODEL-sized, never data-sized: the boundary
+  * sketch is S−1 keys and the offsets frame S×|groups| rows — the
+  * same bound the previous broadcast-join formulation already
+  * required (a broadcast build side is collected to the driver by
+  * Spark anyway).
+  *
+  * Key columns (group AND order) must be NON-NULL: slice assignment
+  * compares composite keys against boundary literals, and a null
+  * field makes the comparison null (such rows would land in the last
+  * slice while a native window orders NULLS FIRST). The inner offset
+  * join on group columns would likewise drop null-group rows. Callers
+  * filter or coalesce nulls first.
+  *
+  * PLAN CHOICE BY STATISTICS. The two-pass shape exists to kill a
+  * straggler that only materializes when a single group is too big
+  * for one task. Below that size the native window IS the optimal
+  * plan — one exchange, one sort, zero extra jobs — and running the
+  * two-pass machinery there just pays sketch/offset overhead for a
+  * problem that doesn't exist. So, exactly like Spark's own
+  * broadcast-vs-shuffle join choice, the operator picks the physical
+  * plan from the optimized-plan statistics (driver-side, no job):
+  * inputs whose estimated size can't produce an oversized task run
+  * the native window; larger inputs run the two-pass path. Both
+  * paths are differentially proven bit-identical in RankSpec (which
+  * forces the two-pass path regardless of input size), and callers
+  * can force either via `twoPass = Some(true/false)` — the scale
+  * bench forces the two-pass path to price it honestly.
   */
 object Rank {
 
+  /** Inputs at or below this ESTIMATED on-disk size take the native
+    * single-window plan. Rationale: the worst case for the native
+    * plan is |groups| = 1 — the whole input in ONE task. 64 MB of
+    * columnar storage is ≈ a few million rows; a single-task sort at
+    * that size is comfortably inside normal task-duration budgets,
+    * while anything larger risks the straggler the two-pass plan
+    * exists to prevent. Compressed size UNDERESTIMATES row count, so
+    * the threshold errs toward the scalable path, never away from it.
+    */
+  val NativeWindowByteLimit: Long = 64L * 1024 * 1024
+
+  private def useNative(df: DataFrame, twoPass: Option[Boolean]): Boolean =
+    twoPass match {
+      case Some(t) => !t
+      case None =>
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          NativeWindowByteLimit
+    }
+
   /** Adds `rankCol` (1-based global row number within each group, long)
     * and `totalCol` (group row count, long) to `df`. `order` columns
-    * together with `group` must form a total order over the rows.
+    * together with `group` must form a total order over the rows and
+    * be non-null (see object doc).
     *
-    * ONE data-sized shuffle and ONE sort total: the counts branch
-    * reads the range exchange directly (ReusedExchange, no sort), and
-    * the ranked branch derives each row's position inside its slice
-    * from `monotonically_increasing_id()` evaluated ABOVE the
-    * in-partition sort (id = slice << 33 | row index in slice-sorted
-    * order; the optimizer never reorders a nondeterministic projection
-    * across the sort). The broadcast offsets frame carries, per
-    * (slice, group): rows of EARLIER groups inside the slice (groups
-    * are contiguous in the slice sort, so position − prior = local
-    * rank) and rows of the group in earlier slices. No Window operator
-    * and no per-row codec ever touches the data-sized side. Bound: ≤
-    * 2^33 rows per slice — raise partition count long before that.
+    * Two-pass path: ONE data-sized shuffle and ONE sort total (the
+    * window's own hash exchange on (__slice, group)); the sketch and
+    * counts jobs scan only the key columns (Parquet-pruned — a
+    * q123-style caller whose value column is an expensive projection
+    * never computes it for either light job).
     */
   def groupRowNumber(df: DataFrame, group: Seq[String], order: Seq[String],
                      rankCol: String = "rn",
-                     totalCol: String = "n_total"): DataFrame = {
-    val spark = df.sparkSession
-    val p = spark.sessionState.conf.numShufflePartitions
-    val composite = (group ++ order).map(col)
-    // one range exchange with EXPLICIT partition count: both branches
-    // read the same materialized stage, and the explicit count exempts
-    // it from AQE coalescing — the two readers must agree on slice ids
-    val ranged = df.repartitionByRange(p, composite: _*)
-    val counts = ranged.withColumn("__slice", spark_partition_id())
-      .groupBy(("__slice" +: group).map(col): _*)
-      .agg(count(lit(1)).as("__cnt"))
-    // all three windows run over the P×|groups| counts frame
-    val wOff = Window.partitionBy(group.map(col): _*).orderBy(col("__slice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy(group.map(col): _*)
-    val wPrior = Window.partitionBy(col("__slice"))
-      .orderBy(group.map(col(_).asc): _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-      .withColumn(totalCol, sum(col("__cnt")).over(wTot))
-      .withColumn("__prior", coalesce(sum(col("__cnt")).over(wPrior), lit(0L)))
-      .drop("__cnt")
-    val ranked = ranged.sortWithinPartitions(composite: _*)
-      .withColumn("__slice", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
-    ranked.join(broadcast(offsets), "__slice" +: group)
-      .withColumn(rankCol,
-        col("__mid") - shiftleft(col("__slice").cast("long"), 33) -
-          col("__prior") + col("__off") + 1)
-      .drop("__slice", "__mid", "__prior", "__off")
+                     totalCol: String = "n_total",
+                     twoPass: Option[Boolean] = None): DataFrame = {
+    val outCols = (df.columns :+ rankCol :+ totalCol).map(col)
+    if (useNative(df, twoPass)) {
+      val w = Window.partitionBy(group.map(col): _*)
+        .orderBy(order.map(col): _*)
+      df.withColumn(rankCol, row_number().over(w).cast("long"))
+        .withColumn(totalCol,
+          count(lit(1)).over(Window.partitionBy(group.map(col): _*)))
+        .select(outCols: _*)
+    } else {
+      val slice = sliceExpr(df, group ++ order)
+      val tagged = df.withColumn("__slice", slice)
+      // counts per (slice, group): map-side partial agg, S×|g| shuffle
+      val counts = tagged.groupBy(("__slice" +: group).map(col): _*)
+        .agg(count(lit(1)).as("__v")).collect()
+      val offsets = offsetFrame(df, group, counts, totalTooCol = Some(totalCol))
+      val w = Window.partitionBy(("__slice" +: group).map(col): _*)
+        .orderBy(order.map(col): _*)
+      tagged.withColumn("__rn", row_number().over(w).cast("long"))
+        .join(broadcast(offsets), "__slice" +: group)
+        .withColumn(rankCol, col("__rn") + col("__off"))
+        .select(outCols: _*)
+    }
   }
 
   /** Adds `out` = the inclusive running sum of integer `valueCol`
     * within each group in (group, order) order, without a
     * low-cardinality single-task window — the q123 token-packing
     * shape, where `PARTITION BY source` would put one source's whole
-    * corpus in one task. Same two-pass plan as [[groupRowNumber]]:
-    * range-partition, per-(slice, group) partial sums → broadcast
-    * prior-slice offsets, and the in-slice prefix from a sorted
-    * streaming scan (running sums need per-row state, so this is the
-    * one mapPartitions in the family — row-local, exact long
-    * arithmetic, order-independent result). `valueCol` must be a
-    * non-null integral column; (group, order) must totally order rows.
+    * corpus in one task. Two-pass path: same plan as
+    * [[groupRowNumber]] with count replaced by sum — per-(slice,
+    * group) partial sums → driver-merged prior-slice offsets, and the
+    * in-slice prefix from a codegen'd running-sum window over
+    * (__slice, group) — no per-row codec. `valueCol` must be a
+    * non-null integral column; (group, order) must totally order rows
+    * and be non-null.
     */
   def groupRunningSum(df: DataFrame, group: Seq[String], order: Seq[String],
-                      valueCol: String, out: String = "cum"): DataFrame = {
-    val spark = df.sparkSession
-    val p = spark.sessionState.conf.numShufflePartitions
-    val composite = (group ++ order).map(col)
-    val ranged = df.repartitionByRange(p, composite: _*)
-    val sums = ranged.withColumn("__slice", spark_partition_id())
-      .groupBy(("__slice" +: group).map(col): _*)
-      .agg(sum(col(valueCol)).as("__s"))
-    val wOff = Window.partitionBy(group.map(col): _*).orderBy(col("__slice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sums
-      .withColumn("__soff", coalesce(sum(col("__s")).over(wOff), lit(0L)))
-      .drop("__s")
-    val groupIdx = group.map(df.schema.fieldNames.indexOf(_))
-    val valIdx = df.schema.fieldNames.indexOf(valueCol)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+
-        org.apache.spark.sql.types.StructField("__slice",
-          org.apache.spark.sql.types.IntegerType, nullable = false) :+
-        org.apache.spark.sql.types.StructField("__lcum",
-          org.apache.spark.sql.types.LongType, nullable = false))
-    val local = ranged.sortWithinPartitions(composite: _*)
-      .mapPartitions { it =>
-        val slice = org.apache.spark.TaskContext.getPartitionId()
-        var curKey: Seq[Any] = null
-        var acc = 0L
-        it.map { row =>
-          val key = groupIdx.map(row.get)
-          if (key != curKey) { curKey = key; acc = 0L }
-          acc += row.getAs[Number](valIdx).longValue
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ slice :+ acc)
+                      valueCol: String, out: String = "cum",
+                      twoPass: Option[Boolean] = None): DataFrame = {
+    val outCols = (df.columns :+ out).map(col)
+    if (useNative(df, twoPass)) {
+      val w = Window.partitionBy(group.map(col): _*)
+        .orderBy(order.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(out, sum(col(valueCol).cast("long")).over(w))
+        .select(outCols: _*)
+    } else {
+      val slice = sliceExpr(df, group ++ order)
+      val tagged = df.withColumn("__slice", slice)
+      val sums = tagged.groupBy(("__slice" +: group).map(col): _*)
+        .agg(sum(col(valueCol).cast("long")).as("__v")).collect()
+      val offsets = offsetFrame(df, group, sums, totalTooCol = None)
+      val w = Window.partitionBy(("__slice" +: group).map(col): _*)
+        .orderBy(order.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged.withColumn("__run", sum(col(valueCol).cast("long")).over(w))
+        .join(broadcast(offsets), "__slice" +: group)
+        .withColumn(out, col("__run") + col("__off"))
+        .select(outCols: _*)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // slice assignment + offset merge internals
+  // ---------------------------------------------------------------
+
+  /** Row-local slice id: a short-circuiting when-chain comparing the
+    * composite key struct against S−1 sorted boundary literals from a
+    * one-pass reservoir sketch. Any boundary set is CORRECT (offsets
+    * are computed from the same literals); the sketch only buys
+    * balance, exactly like RangePartitioner's internal sampling.
+    */
+  private def sliceExpr(df: DataFrame, keyCols: Seq[String]): Column = {
+    val slices = df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = df.select(keyCols.map(col): _*)
+    val bounds = sampleBoundaries(keyed, slices)
+    if (bounds.isEmpty) return lit(0)
+    val keyType = keyed.schema
+    val key = struct(keyCols.map(col): _*)
+    // cast each boundary literal struct to the key's EXACT struct type
+    // (field names + types) so the comparison needs no coercion
+    def boundLit(b: Row): Column =
+      struct(b.toSeq.map(v => lit(v)): _*).cast(keyType)
+    val first: Column = when(key <= boundLit(bounds(0)), 0)
+    bounds.indices.drop(1)
+      .foldLeft(first)((acc, i) => acc.when(key <= boundLit(bounds(i)), i))
+      .otherwise(bounds.length)
+  }
+
+  /** One-pass weighted reservoir sketch of the key distribution →
+    * up to `slices`−1 distinct, sorted boundary keys. Reads ONLY the
+    * pruned key columns; per-partition output is a fixed-size sample,
+    * so the collect is bounded by partitions × sampleSize regardless
+    * of data size (the RangePartitioner contract).
+    */
+  private def sampleBoundaries(keys: DataFrame, slices: Int): Array[Row] = {
+    if (slices <= 1) return Array.empty
+    val perPart = 64
+    val sketched = keys.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rng = new java.util.Random(0x9E3779B9L ^ pid)
+      val res = new Array[Row](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < perPart) res(n.toInt) = r
+        else {
+          val j = (rng.nextDouble() * (n + 1)).toLong
+          if (j < perPart) res(j.toInt) = r
         }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
-    local.join(broadcast(offsets), "__slice" +: group)
-      .withColumn(out, col("__lcum") + col("__soff"))
-      .drop("__slice", "__lcum", "__soff")
+        n += 1
+      }
+      Iterator.single((n, res.take(math.min(n, perPart).toInt)))
+    }.collect()
+    val total = sketched.map(_._1).sum
+    if (total == 0) return Array.empty
+    // weight = rows represented per candidate, as in determineBounds
+    val cands = sketched.flatMap { case (n, rows) =>
+      val w = n.toDouble / math.max(rows.length, 1)
+      rows.map(r => (r, w))
+    }
+    val ord = rowOrdering
+    val sorted = cands.sortBy(_._1)(ord)
+    val step = total.toDouble / slices
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var cum = 0.0
+    var target = step
+    for ((r, w) <- sorted if out.length < slices - 1) {
+      cum += w
+      if (cum >= target &&
+          (out.isEmpty || ord.compare(out.last, r) < 0)) {
+        out += r
+        target += step
+      }
+    }
+    out.toArray
+  }
+
+  /** Field-wise ordering over boundary keys: every orderable Spark
+    * external type (boxed primitives, String, Decimal, Date,
+    * Timestamp) is a Comparable — non-null by operator contract.
+    */
+  private def rowOrdering: Ordering[Row] = new Ordering[Row] {
+    def compare(a: Row, b: Row): Int = {
+      var i = 0
+      while (i < a.length) {
+        val c = a.get(i).asInstanceOf[Comparable[Any]].compareTo(b.get(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** Driver-side offset merge of the tiny per-(slice, group) partial
+    * frame: __off = value of EARLIER slices within the group (and
+    * optionally the group total). Returns a local-relation DataFrame
+    * for the broadcast join — no extra Spark stages for what is a
+    * model-sized computation.
+    */
+  private def offsetFrame(df: DataFrame, group: Seq[String],
+                          partials: Array[Row],
+                          totalTooCol: Option[String]): DataFrame = {
+    val k = group.length
+    val byKey = partials.groupBy(r => (1 to k).map(r.get).toIndexedSeq)
+    val rows = new java.util.ArrayList[Row](partials.length)
+    byKey.foreach { case (_, rs) =>
+      val sortedRs = rs.sortBy(_.getInt(0))
+      val totalV = rs.map(_.getLong(k + 1)).sum
+      var off = 0L
+      sortedRs.foreach { r =>
+        val base = r.getInt(0) +: (1 to k).map(r.get)
+        val tail = totalTooCol match {
+          case Some(_) => Seq(off, totalV)
+          case None    => Seq(off)
+        }
+        rows.add(Row.fromSeq(base ++ tail))
+        off += r.getLong(k + 1)
+      }
+    }
+    val groupFields = group.map(g => df.schema(g))
+    val schema = StructType(
+      Seq(StructField("__slice", IntegerType, nullable = false)) ++
+        groupFields ++
+        Seq(StructField("__off", LongType, nullable = false)) ++
+        totalTooCol.map(c => StructField(c, LongType, nullable = false)))
+    df.sparkSession.createDataFrame(rows, schema)
   }
 
   /** SQL-standard ntile bucket from a global rank and group total:

@@ -631,9 +631,10 @@ object Analytics {
     * return flag (the feature-engineering companion to the q80 MAD
     * screen: clamp the tails instead of dropping them). The exact
     * interpolated thresholds come from ORDER STATISTICS over the
-    * scalable two-pass rank (Rank.groupRowNumber), not from a
-    * percentile aggregate that buffers each group's values in one
-    * ObjectHashAggregate task — so the plan holds at any group size:
+    * scalable rank (Rank.groupRowNumber — native window small, sliced
+    * two-pass large), not from a percentile aggregate that buffers
+    * each group's values in one ObjectHashAggregate task — so the
+    * plan holds at any group size:
     * rank the group, pick the two rows bracketing α·(n−1), lerp. The
     * oracle keeps quantile_cont: winsorization is CONTINUOUS at the
     * threshold, so an ulp-level interpolation difference moves the

@@ -370,10 +370,11 @@ object Quant {
     * summarized per bin. This is the batch-packing step that turns a
     * corpus into fixed-budget training chunks. Packing is inherently
     * sequential per source, but the PREFIX SUM that drives it is not:
-    * Rank.groupRunningSum computes it hierarchically (per-slice pack +
-    * broadcast offset merge), so no task ever holds a source's whole
-    * corpus — `source` is exactly the low-cardinality key the round-5
-    * audit flagged. Counts are exact integers end-to-end.
+    * Rank.groupRunningSum picks its plan from input statistics — a
+    * plain window at sizes where one source fits a task, the sliced
+    * two-pass merge above that — so no task ever holds a too-big
+    * source corpus (`source` is exactly the low-cardinality key the
+    * round-5 audit flagged). Counts are exact integers end-to-end.
     */
   def q123PackChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -492,8 +493,9 @@ object Quant {
     * the (value, event_id) tiebreak makes the assignment total-order
     * deterministic across engines. event_type has ~5 values, so a
     * plain `ntile() OVER (PARTITION BY event_type)` would put 20% of
-    * the table in ONE task — instead Rank.groupRowNumber range-
-    * partitions the sort and merges per-slice offsets, and the decile
+    * the table in ONE task at warehouse scale — Rank.groupRowNumber
+    * switches to its sliced two-pass plan above a size threshold
+    * (stats-based, like the broadcast-join choice), and the decile
     * is the same integer formula DuckDB's ntile applies to that rank.
     */
   def q128NtileBins(spark: SparkSession, dir: String): DataFrame = {
@@ -660,8 +662,9 @@ object Quant {
     * outliers. percent_rank is pure integer-rank arithmetic over a
     * total order ((value, event_id) tiebreak), so the division is on
     * identical integer operands — bit-exact, no rounding needed. Like
-    * q128, the rank comes from Rank.groupRowNumber so no task ever
-    * holds a whole event_type partition.
+    * q128, the rank comes from Rank.groupRowNumber, whose stats-based
+    * plan choice keeps any one event_type partition out of a single
+    * task once the input outgrows the native-window threshold.
     */
   def q133RankNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -71,38 +71,53 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("scalable rank never windows a bare low-cardinality partition (q128/q133)") {
+  test("scalable rank: auto picks the optimal plan per size, forced two-pass never windows a bare group (q128/q133/q123)") {
     // event_type has ~5 values; a window hash-partitioned on it alone
-    // means one task per type holding 20% of the table. The two-pass
-    // rank range-partitions the data ONCE and derives local ranks from
-    // the per-partition sorted scan, so the plan must show the range
-    // exchange and NO row_number window anywhere (the tiny offsets
-    // frame windows only sum/count over P×|types| rows).
-    for (q <- Seq("q128_ntile_bins", "q133_rank_normalize")) {
+    // means one task per type holding 20% of the table — a straggler
+    // at 100 TB, but the OPTIMAL plan at test scale. Rank picks the
+    // plan from input statistics (like Spark's own broadcast-join
+    // threshold): tiny inputs take the plain window, big inputs the
+    // two-pass slice plan. Guard both sides of that contract.
+    import org.apache.spark.sql.functions.{col, size => asize}
+    // (a) at test scale, auto mode must NOT pay the two-pass overhead
+    for (q <- Seq("q128_ntile_bins", "q133_rank_normalize",
+                  "q123_pack_chunks", "q101_winsorized")) {
       val p = plan(q)
-      assert(p.contains("rangepartitioning"),
-        s"$q: range repartition missing\n$p")
-      assert(!p.contains("row_number"),
-        s"$q: a rank window crept back in\n$p")
-      // remaining hash exchanges are aggregates (tiny counts frame +
-      // the query's own rollup); the only Window operators allowed are
-      // the offset/total sums over the counts frame — nothing windows
-      // the data-sized side, so no window spec ever references `value`
-      val dataWindows = p.linesIterator.filter(l =>
-        l.contains("windowspecdefinition") && l.contains("value#"))
-      assert(dataWindows.isEmpty, s"$q: data-sized window present\n$p")
+      assert(!p.contains("__slice"),
+        s"$q: two-pass machinery engaged on a tiny input\n$p")
     }
-    // q123's prefix sum follows the same rule: range exchange present,
-    // and no window ever touches the per-doc token counts
-    val p123 = plan("q123_pack_chunks")
-    assert(p123.contains("rangepartitioning"), p123)
-    assert(!p123.linesIterator.exists(l =>
-      l.contains("windowspecdefinition") && l.contains("n_tok#")), p123)
-    // q101's thresholds are rank-derived order statistics — the plan
-    // must contain no percentile aggregate (which buffers a whole
-    // group's values in one ObjectHashAggregate task)
+    // (b) the forced two-pass plan slices every data-sized window:
+    // each windowspecdefinition that touches the data must be keyed by
+    // __slice, and no bare group-only rank window may appear
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val forced = operators.Rank.groupRowNumber(ev,
+      Seq("event_type"), Seq("value", "event_id"), "r", "n_total",
+      twoPass = Some(true))
+    val fp = forced.queryExecution.executedPlan.toString
+    val winSpecs = fp.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty, fp)
+    assert(winSpecs.forall(_.contains("__slice")),
+      s"two-pass plan windows the data without a slice key:\n$fp")
+    // exactly one data-sized exchange: the window's (__slice, group)
+    // hash partition; the rest is the tiny offsets LocalRelation side
+    assert(fp.contains("hashpartitioning(__slice"), fp)
+    assert(!fp.contains("rangepartitioning"),
+      s"range exchange reappeared (the non-reused-exchange shape):\n$fp")
+    // (c) running sum takes the same sliced shape when forced
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        asize(functions.Text.tokens(col("text"))).as("n_tok"))
+    val fsum = operators.Rank.groupRunningSum(docs,
+      Seq("source"), Seq("doc_id"), "n_tok", "cum", twoPass = Some(true))
+    val fsp = fsum.queryExecution.executedPlan.toString
+    assert(fsp.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__slice")), fsp)
+    assert(!fsp.contains("mapPartitions") && !fsp.contains("DeserializeToObject"),
+      s"row-codec mapPartitions crept back into the running sum:\n$fsp")
+    // (d) q101's thresholds stay rank-derived order statistics — no
+    // percentile aggregate (which buffers a whole group in one task)
     val p101 = plan("q101_winsorized")
-    assert(p101.contains("rangepartitioning"), p101)
     assert(!p101.contains("percentile"), s"group-buffering percentile crept back\n$p101")
   }
 

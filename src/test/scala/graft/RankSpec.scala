@@ -20,7 +20,8 @@ class RankSpec extends SparkTestBase {
 
   test("groupRowNumber matches the native per-group window row_number") {
     val twoPass = operators.Rank.groupRowNumber(ev,
-      Seq("event_type"), Seq("value", "event_id"), "r", "n_total")
+      Seq("event_type"), Seq("value", "event_id"), "r", "n_total",
+      twoPass = Some(true))
     val native = ev
       .withColumn("r_native", row_number().over(wOrd).cast("long"))
       .withColumn("n_native",
@@ -34,7 +35,8 @@ class RankSpec extends SparkTestBase {
 
   test("ntileFromRank and percentRankFromRank match native ntile/percent_rank") {
     val twoPass = operators.Rank.groupRowNumber(ev,
-      Seq("event_type"), Seq("value", "event_id"), "r", "n_total")
+      Seq("event_type"), Seq("value", "event_id"), "r", "n_total",
+      twoPass = Some(true))
       .withColumn("dec", operators.Rank.ntileFromRank($"r", $"n_total", 10))
       .withColumn("pr", operators.Rank.percentRankFromRank($"r", $"n_total"))
     val native = ev
@@ -55,7 +57,8 @@ class RankSpec extends SparkTestBase {
       sum($"n_chars").over(Window.partitionBy($"source").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val twoPass = operators.Rank.groupRunningSum(docs,
-      Seq("source"), Seq("doc_id"), "n_chars", "cum")
+      Seq("source"), Seq("doc_id"), "n_chars", "cum",
+      twoPass = Some(true))
     val joined = twoPass.join(native, Seq("doc_id", "source", "n_chars"))
     assert(joined.count() == docs.count(), "join lost rows")
     assert(joined.filter($"cum" =!= $"cum_native").count() == 0,
@@ -69,7 +72,8 @@ class RankSpec extends SparkTestBase {
       (if (i <= 19000) "dominant" else s"tail${i % 53}", i.toLong)
     }
     val df = rows.toDF("g", "v").repartition(8) // scatter input first
-    val twoPass = operators.Rank.groupRowNumber(df, Seq("g"), Seq("v"), "r", "n")
+    val twoPass = operators.Rank.groupRowNumber(df, Seq("g"), Seq("v"), "r", "n",
+      twoPass = Some(true))
     val native = df.withColumn("r_native",
       row_number().over(Window.partitionBy($"g").orderBy($"v")).cast("long"))
     val joined = twoPass.join(native, Seq("g", "v"))
@@ -86,15 +90,18 @@ class RankSpec extends SparkTestBase {
   test("rank operators handle empty and single-row inputs without failing") {
     val empty = ev.filter(lit(false))
     assert(operators.Rank.groupRowNumber(empty,
-      Seq("event_type"), Seq("value", "event_id")).count() == 0)
+      Seq("event_type"), Seq("value", "event_id"),
+      twoPass = Some(true)).count() == 0)
     assert(operators.Rank.groupRunningSum(
       Seq((1L, "a", 5L)).toDF("id", "g", "v").filter(lit(false)),
-      Seq("g"), Seq("id"), "v").count() == 0)
+      Seq("g"), Seq("id"), "v", twoPass = Some(true)).count() == 0)
     val one = Seq((1L, "a", 5L)).toDF("id", "g", "v")
     val r1 = operators.Rank.groupRowNumber(one, Seq("g"), Seq("id"),
-      "r", "n").select($"r", $"n").as[(Long, Long)].collect()
+      "r", "n", twoPass = Some(true))
+      .select($"r", $"n").as[(Long, Long)].collect()
     assert(r1.toSeq == Seq((1L, 1L)))
-    val c1 = operators.Rank.groupRunningSum(one, Seq("g"), Seq("id"), "v")
+    val c1 = operators.Rank.groupRunningSum(one, Seq("g"), Seq("id"), "v",
+      twoPass = Some(true))
       .select($"cum").as[Long].collect()
     assert(c1.toSeq == Seq(5L))
     // percent_rank of a single-row group is 0.0 (SQL standard), not NaN
@@ -102,6 +109,24 @@ class RankSpec extends SparkTestBase {
     val pr = one.select(operators.Rank.percentRankFromRank(lit(1L), lit(1L)))
       .as[Double].collect()(0)
     assert(pr == 0.0)
+  }
+
+  test("plan choice: auto uses the native window below the size threshold, two-pass stays forceable") {
+    // sf-test inputs are far below NativeWindowByteLimit: auto mode
+    // must plan the plain window (no __slice machinery, no extra jobs)
+    val auto = operators.Rank.groupRowNumber(ev,
+      Seq("event_type"), Seq("value", "event_id"), "r", "n_total")
+    assert(!auto.queryExecution.optimizedPlan.toString.contains("__slice"),
+      "auto mode planned the two-pass path on a tiny input")
+    val forced = operators.Rank.groupRowNumber(ev,
+      Seq("event_type"), Seq("value", "event_id"), "r", "n_total",
+      twoPass = Some(true))
+    assert(forced.queryExecution.optimizedPlan.toString.contains("__slice"),
+      "forced two-pass did not engage the sliced plan")
+    // and the two emit identical results (bit-equality is covered by
+    // the differential tests; this guards the AUTO wiring end-to-end)
+    assert(auto.select($"event_id", $"r", $"n_total")
+      .except(forced.select($"event_id", $"r", $"n_total")).count() == 0)
   }
 
   test("ntileFromRank follows the SQL bucket-size rule when rows < buckets and on remainders") {
