@@ -117,12 +117,17 @@ object Graph {
               maxHops: Int = 3,
               broadcastState: Option[Boolean] = None): DataFrame = {
     val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // visited can only grow to the vertex count; a plain edge-row count
-    // (no shuffle, one scan of the cache being built anyway) is a safe
-    // UPPER bound on it, so "count small → broadcast" never over-ships
-    // and a huge graph conservatively takes the shuffle path
+    // visited can only grow to the reachable vertex count, and every
+    // edge ROW names at most two vertices, so visited ≤ 2·edgeRows
+    // (+ the seed set, which is tiny by contract). An edge-row count
+    // is therefore NOT itself an upper bound on visited — a directed
+    // path has n vertices on n−1 rows — so the broadcast decision
+    // compares against HALF the limit to keep the 2x slack explicit:
+    // "rows ≤ limit/2 → visited ≤ limit" never over-ships, and a huge
+    // graph conservatively takes the shuffle path. The count itself is
+    // free: no shuffle, one scan of the cache being built anyway.
     val st = stateHint(broadcastState.getOrElse(
-      cached.count() <= BroadcastVertexLimit))
+      cached.count() <= BroadcastVertexLimit / 2))
     var visited = seeds.select(col("part"), lit(0).as("hop")).distinct()
     var frontier = visited.select(col("part"))
     for (h <- 1 to maxHops) {

@@ -32,7 +32,20 @@ object Scd2 {
     val untouched = dim.join(touched, keys, "left_anti")
     val reopened = dim.join(touched, keys, "left_semi").drop("valid_to")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(rid))
+    // H ∪ D is a SET union: a delta record already present in the dim
+    // (an at-least-once redelivery, or a replay against an already-
+    // published snapshot) must not appear twice — duplicated (keys,
+    // ts, rid) rows would mint zero-length intervals. (keys, ts, rid)
+    // identifies a record, and duplicates are ADJACENT in the rebuild
+    // window's own (ts, rid) sort — so a lag-compare over the same
+    // window spec dedupes exactly, reusing the one exchange+sort
+    // instead of the extra (keys, ts, rid) shuffle dropDuplicates
+    // would pay.
     val rebuilt = reopened.unionByName(delta)
+      .withColumn("__pts", lag(col(ts), 1).over(w))
+      .withColumn("__prid", lag(col(rid), 1).over(w))
+      .filter(!(col("__pts") <=> col(ts) && col("__prid") <=> col(rid)))
+      .drop("__pts", "__prid")
       .withColumn("valid_to", lead(col(ts), 1).over(w))
     untouched.unionByName(rebuilt.select(dim.columns.map(col).toIndexedSeq: _*))
   }

@@ -43,10 +43,13 @@ object JdbcFeed {
     * append-only feed's sequence/id column), then advance the mark.
     *
     * Same crash discipline as [[Ingest.incrementalIngest]]: data lands
-    * FIRST (append of a strictly-new key range — a re-run after a
-    * crash between land and mark-advance re-reads the same range, and
-    * the batch tag makes the replay overwrite itself), the watermark
-    * file advances LAST via tempfile + rename. The pull itself is
+    * FIRST, the watermark file advances LAST via tempfile + rename.
+    * The landed set is EXACTLY the measured range (w, hi] — the pull
+    * predicate is bounded above by the pre-measured hi, so rows
+    * appended mid-pull wait for the next batch — and the batch
+    * partition is tagged by the from-watermark, so any crash-replay
+    * (even one racing new appends) overwrites its own partition
+    * instead of duplicating the overlap. The pull itself is
     * partition-parallel over the new key range.
     *
     * @return number of rows landed (0 when the source has nothing new)
@@ -72,21 +75,32 @@ object JdbcFeed {
     val row = bounds.collect()(0)
     if (row.isNullAt(0)) return 0L
     val (lo, hi) = (row.getAs[Number](0).longValue, row.getAs[Number](1).longValue)
+    // the pull predicate is bounded to the MEASURED range (w, hi]:
+    // rows appended between the bounds query and the pull (key > hi)
+    // belong to the NEXT batch — an unbounded `key > w` would land
+    // them here AND on the next pull, duplicating them. The recorded
+    // watermark (hi) therefore always equals the max key actually
+    // landed.
     val batch = spark.read.jdbc(url,
-      s"(SELECT * FROM $table WHERE $pred) t",
+      s"(SELECT * FROM $table WHERE $keyCol >= $lo AND $keyCol <= $hi) t",
       keyCol, lo, hi, math.max(1, numPartitions), props)
+    // the batch partition is tagged by the FROM-watermark, which is
+    // the one value every replay of this pull shares: a crash between
+    // land and mark-advance re-runs from the same watermark and
+    // OVERWRITES this exact partition — even if the feed appended more
+    // rows in between (the replay simply lands a longer (w, hi']
+    // range into the same tag). A range-derived tag would instead
+    // mint a second partition and duplicate the overlap.
+    val tag = s"w${prev.map(_.toString).getOrElse("init")}"
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val n =
       try {
-        // the batch is tagged by its own key range: a crash-replay of
-        // the identical range overwrites its own partition, so rows are
-        // never duplicated even though the write is an append overall
-        batch.withColumn("ingest_batch", lit(s"k$lo-$hi"))
+        batch.withColumn("ingest_batch", lit(tag))
           .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
           .parquet(tableDir)
         spark.read.parquet(tableDir)
-          .filter(col("ingest_batch") === s"k$lo-$hi").count()
+          .filter(col("ingest_batch") === tag).count()
       } finally prevMode match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

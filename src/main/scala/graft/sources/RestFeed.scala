@@ -96,6 +96,14 @@ object RestFeed {
     PullResult(pages, records, cur.done)
   }
 
+  /** Non-retryable feed response (4xx other than 429): its own type,
+    * NOT a message-matched IOException — connect resets commonly carry
+    * a null getMessage, and retry/no-retry must never hinge on
+    * exception wording.
+    */
+  final class FeedStatusException(val status: Int, uri: String)
+      extends java.io.IOException(s"feed returned HTTP $status for $uri")
+
   private def fetchWithRetry(client: HttpClient, uri: String,
                              maxRetries: Int): HttpResponse[String] = {
     var attempt = 0
@@ -108,10 +116,10 @@ object RestFeed {
           val sc = resp.statusCode()
           if (sc == 200) return resp
           else if (sc == 429 || sc >= 500) Left(s"HTTP $sc")
-          else throw new java.io.IOException(s"feed returned HTTP $sc for $uri")
+          else throw new FeedStatusException(sc, uri)
         } catch {
-          case e: java.io.IOException if !e.getMessage.startsWith("feed returned") =>
-            Left(e.toString)
+          case e: FeedStatusException => throw e
+          case e: java.io.IOException => Left(e.toString)
         }
       attempt += 1
       if (attempt > maxRetries)

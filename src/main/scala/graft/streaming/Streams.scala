@@ -108,14 +108,86 @@ object Streams {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  // -----------------------------------------------------------------
+  // versioned-snapshot publish: idempotent + atomic pointer swap
+  // -----------------------------------------------------------------
+
+  /** Resolves the published snapshot of a versioned table dir, or None
+    * before the first publish. The pointer is a one-line `CURRENT`
+    * file naming the live `v<batchId>` directory — readers never
+    * observe a half-published state because the pointer is replaced
+    * atomically (FileContext rename with OVERWRITE), and version
+    * directories are immutable once published.
+    */
+  def currentSnapshot(spark: SparkSession, tableDir: String): Option[DataFrame] =
+    currentVersion(spark, tableDir).map(v => spark.read.parquet(s"$tableDir/$v"))
+
+  private def currentVersion(spark: SparkSession, tableDir: String): Option[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$tableDir/CURRENT")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new java.io.BufferedReader(new java.io.InputStreamReader(in))
+        .readLine().trim)
+      finally in.close()
+    }
+  }
+
+  /** Publishes `merged` as version `v<batchId>` of `tableDir` and
+    * swaps the `CURRENT` pointer file atomically. foreachBatch is
+    * at-least-once: a crash between the pointer swap and the
+    * checkpoint commit REPLAYS the batch, so application must be
+    * idempotent — if the pointer already names this batch's version,
+    * the merge was fully applied and the replay is a no-op (re-merging
+    * would union the delta into the dim twice). A crash before the
+    * swap just rewrites the same immutable version dir from the same
+    * published base — deterministic. The pointer swap itself is a
+    * FileContext rename with OVERWRITE (atomic on HDFS and local
+    * filesystems), so the dim is never lost mid-publish the way a
+    * delete-then-rename of the directory could lose it. Old versions
+    * beyond the previous one are pruned after a successful swap.
+    */
+  private def publishVersion(ss: SparkSession, tableDir: String,
+                             batchId: Long,
+                             merged: => DataFrame): Unit = {
+    val version = s"v$batchId"
+    if (currentVersion(ss, tableDir).contains(version)) return // replayed
+    val hconf = ss.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(hconf)
+    merged.write.mode("overwrite").parquet(s"$tableDir/$version")
+    // atomic pointer swap: write CURRENT.tmp, rename over CURRENT
+    val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, hconf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$tableDir/CURRENT"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // prune: keep the published version and its predecessor (readers
+    // that resolved the pointer just before the swap finish their scan)
+    val keep = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).sorted.takeRight(2).toSet
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          !keep.contains(n.drop(1).toLong)) {
+        if (!fs.delete(p, true))
+          throw new java.io.IOException(s"failed to prune stale version $p")
+      }
+    }
+  }
+
   /** Incremental PIT-upsert sink: every micro-batch merges into a
     * parquet-backed latest-per-key snapshot via foreachBatch — the
     * ingestion-side "incremental upsert" of a securities master
-    * without a table format. Each batch writes a new versioned
-    * snapshot directory and swaps a `current` pointer by rename
-    * (single-writer stream ⇒ the swap is safe); readers always see a
-    * complete snapshot. At scale the same code runs against HDFS/S3A
-    * through the Hadoop FileSystem API it already uses.
+    * without a table format. Each batch writes an immutable versioned
+    * snapshot directory and atomically swaps the `CURRENT` pointer
+    * file ([[publishVersion]] — idempotent under foreachBatch replay,
+    * never loses the dim mid-swap); read the live snapshot with
+    * [[currentSnapshot]]. At scale the same code runs against
+    * HDFS/S3A through the Hadoop FileSystem API it already uses.
     */
   def pitUpsertSink(events: DataFrame, tableDir: String,
                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -123,17 +195,8 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
-        // the table path's own filesystem, not the default FS
-        val fs = new org.apache.hadoop.fs.Path(tableDir)
-          .getFileSystem(ss.sparkContext.hadoopConfiguration)
-        val cur = new org.apache.hadoop.fs.Path(s"$tableDir/current")
-        val existing =
-          if (fs.exists(cur)) Some(ss.read.parquet(cur.toString)) else None
-        val merged = upsertLatest(existing, batch.toDF())
-        val next = new org.apache.hadoop.fs.Path(s"$tableDir/v$batchId")
-        merged.write.mode("overwrite").parquet(next.toString)
-        if (fs.exists(cur)) fs.delete(cur, true)
-        fs.rename(next, cur)
+        publishVersion(ss, tableDir, batchId,
+          upsertLatest(currentSnapshot(ss, tableDir), batch.toDF()))
         ()
       }
       .start()
@@ -143,7 +206,11 @@ object Streams {
     * interval table with [[graft.operators.Scd2.applyDelta]] — only the
     * keys the batch touches get their validity intervals rebuilt
     * (late-arriving records reopen and re-split old intervals), and the
-    * snapshot publishes by pointer swap (the s5 versioned-dir pattern).
+    * snapshot publishes through [[publishVersion]] — an immutable
+    * version dir plus an atomic `CURRENT` pointer swap, idempotent
+    * under foreachBatch's at-least-once replay (a replayed batch whose
+    * pointer is already live is a no-op, so the delta is never unioned
+    * into the dim twice and no zero-length intervals can appear).
     * This is live symbology/reference maintenance: the batch invariant
     * applyDelta(build(H), D) == build(H ∪ D) means the streamed dim is
     * ALWAYS equal to a from-scratch rebuild over everything delivered
@@ -156,24 +223,17 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(tableDir)
-          .getFileSystem(ss.sparkContext.hadoopConfiguration)
-        val cur = new org.apache.hadoop.fs.Path(s"$tableDir/current")
         val delta = batch.toDF()
-        val merged =
-          if (fs.exists(cur))
-            graft.operators.Scd2.applyDelta(ss.read.parquet(cur.toString),
-              delta, keys, ts, rid)
-          else {
-            // first batch bootstraps the dim: build intervals from scratch
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(keys.map(col): _*).orderBy(col(ts), col(rid))
-            delta.withColumn("valid_to", lead(col(ts), 1).over(w))
-          }
-        val next = new org.apache.hadoop.fs.Path(s"$tableDir/v$batchId")
-        merged.write.mode("overwrite").parquet(next.toString)
-        if (fs.exists(cur)) fs.delete(cur, true)
-        fs.rename(next, cur)
+        publishVersion(ss, tableDir, batchId,
+          currentSnapshot(ss, tableDir) match {
+            case Some(cur) =>
+              graft.operators.Scd2.applyDelta(cur, delta, keys, ts, rid)
+            case None =>
+              // first batch bootstraps the dim: intervals from scratch
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keys.map(col): _*).orderBy(col(ts), col(rid))
+              delta.withColumn("valid_to", lead(col(ts), 1).over(w))
+          })
         ()
       }
       .start()

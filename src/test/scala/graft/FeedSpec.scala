@@ -88,12 +88,12 @@ class FeedSpec extends SparkTestBase {
     server.start()
     try {
       val state = s"$tmp/err_cursor"
-      val e = intercept[java.io.IOException] {
+      val e = intercept[sources.RestFeed.FeedStatusException] {
         sources.RestFeed.pull(
           s"http://127.0.0.1:${server.getAddress.getPort}/gone",
           s"$tmp/err_landing", state)
       }
-      assert(e.getMessage.contains("404"), e.getMessage)
+      assert(e.status == 404 && e.getMessage.contains("404"), e.getMessage)
       // no state file written -> a fixed feed restarts from the top
       assert(!new java.io.File(state).exists())
     } finally server.stop(0)
@@ -176,5 +176,21 @@ class FeedSpec extends SparkTestBase {
     assert(all.count() == 80)
     assert(all.select($"id").distinct().count() == 80)
     assert(all.agg(sum($"px")).as[Double].collect()(0) == 2.0 * (80 * 81) / 2)
+    // crash-replay RACING new appends: roll the watermark back to 50
+    // (as if the last pull crashed between land and mark-advance),
+    // append more rows, and replay. The replay runs from the same
+    // from-watermark, so it must OVERWRITE the crashed batch's
+    // partition with the longer (50, 90] range — never duplicate the
+    // (50, 80] overlap under a second tag.
+    val fs = new org.apache.hadoop.fs.Path(wm)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(wm), true)
+    try out.write("50".getBytes("UTF-8")) finally out.close()
+    insert(81 to 90)
+    assert(sources.JdbcFeed.incrementalPull(spark, url, "ticks", "id", 4,
+      table, wm, props) == 40L)
+    val replayed = spark.read.parquet(table)
+    assert(replayed.count() == 90, "crash-replay duplicated the overlap")
+    assert(replayed.select($"id").distinct().count() == 90)
   }
 }

@@ -161,7 +161,7 @@ class StreamingSpec extends SparkTestBase {
     val stream = Streams.eventsStream(spark, streamDir)
     val q = Streams.pitUpsertSink(stream, tableDir, ckpt)
     try { q.processAllAvailable() } finally { q.stop() }
-    val snapshot = spark.read.parquet(s"$tableDir/current")
+    val snapshot = Streams.currentSnapshot(spark, tableDir).get
       .select($"user_id", $"event_type", $"ts".as("latest_ts"),
         $"value".as("latest_value"))
     val batch = SparkEntry.queries("q29_pit_latest")(spark, sf)
@@ -353,7 +353,7 @@ class StreamingSpec extends SparkTestBase {
       ts = "ts", rid = "event_id",
       tableDir = s"$dir/dim", checkpointDir = s"$dir/ckpt")
     try { q.processAllAvailable() } finally { q.stop() }
-    val streamed = spark.read.parquet(s"$dir/dim/current")
+    val streamed = Streams.currentSnapshot(spark, s"$dir/dim").get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
     val batch = ev.withColumn("valid_to", lead($"ts", 1).over(w))
@@ -361,6 +361,37 @@ class StreamingSpec extends SparkTestBase {
     val cols = batch.columns.map(col).toIndexedSeq
     assert(streamed.select(cols: _*).exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed.select(cols: _*)).isEmpty)
+  }
+
+  test("versioned publish is idempotent under foreachBatch replay and never loses the dim") {
+    // foreachBatch is at-least-once: simulate a crash between the
+    // pointer swap and the checkpoint commit by re-running the SAME
+    // batches from a FRESH checkpoint against the already-published
+    // dim — every batch replays, and the dim must come out unchanged
+    // (the old delete-then-rename + blind re-apply would duplicate
+    // every delta row and mint zero-length intervals)
+    val ev = Tables.events(spark, sf).filter($"event_type" === "signup")
+      .select($"user_id", $"event_type", $"ts", $"value", $"event_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2r").toString
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/in/batch_a")
+    Thread.sleep(1100)
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/in/batch_b")
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/batch_*")
+      val q = Streams.scd2Sink(stream, keys = Seq("user_id", "event_type"),
+        ts = "ts", rid = "event_id",
+        tableDir = s"$dir/dim", checkpointDir = ckpt)
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    run(s"$dir/ckpt1")
+    val first = Streams.currentSnapshot(spark, s"$dir/dim").get.collect().toSet
+    run(s"$dir/ckpt2") // full replay: same batch ids, same data
+    val second = Streams.currentSnapshot(spark, s"$dir/dim").get.collect().toSet
+    assert(first.nonEmpty && second == first,
+      s"replay changed the dim: ${second.size} vs ${first.size} rows")
+    // and the publish never leaves the table without a readable dim
+    assert(Streams.currentSnapshot(spark, s"$dir/dim").get.count() > 0)
   }
 
   test("streaming symbology resolution equals the batch as-of rollup (q135)") {
