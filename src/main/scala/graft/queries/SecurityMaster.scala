@@ -486,4 +486,115 @@ object SecurityMaster {
       |FROM stats s
       |JOIN fin f ON s.user_id = f.user_id AND s.day = f.day
       |LEFT JOIN known kn ON s.user_id = kn.user_id AND s.day = kn.day""".stripMargin
+
+  /** Exchange reference dim for the timezone-aware calendar (q144):
+    * securities map to exchanges by id hash; each exchange carries its
+    * IANA timezone and a deterministic holiday rule (the day-of-month
+    * its synthetic holiday list marks). Three rows — the broadcast /
+    * local-relation end of every calendar join.
+    */
+  def exchangeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0, "XNYS", "America/New_York", 1),
+      (1, "XLON", "Europe/London", 15),
+      (2, "XTKS", "Asia/Tokyo", 8)
+    ).toDF("ex_id", "exch", "tz", "hol_dom")
+  }
+
+  /** q144_exchange_calendar — the q137 completeness audit keyed to
+    * EXCHANGE-LOCAL time: each security trades on an exchange whose
+    * sessions are local-calendar days, so "weekday" and "holiday" are
+    * decided on the wall clock of the exchange's IANA timezone, not
+    * UTC (a Friday 23:00 UTC trade is Saturday in Tokyo — off
+    * session). The machinery: a 3-row exchange dim (tz + holiday
+    * rule), from_utc_timestamp per event against the dim's tz column,
+    * an explicit per-exchange holiday LIST built over each exchange's
+    * own local-day span (broadcast table, anti-joined — a real
+    * holiday file drops in without touching the plan), and the same
+    * spine/present/missing audit as q137 per exchange. The fact scan
+    * shuffles once (the per-exchange aggregate); every calendar frame
+    * is model-sized and broadcast. Oracle: DuckDB
+    * timezone(tz, timezone('UTC', ts)) — the AT TIME ZONE two-step.
+    */
+  def q144ExchangeCalendar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = exchangeDim(spark)
+    val tagged = Tables.events(spark, dir)
+      .select($"user_id", $"ts")
+      .withColumn("ex_id", pmod($"user_id", lit(3)).cast("int"))
+      .join(broadcast(ex), "ex_id")
+      .withColumn("local_day",
+        date_trunc("day", from_utc_timestamp($"ts", $"tz")))
+    // per-exchange local-day span -> candidate days (tiny: 3 x span)
+    val spanDays = tagged.groupBy($"ex_id")
+      .agg(min($"local_day").as("mn"), max($"local_day").as("mx"))
+      .select($"ex_id",
+        explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("local_day"))
+    // the holiday LIST: one row per (exchange, holiday local day)
+    val holidays = spanDays.join(broadcast(ex.select($"ex_id", $"hol_dom")), "ex_id")
+      .filter(dayofmonth($"local_day") === $"hol_dom")
+      .select($"ex_id", $"local_day")
+    val sessions = spanDays
+      .filter(dayofweek($"local_day").between(2, 6))
+      .join(broadcast(holidays), Seq("ex_id", "local_day"), "left_anti")
+    // classify every event against the session set of ITS exchange
+    val classified = tagged
+      .join(broadcast(sessions.withColumn("on", lit(1))),
+        Seq("ex_id", "local_day"), "left")
+      .withColumn("on_session", coalesce($"on", lit(0)))
+    val evAgg = classified.groupBy($"ex_id", $"exch")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"on_session").as("n_on"),
+        (count(lit(1)) - sum($"on_session")).as("n_off"),
+        countDistinct(when($"on_session" === 1, $"local_day")).as("n_present"))
+    val nExp = sessions.groupBy($"ex_id").agg(count(lit(1)).as("n_expected"))
+    evAgg.join(broadcast(nExp), "ex_id")
+      .select($"exch", $"n_events", $"n_on", $"n_off", $"n_expected",
+        $"n_present", ($"n_expected" - $"n_present").as("n_missing"))
+  }
+
+  val q144Sql: String =
+    """WITH ex(ex_id, exch, tz, hol_dom) AS (
+      |  VALUES (0, 'XNYS', 'America/New_York', 1),
+      |         (1, 'XLON', 'Europe/London', 15),
+      |         (2, 'XTKS', 'Asia/Tokyo', 8)),
+      |loc AS (
+      |  SELECT e.ex_id, e.exch,
+      |    date_trunc('day', timezone(e.tz, timezone('UTC', v.ts)))
+      |      AS local_day
+      |  FROM events v JOIN ex e ON CAST(v.user_id % 3 AS INT) = e.ex_id),
+      |spanx AS (
+      |  SELECT ex_id, min(local_day) AS mn, max(local_day) AS mx
+      |  FROM loc GROUP BY 1),
+      |days AS (
+      |  SELECT ex_id,
+      |    unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS local_day
+      |  FROM spanx),
+      |hol AS (
+      |  SELECT d.ex_id, d.local_day
+      |  FROM days d JOIN ex e ON d.ex_id = e.ex_id
+      |  WHERE extract(day FROM d.local_day) = e.hol_dom),
+      |sess AS (
+      |  SELECT d.ex_id, d.local_day FROM days d
+      |  WHERE isodow(d.local_day) BETWEEN 1 AND 5
+      |    AND NOT EXISTS (SELECT 1 FROM hol h
+      |      WHERE h.ex_id = d.ex_id AND h.local_day = d.local_day)),
+      |cls AS (
+      |  SELECT l.ex_id, l.exch, l.local_day,
+      |    CASE WHEN s.local_day IS NULL THEN 0 ELSE 1 END AS on_session
+      |  FROM loc l LEFT JOIN sess s
+      |    ON s.ex_id = l.ex_id AND s.local_day = l.local_day),
+      |ea AS (
+      |  SELECT ex_id, exch, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(on_session) AS BIGINT) AS n_on,
+      |    CAST(count(*) - sum(on_session) AS BIGINT) AS n_off,
+      |    CAST(count(DISTINCT CASE WHEN on_session = 1 THEN local_day END)
+      |      AS BIGINT) AS n_present
+      |  FROM cls GROUP BY 1, 2),
+      |ne AS (SELECT ex_id, CAST(count(*) AS BIGINT) AS n_expected
+      |       FROM sess GROUP BY 1)
+      |SELECT ea.exch, ea.n_events, ea.n_on, ea.n_off, ne.n_expected,
+      |  ea.n_present, ne.n_expected - ea.n_present AS n_missing
+      |FROM ea JOIN ne ON ea.ex_id = ne.ex_id""".stripMargin
 }

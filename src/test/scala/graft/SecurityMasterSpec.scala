@@ -175,4 +175,36 @@ class SecurityMasterSpec extends SparkTestBase {
     assert(truncated.select(cols.map(col): _*)
       .exceptAll(full.select(cols.map(col): _*)).count() == 0)
   }
+
+  test("q144: session membership is decided on the exchange-local wall clock, not UTC") {
+    // 2024-01-19 was a Friday. 23:30 UTC is still Friday in New York
+    // (18:30) but already Saturday in Tokyo (08:30 +1d) — the same
+    // instant must classify on-session for XNYS and off-session for
+    // XTKS, which no UTC-keyed calendar can produce.
+    val lateFriday = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-19T23:30:00Z"))
+    val ex = queries.SecurityMaster.exchangeDim(spark)
+    val probe = Seq((0L, lateFriday), (2L, lateFriday))
+      .toDF("user_id", "ts")
+      .withColumn("ex_id", pmod($"user_id", lit(3)).cast("int"))
+      .join(ex, "ex_id")
+      .withColumn("local_day",
+        date_trunc("day", from_utc_timestamp($"ts", $"tz")))
+      .withColumn("weekday", dayofweek($"local_day").between(2, 6))
+      .select($"exch", $"local_day", $"weekday")
+      .collect().map(r => r.getString(0) ->
+        (r.getTimestamp(1).toString.take(10), r.getBoolean(2))).toMap
+    assert(probe("XNYS") == ("2024-01-19", true), probe.toString)
+    assert(probe("XTKS") == ("2024-01-20", false), probe.toString)
+    // and the full query emits one complete row per exchange with the
+    // audit invariants intact
+    val out = queries.SecurityMaster.q144ExchangeCalendar(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("XNYS", "XLON", "XTKS"))
+    out.values.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), "n_events != on + off")
+      assert(r.getLong(5) <= r.getLong(4), "present sessions exceed expected")
+      assert(r.getLong(6) == r.getLong(4) - r.getLong(5))
+    }
+  }
 }
