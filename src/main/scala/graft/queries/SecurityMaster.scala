@@ -487,6 +487,104 @@ object SecurityMaster {
       |JOIN fin f ON s.user_id = f.user_id AND s.day = f.day
       |LEFT JOIN known kn ON s.user_id = kn.user_id AND s.day = kn.day""".stripMargin
 
+  /** q145_factor_decomposition — split vs dividend adjustment series:
+    * the q136 action feed split into TWO action types (even event_id =
+    * split, factor 1 + value/1000; odd = cash dividend, reinvestment
+    * factor 1 + value/2000 — the deterministic stand-in convention of
+    * q138), producing the standard PAIR of adjusted outputs: the
+    * price-only series multiplies in only future splits (charts,
+    * stop-loss levels), the total-return series multiplies in splits
+    * AND dividends (performance, index replication). Both suffix
+    * log-factors compose in ONE descending window pass — two sums
+    * over the same (user, ts desc) spec share the exchange and sort —
+    * and bars pick BOTH up through one forward as-of join (two value
+    * columns in the same ride-along struct), so the whole
+    * decomposition costs exactly what q136's single series cost:
+    * O(bars + actions), one keyed shuffle, no action×bar product.
+    * Log space at 6dp + exp-applied closes at 4dp (q25 discipline).
+    */
+  def q145FactorDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val wBar = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val bars = ev.filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(wBar)).filter($"rn" === 1)
+      .select($"user_id", $"day", $"value".as("close"),
+        ($"day" + expr("interval 1 day")).as("bar_end"))
+    val wDedup = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val wSfx = Window.partitionBy($"user_id").orderBy($"ts".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val actions = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("dup", row_number().over(wDedup)).filter($"dup" === 1)
+      .withColumn("lf_split",
+        when($"event_id" % 2 === 0, log(lit(1.0) + $"value" / 1000.0))
+          .otherwise(lit(0.0)))
+      .withColumn("lf_div",
+        when($"event_id" % 2 =!= 0, log(lit(1.0) + $"value" / 2000.0))
+          .otherwise(lit(0.0)))
+      // one pass: both suffix sums share wSfx's exchange + sort
+      .withColumn("sfx_px", sum($"lf_split").over(wSfx))
+      .withColumn("sfx_tr", sum($"lf_split" + $"lf_div").over(wSfx))
+      .select($"user_id", $"ts", $"sfx_px", $"sfx_tr")
+    AsOf.join(bars, actions, key = "user_id",
+        leftTs = "bar_end", rightTs = "ts",
+        rightVals = Seq("sfx_px" -> "sfx_px", "sfx_tr" -> "sfx_tr"),
+        inner = false, direction = "forward")
+      .select($"user_id", $"day", $"close",
+        decRound(coalesce($"sfx_px", lit(0.0)), 6).as("log_adj_px"),
+        decRound(coalesce($"sfx_tr", lit(0.0)), 6).as("log_adj_tr"),
+        decRound($"close" * exp(coalesce($"sfx_px", lit(0.0))), 4)
+          .as("adj_close_px"),
+        decRound($"close" * exp(coalesce($"sfx_tr", lit(0.0))), 4)
+          .as("adj_close_tr"))
+  }
+
+  val q145Sql: String =
+    """WITH bars AS (
+      |  SELECT user_id, day, value AS close, day + INTERVAL 1 DAY AS bar_end
+      |  FROM (
+      |    SELECT user_id, date_trunc('day', ts) AS day, value,
+      |      row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase')
+      |  WHERE rn = 1),
+      |su AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN event_id % 2 = 0
+      |      THEN ln(1.0 + value / 1000.0) ELSE 0.0 END AS lf_split,
+      |    CASE WHEN event_id % 2 <> 0
+      |      THEN ln(1.0 + value / 2000.0) ELSE 0.0 END AS lf_div
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      row_number() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) AS dup
+      |    FROM events WHERE event_type = 'signup')
+      |  WHERE dup = 1),
+      |actions AS (
+      |  SELECT user_id, ts,
+      |    sum(lf_split) OVER (PARTITION BY user_id ORDER BY ts DESC
+      |      ROWS UNBOUNDED PRECEDING) AS sfx_px,
+      |    sum(lf_split + lf_div) OVER (PARTITION BY user_id ORDER BY ts DESC
+      |      ROWS UNBOUNDED PRECEDING) AS sfx_tr
+      |  FROM su)
+      |SELECT b.user_id, CAST(b.day AS TIMESTAMP) AS day, b.close,
+      |  CAST(round(CAST(coalesce(a.sfx_px, 0.0) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS log_adj_px,
+      |  CAST(round(CAST(coalesce(a.sfx_tr, 0.0) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS log_adj_tr,
+      |  CAST(round(CAST(b.close * exp(coalesce(a.sfx_px, 0.0))
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS adj_close_px,
+      |  CAST(round(CAST(b.close * exp(coalesce(a.sfx_tr, 0.0))
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS adj_close_tr
+      |FROM bars b LEFT JOIN LATERAL (
+      |  SELECT sfx_px, sfx_tr FROM actions a
+      |  WHERE a.user_id = b.user_id AND a.ts >= b.bar_end
+      |  ORDER BY a.ts ASC LIMIT 1) a ON true""".stripMargin
+
   /** Exchange reference dim for the timezone-aware calendar (q144):
     * securities map to exchanges by id hash; each exchange carries its
     * IANA timezone and a deterministic holiday rule (the day-of-month

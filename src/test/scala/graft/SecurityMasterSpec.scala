@@ -207,4 +207,20 @@ class SecurityMasterSpec extends SparkTestBase {
       assert(r.getLong(6) == r.getLong(4) - r.getLong(5))
     }
   }
+
+  test("q145: total-return adjustment dominates price-only and shares q136's bar spine") {
+    val out = queries.SecurityMaster.q145FactorDecomposition(spark, sf).cache()
+    // premise: the synthetic action values are non-negative, so every
+    // dividend log-factor is >= 0 and the total-return suffix can
+    // never fall below the split-only suffix
+    val minV = Tables.events(spark, sf).filter($"event_type" === "signup")
+      .agg(min($"value")).as[Double].collect()(0)
+    assert(minV >= 0.0, s"premise broken: negative action value $minV")
+    assert(out.filter($"log_adj_tr" < $"log_adj_px").count() == 0)
+    assert(out.filter($"adj_close_tr" < $"adj_close_px" - 1e-9).count() == 0)
+    // same daily-bar spine as the single-series q136
+    val q136 = queries.SecurityMaster.q136CorpActions(spark, sf)
+    assert(out.count() == q136.count() && out.count() > 0)
+    out.unpersist()
+  }
 }
