@@ -96,6 +96,61 @@ object Ann {
         round(col("cos_raw"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** IVF with int8-quantized corpus storage — the memory-bound lever
+    * at 100-TB embedding scale: cell probing prunes WHICH corpus rows
+    * are scored (nProbe/nCentroids of the data), and per-vector int8
+    * codes shrink WHAT is stored and shipped 4x vs float32. Scoring is
+    * ASYMMETRIC distance (Jégou's ADC): the query stays full-precision
+    * float and each candidate is reconstructed row-locally from its
+    * (min, scale, codes) affine quantization — the q139 scheme — so
+    * the only precision loss is the corpus rounding q139 audits
+    * (≤ scale/2 per component), never query-side. Same single
+    * candidate-join exchange as [[ivfTopK]]; codes and scales ride the
+    * scan projection with zero extra shuffle. Recall vs exact float
+    * top-k is certified by the q146 contract, exactly like q44
+    * certifies the float probe path.
+    */
+  def ivfQuantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       nCentroids: Int = 16, nProbe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val centroids: Seq[Seq[Double]] = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .collect().toSeq
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq)
+    require(centroids.nonEmpty, "no centroid rows found")
+    def cells(vec: Column, n: Int): Column =
+      graft.functions.VectorExpressions.nearestCells(vec, centroids, n)
+    // int8 affine quantization per vector (the q139 scheme): codes in
+    // [0, 255], reconstruction x~ = mn + code·scale. Row-local.
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val corpusCells = corpus
+      .withColumn("mn", array_min(v))
+      .withColumn("scale", (array_max(v) - col("mn")) / 255.0)
+      .withColumn("codes",
+        when(col("scale") === 0.0, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x =>
+            round((x - col("mn")) / col("scale")).cast("int"))))
+      .select(col(idCol).as("neighbor_id"), col("mn"), col("scale"),
+        col("codes"), element_at(cells(col(vecCol), 1), 1).as("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(cells(col(vecCol), nProbe)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // asymmetric scoring: reconstruct the candidate, score against
+      // the full-precision query
+      .withColumn("c_deq",
+        transform(col("codes"), c => col("mn") + c.cast("double") * col("scale")))
+      .withColumn("cos_raw", Vectors.cosine(col("q_vec"), col("c_deq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos_sim"), col("rnk"))
+  }
+
   /** LSH-bucketed embedding near-dup pairs — the 100 TB path of
     * [[cosinePairs]]: candidates only where two vectors share a sign
     * bucket in ANY of the `tables` hash tables (linear bucket join),

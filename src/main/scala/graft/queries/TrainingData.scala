@@ -513,6 +513,40 @@ object TrainingData {
       |    THEN n_chars ELSE 0 END) AS BIGINT) AS tok_sampled
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  /** q146_ann_quantized — the quantized ANN SEARCH path: q139 audits
+    * int8 reconstruction error at rest, this query proves the scheme
+    * works in anger — IVF cell probing with asymmetric scoring (float
+    * query × int8-reconstructed candidates,
+    * [[graft.operators.Ann.ivfQuantizedTopK]]) against the exact
+    * float brute-force top-3, emitted as the standard certified
+    * contract (exact-neighbor count + ≥80% measured-recall flag, the
+    * q44 convention — cell assignment and quantization internals are
+    * engine-specific, ground truth is not).
+    */
+  def q146AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val truth = graft.operators.Ann
+      .bruteForceTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+      .select($"query_id", $"neighbor_id")
+    val found = graft.operators.Ann
+      .ivfQuantizedTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+      .select($"query_id", $"neighbor_id")
+    Certify.recallContract(spark, truth, found, Seq("query_id", "neighbor_id"),
+      minRecall = 0.8, nCol = "n_exact_neighbors")
+  }
+
+  val q146Sql: String =
+    """SELECT count(*) AS n_exact_neighbors, true AS recall_ok FROM (
+      |  SELECT q.vec_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+      |               n.vec_id) AS rnk
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+      |WHERE rnk <= 3""".stripMargin
+
   val q87Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

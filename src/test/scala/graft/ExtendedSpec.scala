@@ -48,6 +48,30 @@ class ExtendedSpec extends SparkTestBase {
     assert(top.toSeq == Seq(99999L))
   }
 
+  test("quantized IVF ANN: duplicate still wins, and measured recall vs exact top-k >= 0.8") {
+    val emb = Tables.embeddings(spark, sf)
+    // asymmetric scoring must still put an exact duplicate on top —
+    // its int8 reconstruction differs from the query by <= scale/2
+    // per component, far inside the gap to unrelated vectors
+    val dup = emb.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(99999L))
+    val corpus = emb.unionByName(dup)
+    val top = Ann.ivfQuantizedTopK(emb.filter($"vec_id" === 0), corpus, k = 1,
+      nCentroids = 8, nProbe = 2)
+      .filter($"rnk" === 1).select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(99999L))
+    // measure the recall the q146 contract certifies, don't just trust
+    // the flag: quantized top-3 vs exact float top-3 over 10 queries
+    val truth = Ann.bruteForceTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+      .select($"query_id", $"neighbor_id")
+    val found = Ann.ivfQuantizedTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+      .select($"query_id", $"neighbor_id")
+    val n = truth.count()
+    val hits = truth.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(n > 0 && hits.toDouble / n >= 0.8,
+      s"quantized-IVF recall ${hits.toDouble / n} ($hits/$n)")
+  }
+
   test("salted join result equals the plain join") {
     val salted = Extended.q48SaltedJoin(spark, sf)
       .orderBy("o_orderpriority").collect().toSeq
