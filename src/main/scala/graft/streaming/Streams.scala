@@ -574,9 +574,131 @@ object Streams {
     * 6, so the two-step BigDecimal matches the SQL expression exactly
     * (the q71 ewmaRound lesson at a different scale).
     */
-  private def bandRound(x: Double): Double =
+  private def bandRound(x: Double): Double = decRoundJvm(x, 6)
+
+  private def decRoundJvm(x: Double, scale: Int): Double =
     BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-user state for s18: the previous raw value (for the return),
+    * the last ≤19 returns (NaN encodes a null return — zero or absent
+    * previous value — which occupies a frame ROW but is skipped by the
+    * stddev fold, exactly as in the batch window), and the row count.
+    * Bounded regardless of stream length.
+    */
+  case class VolState(last: Double, hasLast: Boolean,
+                      rets: Seq[Double], n: Long)
+
+  /** s18 — streaming 20-observation rolling volatility per user: the
+    * incremental twin of batch q97. Each event derives its pct-change
+    * return from the carried previous value (null-guarded like the
+    * batch nullif), and every full window re-folds Spark's OWN
+    * frame recurrences — CentralMomentAgg's m2 += δ·(δ − δ/n)
+    * ascending over non-null frame members (probe-verified
+    * bit-identical to the batch sliding window) — then applies the
+    * same decimal(28,12)→4dp round. Emission starts at the 21st row
+    * (the batch rn >= 21 gate); windows straddling a micro-batch
+    * boundary are stitched by the carried return tail. Same
+    * in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def rollingVolStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Option[Double])] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[VolState, (Long, Long, Option[Double])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[VolState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Option[Double])]
+          var st = state.getOption.getOrElse(VolState(0.0, false, Nil, 0L))
+          sorted.foreach { e =>
+            val ret =
+              if (!st.hasLast || st.last == 0.0) Double.NaN
+              else e.value / st.last - 1.0
+            val win = (st.rets :+ ret).takeRight(20)
+            val rn = st.n + 1
+            if (rn >= 21) {
+              var n = 0.0; var avg = 0.0; var m2 = 0.0
+              win.foreach { x =>
+                if (!x.isNaN) {
+                  n += 1
+                  val delta = x - avg
+                  val deltaN = delta / n
+                  avg += deltaN
+                  m2 += delta * (delta - deltaN)
+                }
+              }
+              val v =
+                if (n == 0) None
+                else if (n == 1) Some(Double.NaN)
+                else Some(math.sqrt(m2 / (n - 1.0)))
+              out += ((user, e.event_id,
+                v.map(x => if (x.isNaN) x else decRoundJvm(x, 4))))
+            }
+            st = VolState(e.value, true, win.takeRight(19), rn)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Per-user state for s19: previous value, the last ≤13 clipped
+    * gain/loss pairs, and the row count. The batch CASE maps a null
+    * first-row diff to 0.0 on BOTH branches, so gains/losses are plain
+    * doubles — no null encoding needed. Bounded per user.
+    */
+  case class RsiState(last: Double, hasLast: Boolean,
+                      gains: Seq[Double], losses: Seq[Double], n: Long)
+
+  /** s19 — streaming 14-observation RSI per user: the incremental twin
+    * of batch q106. Gains/losses are clipped diffs against the carried
+    * previous value; each full window re-folds the batch window avg
+    * (ascending sum ÷ 14 — Spark's Average, NOT an incremental mean),
+    * applies the all-flat neutral-50 guard, and the decimal 4dp round.
+    * Emission starts at the 15th row (batch rn >= 15). Same stitching
+    * and ordering caveats as [[rollingVolStream]].
+    */
+  def rsiStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RsiState, (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[RsiState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Double)]
+          var st = state.getOption.getOrElse(RsiState(0.0, false, Nil, Nil, 0L))
+          sorted.foreach { e =>
+            val (g, l) =
+              if (!st.hasLast) (0.0, 0.0)
+              else {
+                val d = e.value - st.last
+                (if (d > 0) d else 0.0, if (d < 0) -d else 0.0)
+              }
+            val gwin = (st.gains :+ g).takeRight(14)
+            val lwin = (st.losses :+ l).takeRight(14)
+            val rn = st.n + 1
+            if (rn >= 15) {
+              var gs = 0.0; gwin.foreach(gs += _)
+              var ls = 0.0; lwin.foreach(ls += _)
+              val avgGain = gs / 14.0
+              val avgLoss = ls / 14.0
+              val denom = avgGain + avgLoss
+              val rsi = if (denom == 0.0) 50.0 else 100.0 * avgGain / denom
+              out += ((user, e.event_id, decRoundJvm(rsi, 4)))
+            }
+            st = RsiState(e.value, true, gwin.takeRight(13), lwin.takeRight(13), rn)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._

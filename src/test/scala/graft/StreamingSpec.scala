@@ -334,6 +334,59 @@ class StreamingSpec extends SparkTestBase {
       .as[Long].collect()(0) > 0)
   }
 
+  test("streaming rolling vol (s18) equals batch q97 bit-for-bit across micro-batches") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vol").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.rollingVolStream(spark, stream)
+      .toDF("user_id", "event_id", "vol20")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("vol_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("vol_out").select($"event_id", $"vol20")
+      .as[(Long, Option[Double])].collect().toSet
+    val batch = SparkEntry.queries("q97_rolling_vol")(spark, sf)
+      .as[(Long, Option[Double])].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming RSI (s19) equals batch q106 bit-for-bit across micro-batches") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rsi").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.rsiStream(spark, stream)
+      .toDF("user_id", "event_id", "rsi")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("rsi_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("rsi_out")
+      .select($"user_id", $"event_id", $"rsi")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("q106_rsi")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // both RSI regimes genuinely occur (not all neutral)
+    assert(streamed.exists(_._3 > 50.0) && streamed.exists(_._3 < 50.0))
+  }
+
   test("streaming SCD2 maintenance converges to the from-scratch batch build") {
     // two mtime-ordered micro-batches of signup records: the second
     // interleaves in event time with the first, so applyDelta must
