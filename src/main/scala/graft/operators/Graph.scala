@@ -153,6 +153,14 @@ object Graph {
     * to ship. Identical results either way — only the physical join
     * strategy changes.
     */
+  /** true → force-broadcast the vertex state; false → PIN the
+    * shuffle path with a merge hint. The hint matters: without it AQE
+    * happily converts the small-at-test-scale state back to a
+    * broadcast join, so "shuffle fallback" would never actually
+    * execute (or bench) as a shuffle until the day it's needed in
+    * production — exactly the unexercised-path risk the forced bench
+    * entries exist to kill. The hint survives AQE re-planning.
+    */
   private def stateHint(bcast: Boolean): DataFrame => DataFrame =
-    if (bcast) broadcast(_) else identity
+    if (bcast) broadcast(_) else _.hint("merge")
 }

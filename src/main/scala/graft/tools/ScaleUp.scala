@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress data derivation: replicates an sf directory N× with
+  * key-shifted copies so the engine can be driven at scales no
+  * generated testdata exists for (`ScaleUp <srcDir> <dstDir> <factor>`).
+  *
+  * Every surrogate key column is shifted by `copy × (max+1)` so joins,
+  * dedup and rank keys keep their cardinality structure (10× rows →
+  * 10× orders/users/docs, NOT 10 duplicates of each key), while
+  * low-cardinality columns (event_type, source, dims) stay
+  * low-cardinality — exactly the property the skew/limit guards are
+  * supposed to survive. Dimension tables (region, nation) are fixed,
+  * as in TPC-H scaling. Timestamps are left alone: more rows in the
+  * same span models higher feed volume. Payload columns (text,
+  * embedding) are copied verbatim — correctness gates compare both
+  * engines on the SAME derived input, so replication cannot bias the
+  * comparison, and duplicated payloads stress-test the dedup caps at
+  * their worst case.
+  */
+object ScaleUp {
+
+  // long key columns shifted per copy, per table
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id")
+  )
+  private val fixedDims = Seq("region", "nation")
+
+  def scaleTable(spark: SparkSession, src: String, dst: String,
+                 table: String, factor: Int): Unit = {
+    // read through the library's forced schemas: events.ts is parquet
+    // TIMESTAMP(NANOS), which only reads as raw long nanos — it is
+    // written back as plain BIGINT nanos, which graft.Tables.events
+    // consumes identically (same div-1000 truncation path)
+    val df = graft.Tables.load(spark, src, table)
+    val out =
+      if (fixedDims.contains(table) || factor <= 1) df
+      else {
+        val keys = shiftCols(table)
+        val offs = df.agg(max(col(keys.head)),
+            keys.tail.map(k => max(col(k))): _*)
+          .collect()(0)
+        val offsets = keys.indices.map(i => offs.getLong(i) + 1L)
+        (0 until factor).map { c =>
+          df.select(df.columns.map { cn =>
+            val ki = keys.indexOf(cn)
+            if (ki >= 0 && c > 0) (col(cn) + lit(c * offsets(ki))).as(cn)
+            else col(cn)
+          }.toIndexedSeq: _*)
+        }.reduce(_.unionByName(_))
+      }
+    out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
+    val Array(src, dst, f) = args
+    val factor = f.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tables = fixedDims ++ shiftCols.keys
+    tables.foreach { t =>
+      scaleTable(spark, src, dst, t, factor)
+      println(s"[scaleup] $t done")
+    }
+    spark.stop()
+  }
+}

@@ -277,4 +277,50 @@ class PlanSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(count(p, "SortMergeJoin") == 0, s"rank join must broadcast\n$p")
   }
+
+  test("forced shuffle-state graph iteration carries no vertex broadcast") {
+    // the 100-TB fallback: vertex state too big to ship — the
+    // iteration joins must hash-partition, with NO broadcast feeding
+    // the rank join (the bench's x_pagerank_shuffle / x_bfs_shuffle
+    // entries price this exact plan under load). The returned frame is
+    // a lineage-cut checkpoint scan, so the iteration plans are only
+    // observable through an execution listener at materialization time.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+                    qe: org.apache.spark.sql.execution.QueryExecution,
+                    durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      def onFailure(funcName: String,
+                    qe: org.apache.spark.sql.execution.QueryExecution,
+                    exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      operators.Graph.pageRank(
+        operators.Graph.coOrderEdges(Tables.lineitem(spark, sf)),
+        iterations = 1, broadcastState = Some(false)).count()
+      // the listener bus is async: poll for the iteration plan (the
+      // one carrying the contrib aggregate's `mass` column)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def iterPlans = plans.synchronized {
+        plans.filter(_.contains("mass")).toList }
+      while (iterPlans.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val ip = iterPlans
+      assert(ip.nonEmpty, s"no iteration plan observed among ${plans.size}")
+      // the STATE joins reference the vertex key `part`; the edge-build
+      // self-join (on the order key) may legitimately broadcast its
+      // small side at test scale — only state must stay off broadcast
+      ip.foreach { p =>
+        val stateBcast = p.linesIterator.filter(l =>
+          l.contains("BroadcastHashJoin") && l.contains("part#")).toSeq
+        assert(stateBcast.isEmpty,
+          s"shuffle-state path still broadcasts the vertex state\n$p")
+        assert(p.linesIterator.exists(l =>
+          (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+            l.contains("part#")), p)
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -22,7 +22,18 @@ print(f"[check_oracle] duckdb {duckdb.__version__}")
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    src = f"read_parquet('{sf}/{t}.parquet" + ("/*.parquet')" if os.path.isdir(f"{sf}/{t}.parquet") else "')")
+    if t == "events":
+        # ScaleUp-derived dirs store ts as raw BIGINT nanos (Spark cannot
+        # write TIMESTAMP(NANOS)); rebuild the same micro-truncated
+        # timestamp DuckDB derives from the original TIMESTAMP_NS column
+        ts_type = con.execute(f"DESCRIBE SELECT ts FROM {src}").fetchall()[0][1]
+        if ts_type == "BIGINT":
+            con.execute(f"CREATE VIEW {t} AS SELECT event_id, "
+                        f"make_timestamp(ts // 1000) AS ts, user_id, "
+                        f"event_type, value, props FROM {src}")
+            continue
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
 def canon(df):
     df = df[sorted(df.columns)]
