@@ -695,4 +695,131 @@ object SecurityMaster {
       |SELECT ea.exch, ea.n_events, ea.n_on, ea.n_off, ne.n_expected,
       |  ea.n_present, ne.n_expected - ea.n_present AS n_missing
       |FROM ea JOIN ne ON ea.ex_id = ne.ex_id""".stripMargin
+
+  /** q147_fifo_pnl — FIFO lot-matching realized P&L and open-inventory
+    * cost: 'click' rows are buy lots, 'purchase' rows are sell lots
+    * (qty from the props payload, price from value), matched
+    * first-in-first-out per user. The matching itself is the
+    * cumulative-quantity interval trick: each lot occupies the
+    * half-open interval [cum−qty, cum) in its side's running total,
+    * and FIFO matched quantity between a buy and a sell is EXACTLY the
+    * overlap of their intervals — so the sequential "consume lots in
+    * order" loop becomes one keyed equi-join (user) with a range
+    * residual, no iteration, no UDF. A buy overlaps a contiguous run
+    * of sells, so output pairs are O(nb+ns) per user; the join itself
+    * is bounded by per-user pair volume and shuffles on the
+    * high-cardinality user key — the 100-TB plan. Unsold inventory
+    * falls out of the same frame: open qty of a buy lot is its
+    * interval beyond the user's total sold. FP discipline: prices are
+    * latticed to DECIMAL(28,12) before any arithmetic, so every P&L
+    * term and sum is exact-decimal (order-independent) and only the
+    * final emission rounds to a double — no cross-engine sum-order
+    * drift by construction.
+    */
+  def q147FifoPnl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    val trades = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_id",
+        from_json($"props", propsSchema).getField("k").as("qty"),
+        // (18,6) lattice (not the usual 28,12): qty × price products must
+        // stay inside DECIMAL(38) under BOTH engines' promotion rules
+        // (DuckDB multiply = p1+p2, which overflows 38 from a (28,12))
+        $"value".cast(DecimalType(18, 6)).as("price"),
+        when($"event_type" === "click", lit("B")).otherwise(lit("S"))
+          .as("side"))
+      .filter($"qty" > 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def lots(side: String, pfx: String): DataFrame =
+      trades.filter($"side" === side)
+        .withColumn("e", sum($"qty").over(w))
+        .select($"user_id", ($"e" - $"qty").as(s"${pfx}_start"),
+          $"e".as(s"${pfx}_end"), $"price".as(s"${pfx}_price"))
+    val buys = lots("B", "b")
+    val sells = lots("S", "s")
+    val matched = buys.join(sells,
+        buys("user_id") === sells("user_id") &&
+          $"b_start" < $"s_end" && $"s_start" < $"b_end")
+      .select(buys("user_id"),
+        (least($"b_end", $"s_end") - greatest($"b_start", $"s_start"))
+          .as("mq"),
+        ($"s_price" - $"b_price").as("dp"))
+      .groupBy($"user_id")
+      .agg(sum($"mq").as("matched_qty"),
+        sum($"mq".cast(DecimalType(14, 0)) * $"dp").as("pnl"))
+    val sold = sells.groupBy($"user_id")
+      .agg(max($"s_end").as("sold"))
+    val open = buys.join(sold, Seq("user_id"), "left")
+      .withColumn("oq", greatest(lit(0L),
+        $"b_end" - greatest($"b_start", coalesce($"sold", lit(0L)))))
+      .groupBy($"user_id")
+      .agg(sum($"oq").as("open_qty"),
+        sum($"oq".cast(DecimalType(14, 0)) * $"b_price").as("open_cost"))
+    trades.select($"user_id").distinct()
+      .join(matched, Seq("user_id"), "left")
+      .join(open, Seq("user_id"), "left")
+      .select($"user_id",
+        coalesce($"matched_qty", lit(0L)).cast("long").as("matched_qty"),
+        decRound(coalesce($"pnl", lit(0)), 4).as("realized_pnl"),
+        coalesce($"open_qty", lit(0L)).cast("long").as("open_qty"),
+        decRound(coalesce($"open_cost", lit(0)), 4).as("open_cost"))
+  }
+
+  val q147Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS qty,
+      |    CAST(value AS DECIMAL(18,6)) AS price,
+      |    CASE WHEN event_type = 'click' THEN 'B' ELSE 'S' END AS side
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |    AND CAST(json_extract(props, '$.k') AS BIGINT) > 0),
+      |b AS (
+      |  SELECT user_id, price AS b_price,
+      |    CAST(sum(qty) OVER w - qty AS BIGINT) AS b_start,
+      |    CAST(sum(qty) OVER w AS BIGINT) AS b_end
+      |  FROM t WHERE side = 'B'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT user_id, price AS s_price,
+      |    CAST(sum(qty) OVER w - qty AS BIGINT) AS s_start,
+      |    CAST(sum(qty) OVER w AS BIGINT) AS s_end
+      |  FROM t WHERE side = 'S'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT b.user_id,
+      |    CAST(least(b.b_end, s.s_end) - greatest(b.b_start, s.s_start)
+      |      AS BIGINT) AS mq,
+      |    s.s_price - b.b_price AS dp
+      |  FROM b JOIN s ON b.user_id = s.user_id
+      |    AND b.b_start < s.s_end AND s.s_start < b.b_end),
+      |magg AS (
+      |  SELECT user_id, sum(mq) AS matched_qty,
+      |    sum(CAST(mq AS DECIMAL(14,0)) * dp) AS pnl
+      |  FROM m GROUP BY 1),
+      |sold AS (SELECT user_id, max(s_end) AS sold FROM s GROUP BY 1),
+      |oagg AS (
+      |  SELECT b.user_id,
+      |    sum(greatest(0, b.b_end - greatest(b.b_start,
+      |      coalesce(sd.sold, 0)))) AS open_qty,
+      |    sum(CAST(greatest(0, b.b_end - greatest(b.b_start,
+      |      coalesce(sd.sold, 0))) AS DECIMAL(14,0)) * b.b_price)
+      |      AS open_cost
+      |  FROM b LEFT JOIN sold sd ON b.user_id = sd.user_id
+      |  GROUP BY 1),
+      |base AS (SELECT DISTINCT user_id FROM t)
+      |SELECT base.user_id,
+      |  CAST(coalesce(magg.matched_qty, 0) AS BIGINT) AS matched_qty,
+      |  CAST(round(CAST(coalesce(magg.pnl, 0) AS DECIMAL(38,12)), 4)
+      |    AS DOUBLE) AS realized_pnl,
+      |  CAST(coalesce(oagg.open_qty, 0) AS BIGINT) AS open_qty,
+      |  CAST(round(CAST(coalesce(oagg.open_cost, 0) AS DECIMAL(38,12)), 4)
+      |    AS DOUBLE) AS open_cost
+      |FROM base
+      |LEFT JOIN magg ON base.user_id = magg.user_id
+      |LEFT JOIN oagg ON base.user_id = oagg.user_id""".stripMargin
 }
