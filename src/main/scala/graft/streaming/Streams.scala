@@ -700,6 +700,49 @@ object Streams {
       }
   }
 
+  /** Per-user state for s20: the running peak and running max drawdown
+    * — two doubles, bounded regardless of stream length.
+    */
+  case class DrawdownState(peak: Double, dd: Double, started: Boolean)
+
+  /** s20 — streaming running-peak drawdown per user: the incremental
+    * twin of batch q73. Both folds are monotone maxes (peak = max of
+    * values so far; drawdown = max of peak−value evaluated at each
+    * row), so the carried two-double state replays the batch prefix
+    * window exactly — no window buffer at all, and every emission is
+    * bit-identical to the batch peak/drawdown at that row. The LAST
+    * emission per user equals batch q73's per-user aggregate (and,
+    * because both series are nondecreasing, so does the max over all
+    * emissions — which is what the differential spec checks; raw
+    * doubles, no rounding needed, max is order-stable). Same
+    * in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def drawdownStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Double, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DrawdownState, (Long, Long, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[DrawdownState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Double, Double)]
+          var st = state.getOption.getOrElse(DrawdownState(0.0, 0.0, false))
+          sorted.foreach { e =>
+            val peak = if (st.started) math.max(st.peak, e.value) else e.value
+            val dd = if (st.started) math.max(st.dd, peak - e.value)
+                     else peak - e.value
+            st = DrawdownState(peak, dd, started = true)
+            out += ((user, e.event_id, dd, peak))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000
