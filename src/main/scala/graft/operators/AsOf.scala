@@ -134,30 +134,46 @@ object AsOf {
     * embarrassingly parallel, cost |L|·|R| comparisons with |R| tiny
     * and in cache.
     *
-    * `right` must have distinct `rightTs` values (equal timestamps
-    * would make intervals overlap and duplicate matches) — dedupe to
-    * point-in-time-latest (q29 shape) first if the feed revises.
+    * `right` must have distinct `rightTs` values — per key when `key`
+    * is set — (equal timestamps would make intervals overlap and
+    * duplicate matches) — dedupe to point-in-time-latest (q29 shape)
+    * first if the feed revises.
+    *
+    * `key`: optional equality key (e.g. currency, exchange). The dim
+    * is intervalized PER KEY and the key equality rides in the same
+    * broadcast range join. This is the right plan precisely when the
+    * key is LOW-cardinality (a handful of currencies): the keyed
+    * window as-of ([[join]]) would put each key's entire fact
+    * partition in one task, while here the fact side still never
+    * shuffles and never sorts.
     */
   def broadcastJoin(left: DataFrame, right: DataFrame,
                     leftTs: String, rightTs: String,
                     rightVals: Seq[(String, String)],
-                    inner: Boolean = true): DataFrame = {
+                    inner: Boolean = true,
+                    key: Option[String] = None): DataFrame = {
     require(!left.columns.contains("__eff") && !left.columns.contains("__next"),
       "__eff/__next are reserved column names on the left side")
     rightVals.foreach { case (_, out) =>
       require(!left.columns.contains(out),
         s"output column '$out' already exists on the left side")
-      require(out != "__eff" && out != "__next", "__eff/__next are reserved")
+      require(out != "__eff" && out != "__next" && out != "__k",
+        "__eff/__next/__k are reserved")
     }
     // Single-partition window over the dim is fine: the dim is tiny by
     // contract (that's what makes the broadcast legal in the first
-    // place).
-    val w = Window.orderBy(col("__eff"))
-    val iv = right.select(col(rightTs).as("__eff") +:
-        rightVals.map { case (in, out) => col(in).as(out) }: _*)
+    // place). With a key, the window partitions by it — same contract.
+    val w =
+      if (key.isDefined) Window.partitionBy(col("__k")).orderBy(col("__eff"))
+      else Window.orderBy(col("__eff"))
+    val iv = right.select(
+        (key.map(k => col(k).as("__k")).toSeq ++
+          (col(rightTs).as("__eff") +:
+            rightVals.map { case (in, out) => col(in).as(out) })): _*)
       .withColumn("__next", lead(col("__eff"), 1).over(w))
-    val cond = col(leftTs) >= col("__eff") &&
+    val range = col(leftTs) >= col("__eff") &&
       (col("__next").isNull || col(leftTs) < col("__next"))
+    val cond = key.map(k => col(k) === col("__k") && range).getOrElse(range)
     left.join(broadcast(iv), cond, if (inner) "inner" else "left_outer")
       .select((left.columns.map(col) ++
         rightVals.map { case (_, o) => col(o) }).toIndexedSeq: _*)

@@ -822,4 +822,59 @@ object SecurityMaster {
       |FROM base
       |LEFT JOIN magg ON base.user_id = magg.user_id
       |LEFT JOIN oagg ON base.user_id = oagg.user_id""".stripMargin
+
+  /** q148_fx_normalize — multi-currency as-of normalization: trades in
+    * four local currencies (user_id-derived), a per-currency rate feed
+    * (signup events, deduped to point-in-time-latest per instant, the
+    * q29 shape), each trade converted at the rate in effect AT trade
+    * time, rolled up per (currency, day). The as-of key here is
+    * LOW-cardinality (4 currencies) — exactly where the keyed window
+    * as-of would serialize each currency's entire fact partition into
+    * one task — so the resolve runs as [[AsOf.broadcastJoin]] with its
+    * new per-key intervalization: the rate dim broadcasts, the fact
+    * side never shuffles until the final (ccy, day) rollup. Per-row
+    * USD conversion is one IEEE double divide (bit-identical across
+    * engines); the division results are latticed to DECIMAL(28,12)
+    * before summing, so the rollup is order-independent exact.
+    */
+  def q148FxNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, dir)
+      .withColumn("ccy", element_at(
+        array(lit("USD"), lit("EUR"), lit("JPY"), lit("GBP")),
+        ($"user_id" % 4).cast("int") + 1))
+    val rates = ev.filter($"event_type" === "signup" && $"value" > 0)
+      .groupBy($"ccy", $"ts")
+      .agg(max_by($"value", $"event_id").as("rate"))
+    val trades = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"ccy", $"ts", $"value".as("amount"))
+    AsOf.broadcastJoin(trades, rates, leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("rate" -> "rate"), inner = true, key = Some("ccy"))
+      .groupBy($"ccy", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_trades"),
+        decRound(sum(($"amount" / $"rate").cast(DecimalType(28, 12))), 4)
+          .as("total_usd"))
+  }
+
+  val q148Sql: String =
+    """WITH e AS (
+      |  SELECT *, ['USD','EUR','JPY','GBP'][CAST(user_id % 4 AS INT) + 1]
+      |    AS ccy
+      |  FROM events),
+      |r AS (
+      |  SELECT ccy, ts, arg_max(value, event_id) AS rate
+      |  FROM e WHERE event_type = 'signup' AND value > 0
+      |  GROUP BY ccy, ts),
+      |t AS (
+      |  SELECT event_id, ccy, ts, value AS amount
+      |  FROM e WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT t.ccy, t.ts, t.amount, r.rate
+      |  FROM t ASOF JOIN r ON t.ccy = r.ccy AND t.ts >= r.ts)
+      |SELECT ccy, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_trades,
+      |  CAST(round(sum(CAST(amount / rate AS DECIMAL(28,12))), 4) AS DOUBLE)
+      |    AS total_usd
+      |FROM j GROUP BY 1, 2""".stripMargin
 }
