@@ -105,8 +105,14 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
       e.unpersist(blocking = false)
+      val part = spark.read.parquet(s"$sfDir/part.parquet")
+      val nm = time {
+        graft.operators.EditDistance.pairs(part, "p_partkey", "p_name",
+          "p_brand", maxDist = 3, segment = Some(true))
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
-        "x_bfs_shuffle" -> bfs)
+        "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     val ok = results.filter(_._3.isEmpty)

@@ -84,8 +84,12 @@ object Analytics {
       .rollup(year($"o_orderdate").cast("long").as("yr"),
         quarter($"o_orderdate").cast("long").as("qtr"),
         month($"o_orderdate").cast("long").as("mo"))
+      // money lattice (q5's sf1.0 lesson): exact-decimal sum of the 2dp
+      // price so rollup revenue is order-independent across engines
       .agg(count(lit(1)).as("n_orders"),
-        round(sum($"o_totalprice"), 2).as("revenue"))
+        round(sum($"o_totalprice"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("revenue"))
       .select(coalesce($"yr", lit(-1L)).as("yr"),
         coalesce($"qtr", lit(-1L)).as("qtr"),
         coalesce($"mo", lit(-1L)).as("mo"), $"n_orders", $"revenue")
@@ -95,7 +99,9 @@ object Analytics {
     """SELECT coalesce(year(o_orderdate), -1) AS yr,
       |  coalesce(quarter(o_orderdate), -1) AS qtr,
       |  coalesce(month(o_orderdate), -1) AS mo,
-      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |  count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS revenue
       |FROM orders
       |GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate), month(o_orderdate))""".stripMargin
 

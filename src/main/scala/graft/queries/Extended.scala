@@ -64,53 +64,21 @@ object Extended {
 
   /** q70_name_match — entity resolution by edit distance (the
     * securities-master "same instrument, different feed spelling"
-    * primitive): candidate pairs are BUCKETED by brand and
-    * length-prefiltered (|Δlen| ≤ k bounds Levenshtein from below), so
-    * the quadratic distance computation runs only inside small blocks —
-    * standard blocking, linear shuffle.
+    * primitive), via [[graft.operators.EditDistance.pairs]]: small
+    * inputs take the brand-blocked broadcast plan, large inputs the
+    * PassJoin segment inverted index when a single block alone is a
+    * quadratic straggler. Block groups GROW with the data (brand
+    * cardinality is fixed), so blocked pair volume is quadratic; on
+    * dup-dense data the OUTPUT is quadratic too and blocked wins
+    * (sf1.0: 51M true pairs, blocked 11.7s vs segment 172s), which is
+    * why the auto statistic is max block size, not input size. Both
+    * paths spec-proven bit-equal; the bench forces the segment path
+    * every round.
     */
-  def q70NameMatch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // Character-set bitmask, computed ONCE per row before the self-join:
-    // one edit changes the char set by at most 2 membership bits
-    // (substitution = maybe-clear one + maybe-set one), so
-    // lev(a,b) <= 3  ⇒  bit_count(mask_a XOR mask_b) <= 6. The xor/
-    // popcount guard is codegen'd and prunes ~2/3 of blocked candidates
-    // before the allocation-heavy Levenshtein ever runs; mod-64 bit
-    // collisions only ever weaken the filter, never the recall.
-    val charMask = (c: org.apache.spark.sql.Column) =>
-      aggregate(transform(split(c, ""),
-          ch => call_function("shiftleft", lit(1L), ascii(ch) % 64)),
-        lit(0L), (acc, x) => acc.bitwiseOR(x))
-    val p = Tables.part(spark, dir)
-      .select($"p_partkey", $"p_brand", $"p_name", charMask($"p_name").as("mask"))
-    val a = p.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("name_a"),
-      $"mask".as("mask_a"))
-    val b = p.select($"p_brand", $"p_partkey".as("key_b"), $"p_name".as("name_b"),
-      $"mask".as("mask_b"))
-    // The block self-join expands ~400× before filtering: the probe
-    // side must be spread across the cluster FIRST or the expansion
-    // (and every per-pair predicate) funnels through however few
-    // partitions the scan produced — locally one small parquet file =
-    // ONE task doing all 7.7M pairs. A 20k-row pre-shuffle is free;
-    // the dim-sized build side is broadcast. The partition count is
-    // pinned (AQE would coalesce a kilobyte-sized shuffle back to one
-    // partition, re-serializing the expansion — the classic
-    // small-input/huge-output trap).
-    a.repartition(spark.sessionState.conf.numShufflePartitions, col("key_a"))
-      .join(broadcast(b), Seq("p_brand"))
-      .filter($"key_a" < $"key_b" &&
-        abs(length($"name_a") - length($"name_b")) <= 3 &&
-        bit_count($"mask_a".bitwiseXOR($"mask_b")) <= 6)
-      // levenshtein with a threshold runs the banded O(k·n) DP and bails
-      // out early (returns -1) once the distance provably exceeds k —
-      // identical results to the full matrix for the kept rows. It sits
-      // in its own Project ABOVE the guard Filter, so it only ever
-      // evaluates on guard survivors.
-      .withColumn("lev", levenshtein($"name_a", $"name_b", 3))
-      .filter($"lev" >= 0)
-      .select($"key_a", $"key_b", $"lev")
-  }
+  def q70NameMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EditDistance.pairs(
+      Tables.part(spark, dir), keyCol = "p_partkey", nameCol = "p_name",
+      blockCol = "p_brand", maxDist = 3)
 
   val q70Sql: String =
     """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
@@ -381,7 +349,12 @@ object Extended {
     import spark.implicits._
     Tables.orders(spark, dir)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      // money lattice (q5's sf1.0 lesson): exact-decimal sum of the 2dp
+      // price so cube totals are order-independent across engines
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("total"))
       .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
         coalesce($"o_orderpriority", lit("ALL")).as("prio"),
         $"n", $"total")
@@ -390,7 +363,9 @@ object Extended {
   val q53Sql: String =
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
       |  coalesce(o_orderpriority, 'ALL') AS prio,
-      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS total
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
   /** q54_window_range_frame — 7-day trailing spend per customer: a

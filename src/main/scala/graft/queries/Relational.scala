@@ -125,11 +125,20 @@ object Relational {
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      // money lattice: at sf>=1 the per-nation double sum's order drift
+      // crosses the 2dp rounding band (found by the sf1.0 gate) — the
+      // 2dp price/discount terms are exact decimals, so the sum is
+      // order-independent exact in both engines
+      .agg(round(sum($"l_extendedprice"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+        (lit(1.0) - $"l_discount")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+        .cast("double").as("revenue"))
   }
 
   val q5Sql: String =
-    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    """SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1.0 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -352,7 +361,12 @@ object Relational {
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .rollup($"c_mktsegment", $"o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      // money lattice (q5's sf1.0 lesson): exact-decimal sum of the 2dp
+      // price so rollup totals are order-independent across engines
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("total"))
       .select(coalesce($"c_mktsegment", lit("ALL")).as("seg"),
         coalesce($"o_orderstatus", lit("ALL")).as("status"),
         $"n", $"total")
@@ -360,7 +374,9 @@ object Relational {
 
   val q16Sql: String =
     """SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(o_orderstatus, 'ALL') AS status,
-      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""".stripMargin
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EditDistance
+
+/** The segment (PassJoin) path must return EXACTLY the blocked path's
+  * pairs — the candidate lemma is recall-complete, the shared guards
+  * and banded verify make precision exact, so outputs are bit-equal.
+  */
+class EditDistanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame, seg: Boolean) =
+    EditDistance.pairs(df, "k", "name", "blk", maxDist = 3,
+        segment = Some(seg))
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("segment path equals blocked path on real part names") {
+    val p = Tables.part(spark, sf)
+      .select($"p_partkey".as("k"), $"p_name".as("name"), $"p_brand".as("blk"))
+    val blocked = pairsOf(p, seg = false)
+    val segment = pairsOf(p, seg = true)
+    assert(segment == blocked && blocked.nonEmpty)
+  }
+
+  test("segment path is exact on adversarial boundary cases") {
+    // distances exactly 0..4 (4 must be excluded), length deltas
+    // exactly at/over the band, edits at segment boundaries, repeated
+    // characters, one-block-vs-many
+    val rows = Seq(
+      (1L, "alphabravocharlie", "X"),   // base
+      (2L, "alphabravocharlie", "X"),   // lev 0 duplicate
+      (3L, "alphaBravocharlie", "X"),   // lev 1 substitution mid-segment
+      (4L, "lphabravocharlei", "X"),    // dels/swaps at both ends
+      (5L, "alphabravocharlieXYZ", "X"), // lev 3 suffix insert (len +3)
+      (6L, "alphabravocharlieWXYZ", "X"), // lev 4 suffix (len +4, excluded)
+      (7L, "abcdabcdabcdabcd", "X"),    // periodic — repeated segments
+      (8L, "abcdabcdabcdabce", "X"),    // lev 1 from 7
+      (9L, "alphabravocharlie", "Y"),   // other block: never pairs with X
+      (10L, "aaaaaaaaaaaaaaaa", "X"),   // low-entropy mask collisions
+      (11L, "aaaaaaabaaaaaaaa", "X"),
+      (12L, "zzzz", "X"))               // minimum legal length (k+1)
+    val df = rows.toDF("k", "name", "blk")
+    val blocked = pairsOf(df, seg = false)
+    val segment = pairsOf(df, seg = true)
+    assert(segment == blocked)
+    // sanity: the expected relations are present with exact distances
+    assert(blocked.contains((1L, 2L, 0)))
+    assert(blocked.contains((1L, 3L, 1)))
+    assert(blocked.contains((1L, 5L, 3)))
+    assert(!blocked.exists(p => p._1 == 1L && p._2 == 6L))
+    assert(!blocked.exists(p => p._2 == 9L))
+    assert(blocked.contains((10L, 11L, 1)))
+  }
+
+  test("auto mode picks blocked under the byte limit and segment above") {
+    val p = Tables.part(spark, sf)
+      .select($"p_partkey".as("k"), $"p_name".as("name"), $"p_brand".as("blk"))
+    assert(p.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      EditDistance.BlockedByteLimit)
+    // the blocked plan broadcasts its build side; the segment plan's
+    // candidate join is keyed on (blk, la, slot, sub) — distinguish by
+    // the presence of the generator (explode) only the segment plan has
+    val autoPlan = EditDistance.pairs(p, "k", "name", "blk")
+      .queryExecution.executedPlan.toString
+    val segPlan = EditDistance.pairs(p, "k", "name", "blk",
+        segment = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(!autoPlan.contains("Generate"), autoPlan.take(500))
+    assert(segPlan.contains("Generate"), segPlan.take(500))
+  }
+}
