@@ -549,17 +549,24 @@ object Analytics {
     */
   def q90WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wCum = Window.partitionBy($"l_returnflag")
-      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy($"l_returnflag")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.lineitem(spark, dir)
+    // The cumulative weight runs over PARTITION BY l_returnflag — 3
+    // values, i.e. 1/3 of the table sorted in ONE task as a plain
+    // window (the r6 q123/q128/q133 anti-pattern; this was the missed
+    // spot, measured 5× at the sf1.0 run). Rank.groupRunningSum gives
+    // the identical prefix sum with a sliced range exchange above the
+    // stats bound; weights are integral (TPC-H quantities), so the
+    // long-space running sum and the doubled-inequality threshold are
+    // engine-exact — no FP accumulation anywhere.
+    val li = Tables.lineitem(spark, dir)
       .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
         $"l_linenumber", $"l_quantity")
-      .withColumn("cumw", sum($"l_quantity").over(wCum))
-      .withColumn("total", max($"cumw").over(wAll))
-      .filter($"cumw" >= $"total" / 2)
+    val cum = graft.operators.Rank.groupRunningSum(li, Seq("l_returnflag"),
+      Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+      "l_quantity", "cumw")
+    val tot = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("long")).as("total"))
+    cum.join(broadcast(tot), "l_returnflag")
+      .filter(lit(2) * $"cumw" >= $"total")
       .groupBy($"l_returnflag")
       .agg(min($"l_extendedprice").as("weighted_median_price"))
   }
@@ -568,14 +575,15 @@ object Analytics {
     """SELECT l_returnflag, min(l_extendedprice) AS weighted_median_price
       |FROM (
       |  SELECT l_returnflag, l_extendedprice, cumw,
-      |    max(cumw) OVER (PARTITION BY l_returnflag) AS total
+      |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag)
+      |      AS total
       |  FROM (
-      |    SELECT l_returnflag, l_extendedprice,
-      |      sum(l_quantity) OVER (PARTITION BY l_returnflag
+      |    SELECT l_returnflag, l_extendedprice, l_quantity,
+      |      sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
       |        ORDER BY l_extendedprice, l_orderkey, l_linenumber
       |        ROWS UNBOUNDED PRECEDING) AS cumw
       |    FROM lineitem))
-      |WHERE cumw >= total / 2
+      |WHERE 2 * cumw >= total
       |GROUP BY l_returnflag""".stripMargin
 
   /** q91_basket_jaccard — set-similarity beyond text: orders whose

@@ -81,7 +81,8 @@ class PlanSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.{col, size => asize}
     // (a) at test scale, auto mode must NOT pay the two-pass overhead
     for (q <- Seq("q128_ntile_bins", "q133_rank_normalize",
-                  "q123_pack_chunks", "q101_winsorized")) {
+                  "q123_pack_chunks", "q101_winsorized",
+                  "q90_weighted_median")) {
       val p = plan(q)
       assert(!p.contains("__slice"),
         s"$q: two-pass machinery engaged on a tiny input\n$p")
