@@ -388,10 +388,14 @@ object Analytics {
     val points = ev.select($"event_type", $"s".as("pt"), lit(1L).as("delta"))
       .unionByName(ev.select($"event_type", ($"s" + 1800L * 1000000L).as("pt"),
         lit(-1L).as("delta")))
-    val wRun = Window.partitionBy($"event_type").orderBy($"pt")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    points.groupBy($"event_type", $"pt").agg(sum($"delta").as("net"))
-      .withColumn("conc", sum($"net").over(wRun))
+    // The sweep's running sum is per event_type — 5 partitions, i.e.
+    // 1/5 of all endpoints sorted in ONE task as a plain window (q90's
+    // sf1.0 lesson). groupRunningSum computes the identical integer
+    // prefix with a sliced range exchange above the stats bound.
+    val net = points.groupBy($"event_type", $"pt")
+      .agg(sum($"delta").as("net"))
+    graft.operators.Rank.groupRunningSum(net, Seq("event_type"),
+        Seq("pt"), "net", "conc")
       .groupBy($"event_type",
         date_trunc("day", timestamp_micros($"pt")).as("day"))
       .agg(max($"conc").as("max_concurrency"))

@@ -38,17 +38,43 @@ object Quant {
     */
   def q115Acf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wOrd = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-    Tables.events(spark, dir)
-      .select($"event_type", $"ts", $"event_id", $"value")
-      .withColumn("l1", lag($"value", 1).over(wOrd))
-      .withColumn("l2", lag($"value", 2).over(wOrd))
-      .withColumn("l3", lag($"value", 3).over(wOrd))
+    // The lag windows ran over PARTITION BY event_type — 5 partitions,
+    // 1/5 of all events sorted in ONE task (q90's sf1.0 lesson). The
+    // lags are ROW-positional, so they decompose into the scalable
+    // rank (Rank.groupRowNumber: sliced range exchange above the stats
+    // bound, computed ONCE) plus a row-local 4× explode — each row
+    // lands at its own rn (k=0) and at rn+1..rn+3 (the positions it is
+    // the lag OF) — and one hash aggregate on the high-cardinality
+    // (type, rn) key pivots the copies back into (value, l1, l2, l3).
+    // No join, no giant sort partition; shifted copies beyond the last
+    // row pivot into groups with no k=0 member and are dropped by the
+    // presence flag (NOT by value nullness — a null value row must
+    // still count toward n_obs, exactly as lag() kept it).
+    val rn = graft.operators.Rank.groupRowNumber(
+        Tables.events(spark, dir)
+          .select($"event_type", $"ts", $"event_id", $"value"),
+        Seq("event_type"), Seq("ts", "event_id"), "rn", "n_total")
+      .select($"event_type", $"rn", $"value")
+    rn.select($"event_type", explode(array(
+        struct($"rn".as("rn"), lit(0).as("k"), $"value".as("sv")),
+        struct(($"rn" + 1).as("rn"), lit(1).as("k"), $"value".as("sv")),
+        struct(($"rn" + 2).as("rn"), lit(2).as("k"), $"value".as("sv")),
+        struct(($"rn" + 3).as("rn"), lit(3).as("k"), $"value".as("sv"))))
+        .as("s"))
+      .select($"event_type", $"s.rn".as("rn"), $"s.k".as("k"),
+        $"s.sv".as("sv"))
+      .groupBy($"event_type", $"rn")
+      .agg(max(when($"k" === 0, lit(1))).as("present"),
+        max(when($"k" === 0, $"sv")).as("v"),
+        max(when($"k" === 1, $"sv")).as("l1"),
+        max(when($"k" === 2, $"sv")).as("l2"),
+        max(when($"k" === 3, $"sv")).as("l3"))
+      .filter($"present" === 1)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_obs"),
-        decRound(corr($"value", $"l1"), 4).as("acf1"),
-        decRound(corr($"value", $"l2"), 4).as("acf2"),
-        decRound(corr($"value", $"l3"), 4).as("acf3"))
+        decRound(corr($"v", $"l1"), 4).as("acf1"),
+        decRound(corr($"v", $"l2"), 4).as("acf2"),
+        decRound(corr($"v", $"l3"), 4).as("acf3"))
   }
 
   val q115Sql: String =

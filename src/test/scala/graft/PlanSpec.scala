@@ -82,7 +82,7 @@ class PlanSpec extends SparkTestBase {
     // (a) at test scale, auto mode must NOT pay the two-pass overhead
     for (q <- Seq("q128_ntile_bins", "q133_rank_normalize",
                   "q123_pack_chunks", "q101_winsorized",
-                  "q90_weighted_median")) {
+                  "q90_weighted_median", "q83_concurrency", "q115_acf")) {
       val p = plan(q)
       assert(!p.contains("__slice"),
         s"$q: two-pass machinery engaged on a tiny input\n$p")
@@ -254,10 +254,15 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles <= 2, s"q98: event side shuffled\n$p")
   }
 
-  test("q115 acf: three lag frames + the aggregate share one sort-window exchange") {
+  test("q115 acf: positional lags come from rank + equi-join, not lag windows") {
+    // the r7 rewire: lag() over PARTITION BY event_type put 1/5 of the
+    // table in one task; now the only window is the (auto-mode, small
+    // scale) row_number, the lags arrive via the shifted equi-join,
+    // and the pivot aggregate runs straight on the join output
     val p = plan("q115_acf")
-    assert(count(p, "Exchange hashpartitioning") <= 2, p) // window + final agg
-    assert(count(p, "Window") == 1, s"lags must share one Window op\n$p")
+    assert(!p.contains("lag("), s"low-cardinality lag window crept back\n$p")
+    assert(count(p, "Window") <= 1, s"only the rank window may appear\n$p")
+    assert(p.contains("Generate explode"), s"shifted-copy explode missing\n$p")
   }
 
   test("q117 cross-corr joins the tiny daily frames by broadcast only") {
