@@ -700,6 +700,64 @@ object Streams {
       }
   }
 
+  /** Per-user state for s21: the last ≤6 values (NaN encodes a null
+    * value — occupies a frame row, skipped by both folds, exactly as
+    * in the batch window). Bounded regardless of stream length.
+    */
+  case class MaState(vals: Seq[Double])
+
+  /** s21 — streaming 7-observation moving mean + stddev per user: the
+    * incremental twin of batch q23. Every full-or-partial window
+    * (emission starts at row 1, like the batch ROWS 6 PRECEDING frame)
+    * re-folds Spark's OWN recurrences over non-null frame members —
+    * ascending sum ÷ n for the mean (Spark's Average, not an
+    * incremental mean) and CentralMomentAgg's m2 for the stddev —
+    * then applies the same plain round(x, 4): BigDecimal.valueOf
+    * HALF_UP, Spark's Round on doubles. n = 1 yields a NULL stddev
+    * (modern statisticalAggregate semantics, what the batch gate
+    * proves); an all-null frame yields NULL for both. Same
+    * in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def movingStatsStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Option[Double], Option[Double])] = {
+    import spark.implicits._
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MaState,
+          (Long, Long, Option[Double], Option[Double])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[MaState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Option[Double], Option[Double])]
+          var st = state.getOption.getOrElse(MaState(Nil))
+          sorted.foreach { e =>
+            val win = (st.vals :+ e.value).takeRight(7)
+            var n = 0.0; var s = 0.0; var avg = 0.0; var m2 = 0.0
+            win.foreach { x =>
+              if (!x.isNaN) {
+                n += 1; s += x
+                val delta = x - avg
+                val deltaN = delta / n
+                avg += deltaN
+                m2 += delta * (delta - deltaN)
+              }
+            }
+            val ma = if (n == 0) None else Some(round4(s / n))
+            val vol = if (n < 2) None
+                      else Some(round4(math.sqrt(m2 / (n - 1.0))))
+            out += ((user, e.event_id, ma, vol))
+            st = MaState(win.takeRight(6))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-user state for s20: the running peak and running max drawdown
     * — two doubles, bounded regardless of stream length.
     */

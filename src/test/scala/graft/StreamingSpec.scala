@@ -387,6 +387,34 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exists(_._3 > 50.0) && streamed.exists(_._3 < 50.0))
   }
 
+  test("streaming moving stats (s21) equals batch q23 bit-for-bit across micro-batches") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ma").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.movingStatsStream(spark, stream)
+      .toDF("user_id", "event_id", "ma7", "vol7")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ma_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ma_out")
+      .select($"user_id", $"event_id", $"ma7", $"vol7")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSet
+    val batch = SparkEntry.queries("q23_moving_avg")(spark, sf)
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // partial windows (n=1 null stddev) and full 7-row windows both occur
+    assert(streamed.exists(_._4.isEmpty) && streamed.exists(_._4.isDefined))
+  }
+
   test("streaming drawdown (s20) equals batch q73 bit-for-bit across micro-batches") {
     val ev = Tables.events(spark, sf)
     val mid = ev.agg(
