@@ -700,6 +700,36 @@ object Streams {
       }
   }
 
+  /** s22 — stream-stream interval join, the trade–quote shape: each
+    * purchase pairs with the same user's clicks inside [p_ts − 1h,
+    * p_ts). Both sides are true streams (no static dim): Spark keeps
+    * each side's recent rows as join state and the WATERMARKS bound
+    * it — a click is provably unmatchable once the purchase-side
+    * watermark passes c_ts + 1h, so state is evicted by event time,
+    * never grows with the stream, and the engine handles cross-batch
+    * pairs (a purchase in batch k matching clicks from batch k−1)
+    * without any user-managed state. Inner append-mode join; the
+    * differential spec rebuilds q47's per-purchase counts from the
+    * emitted pairs and proves them identical to the batch range join.
+    * Watermark delay (2h) exceeds the join range (1h) so no
+    * in-order-delivered row is ever late-dropped.
+    */
+  def intervalJoinStream(spark: SparkSession, purchases: DataFrame,
+                         clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c, expr(
+      """user_id = c_user AND
+        |c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts""".stripMargin))
+      .select(col("p_id"), col("c_id"))
+  }
+
   /** Per-user state for s21: the last ≤6 values (NaN encodes a null
     * value — occupies a frame row, skipped by both folds, exactly as
     * in the batch window). Bounded regardless of stream length.

@@ -387,6 +387,56 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exists(_._3 > 50.0) && streamed.exists(_._3 < 50.0))
   }
 
+  test("stream-stream interval join (s22) rebuilds batch q47 across micro-batches") {
+    val ev = Tables.events(spark, sf)
+    // split BETWEEN a real click→purchase pair (click strictly inside
+    // the purchase's 1h lookback) so a cross-batch match is guaranteed
+    // — a blind midpoint split found zero such pairs in this small
+    // dataset and left the state assertion vacuous
+    val mid = ev.filter($"event_type" === "purchase").alias("p")
+      .join(ev.filter($"event_type" === "click").alias("c"), "user_id")
+      .filter(unix_micros($"c.ts") >= unix_micros($"p.ts") - 3600000000L &&
+        unix_micros($"c.ts") < unix_micros($"p.ts"))
+      .select(((unix_micros($"c.ts") + unix_micros($"p.ts")) / 2)
+        .cast("long").as("m"))
+      .orderBy($"m").limit(1).collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    // both sides read the same file stream; the type filter splits it —
+    // cross-batch pairs (purchase in b, click in a) MUST come from the
+    // engine's watermark-bounded join state
+    def side(t: String) = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+      .filter($"event_type" === t)
+    val q = Streams.intervalJoinStream(spark, side("purchase"), side("click"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // rebuild q47's per-purchase counts: pairs + zero-fill for
+    // clickless purchases
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id")
+    val counts = purchases
+      .join(spark.table("ssj_out").groupBy($"p_id".as("event_id"))
+        .agg(count(lit(1)).as("n_clicks")), Seq("event_id"), "left")
+      .select($"event_id", coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+      .as[(Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q47_range_join")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(counts == batch && counts.nonEmpty)
+    // the join genuinely matched across the micro-batch boundary:
+    // at least one purchase after the split paired with a click before it
+    val crossPairs = spark.table("ssj_out")
+      .join(ev.select($"event_id".as("p_id"), unix_micros($"ts").as("pm")), "p_id")
+      .join(ev.select($"event_id".as("c_id"), unix_micros($"ts").as("cm")), "c_id")
+      .filter($"pm" > mid && $"cm" <= mid).count()
+    assert(crossPairs > 0, "no cross-batch pairs — the state test is vacuous")
+  }
+
   test("streaming moving stats (s21) equals batch q23 bit-for-bit across micro-batches") {
     val ev = Tables.events(spark, sf)
     val mid = ev.agg(
