@@ -81,15 +81,17 @@ object Analytics {
   def q75CalendarRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
+      .withColumn("tp",
+        $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
       .rollup(year($"o_orderdate").cast("long").as("yr"),
         quarter($"o_orderdate").cast("long").as("qtr"),
         month($"o_orderdate").cast("long").as("mo"))
       // money lattice (q5's sf1.0 lesson): exact-decimal sum of the 2dp
-      // price so rollup revenue is order-independent across engines
+      // price so rollup revenue is order-independent across engines;
+      // the cast is projected BELOW the rollup (via tp) so Expand's 4
+      // row copies share one per-row decimal conversion
       .agg(count(lit(1)).as("n_orders"),
-        round(sum($"o_totalprice"
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
-          .cast("double").as("revenue"))
+        round(sum($"tp"), 2).cast("double").as("revenue"))
       .select(coalesce($"yr", lit(-1L)).as("yr"),
         coalesce($"qtr", lit(-1L)).as("qtr"),
         coalesce($"mo", lit(-1L)).as("mo"), $"n_orders", $"revenue")

@@ -348,13 +348,14 @@ object Extended {
   def q53Cube(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
+      .withColumn("tp",
+        $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
       .cube($"o_orderstatus", $"o_orderpriority")
       // money lattice (q5's sf1.0 lesson): exact-decimal sum of the 2dp
-      // price so cube totals are order-independent across engines
+      // price so cube totals are order-independent across engines;
+      // cast projected below the cube so Expand's copies share it
       .agg(count(lit(1)).as("n"),
-        round(sum($"o_totalprice"
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
-          .cast("double").as("total"))
+        round(sum($"tp"), 2).cast("double").as("total"))
       .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
         coalesce($"o_orderpriority", lit("ALL")).as("prio"),
         $"n", $"total")

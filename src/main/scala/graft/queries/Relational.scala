@@ -360,13 +360,14 @@ object Relational {
     import spark.implicits._
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .withColumn("tp",
+        $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
       .rollup($"c_mktsegment", $"o_orderstatus")
       // money lattice (q5's sf1.0 lesson): exact-decimal sum of the 2dp
-      // price so rollup totals are order-independent across engines
+      // price so rollup totals are order-independent across engines;
+      // cast projected below the rollup so Expand's copies share it
       .agg(count(lit(1)).as("n"),
-        round(sum($"o_totalprice"
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
-          .cast("double").as("total"))
+        round(sum($"tp"), 2).cast("double").as("total"))
       .select(coalesce($"c_mktsegment", lit("ALL")).as("seg"),
         coalesce($"o_orderstatus", lit("ALL")).as("status"),
         $"n", $"total")
