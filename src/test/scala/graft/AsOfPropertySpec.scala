@@ -106,4 +106,40 @@ class AsOfPropertySpec extends SparkTestBase {
       assert(got == expected, s"seed=$seed inner=$inner:\n got=$got\n exp=$expected")
     }
   }
+
+  test("keyed broadcastJoin matches the keyed window as-of over 20 random cases") {
+    // the r7 `key` extension: per-key intervalization must be
+    // indistinguishable from AsOf.join on the same key — including
+    // keys present on only one side and duplicate left timestamps
+    for (seed <- 0 until 10; inner <- Seq(true, false)) {
+      val rnd = new scala.util.Random(seed + 9000)
+      val left = (0 until 60).map { i =>
+        (s"k${rnd.nextInt(5)}", ts(rnd.nextInt(1000).toLong), i.toLong)
+      }
+      // unique (key, rts) by contract
+      val right = (for (k <- 0 until 4) yield
+        rnd.shuffle((0 until 1000).toList).take(8)
+          .map(t => (s"k$k", ts(t.toLong), rnd.nextInt(100).toDouble))
+        ).flatten
+      val viaBroadcast = AsOf.broadcastJoin(
+          left.toDF("k", "ts", "row_id"), right.toDF("k", "rts", "v"),
+          "ts", "rts", Seq("v" -> "v"), inner = inner, key = Some("k"))
+        .select($"row_id", $"v").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val viaWindow = AsOf.join(
+          left.toDF("k", "ts", "row_id"), right.toDF("k", "rts", "v"),
+          key = "k", leftTs = "ts", rightTs = "rts",
+          rightVals = Seq("v" -> "v"), inner = inner)
+        .select($"row_id", $"v").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      assert(viaBroadcast == viaWindow,
+        s"seed=$seed inner=$inner:\n bc=$viaBroadcast\n win=$viaWindow")
+      // k4 rows exist on the left only: inner drops them, outer keeps
+      val k4 = left.filter(_._1 == "k4").map(_._3).toSet
+      if (inner) assert(k4.forall(!viaBroadcast.contains(_)))
+      else assert(k4.forall(id => viaBroadcast.get(id).contains(None)))
+    }
+  }
 }
