@@ -877,4 +877,79 @@ object SecurityMaster {
       |  CAST(round(sum(CAST(amount / rate AS DECIMAL(28,12))), 4) AS DOUBLE)
       |    AS total_usd
       |FROM j GROUP BY 1, 2""".stripMargin
+
+  /** q149_survivorship — survivorship-bias quantification: the reason
+    * a securities master keeps point-in-time universes at all. Per
+    * week, compare (a) the PIT backtest — that week's revenue summed
+    * over the members selected AS OF that week (q142's universe) —
+    * against (b) the naive backtest — the same week's revenue summed
+    * over the FINAL week's members applied retroactively (the classic
+    * look-ahead mistake). The delta IS the bias. Weekly revenue is
+    * decimal-latticed (q142's discipline) so both sums and their
+    * difference are exact; the final-week membership is 5 rows,
+    * broadcast. Window ranks run over the aggregated |wk|×|part|
+    * frame, never fact cardinality.
+    */
+  def q149Survivorship(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wRank = Window.partitionBy($"wk").orderBy($"rev".desc, $"l_partkey")
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(date_trunc("week", $"l_shipdate").as("wk"), $"l_partkey")
+      .agg(decRound(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .cast(DecimalType(18, 4)).as("rev"))
+    val members = rev.withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= 5).select($"wk", $"l_partkey")
+    val lastWk = members.agg(max($"wk")).first().getTimestamp(0)
+    val finalMembers = members.filter($"wk" === lit(lastWk))
+      .select($"l_partkey").withColumn("in_final", lit(1))
+    val pit = members.join(rev, Seq("wk", "l_partkey"))
+      .groupBy($"wk").agg(sum($"rev").as("pit_rev"))
+    val naive = rev.join(broadcast(finalMembers), Seq("l_partkey"))
+      .groupBy($"wk").agg(sum($"rev").as("naive_rev"),
+        count(lit(1)).as("n_final_present"))
+    pit.join(naive, Seq("wk"), "left")
+      .select($"wk",
+        decRound($"pit_rev", 4).as("pit_rev"),
+        decRound(coalesce($"naive_rev", lit(0)), 4).as("naive_rev"),
+        coalesce($"n_final_present", lit(0L)).cast("long")
+          .as("n_final_present"),
+        decRound(coalesce($"naive_rev", lit(0)) - $"pit_rev", 4)
+          .as("bias"))
+  }
+
+  val q149Sql: String =
+    """WITH rev AS (
+      |  SELECT date_trunc('week', l_shipdate) AS wk, l_partkey,
+      |    CAST(CAST(round(CAST(sum(l_extendedprice * (1.0 - l_discount))
+      |      AS DECIMAL(28,12)), 4) AS DOUBLE) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |members AS (
+      |  SELECT wk, l_partkey FROM (
+      |    SELECT wk, l_partkey,
+      |      row_number() OVER (PARTITION BY wk ORDER BY rev DESC, l_partkey)
+      |        AS rk
+      |    FROM rev) WHERE rk <= 5),
+      |finalm AS (
+      |  SELECT l_partkey FROM members
+      |  WHERE wk = (SELECT max(wk) FROM members)),
+      |pit AS (
+      |  SELECT m.wk, sum(r.rev) AS pit_rev
+      |  FROM members m JOIN rev r
+      |    ON m.wk = r.wk AND m.l_partkey = r.l_partkey
+      |  GROUP BY m.wk),
+      |naive AS (
+      |  SELECT r.wk, sum(r.rev) AS naive_rev,
+      |    count(*) AS n_final_present
+      |  FROM rev r JOIN finalm f ON r.l_partkey = f.l_partkey
+      |  GROUP BY r.wk)
+      |SELECT CAST(p.wk AS TIMESTAMP) AS wk,
+      |  CAST(round(CAST(p.pit_rev AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS pit_rev,
+      |  CAST(round(CAST(coalesce(n.naive_rev, 0) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS naive_rev,
+      |  CAST(coalesce(n.n_final_present, 0) AS BIGINT) AS n_final_present,
+      |  CAST(round(CAST(coalesce(n.naive_rev, 0) - p.pit_rev
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS bias
+      |FROM pit p LEFT JOIN naive n ON p.wk = n.wk""".stripMargin
 }
