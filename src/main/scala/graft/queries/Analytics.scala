@@ -156,13 +156,18 @@ object Analytics {
           .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
         $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_mktsegment")
+      // money lattice (q5's sf1.0 lesson): 5 segment groups over all
+      // customers — drift grows with data
       .agg(count(lit(1)).as("n_cust"),
-        round(sum($"c_acctbal"), 2).as("total_bal"))
+        round(sum($"c_acctbal"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("total_bal"))
   }
 
   val q77Sql: String =
     """SELECT c_mktsegment, count(*) AS n_cust,
-      |  round(sum(c_acctbal), 2) AS total_bal
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS total_bal
       |FROM customer c
       |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

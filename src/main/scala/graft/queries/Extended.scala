@@ -204,13 +204,21 @@ object Extended {
         factKey = "l_orderkey", dimKey = "o_orderkey",
         saltSource = xxhash64($"l_linenumber", $"l_orderkey"))
       .groupBy($"o_orderpriority")
+      // money lattice (q5's sf1.0 lesson): 5 priority groups over all
+      // lineitem — drift grows with data
       .agg(count(lit(1)).as("n_lines"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        round(sum($"l_extendedprice"
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          (lit(1.0) - $"l_discount")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("revenue"))
   }
 
   val q48Sql: String =
     """SELECT o_orderpriority, count(*) AS n_lines,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1.0 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 

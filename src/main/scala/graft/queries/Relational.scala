@@ -22,10 +22,21 @@ object Relational {
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
+      // money lattice (q5's sf1.0 lesson) on the PRICE sums: 6 groups
+      // over the whole table, so FP sum-order drift grows with data and
+      // eventually crosses the 2dp band. sum_qty is integer-valued
+      // (exact in doubles below 2^53) and the avgs divide the drift
+      // back out — both provably safe unlatticed.
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("sum_base_price"),
+        round(sum($"l_extendedprice"
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          (lit(1.0) - $"l_discount")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -34,8 +45,11 @@ object Relational {
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1.0 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_disc_price,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_discount), 6) AS avg_disc,
       |  count(*) AS count_order
@@ -97,12 +111,18 @@ object Relational {
       .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name")
+      // money lattice (q5's sf1.0 lesson): 5 region groups over all
+      // suppliers — drift grows with data
       .agg(count(lit(1)).as("n_suppliers"),
-        round(sum($"s_acctbal"), 2).as("total_acctbal"))
+        round(sum($"s_acctbal"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("total_acctbal"))
   }
 
   val q4Sql: String =
-    """SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_acctbal
+    """SELECT r_name, count(*) AS n_suppliers,
+      |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS total_acctbal
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |  JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin

@@ -52,8 +52,12 @@ object SecurityMaster {
         leftTs = "ts", rightTs = "eff_from",
         rightVals = Seq("symbol" -> "symbol"))
       .groupBy($"user_id", $"symbol")
+      // money lattice (q5's sf1.0 lesson): per-symbol totals grow with
+      // trade volume, drift with them
       .agg(count(lit(1)).as("n_trades"),
-        round(sum($"value"), 2).as("total_value"))
+        round(sum($"value"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("total_value"))
   }
 
   val q135Sql: String =
@@ -72,7 +76,8 @@ object SecurityMaster {
       |  FROM su),
       |t AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
       |SELECT t.user_id, x.symbol, count(*) AS n_trades,
-      |  round(sum(t.value), 2) AS total_value
+      |  CAST(round(sum(CAST(t.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS total_value
       |FROM t ASOF JOIN x
       |  ON t.user_id = x.user_id AND t.ts >= x.eff_from
       |GROUP BY t.user_id, x.symbol""".stripMargin
@@ -414,7 +419,9 @@ object SecurityMaster {
           .otherwise(0))
     enriched.groupBy($"symbol", $"on_session")
       .agg(count(lit(1)).as("n_trades"),
-        round(sum($"value"), 2).as("notional"),
+        round(sum($"value"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("notional"),
         decRound(avg(coalesce($"sfx", lit(0.0))), 6).as("avg_log_adj"))
   }
 
@@ -452,7 +459,8 @@ object SecurityMaster {
       |    WHERE a.user_id = ws.user_id AND a.ts >= ws.ts
       |    ORDER BY a.ts ASC LIMIT 1) a ON true)
       |SELECT symbol, on_session, count(*) AS n_trades,
-      |  round(sum(value), 2) AS notional,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS notional,
       |  CAST(round(CAST(avg(coalesce(sfx, 0.0)) AS DECIMAL(28,12)), 6)
       |    AS DOUBLE) AS avg_log_adj
       |FROM en GROUP BY symbol, on_session""".stripMargin

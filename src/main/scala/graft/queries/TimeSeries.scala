@@ -47,14 +47,20 @@ object TimeSeries {
         max($"value").as("high"),
         min($"value").as("low"),
         max_by($"value", $"ts").as("close"),
-        round(sum($"value"), 2).as("volume"),
+        // money lattice (q5's sf1.0 lesson): bar volume grows with
+        // feed density, drift with it
+        round(sum($"value"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("volume"),
         count(lit(1)).as("n_trades"))
   }
 
   val q22Sql: String =
     """SELECT event_type, date_trunc('hour', ts) AS bucket,
       |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-      |  arg_max(value, ts) AS close, round(sum(value), 2) AS volume,
+      |  arg_max(value, ts) AS close,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS volume,
       |  count(*) AS n_trades
       |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin
 
