@@ -111,8 +111,14 @@ object Bench {
           "p_brand", maxDist = 3, segment = Some(true))
           .write.format("noop").mode("overwrite").save()
       }
+      val fx = time {
+        graft.queries.SecurityMaster.q148FxNormalize(spark, sfDir,
+          dimBroadcast = Some(false))
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
-        "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm)
+        "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm,
+        "x_fx_window" -> fx)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     val ok = results.filter(_._3.isEmpty)

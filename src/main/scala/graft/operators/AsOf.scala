@@ -146,14 +146,32 @@ object AsOf {
     * window as-of ([[join]]) would put each key's entire fact
     * partition in one task, while here the fact side still never
     * shuffles and never sorts.
+    *
+    * The tiny-dim contract is ENFORCED, not assumed: the dim's
+    * estimated size is checked against [[BroadcastDimByteLimit]]
+    * (same stats-derived plan choice as Rank / EditDistance /
+    * Graph.broadcastState) and an oversized dim falls back to the
+    * keyed union-window as-of — a perf degradation (low-cardinality
+    * keys serialize per-key partitions), never a driver/executor OOM.
+    * A caller that KNOWS the dim is model-sized (or wants the
+    * fallback priced, as the bench does) can pin the choice with
+    * `dimBroadcast`.
     */
   def broadcastJoin(left: DataFrame, right: DataFrame,
                     leftTs: String, rightTs: String,
                     rightVals: Seq[(String, String)],
                     inner: Boolean = true,
-                    key: Option[String] = None): DataFrame = {
+                    key: Option[String] = None,
+                    dimBroadcast: Option[Boolean] = None): DataFrame = {
+    if (!dimBroadcast.getOrElse(
+        right.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BroadcastDimByteLimit))
+      return windowFallback(left, right, leftTs, rightTs, rightVals,
+        inner, key)
     require(!left.columns.contains("__eff") && !left.columns.contains("__next"),
       "__eff/__next are reserved column names on the left side")
+    require(key.isEmpty || !left.columns.contains("__k"),
+      "__k is a reserved column name on the left side when key is set")
     rightVals.foreach { case (_, out) =>
       require(!left.columns.contains(out),
         s"output column '$out' already exists on the left side")
@@ -178,4 +196,37 @@ object AsOf {
       .select((left.columns.map(col) ++
         rightVals.map { case (_, o) => col(o) }).toIndexedSeq: _*)
   }
+
+  /** Dims at or below this ESTIMATED size broadcast; above it,
+    * [[broadcastJoin]] routes to [[windowFallback]]. 64 MB estimated
+    * (the Rank / EditDistance convention) stays an order of magnitude
+    * under Spark's 8 GB broadcast hard limit and the default driver
+    * memory, with room for the estimate being off.
+    */
+  val BroadcastDimByteLimit: Long = 64L * 1024 * 1024
+
+  /** The safe plan for a dim too big to broadcast: the keyed
+    * union-window as-of ([[join]]). With no key the union spreads on a
+    * constant — a single sorted partition, the honest cost of an
+    * as-of against a keyless dim that outgrew broadcast (there is no
+    * equality key to shuffle on; if this path is hot, pre-collapse the
+    * dim onto a bounded time grid instead). Outputs are identical to
+    * the broadcast plan under its distinct-(key, rightTs) contract —
+    * spec-proven, and priced by the bench's forced x_fx_window entry.
+    */
+  def windowFallback(left: DataFrame, right: DataFrame,
+                     leftTs: String, rightTs: String,
+                     rightVals: Seq[(String, String)],
+                     inner: Boolean = true,
+                     key: Option[String] = None): DataFrame =
+    key match {
+      case Some(k) => join(left, right, k, leftTs, rightTs, rightVals, inner)
+      case None =>
+        require(!left.columns.contains("__gk"),
+          "__gk is a reserved column name on the left side")
+        join(left.withColumn("__gk", lit(1)),
+            right.withColumn("__gk", lit(1)),
+            "__gk", leftTs, rightTs, rightVals, inner)
+          .drop("__gk")
+    }
 }

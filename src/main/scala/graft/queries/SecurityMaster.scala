@@ -840,12 +840,19 @@ object SecurityMaster {
     * as-of would serialize each currency's entire fact partition into
     * one task — so the resolve runs as [[AsOf.broadcastJoin]] with its
     * new per-key intervalization: the rate dim broadcasts, the fact
-    * side never shuffles until the final (ccy, day) rollup. Per-row
+    * side never shuffles until the final (ccy, day) rollup. The rate
+    * dim here is FACT-DERIVED (grows with events), so the broadcast is
+    * legal only under the operator's stats guard: past
+    * [[AsOf.BroadcastDimByteLimit]] the operator itself degrades to
+    * the keyed window as-of (slower, never OOM) — the fallback is
+    * spec-proven identical and priced by the bench's x_fx_window
+    * forced entry via `dimBroadcast`. Per-row
     * USD conversion is one IEEE double divide (bit-identical across
     * engines); the division results are latticed to DECIMAL(28,12)
     * before summing, so the rollup is order-independent exact.
     */
-  def q148FxNormalize(spark: SparkSession, dir: String): DataFrame = {
+  def q148FxNormalize(spark: SparkSession, dir: String,
+                      dimBroadcast: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val ev = Tables.events(spark, dir)
@@ -858,7 +865,8 @@ object SecurityMaster {
     val trades = ev.filter($"event_type" === "purchase")
       .select($"event_id", $"ccy", $"ts", $"value".as("amount"))
     AsOf.broadcastJoin(trades, rates, leftTs = "ts", rightTs = "ts",
-        rightVals = Seq("rate" -> "rate"), inner = true, key = Some("ccy"))
+        rightVals = Seq("rate" -> "rate"), inner = true, key = Some("ccy"),
+        dimBroadcast = dimBroadcast)
       .groupBy($"ccy", date_trunc("day", $"ts").as("day"))
       .agg(count(lit(1)).as("n_trades"),
         decRound(sum(($"amount" / $"rate").cast(DecimalType(28, 12))), 4)

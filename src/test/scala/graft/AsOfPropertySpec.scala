@@ -96,6 +96,15 @@ class AsOfPropertySpec extends SparkTestBase {
         .select($"row_id", $"v").collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       val got = rows.toMap
+      // the oversized-dim fallback (keyless: constant-key window) must
+      // be output-identical to the broadcast plan
+      val fb = AsOf.broadcastJoin(left.toDF("ts", "row_id"),
+          right.toDF("rts", "v"), "ts", "rts", Seq("v" -> "v"),
+          inner = inner, dimBroadcast = Some(false))
+        .select($"row_id", $"v").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      assert(fb == got, s"seed=$seed inner=$inner: fallback != broadcast")
       // exactly one output row per matched left row — overlapping
       // intervals would duplicate and the map would silently hide it
       assert(rows.length == got.size, s"seed=$seed: duplicate join rows")
@@ -105,6 +114,30 @@ class AsOfPropertySpec extends SparkTestBase {
       }.filter { case (_, best) => !inner || best.isDefined }.toMap
       assert(got == expected, s"seed=$seed inner=$inner:\n got=$got\n exp=$expected")
     }
+  }
+
+  test("broadcastJoin auto-routes an oversized dim to the window fallback") {
+    // a 20M-row Range estimates hundreds of MB — far over
+    // BroadcastDimByteLimit — WITHOUT being executed: the guard must
+    // pick the window plan (its __rv running-match marker) and the
+    // broadcast intervalization (__eff/__next) must not appear. Plan
+    // inspection only; nothing runs.
+    val bigDim = spark.range(20000000L).select(
+      timestamp_seconds($"id").as("rts"),
+      ($"id" % 100).cast("double").as("v"))
+    assert(bigDim.queryExecution.optimizedPlan.stats.sizeInBytes >
+      AsOf.BroadcastDimByteLimit)
+    val left = Seq((ts(10), 1L)).toDF("ts", "row_id")
+    val planned = AsOf.broadcastJoin(left, bigDim, "ts", "rts",
+      Seq("v" -> "v"))
+    val plan = planned.queryExecution.analyzed.toString
+    assert(plan.contains("__rv") && !plan.contains("__eff"),
+      s"oversized dim did not take the window fallback:\n$plan")
+    // and a model-sized dim still takes the broadcast intervalization
+    val smallPlan = AsOf.broadcastJoin(left,
+        Seq((ts(5), 1.0)).toDF("rts", "v"), "ts", "rts", Seq("v" -> "v"))
+      .queryExecution.analyzed.toString
+    assert(smallPlan.contains("__eff"), s"small dim lost broadcast:\n$smallPlan")
   }
 
   test("keyed broadcastJoin matches the keyed window as-of over 20 random cases") {
@@ -136,6 +169,17 @@ class AsOfPropertySpec extends SparkTestBase {
         .toMap
       assert(viaBroadcast == viaWindow,
         s"seed=$seed inner=$inner:\n bc=$viaBroadcast\n win=$viaWindow")
+      // the keyed oversized-dim fallback routes through the same keyed
+      // window as-of — pin the forced path and prove it too
+      val viaForcedFallback = AsOf.broadcastJoin(
+          left.toDF("k", "ts", "row_id"), right.toDF("k", "rts", "v"),
+          "ts", "rts", Seq("v" -> "v"), inner = inner, key = Some("k"),
+          dimBroadcast = Some(false))
+        .select($"row_id", $"v").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      assert(viaForcedFallback == viaWindow,
+        s"seed=$seed inner=$inner: forced fallback != window")
       // k4 rows exist on the left only: inner drops them, outer keeps
       val k4 = left.filter(_._1 == "k4").map(_._3).toSet
       if (inner) assert(k4.forall(!viaBroadcast.contains(_)))
