@@ -329,6 +329,79 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Dup-saturation fallback tier for the df-capped similarity family.
+    *
+    * The df cap is the right candidate bound on a deduplicated corpus,
+    * but on a VERBATIM-DUPLICATE-saturated one (the normal regime for
+    * raw web crawls) it inverts: every shingle's raw df is inflated by
+    * the duplicate mass, the whole vocabulary crosses `maxDf`, and the
+    * capped tiers emit ZERO pairs exactly where near-dup pressure is
+    * highest (measured at the ×30 sf3.0 stress in round 7).
+    *
+    * Fix: collapse verbatim duplicates FIRST (md5 identity, the
+    * [[exact]] convention), run the shingle tier over the distinct
+    * survivors — so df means "distinct texts containing the gram",
+    * which duplicate mass can no longer inflate — then re-expand:
+    * members of one collapse group pair at similarity 1.0, and each
+    * surviving representative pair expands to its groups' member
+    * bipartite. The collapse is one O(distinct) map-side-combined
+    * shuffle; the expansion joins are equi-joins on the representative
+    * id. The expansion output is quadratic per duplicate group — that
+    * is TRUE-PAIR output (every emitted pair really is a duplicate),
+    * irreducible for all-pairs semantics; cluster/compaction consumers
+    * (q61/q68 shapes) should consume the (rep, member) star instead,
+    * which yields identical connected components without the clique.
+    */
+  private def collapseExpand(docs: DataFrame, textCol: String,
+                             idCol: String, score: String)
+                            (repPairs: DataFrame => DataFrame): DataFrame = {
+    val keyed = docs.select(md5(col(textCol)).as("__h"),
+      col(idCol).as("__id"), col(textCol).as("__text"))
+    // min(text) not first(): values are identical within an md5 group,
+    // min keeps the agg deterministic for the planner
+    val groups = keyed.groupBy(col("__h"))
+      .agg(min(col("__id")).as("__rep"), min(col("__text")).as("__rtext"))
+    val members = keyed.select(col("__h"), col("__id"))
+      .join(groups.select(col("__h"), col("__rep")), Seq("__h"))
+      .select(col("__rep"), col("__id"))
+    val reps = groups.select(col("__rep").as(idCol), col("__rtext").as(textCol))
+    val cross = repPairs(reps)
+      .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ia")),
+        Seq("doc_a"))
+      .join(members.select(col("__rep").as("doc_b"), col("__id").as("__ib")),
+        Seq("doc_b"))
+      .select(least(col("__ia"), col("__ib")).as("doc_a"),
+        greatest(col("__ia"), col("__ib")).as("doc_b"), col(score))
+    val intra = members.as("x")
+      .join(members.as("y"), col("x.__rep") === col("y.__rep") &&
+        col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+        lit(1.0).as(score))
+    cross.unionByName(intra)
+  }
+
+  /** [[ngramJaccardPairs]] behind the exact-hash pre-collapse — the
+    * plan for corpora where verbatim duplication would saturate the df
+    * cap. df counts DISTINCT texts; verbatim duplicates always pair at
+    * 1.0 regardless of df saturation.
+    */
+  def ngramJaccardPairsSaturated(docs: DataFrame, textCol: String = "text",
+                                 idCol: String = "doc_id", n: Int = 2,
+                                 maxDf: Int = 50,
+                                 threshold: Double = 0.2): DataFrame =
+    collapseExpand(docs, textCol, idCol, "jaccard")(reps =>
+      ngramJaccardPairs(reps, textCol, idCol, n, maxDf, threshold))
+
+  /** [[containmentPairs]] behind the exact-hash pre-collapse; same
+    * saturation rationale as [[ngramJaccardPairsSaturated]].
+    */
+  def containmentPairsSaturated(docs: DataFrame, textCol: String = "text",
+                                idCol: String = "doc_id", n: Int = 2,
+                                maxDf: Int = 50,
+                                threshold: Double = 0.6): DataFrame =
+    collapseExpand(docs, textCol, idCol, "containment")(reps =>
+      containmentPairs(reps, textCol, idCol, n, maxDf, threshold))
+
   private def ngramJaccardImpl(docs: DataFrame, textCol: String,
                                idCol: String, n: Int, maxDf: Int,
                                threshold: Double,

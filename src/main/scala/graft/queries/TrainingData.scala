@@ -547,6 +547,73 @@ object TrainingData {
       |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
       |WHERE rnk <= 3""".stripMargin
 
+  /** q150_dedup_saturated — the dup-saturation fallback tier
+    * ([[Dedup.ngramJaccardPairsSaturated]]) exercised AT saturation:
+    * the corpus is replicated ×5 with shifted ids (every text verbatim
+    * 5 times), and maxDf is set BELOW the replication factor, so the
+    * plain df-capped tier (q34's plan) would emit ZERO pairs — every
+    * gram's raw df is at least 5. The pre-collapse tier collapses the
+    * verbatim copies first (df counts distinct texts), recovers the
+    * cross-text near-dup pairs, and re-expands: each collapse group
+    * pairs internally at 1.0 and each representative pair expands to
+    * its member bipartite. Exact semantics, full SQL oracle.
+    */
+  def q150DedupSaturated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs5 = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", explode(sequence(lit(0L), lit(4L))).as("c"))
+      .select(($"doc_id" + lit(10000000L) * $"c").as("doc_id"), $"text")
+    // threshold 0.01: the synthetic docs' cross-text overlap within the
+    // tight [2,4] distinct-df band is weak (jaccard ~0.01–0.05); the
+    // low threshold keeps BOTH output paths (cross expansion + intra
+    // cliques) populated in the oracle comparison
+    Dedup.ngramJaccardPairsSaturated(docs5, maxDf = 4, threshold = 0.01)
+  }
+
+  val q150Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id + 10000000 * c AS doc_id, text
+      |  FROM documents CROSS JOIN (SELECT unnest(range(5)) AS c)),
+      |g AS (SELECT md5(text) AS h, min(doc_id) AS rep FROM docs GROUP BY 1),
+      |members AS (
+      |  SELECT d.doc_id AS id, g.rep FROM docs d JOIN g ON md5(d.text) = g.h),
+      |reps AS (
+      |  SELECT d.doc_id, d.text FROM docs d JOIN g ON d.doc_id = g.rep),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM reps),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams),
+      |rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) BETWEEN 2 AND 4),
+      |f AS (SELECT ex.* FROM ex JOIN rare USING (gram)),
+      |rpairs AS (
+      |  SELECT a.doc_id AS rep_a, b.doc_id AS rep_b,
+      |    a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+      |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |rscore AS (
+      |  SELECT rep_a, rep_b,
+      |    CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
+      |      AS DECIMAL(28,12)), 4) AS DOUBLE) AS jaccard
+      |  FROM rpairs
+      |  WHERE CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
+      |      AS DECIMAL(28,12)), 4) AS DOUBLE) >= 0.01),
+      |crossx AS (
+      |  SELECT least(ma.id, mb.id) AS doc_a, greatest(ma.id, mb.id) AS doc_b,
+      |    jaccard
+      |  FROM rscore
+      |  JOIN members ma ON ma.rep = rscore.rep_a
+      |  JOIN members mb ON mb.rep = rscore.rep_b),
+      |intra AS (
+      |  SELECT x.id AS doc_a, y.id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+      |  FROM members x JOIN members y ON x.rep = y.rep AND x.id < y.id)
+      |SELECT * FROM crossx UNION ALL SELECT * FROM intra""".stripMargin
+
   val q87Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

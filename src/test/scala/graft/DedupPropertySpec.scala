@@ -89,6 +89,61 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("saturated tier recovers the pairs the df cap drops at ×30 duplication") {
+    for (seed <- 0 until 3) {
+      val base = randomDocs(seed + 200, 20)
+      // every text verbatim 30× with shifted ids — the sf3.0 stress
+      // shape where round 7 measured the plain tier emitting ZERO pairs
+      val corpus = for { (id, t) <- base; c <- 0 until 30 }
+        yield (id + 1000L * c, t)
+      val cDf = corpus.toDF("doc_id", "text")
+      val plain = Dedup.ngramJaccardPairs(cDf, maxDf = 10, threshold = 0.3)
+      assert(plain.count() == 0,
+        s"seed=$seed: saturation premise broken — plain tier found pairs")
+      val got = Dedup.ngramJaccardPairsSaturated(cDf, maxDf = 10,
+          threshold = 0.3)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+
+      // brute-force model of the defined semantics: df over DISTINCT
+      // texts; intra-group pairs 1.0; rep-pair scores expand to the
+      // member bipartite
+      val byText = corpus.groupBy(_._2)
+      val reps = byText.map { case (t, ms) => (ms.map(_._1).min, t) }
+        .toSeq.sortBy(_._1)
+      val df = reps.flatMap { case (_, t) => shingles(t, 2).toSeq }
+        .groupBy(identity).map { case (g, xs) => g -> xs.size }
+      val kept = df.collect { case (g, d) if d >= 2 && d <= 10 => g }.toSet
+      val cross = for {
+        (ra, ta) <- reps; (rb, tb) <- reps if ra < rb
+        sa = shingles(ta, 2); sb = shingles(tb, 2)
+        shared = (sa & sb & kept).size if shared > 0
+        jr = BigDecimal(shared.toDouble / (sa.size + sb.size - shared))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP) if jr >= 0.3
+        ia <- byText(ta).map(_._1); ib <- byText(tb).map(_._1)
+      } yield (math.min(ia, ib), math.max(ia, ib)) -> jr.toDouble
+      val intra = byText.values.flatMap { ms =>
+        val ids = ms.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size)
+          yield (ids(i), ids(j)) -> 1.0
+      }
+      val expected = (cross ++ intra).toMap
+      assert(got == expected, s"seed=$seed: got ${got.size} pairs, " +
+        s"expected ${expected.size}; " +
+        s"extra=${got.keySet.diff(expected.keySet).take(5)} " +
+        s"missing=${expected.keySet.diff(got.keySet).take(5)}")
+      // differential vs the exact tier (q31 shape): every duplicate
+      // group exact-hash finds must appear as a 1.0 clique
+      val exactGroups = Dedup.exact(cDf)
+        .filter($"n_copies" > 1).count()
+      assert(exactGroups == byText.size.toLong,
+        s"seed=$seed: ×30 must make every text a >1 exact group")
+      val cliquePairs = got.count { case (_, j) => j == 1.0 }
+      assert(cliquePairs >= intra.size,
+        s"seed=$seed: 1.0 cliques smaller than the verbatim-dup mass")
+    }
+  }
+
   test("simhash banding recall is complete up to maxHamming (3 seeds)") {
     for (seed <- 0 until 3) {
       val docs = randomDocs(seed + 100, 40).toDF("doc_id", "text")
