@@ -831,6 +831,111 @@ object Streams {
       }
   }
 
+  /** Per-(flag, month) state for s23: exact decimal running sums of
+    * price and quantity plus the row count. Two decimals + a long per
+    * group — bounded regardless of stream length, and ORDER-INDEPENDENT:
+    * each double joins the sum as its canonical decimal value
+    * (BigDecimal.valueOf), so the accumulated sums are exact in decimal
+    * space no matter how micro-batches slice the feed — the streaming
+    * statement of the batch money-lattice discipline. (Inputs whose
+    * canonical decimal scale exceeds 18 would be clipped by the state
+    * encoder's DecimalType(38,18); money/quantity columns are 2dp.)
+    */
+  case class VwapState(sumP: BigDecimal, sumQ: BigDecimal, n: Long)
+
+  /** s23 — streaming VWAP per (l_returnflag, ship month): the
+    * incremental twin of batch q74. Emits the running
+    * (vwap, volume, n) per key each micro-batch in update mode — the
+    * row with the greatest n per key is the current answer and, once
+    * the feed drains, equals batch q74 at the 4dp/2dp rounds (the
+    * streaming sums are exact decimals; the batch double sums drift
+    * below the rounding band — the same cross-engine argument the
+    * DuckDB gate rests on). Input rows may arrive in ANY order within
+    * a key: pure sums need no in-order caveat, unlike the
+    * recurrence-replay twins.
+    */
+  def vwapStream(spark: SparkSession, lineitem: DataFrame)
+      : Dataset[(String, Long, Long, Double, Double)] = {
+    import spark.implicits._
+    lineitem
+      .select(col("l_returnflag").as("flag"),
+        unix_micros(date_trunc("month", col("l_shipdate"))).as("mo"),
+        col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+      .as[(String, Long, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[VwapState, (String, Long, Long, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Double, Double)],
+         state: GroupState[VwapState]) =>
+          var st = state.getOption
+            .getOrElse(VwapState(BigDecimal(0), BigDecimal(0), 0L))
+          rows.foreach { r =>
+            st = VwapState(
+              st.sumP + BigDecimal(java.math.BigDecimal.valueOf(r._3)),
+              st.sumQ + BigDecimal(java.math.BigDecimal.valueOf(r._4)),
+              st.n + 1)
+          }
+          state.update(st)
+          val vwap = st.sumP.bigDecimal
+            .divide(st.sumQ.bigDecimal, 12, java.math.RoundingMode.HALF_UP)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          val volume = st.sumQ.bigDecimal
+            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+          Iterator((key._1, key._2, st.n, vwap, volume))
+      }
+  }
+
+  /** Per-user state for s24: the user's cohort week (week of the FIRST
+    * event — fixed at first sight under the in-order-per-key caveat)
+    * and the weeks-since offsets already emitted. Bounded by the
+    * calendar horizon, not the event count.
+    */
+  case class RetState(cohort: Long, started: Boolean, seen: Seq[Long])
+
+  /** s24 — streaming cohort-retention marks: the incremental twin of
+    * batch q84. Each user's first event pins their cohort week; every
+    * event computes weeks_since = (week(ts) − cohort_week)/7d (exact
+    * integer µs arithmetic — the session runs UTC, so a week is exactly
+    * 604800e6 µs, matching the batch datediff div 7), and the FIRST
+    * event to reach a given (user, weeks_since) emits one mark
+    * (cohort_week_µs, weeks_since, user_id). Marks are append-only and
+    * exactly-once per (user, offset), so q84's
+    * count(DISTINCT user_id) per (cohort_week, weeks_since) is a
+    * stateless count of marks downstream — same stream-rebuilds-the-
+    * batch-rollup convention as s22. In-order-per-key delivery caveat
+    * as [[ewmaState]] (a late out-of-order first week would mispin the
+    * cohort; batch min() has no order sensitivity).
+    */
+  def retentionMarksStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    val weekUs = 604800000000L
+    events
+      .select(col("user_id"),
+        unix_micros(date_trunc("week", col("ts"))).as("wk"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetState, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[RetState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long)]
+          var st = state.getOption.getOrElse(RetState(0L, false, Nil))
+          sorted.foreach { wk =>
+            if (!st.started) st = RetState(wk, true, Nil)
+            val offset = (wk - st.cohort) / weekUs
+            if (!st.seen.contains(offset)) {
+              st = st.copy(seen = st.seen :+ offset)
+              out += ((st.cohort, offset, user))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

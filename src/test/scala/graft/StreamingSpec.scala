@@ -495,6 +495,85 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exists(_._2 > 0.0))
   }
 
+  test("streaming VWAP (s23) converges to batch q74 across micro-batches") {
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_shipdate", $"l_extendedprice", $"l_quantity")
+    val mid = li.agg(
+      ((min(unix_micros($"l_shipdate")) + max(unix_micros($"l_shipdate"))) / 2)
+        .cast("long")).collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vwap").toString
+    li.filter(unix_micros($"l_shipdate") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    li.filter(unix_micros($"l_shipdate") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.vwapStream(spark, stream)
+      .toDF("l_returnflag", "mo_us", "n", "vwap", "volume")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("vwap_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // update mode re-emits each key per touching micro-batch; n is
+    // monotone per key, so max-n row = the drained answer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag", $"mo_us").orderBy($"n".desc)
+    val streamed = spark.table("vwap_out")
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"l_returnflag", timestamp_micros($"mo_us").as("mo"),
+        $"vwap", $"volume")
+      .as[(String, java.sql.Timestamp, Double, Double)].collect().toSet
+    val batch = SparkEntry.queries("q74_vwap")(spark, sf)
+      .select($"l_returnflag", $"mo", $"vwap", $"volume")
+      .as[(String, java.sql.Timestamp, Double, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the state genuinely stitched across the boundary: some (flag,
+    // month) has rows in both halves (months straddle the date split)
+    val straddling = li
+      .groupBy($"l_returnflag", date_trunc("month", $"l_shipdate"))
+      .agg(sum(when(unix_micros($"l_shipdate") <= mid, 1).otherwise(0)).as("a"),
+        sum(when(unix_micros($"l_shipdate") > mid, 1).otherwise(0)).as("b"))
+      .filter($"a" > 0 && $"b" > 0).count()
+    assert(straddling > 0, "no key straddles the split — stitch untested")
+  }
+
+  test("streaming retention marks (s24) rebuild batch q84 across micro-batches") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.retentionMarksStream(spark, stream)
+      .toDF("cohort_us", "weeks_since", "user_id")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ret_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // marks are exactly-once per (user, offset): the batch
+    // count(DISTINCT user_id) is a stateless count of marks
+    val streamed = spark.table("ret_out")
+      .groupBy(timestamp_micros($"cohort_us").as("cohort_week"),
+        $"weeks_since")
+      .agg(count(lit(1)).as("n_users"))
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q84_retention")(spark, sf)
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // cohort state genuinely carried across the boundary: a mark whose
+    // cohort week was pinned before the split fired for a week after it
+    val weekUs = 604800000000L
+    val crossed = spark.table("ret_out")
+      .filter($"cohort_us" <= mid &&
+        ($"cohort_us" + $"weeks_since" * weekUs) > mid).count()
+    assert(crossed > 0, "no cross-batch retention mark — state untested")
+  }
+
   test("streaming SCD2 maintenance converges to the from-scratch batch build") {
     // two mtime-ordered micro-batches of signup records: the second
     // interleaves in event time with the first, so applyDelta must
