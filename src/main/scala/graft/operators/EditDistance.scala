@@ -67,18 +67,16 @@ object EditDistance {
     */
   val BlockRowLimit: Long = 256L * 1024
 
-  private def useBlocked(df: DataFrame, blockCol: String,
-                         segment: Option[Boolean]): Boolean =
-    segment match {
-      case Some(s) => !s
-      case None =>
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BlockedByteLimit || {
-          // light stats job: one column, parquet-pruned, map-side agg
-          val maxBlock = df.groupBy(col(blockCol)).count()
-            .agg(max(col("count"))).collect()(0).getLong(0)
-          maxBlock <= BlockRowLimit
-        }
-    }
+  /** Even with every block under [[BlockRowLimit]], the blocked plan's
+    * BROADCAST is only legal while the whole dim side fits an
+    * executor: a large input of many small blocks passes the max-block
+    * gate yet would broadcast the full dataset into Spark's 8 GB hard
+    * limit. Above this estimated size the blocked plan keeps its
+    * per-block join but runs it as a co-partitioned SHUFFLE join on
+    * the block key instead of a broadcast — same pair volume, no
+    * single-node materialization.
+    */
+  val BroadcastSafeByteLimit: Long = 512L * 1024 * 1024
 
   /** Character-set bitmask, computed ONCE per row before any join: one
     * edit changes the char set by at most 2 membership bits, so
@@ -96,9 +94,23 @@ object EditDistance {
   def pairs(df: DataFrame, keyCol: String, nameCol: String,
             blockCol: String, maxDist: Int = 3,
             segment: Option[Boolean] = None): DataFrame =
-    if (useBlocked(df, blockCol, segment))
-      blockedPairs(df, keyCol, nameCol, blockCol, maxDist)
-    else segmentPairs(df, keyCol, nameCol, blockCol, maxDist)
+    segment match {
+      case Some(true) => segmentPairs(df, keyCol, nameCol, blockCol, maxDist)
+      case Some(false) => blockedPairs(df, keyCol, nameCol, blockCol, maxDist)
+      case None =>
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= BlockedByteLimit)
+          blockedPairs(df, keyCol, nameCol, blockCol, maxDist)
+        else {
+          // light stats job: one column, parquet-pruned, map-side agg
+          val maxBlock = df.groupBy(col(blockCol)).count()
+            .agg(max(col("count"))).collect()(0).getLong(0)
+          if (maxBlock > BlockRowLimit)
+            segmentPairs(df, keyCol, nameCol, blockCol, maxDist)
+          else blockedPairs(df, keyCol, nameCol, blockCol, maxDist,
+            broadcastDim = est <= BroadcastSafeByteLimit)
+        }
+    }
 
   private def sides(df: DataFrame, keyCol: String, nameCol: String,
                     blockCol: String): (DataFrame, DataFrame) = {
@@ -125,7 +137,8 @@ object EditDistance {
       .select(col("key_a"), col("key_b"), col("lev"))
 
   def blockedPairs(df: DataFrame, keyCol: String, nameCol: String,
-                   blockCol: String, maxDist: Int = 3): DataFrame = {
+                   blockCol: String, maxDist: Int = 3,
+                   broadcastDim: Boolean = true): DataFrame = {
     val (a, b) = sides(df, keyCol, nameCol, blockCol)
     // The block self-join expands quadratically per block before
     // filtering: the probe side must be spread across the cluster
@@ -135,11 +148,17 @@ object EditDistance {
     // back to one partition, re-serializing the expansion — the
     // classic small-input/huge-output trap).
     val spread = a.sparkSession.sessionState.conf.numShufflePartitions
-    verified(
-      a.repartition(spread, col("key_a"))
-        .join(broadcast(b), Seq("__blk"))
-        .filter(guards(maxDist)),
-      maxDist)
+    val joined =
+      if (broadcastDim)
+        a.repartition(spread, col("key_a")).join(broadcast(b), Seq("__blk"))
+      else
+        // over BroadcastSafeByteLimit: co-partition both sides on the
+        // block key — per-partition pair work is bounded by the
+        // max-block gate that admitted this plan, and nothing
+        // materializes on one node
+        a.repartition(spread, col("__blk"))
+          .join(b.repartition(spread, col("__blk")), Seq("__blk"))
+    verified(joined.filter(guards(maxDist)), maxDist)
   }
 
   def segmentPairs(df: DataFrame, keyCol: String, nameCol: String,
@@ -161,26 +180,42 @@ object EditDistance {
         col("__seg.sub").as("sub"),
         col("key_a"), col("name_a"), col("mask_a"))
     // right side: every substring a compatible partner could need —
-    // partner lengths l within ±k, slot start within ±k of the slot's
-    // source position; out-of-range starts yield null subs, filtered
-    // inside the array (array_distinct dedupes repeated keys before
-    // the explode multiplies them)
+    // partner lengths l within ±k, and for slot i the MULTI-MATCH-AWARE
+    // position window (PassJoin §4.2): with p the slot's source start
+    // and Δ = lb − l, a match can only start in
+    //   [max(p − i, p + Δ − (k − i)),  min(p + i, p + Δ + (k − i))]
+    // — at most i edits precede slot i (each shifts the start by ≤ 1)
+    // and at most k − i follow it (bounding the start through the
+    // length delta). Width ≤ 2·min(i, k−i) + |Δ| + 1, versus the ±k
+    // superset's uniform 2k + 1: per-row emission drops several-fold
+    // at identical recall (the lemma is exact, and the spec proves
+    // bit-equality against the blocked plan). The window is also
+    // clamped to the valid substring range, so no null filtering is
+    // needed; array_distinct still dedupes repeated (l, slot, sub)
+    // keys before the explode multiplies them.
     val bSub = b
       .withColumn("lb", length(col("name_b")))
       .withColumn("__sub", explode(expr(
-        s"""array_distinct(filter(flatten(transform(
+        s"""array_distinct(flatten(transform(
            |  sequence(greatest($s, lb - $k), lb + $k), l ->
            |  flatten(transform(sequence(0, ${s - 1}), i ->
-           |    transform(sequence(
-           |        i * (l div $s) + least(i, l % $s) - $k,
-           |        i * (l div $s) + least(i, l % $s) + $k), j ->
-           |      named_struct('la', l, 'slot', i,
-           |        'sub', if(j >= 0 and
-           |            j + (l div $s) + if(i < l % $s, 1, 0) <= lb,
-           |          substring(name_b, j + 1,
-           |            (l div $s) + if(i < l % $s, 1, 0)),
-           |          cast(null as string)))))))),
-           |  x -> x.sub is not null))""".stripMargin)))
+           |    if(greatest(i * (l div $s) + least(i, l % $s) - i,
+           |          i * (l div $s) + least(i, l % $s) + lb - l - ($k - i),
+           |          0) <=
+           |       least(i * (l div $s) + least(i, l % $s) + i,
+           |          i * (l div $s) + least(i, l % $s) + lb - l + ($k - i),
+           |          lb - ((l div $s) + if(i < l % $s, 1, 0))),
+           |      transform(sequence(
+           |          greatest(i * (l div $s) + least(i, l % $s) - i,
+           |            i * (l div $s) + least(i, l % $s) + lb - l - ($k - i),
+           |            0),
+           |          least(i * (l div $s) + least(i, l % $s) + i,
+           |            i * (l div $s) + least(i, l % $s) + lb - l + ($k - i),
+           |            lb - ((l div $s) + if(i < l % $s, 1, 0)))), j ->
+           |        named_struct('la', l, 'slot', i,
+           |          'sub', substring(name_b, j + 1,
+           |            (l div $s) + if(i < l % $s, 1, 0)))),
+           |      array()))))))""".stripMargin)))
       .select(col("__blk"), col("__sub.la").as("la"),
         col("__sub.slot").as("slot"), col("__sub.sub").as("sub"),
         col("key_b"), col("name_b"), col("mask_b"))

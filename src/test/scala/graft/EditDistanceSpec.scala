@@ -53,6 +53,22 @@ class EditDistanceSpec extends SparkTestBase {
     assert(blocked.contains((10L, 11L, 1)))
   }
 
+  test("many small blocks over the broadcast-safe bound co-partition, not broadcast") {
+    // large estimated input whose blocks are all tiny: passes the
+    // max-block gate (blocked join is the right pair volume) but must
+    // NOT broadcast the full dim side — the r7 advice hole. Plan
+    // inspection only; the pair job never runs.
+    val big = spark.range(30000000L).select($"id".as("k"),
+      concat(lit("name"), $"id").as("name"), ($"id" % 1000000L).as("blk"))
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >
+      EditDistance.BroadcastSafeByteLimit)
+    val plan = EditDistance.pairs(big, "k", "name", "blk")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan.take(800))
+    // still the blocked shape (no segment Generate), just co-partitioned
+    assert(!plan.contains("Generate"), plan.take(800))
+  }
+
   test("auto mode picks blocked under the byte limit and segment above") {
     val p = Tables.part(spark, sf)
       .select($"p_partkey".as("k"), $"p_name".as("name"), $"p_brand".as("blk"))
