@@ -968,4 +968,57 @@ object SecurityMaster {
       |  CAST(round(CAST(coalesce(n.naive_rev, 0) - p.pit_rev
       |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS bias
       |FROM pit p LEFT JOIN naive n ON p.wk = n.wk""".stripMargin
+
+  /** q151_bbo — best-bid/offer reconstruction from a quote stream: the
+    * events feed plays a per-instrument (user_id) quote tape, the
+    * even/odd event_id split derives the side (the q145 second-column
+    * convention — even = bid update, odd = ask update), and each
+    * update REPLACES its side of the book. Every event then carries
+    * the book state at that instant: latest bid, latest ask, their
+    * spread, and a crossed-book flag (bid >= ask — the data-quality
+    * signal a real consolidated tape monitors).
+    *
+    * Scale plan: one keyed window per instrument (the same
+    * partition-by-key sort every as-of rides), running
+    * last(..., ignoreNulls) for each side — O(n) per partition,
+    * no self-join, no state explosion: the "book" here is the
+    * two-level BBO, so the carried state is two doubles. spread is a
+    * single subtraction of the two picked doubles — bit-identical
+    * across engines, no rounding needed. The streaming twin (s25)
+    * replays the identical recurrence in [[graft.streaming.Streams]].
+    */
+  def q151Bbo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter($"value" > 0)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_id" % 2 === 0, $"value").as("bid_px"),
+        when($"event_id" % 2 =!= 0, $"value").as("ask_px"))
+      .withColumn("best_bid", last($"bid_px", ignoreNulls = true).over(w))
+      .withColumn("best_ask", last($"ask_px", ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", $"ts", $"best_bid", $"best_ask",
+        ($"best_ask" - $"best_bid").as("spread"),
+        ($"best_bid" >= $"best_ask").cast("int").as("crossed"))
+  }
+
+  val q151Sql: String =
+    """WITH q AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_id % 2 = 0 THEN value END AS bid_px,
+      |    CASE WHEN event_id % 2 <> 0 THEN value END AS ask_px
+      |  FROM events WHERE value > 0),
+      |b AS (
+      |  SELECT event_id, user_id, ts,
+      |    last_value(bid_px IGNORE NULLS) OVER w AS best_bid,
+      |    last_value(ask_px IGNORE NULLS) OVER w AS best_ask
+      |  FROM q
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  best_bid, best_ask,
+      |  best_ask - best_bid AS spread,
+      |  CAST(best_bid >= best_ask AS INT) AS crossed
+      |FROM b""".stripMargin
 }

@@ -936,6 +936,54 @@ object Streams {
       }
   }
 
+  /** Per-instrument state for s25: the current best bid and ask — two
+    * doubles plus presence flags. The "book" at the BBO level is
+    * exactly this, so state is bounded by the instrument universe, not
+    * the quote count.
+    */
+  case class BboState(bb: Double, hasBb: Boolean, ba: Double, hasBa: Boolean)
+
+  /** s25 — streaming best-bid/offer reconstruction per instrument: the
+    * incremental twin of batch q151. Each quote (even event_id = bid,
+    * odd = ask, the same side derivation) replaces its side of the
+    * book and emits the post-update BBO row. Both sides are pure
+    * selections of input doubles and the spread is the same single
+    * subtraction, so every emission is bit-identical to the batch
+    * window row for that event. In-order-per-key delivery caveat as
+    * [[ewmaState]].
+    */
+  def bboStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Option[Double], Option[Double],
+                 Option[Double], Option[Int])] = {
+    import spark.implicits._
+    events.filter(col("value") > 0)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BboState,
+          (Long, Long, Option[Double], Option[Double],
+           Option[Double], Option[Int])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[BboState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Option[Double], Option[Double],
+                    Option[Double], Option[Int])]
+          var st = state.getOption.getOrElse(BboState(0.0, false, 0.0, false))
+          sorted.foreach { e =>
+            st = if (e.event_id % 2 == 0) st.copy(bb = e.value, hasBb = true)
+                 else st.copy(ba = e.value, hasBa = true)
+            val bb = if (st.hasBb) Some(st.bb) else None
+            val ba = if (st.hasBa) Some(st.ba) else None
+            val spread = for (b <- bb; a <- ba) yield a - b
+            val crossed = for (b <- bb; a <- ba) yield if (b >= a) 1 else 0
+            out += ((user, e.event_id, bb, ba, spread, crossed))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -574,6 +574,49 @@ class StreamingSpec extends SparkTestBase {
     assert(crossed > 0, "no cross-batch retention mark — state untested")
   }
 
+  test("streaming BBO (s25) equals batch q151 bit-for-bit across micro-batches") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bbo").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.bboStream(spark, stream)
+      .toDF("user_id", "event_id", "best_bid", "best_ask", "spread", "crossed")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("bbo_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("bbo_out")
+      .select($"user_id", $"event_id", $"best_bid", $"best_ask",
+        $"spread", $"crossed")
+      .as[(Long, Long, Option[Double], Option[Double],
+           Option[Double], Option[Int])].collect().toSet
+    val batch = SparkEntry.queries("q151_bbo")(spark, sf)
+      .select($"user_id", $"event_id", $"best_bid", $"best_ask",
+        $"spread", $"crossed")
+      .as[(Long, Long, Option[Double], Option[Double],
+           Option[Double], Option[Int])].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the carried book genuinely straddled the boundary: some user's
+    // FIRST post-mid quote is an ask whose emission still carries a
+    // best_bid — that bid can only come from pre-mid state
+    val wPost = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val carried = SparkEntry.queries("q151_bbo")(spark, sf)
+      .filter(unix_micros($"ts") > mid)
+      .withColumn("rn", row_number().over(wPost)).filter($"rn" === 1)
+      .filter($"event_id" % 2 =!= 0 && $"best_bid".isNotNull).count()
+    assert(carried > 0, "no pre-mid bid survives past the split")
+    // both book regimes occur
+    assert(streamed.exists(_._6.contains(1)) && streamed.exists(_._6.contains(0)))
+  }
+
   test("streaming SCD2 maintenance converges to the from-scratch batch build") {
     // two mtime-ordered micro-batches of signup records: the second
     // interleaves in event time with the first, so applyDelta must
