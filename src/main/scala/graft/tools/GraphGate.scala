@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-level correctness gate for the graph path
+  * (`GraphGate <baseDir> <scaledDir> <factor>`).
+  *
+  * q125's DuckDB oracle (the 5-CTE iteration unroll) exceeds the
+  * oracle engine's temp disk at sf1, so the ×N derived dirs get this
+  * gate instead — and it is STRONGER than a generic convergence check,
+  * because [[ScaleUp]]'s key-shifted replication makes the scaled
+  * co-purchase graph exactly `factor` DISJOINT isomorphic copies of
+  * the base graph. PageRank is linear in the rank vector and the
+  * teleport term scales as 1/n, so in exact arithmetic every derived
+  * vertex's rank is the base vertex's rank divided by `factor`. The
+  * gate checks, on the SAME pageRank operator the query ships:
+  *
+  *  1. mass conservation — Σ pr = 1 on both graphs (no dangling
+  *     vertices by construction, so the damped walk conserves mass);
+  *  2. teleport floor — min pr ≥ (1−d)/n on the scaled graph;
+  *  3. vertex-count structure — n_scaled = factor × n_base, and every
+  *     scaled vertex maps (mod the [[ScaleUp]] key offset) onto a base
+  *     vertex;
+  *  4. exact linear scaling — max relative error of
+  *     factor·pr_scaled vs pr_base across ALL vertices ≤ 1e−9
+  *     (FP contribution-sum order is the only engine-side freedom;
+  *     after 5 iterations the drift is ≤1e−13 relative, so 1e−9 flags
+  *     any structural wrong answer while never flagging noise).
+  *
+  * Emits one JSON line (the bench convention) and exits non-zero on
+  * violation so the scale harness can treat it as a hard gate.
+  */
+object GraphGate {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: GraphGate <baseDir> <scaledDir> <factor>")
+    val Array(base, scaled, fStr) = args
+    val factor = fStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-graph-gate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val (checks, line) = check(spark, base, scaled, factor)
+      println(line)
+      if (!checks.forall(_._2)) sys.exit(1)
+    } finally spark.stop()
+  }
+
+  /** Core gate logic, reused by the spec at toy scale. Returns the
+    * named check results and the one-line JSON report.
+    */
+  def check(spark: SparkSession, base: String, scaled: String,
+            factor: Int): (Seq[(String, Boolean)], String) = {
+    {
+      val damping = 0.85
+      def ranks(dir: String) = graft.operators.Graph.pageRank(
+        graft.operators.Graph.coOrderEdges(
+          graft.Tables.lineitem(spark, dir)), iterations = 5, damping)
+      // the same per-table offset rule ScaleUp used for lineitem keys
+      val off = graft.Tables.lineitem(spark, base)
+        .agg(max(col("l_partkey"))).collect()(0).getLong(0) + 1L
+
+      val prBase = ranks(base)
+        .select(col("part").as("orig"), col("pr").as("pr_base"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prScaled = ranks(scaled)
+      val nBase = prBase.count()
+      val stats = prScaled
+        .withColumn("orig", col("part") % off)
+        .join(prBase, Seq("orig"), "left")
+        .agg(count(lit(1)).as("n_scaled"),
+          sum(col("pr")).as("mass_scaled"),
+          min(col("pr")).as("min_pr"),
+          sum(when(col("pr_base").isNull, 1).otherwise(0)).as("unmapped"),
+          max(abs(col("pr") * factor - col("pr_base")) / col("pr_base"))
+            .as("max_rel_err"))
+        .collect()(0)
+      val massBase = prBase.agg(sum(col("pr_base"))).collect()(0).getDouble(0)
+      prBase.unpersist(blocking = false)
+
+      val nScaled = stats.getLong(0)
+      val massScaled = stats.getDouble(1)
+      val minPr = stats.getDouble(2)
+      val unmapped = stats.getLong(3)
+      val maxRelErr = stats.getDouble(4)
+      val floor = (1.0 - damping) / nScaled
+      val checks = Seq(
+        "mass_base" -> (math.abs(massBase - 1.0) <= 1e-9),
+        "mass_scaled" -> (math.abs(massScaled - 1.0) <= 1e-9),
+        "teleport_floor" -> (minPr >= floor * (1.0 - 1e-12)),
+        "vertex_structure" -> (nScaled == factor * nBase && unmapped == 0L),
+        "linear_scaling" -> (maxRelErr <= 1e-9))
+      val passed = checks.forall(_._2)
+      val cs = checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      (checks,
+        f"""{"gate":"q125_sf_invariants","pass":$passed,$cs,"n_base":$nBase,"n_scaled":$nScaled,"mass_base":$massBase%.12f,"mass_scaled":$massScaled%.12f,"min_pr":$minPr%.3e,"teleport_floor":$floor%.3e,"max_rel_err":$maxRelErr%.3e,"factor":$factor}""")
+    }
+  }
+}

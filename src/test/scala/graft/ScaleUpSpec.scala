@@ -57,4 +57,15 @@ class ScaleUpSpec extends SparkTestBase {
     val span3 = events3.agg(min("ts"), max("ts")).first()
     assert(span0 == span3, "timestamps must be left alone")
   }
+
+  test("GraphGate invariants hold on a ×3 derivation (the q125 scale gate)") {
+    // the scaled co-purchase graph is 3 disjoint isomorphic copies, so
+    // PageRank must scale exactly linearly — the gate that replaces
+    // the DuckDB CTE unroll at sf1 (temp-disk bound). Exercised here
+    // at toy scale so the gate logic itself is covered by sbt test.
+    val dst = Files.createTempDirectory("graft_ggate").toString
+    ScaleUp.scaleTable(spark, sf, dst, "lineitem", factor = 3)
+    val (checks, line) = graft.tools.GraphGate.check(spark, sf, dst, 3)
+    assert(checks.forall(_._2), s"gate failed: $line")
+  }
 }
