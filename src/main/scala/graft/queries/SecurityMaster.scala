@@ -623,24 +623,63 @@ object SecurityMaster {
     * is model-sized and broadcast. Oracle: DuckDB
     * timezone(tz, timezone('UTC', ts)) — the AT TIME ZONE two-step.
     */
-  def q144ExchangeCalendar(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthetic rule-derived holiday list as a REAL file would
+    * carry it — one (exch, local_day) row per exchange holiday. This
+    * is exactly the frame [[q144ExchangeCalendar]]'s `holidayFile`
+    * parameter accepts, so the spec can round-trip it through the
+    * [[graft.sources.Ingest.holidayCsv]] loader and prove a
+    * file-sourced calendar drops in without a plan change.
+    */
+  def q144HolidayList(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ex = exchangeDim(spark)
-    val tagged = Tables.events(spark, dir)
+    q144SpanDays(spark, dir)
+      .join(broadcast(ex.select($"ex_id", $"exch", $"hol_dom")), "ex_id")
+      .filter(dayofmonth($"local_day") === $"hol_dom")
+      .select($"exch", $"local_day")
+  }
+
+  private def q144Tagged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
       .select($"user_id", $"ts")
       .withColumn("ex_id", pmod($"user_id", lit(3)).cast("int"))
-      .join(broadcast(ex), "ex_id")
+      .join(broadcast(exchangeDim(spark)), "ex_id")
       .withColumn("local_day",
         date_trunc("day", from_utc_timestamp($"ts", $"tz")))
-    // per-exchange local-day span -> candidate days (tiny: 3 x span)
-    val spanDays = tagged.groupBy($"ex_id")
+  }
+
+  // per-exchange local-day span -> candidate days (tiny: 3 x span)
+  private def q144SpanDays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q144Tagged(spark, dir).groupBy($"ex_id")
       .agg(min($"local_day").as("mn"), max($"local_day").as("mx"))
       .select($"ex_id",
         explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("local_day"))
+  }
+
+  /** @param holidayFile an externally loaded (exch, local_day) holiday
+    *                    calendar (e.g. [[graft.sources.Ingest.holidayCsv]]);
+    *                    None derives the synthetic day-of-month rule.
+    *                    Either way the list is a model-sized broadcast
+    *                    anti-join — the plan does not change.
+    */
+  def q144ExchangeCalendar(spark: SparkSession, dir: String,
+                           holidayFile: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val ex = exchangeDim(spark)
+    val tagged = q144Tagged(spark, dir)
+    val spanDays = q144SpanDays(spark, dir)
     // the holiday LIST: one row per (exchange, holiday local day)
-    val holidays = spanDays.join(broadcast(ex.select($"ex_id", $"hol_dom")), "ex_id")
-      .filter(dayofmonth($"local_day") === $"hol_dom")
-      .select($"ex_id", $"local_day")
+    val holidays = holidayFile match {
+      case Some(h) => h
+        .join(broadcast(ex.select($"ex_id", $"exch")), "exch")
+        .select($"ex_id", $"local_day")
+      case None => spanDays
+        .join(broadcast(ex.select($"ex_id", $"hol_dom")), "ex_id")
+        .filter(dayofmonth($"local_day") === $"hol_dom")
+        .select($"ex_id", $"local_day")
+    }
     val sessions = spanDays
       .filter(dayofweek($"local_day").between(2, 6))
       .join(broadcast(holidays), Seq("ex_id", "local_day"), "left_anti")

@@ -143,4 +143,23 @@ object Ingest {
       feed.filter(col("_corrupt_record").isNotNull),
       feed)
   }
+
+  /** Holiday-calendar CSV loader: `exch,YYYY-MM-DD` rows → the
+    * (exch, local_day) broadcast dim q144's calendar audit consumes
+    * (`holidayFile` parameter). Rides the [[quarantineCsv]] permissive
+    * parse, so a malformed date or truncated row lands in
+    * `quarantined` for replay instead of silently shrinking the
+    * session calendar — a dropped holiday row would silently mark an
+    * off-session day as a trading session, the worst failure mode a
+    * calendar feed has.
+    */
+  def holidayCsv(spark: SparkSession, dir: String): QuarantinedFeed = {
+    import org.apache.spark.sql.types._
+    val q = quarantineCsv(spark, dir, StructType(Seq(
+      StructField("exch", StringType, nullable = false),
+      StructField("holiday", DateType, nullable = false))))
+    q.copy(good = q.good
+      .filter(col("exch").isNotNull && col("holiday").isNotNull)
+      .select(col("exch"), col("holiday").cast("timestamp").as("local_day")))
+  }
 }

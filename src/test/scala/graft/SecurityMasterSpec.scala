@@ -208,6 +208,28 @@ class SecurityMasterSpec extends SparkTestBase {
     }
   }
 
+  test("q144 runs off a file-sourced holiday calendar without a plan change") {
+    // round-trip the rule-derived list through a REAL csv file and the
+    // Ingest loader: identical audit output, and malformed rows land in
+    // quarantine instead of silently shrinking the session calendar
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_hol").toString
+    queries.SecurityMaster.q144HolidayList(spark, sf)
+      .select($"exch", date_format($"local_day", "yyyy-MM-dd"))
+      .coalesce(1).write.mode("overwrite").csv(csvDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(csvDir, "bad.csv"),
+      "XNYS,not-a-date\ngarbage-single-column\n".getBytes)
+    val feed = graft.sources.Ingest.holidayCsv(spark, csvDir)
+    assert(feed.quarantined.count() == 2, "malformed rows must quarantine")
+    val viaFile = queries.SecurityMaster
+      .q144ExchangeCalendar(spark, sf, holidayFile = Some(feed.good))
+      .collect().toSet
+    val viaRule = SparkEntry.queries("q144_exchange_calendar")(spark, sf)
+      .collect().toSet
+    feed.unpersist()
+    assert(viaFile == viaRule && viaFile.nonEmpty)
+  }
+
   test("q145: total-return adjustment dominates price-only and shares q136's bar spine") {
     val out = queries.SecurityMaster.q145FactorDecomposition(spark, sf).cache()
     // premise: the synthetic action values are non-negative, so every
