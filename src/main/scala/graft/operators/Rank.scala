@@ -245,12 +245,36 @@ object Rank {
   /** Field-wise ordering over boundary keys: every orderable Spark
     * external type (boxed primitives, String, Decimal, Date,
     * Timestamp) is a Comparable — non-null by operator contract.
+    *
+    * Strings MUST NOT use java String.compareTo: that is UTF-16
+    * code-unit order, while Spark's row-local slice assignment
+    * compares UTF8String bytes (= code-POINT order). The two diverge
+    * for supplementary-plane characters (surrogate units 0xD800–0xDFFF
+    * sort below e.g. U+FB01 in code-unit order but their code points
+    * U+10000+ sort above), which would make the when-chain bounds
+    * non-monotone under Spark's ordering and silently renumber rows —
+    * so driver-side string comparison goes through UTF8String too.
+    * Floating zeros are normalized (-0.0 → 0.0) to match Spark's SQL
+    * comparison, where the two are equal; java compareTo orders them.
     */
   private def rowOrdering: Ordering[Row] = new Ordering[Row] {
+    private def norm(x: Any): Any = x match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 =>
+        java.lang.Double.valueOf(0.0)
+      case f: java.lang.Float if f.floatValue() == 0.0f =>
+        java.lang.Float.valueOf(0.0f)
+      case other => other
+    }
     def compare(a: Row, b: Row): Int = {
       var i = 0
       while (i < a.length) {
-        val c = a.get(i).asInstanceOf[Comparable[Any]].compareTo(b.get(i))
+        val c = (a.get(i), b.get(i)) match {
+          case (x: String, y: String) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(x)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+          case (x, y) =>
+            norm(x).asInstanceOf[Comparable[Any]].compareTo(norm(y))
+        }
         if (c != 0) return c
         i += 1
       }

@@ -143,14 +143,24 @@ object Streams {
     * would union the delta into the dim twice). A crash before the
     * swap just rewrites the same immutable version dir from the same
     * published base — deterministic. The pointer swap itself is a
-    * FileContext rename with OVERWRITE (atomic on HDFS and local
-    * filesystems), so the dim is never lost mid-publish the way a
-    * delete-then-rename of the directory could lose it. Old versions
-    * beyond the previous one are pruned after a successful swap.
+    * FileContext rename with OVERWRITE — atomic on HDFS and local
+    * filesystems ONLY, which is where this claim is scoped: S3A
+    * implements rename as copy+delete, so object-store deployments
+    * must swap the pointer through a conditional-put (if-match) or an
+    * external pointer service instead. Versions older than the newest
+    * `keepVersions` are pruned after a successful swap; the default
+    * (2) keeps exactly the predecessor so a reader that resolved
+    * CURRENT just before the swap can finish its scan — raise it for
+    * slow readers or rapid publish cadences, where predecessor-only
+    * retention is load-bearing.
     */
   private def publishVersion(ss: SparkSession, tableDir: String,
                              batchId: Long,
-                             merged: => DataFrame): Unit = {
+                             merged: => DataFrame,
+                             keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 2,
+      "keepVersions < 2 would delete the version a concurrent reader " +
+        "may still be scanning")
     val version = s"v$batchId"
     if (currentVersion(ss, tableDir).contains(version)) return // replayed
     val hconf = ss.sparkContext.hadoopConfiguration
@@ -164,11 +174,12 @@ object Streams {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, hconf)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$tableDir/CURRENT"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // prune: keep the published version and its predecessor (readers
-    // that resolved the pointer just before the swap finish their scan)
+    // prune: keep the newest keepVersions (>= the published version
+    // plus its predecessor, so readers that resolved the pointer just
+    // before the swap finish their scan)
     val keep = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong).sorted.takeRight(2).toSet
+      .map(_.drop(1).toLong).sorted.takeRight(keepVersions).toSet
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
@@ -190,13 +201,15 @@ object Streams {
     * HDFS/S3A through the Hadoop FileSystem API it already uses.
     */
   def pitUpsertSink(events: DataFrame, tableDir: String,
-                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                    checkpointDir: String,
+                    keepVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
         publishVersion(ss, tableDir, batchId,
-          upsertLatest(currentSnapshot(ss, tableDir), batch.toDF()))
+          upsertLatest(currentSnapshot(ss, tableDir), batch.toDF()),
+          keepVersions)
         ()
       }
       .start()

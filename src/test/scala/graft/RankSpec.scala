@@ -87,6 +87,32 @@ class RankSpec extends SparkTestBase {
     assert(slices > 1, s"dominant group landed in $slices slice(s)")
   }
 
+  test("two-pass rank is exact on supplementary-plane string order keys") {
+    // surrogate-pair keys ("😀" = U+1F600) sort BELOW
+    // "ﬁ" in java's UTF-16 code-unit order but ABOVE it in
+    // Spark's UTF8String code-point order — the exact divergence that
+    // would make driver-sorted slice bounds non-monotone and silently
+    // renumber rows. Mix both planes densely so boundary candidates
+    // land on them.
+    val alphabet = Vector("😀", "ﬁ", "a", "😁",
+      "ﬂ", "z", "𐀀", "�")
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 4000L).map { id =>
+      val key = Seq.fill(3)(alphabet(rnd.nextInt(alphabet.size))).mkString
+      (id, key, id % 4)
+    }
+    val df = rows.toDF("id", "k", "g")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"id")
+    val twoPass = operators.Rank.groupRowNumber(df, Seq("g"), Seq("k", "id"),
+      "r", "n_total", twoPass = Some(true))
+    val native = operators.Rank.groupRowNumber(df, Seq("g"), Seq("k", "id"),
+      "r2", "n2", twoPass = Some(false))
+    val joined = twoPass.join(native, Seq("g", "id", "k"))
+    assert(joined.count() == 4000)
+    assert(joined.filter($"r" =!= $"r2" || $"n_total" =!= $"n2").count() == 0,
+      "two-pass rank diverges from native on supplementary-plane keys")
+  }
+
   test("rank operators handle empty and single-row inputs without failing") {
     val empty = ev.filter(lit(false))
     assert(operators.Rank.groupRowNumber(empty,
