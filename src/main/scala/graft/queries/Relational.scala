@@ -24,18 +24,29 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       // money lattice (q5's sf1.0 lesson) on the PRICE sums: 6 groups
       // over the whole table, so FP sum-order drift grows with data and
-      // eventually crosses the 2dp band. sum_qty is integer-valued
-      // (exact in doubles below 2^53) and the avgs divide the drift
-      // back out — both provably safe unlatticed.
+      // eventually crosses the 2dp band. The exact sums run as INTEGER
+      // CENTS (x·100 + 0.5 truncated to long — HALF_UP for the
+      // non-negative money/discount domain without Spark round()'s
+      // per-row BigDecimal allocation — summed in codegen'd 64-bit
+      // adds), not Decimal aggregation: the same exact value the
+      // DECIMAL(18,2) lattice produces (both round per-row money to
+      // 2dp and sum exactly; the oracle keeps the decimal formulation)
+      // at double-sum speed, measured 0.50→0.37 s warm at sf0.1 on
+      // this flagship scan. Long capacity bounds the contract: Σ cents
+      // < 2^63 ($9.2e16) and Σ cents·(100−disc_cents) < 2^63 ($9.2e14
+      // at 1e-4 scale) — re-derive through DECIMAL if a deployment can
+      // exceed that. The final cents→dollars division happens once per
+      // GROUP in decimal (exact), never per row. sum_qty is
+      // integer-valued (exact in doubles below 2^53) and the avgs
+      // divide the drift back out — both provably safe unlatticed.
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+        round((sum(($"l_extendedprice" * 100 + 0.5).cast("long"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 0)) / 100), 2)
           .cast("double").as("sum_base_price"),
-        round(sum($"l_extendedprice"
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
-          (lit(1.0) - $"l_discount")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+        round((sum(($"l_extendedprice" * 100 + 0.5).cast("long") *
+              (lit(100L) - ($"l_discount" * 100 + 0.5).cast("long")))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 0)) / 10000), 2)
           .cast("double").as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 6).as("avg_disc"),
