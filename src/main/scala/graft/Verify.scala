@@ -34,7 +34,15 @@ object Verify {
       new java.io.File(effOut).mkdirs()
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce merges the final
+      // stage back to one partition WITHOUT a shuffle boundary, which
+      // serializes every post-shuffle operator of the query into a
+      // single task — q70's 51M-pair expansion ran 9 minutes that way
+      // at sf1 (vs ~30s computed in parallel). The repartition shuffle
+      // keeps the query's own parallelism and only single-tasks the
+      // final file write, which is what the one-file dump contract
+      // actually needs.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$effOut/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1060,4 +1060,65 @@ object SecurityMaster {
       |  best_ask - best_bid AS spread,
       |  CAST(best_bid >= best_ask AS INT) AS crossed
       |FROM b""".stripMargin
+
+  /** q152_book_depth — multi-level depth-of-book over the quote tape:
+    * at every event, the top-3 bid levels (highest) and top-3 ask
+    * levels (lowest) among the trailing 50 quote events of that
+    * instrument — the depth ladder a consolidated feed publishes next
+    * to the BBO (q151), with the trailing-window bound playing the
+    * role of order expiry (no cancel stream exists in a quote tape).
+    *
+    * Scale plan: a BOUNDED sliding frame (ROWS 49 PRECEDING) over the
+    * same per-instrument keyed sort q151 pays — collect_list skips the
+    * other side's NULLs, sort+slice is O(50 log 50) row-local, so the
+    * whole ladder is O(n·50) per partition with two-double-digit
+    * constants, never O(n²): the frame bound is what makes running
+    * top-k window-safe at 100 TB. Levels emit as 6 scalar columns
+    * (try_element_at → NULL when fewer quotes exist), so the oracle
+    * hash needs no array support; values are picked doubles, no
+    * rounding needed. Streaming twin s26 carries the ≤50-quote ring
+    * buffer as state.
+    */
+  def q152BookDepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w50 = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-49, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter($"value" > 0)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_id" % 2 === 0, $"value").as("bid_px"),
+        when($"event_id" % 2 =!= 0, $"value").as("ask_px"))
+      .withColumn("bids", array_sort(collect_list($"bid_px").over(w50)))
+      .withColumn("asks", array_sort(collect_list($"ask_px").over(w50)))
+      .select($"event_id", $"user_id", $"ts",
+        expr("try_element_at(bids, -1)").as("bid1"),
+        expr("try_element_at(bids, -2)").as("bid2"),
+        expr("try_element_at(bids, -3)").as("bid3"),
+        expr("try_element_at(asks, 1)").as("ask1"),
+        expr("try_element_at(asks, 2)").as("ask2"),
+        expr("try_element_at(asks, 3)").as("ask3"),
+        size($"bids").as("depth_bid"), size($"asks").as("depth_ask"))
+  }
+
+  val q152Sql: String =
+    """WITH q AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_id % 2 = 0 THEN value END AS bid_px,
+      |    CASE WHEN event_id % 2 <> 0 THEN value END AS ask_px
+      |  FROM events WHERE value > 0),
+      |w AS (
+      |  SELECT event_id, user_id, ts,
+      |    list_sort(list_filter(list(bid_px) OVER w50, x -> x IS NOT NULL))
+      |      AS bids,
+      |    list_sort(list_filter(list(ask_px) OVER w50, x -> x IS NOT NULL))
+      |      AS asks
+      |  FROM q
+      |  WINDOW w50 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  bids[-1] AS bid1, bids[-2] AS bid2, bids[-3] AS bid3,
+      |  asks[1] AS ask1, asks[2] AS ask2, asks[3] AS ask3,
+      |  CAST(len(bids) AS INT) AS depth_bid,
+      |  CAST(len(asks) AS INT) AS depth_ask
+      |FROM w""".stripMargin
 }

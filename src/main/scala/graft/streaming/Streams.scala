@@ -997,6 +997,57 @@ object Streams {
       }
   }
 
+  /** Per-instrument state for s26: the trailing ≤50 quotes as
+    * (isBid, px) pairs in arrival order — the ring buffer the batch
+    * q152 frame bound implies. Bounded at 50 entries per instrument
+    * regardless of stream length.
+    */
+  case class DepthState(sides: Seq[Boolean], pxs: Seq[Double])
+
+  /** s26 — streaming depth-of-book: the incremental twin of batch
+    * q152. The carried ring buffer IS the batch window frame (last 50
+    * quote events), so sorting its side-filtered prices and slicing
+    * top-3 reproduces the batch ladder bit-for-bit — picked doubles,
+    * no arithmetic at all. In-order-per-key delivery caveat as
+    * [[ewmaState]].
+    */
+  def depthStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Option[Double], Option[Double], Option[Double],
+                 Option[Double], Option[Double], Option[Double], Int, Int)] = {
+    import spark.implicits._
+    events.filter(col("value") > 0)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DepthState,
+          (Long, Long, Option[Double], Option[Double], Option[Double],
+           Option[Double], Option[Double], Option[Double], Int, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[DepthState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Option[Double], Option[Double], Option[Double],
+                    Option[Double], Option[Double], Option[Double], Int, Int)]
+          var st = state.getOption.getOrElse(DepthState(Nil, Nil))
+          sorted.foreach { e =>
+            val sides = (st.sides :+ (e.event_id % 2 == 0)).takeRight(50)
+            val pxs = (st.pxs :+ e.value).takeRight(50)
+            st = DepthState(sides, pxs)
+            val bids = sides.zip(pxs).collect { case (true, p) => p }
+              .sorted(Ordering[Double].reverse)
+            val asks = sides.zip(pxs).collect { case (false, p) => p }.sorted
+            def lvl(xs: Seq[Double], i: Int) =
+              if (xs.lengthCompare(i) > 0) Some(xs(i)) else None
+            out += ((user, e.event_id,
+              lvl(bids, 0), lvl(bids, 1), lvl(bids, 2),
+              lvl(asks, 0), lvl(asks, 1), lvl(asks, 2),
+              bids.size, asks.size))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -617,6 +617,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exists(_._6.contains(1)) && streamed.exists(_._6.contains(0)))
   }
 
+  test("streaming depth ladder (s26) equals batch q152 bit-for-bit across micro-batches") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_depth").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.depthStream(spark, stream)
+      .toDF("user_id", "event_id", "bid1", "bid2", "bid3",
+        "ask1", "ask2", "ask3", "depth_bid", "depth_ask")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("depth_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val cols = Seq($"user_id", $"event_id", $"bid1", $"bid2", $"bid3",
+      $"ask1", $"ask2", $"ask3", $"depth_bid", $"depth_ask")
+    val streamed = spark.table("depth_out").select(cols: _*)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+           Option[Double], Option[Double], Option[Double], Int, Int)]
+      .collect().toSet
+    val batch = SparkEntry.queries("q152_book_depth")(spark, sf)
+      .select(cols: _*)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+           Option[Double], Option[Double], Option[Double], Int, Int)]
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the ladder genuinely fills: some event carries all three levels
+    // on both sides, and partial ladders occur too
+    assert(streamed.exists(r => r._5.isDefined && r._8.isDefined))
+    assert(streamed.exists(r => r._4.isEmpty || r._7.isEmpty))
+  }
+
   test("streaming SCD2 maintenance converges to the from-scratch batch build") {
     // two mtime-ordered micro-batches of signup records: the second
     // interleaves in event time with the first, so applyDelta must
