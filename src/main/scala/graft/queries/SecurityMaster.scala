@@ -1121,4 +1121,136 @@ object SecurityMaster {
       |  CAST(len(bids) AS INT) AS depth_bid,
       |  CAST(len(asks) AS INT) AS depth_ask
       |FROM w""".stripMargin
+
+  /** Per-trade signs for q153 — exposed separately so the streaming
+    * twin's differential can compare trade-by-trade, not just the
+    * rollup. Purchases are the TRADES; every other positive-value
+    * event is a QUOTE (even/odd side, the q151 convention). Each
+    * trade classifies against the BBO midpoint in effect AT trade
+    * time (quote test), falling back to the tick test (sign of the
+    * price change vs the previous trade; a zero-tick carries the last
+    * non-zero direction) when the midpoint is absent or hit exactly —
+    * the classic Lee–Ready composition of quote-rule + tick-rule.
+    */
+  def q153TradeSigns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"value" > 0)
+    // BBO state series from the quote tape (q151 recurrence), deduped
+    // to the post-instant state per (user, ts) so the as-of right side
+    // meets the distinct-(key, rts) contract
+    val wQ = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDedup = Window.partitionBy($"user_id", $"ts")
+      .orderBy($"event_id".desc)
+    val bbo = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_id" % 2 === 0, $"value").as("bid_px"),
+        when($"event_id" % 2 =!= 0, $"value").as("ask_px"))
+      .withColumn("bb", last($"bid_px", ignoreNulls = true).over(wQ))
+      .withColumn("ba", last($"ask_px", ignoreNulls = true).over(wQ))
+      .withColumn("__rn", row_number().over(wDedup))
+      .filter($"__rn" === 1)
+      .select($"user_id", $"ts", $"bb", $"ba")
+    val trades = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value".as("px"))
+    val withMid = AsOf.join(trades, bbo, key = "user_id",
+        leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("bb" -> "bb", "ba" -> "ba"), inner = false)
+      .withColumn("mid",
+        when($"bb".isNotNull && $"ba".isNotNull, ($"bb" + $"ba") / 2))
+    // tick rule: direction of the price change vs the previous trade,
+    // zero-ticks carrying the last non-zero direction forward
+    val wT = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    withMid
+      .withColumn("__prev", lag($"px", 1).over(wLag))
+      .withColumn("__dir",
+        when($"px" > $"__prev", 1).when($"px" < $"__prev", -1))
+      .withColumn("__eff", last($"__dir", ignoreNulls = true).over(wT))
+      .withColumn("sign",
+        when($"mid".isNotNull && $"px" > $"mid", 1)
+          .when($"mid".isNotNull && $"px" < $"mid", -1)
+          .otherwise(coalesce($"__eff", lit(0))))
+      .select($"event_id", $"user_id", $"ts", $"px", $"mid", $"sign")
+  }
+
+  /** q153_trade_sign — Lee–Ready buyer/seller-initiated classification
+    * rolled up per instrument: buy/sell/unclassified counts and the
+    * signed notional (order-flow imbalance), the microstructure
+    * aggregate a consolidated tape publishes from exactly this
+    * composition. Plan: one keyed window pass for the BBO recurrence
+    * (q151), ONE keyed union-window as-of (user_id is the
+    * high-cardinality key — precisely where [[AsOf.join]]'s shape is
+    * right and the broadcast-interval as-of would be wrong), two more
+    * frames on the trade sequence for the tick rule, then a hash
+    * rollup. Signed notional is latticed to DECIMAL(28,12) per trade
+    * before summing, so the imbalance is order-independent exact.
+    */
+  def q153TradeSign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    q153TradeSigns(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_trades"),
+        sum(when($"sign" === 1, 1L).otherwise(0L)).as("n_buy"),
+        sum(when($"sign" === -1, 1L).otherwise(0L)).as("n_sell"),
+        sum(when($"sign" === 0, 1L).otherwise(0L)).as("n_unclass"),
+        decRound(sum(($"sign" * $"px").cast(DecimalType(28, 12))), 4)
+          .as("signed_notional"))
+  }
+
+  val q153Sql: String =
+    """WITH ev AS (SELECT * FROM events WHERE value > 0),
+      |q AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_id % 2 = 0 THEN value END AS bid_px,
+      |    CASE WHEN event_id % 2 <> 0 THEN value END AS ask_px
+      |  FROM ev WHERE event_type <> 'purchase'),
+      |bseries AS (
+      |  SELECT user_id, ts, event_id,
+      |    last_value(bid_px IGNORE NULLS) OVER w AS bb,
+      |    last_value(ask_px IGNORE NULLS) OVER w AS ba
+      |  FROM q
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |bbo AS (
+      |  SELECT user_id, ts, bb, ba FROM (
+      |    SELECT user_id, ts, bb, ba,
+      |      row_number() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) AS rn
+      |    FROM bseries) WHERE rn = 1),
+      |t AS (
+      |  SELECT event_id, user_id, ts, value AS px
+      |  FROM ev WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT t.event_id, t.user_id, t.ts, t.px,
+      |    CASE WHEN b.bb IS NOT NULL AND b.ba IS NOT NULL
+      |      THEN (b.bb + b.ba) / 2 END AS mid
+      |  FROM t ASOF LEFT JOIN bbo b
+      |    ON t.user_id = b.user_id AND t.ts >= b.ts),
+      |d AS (
+      |  SELECT *,
+      |    CASE WHEN px > lag(px) OVER wl THEN 1
+      |         WHEN px < lag(px) OVER wl THEN -1 END AS dir
+      |  FROM m
+      |  WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, px,
+      |    CASE WHEN mid IS NOT NULL AND px > mid THEN 1
+      |         WHEN mid IS NOT NULL AND px < mid THEN -1
+      |         ELSE coalesce(last_value(dir IGNORE NULLS) OVER wt, 0)
+      |    END AS sign
+      |  FROM d
+      |  WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_trades,
+      |  CAST(sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
+      |  CAST(sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
+      |  CAST(sum(CASE WHEN sign = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unclass,
+      |  CAST(round(sum(CAST(sign * px AS DECIMAL(28,12))), 4) AS DOUBLE)
+      |    AS signed_notional
+      |FROM s GROUP BY user_id""".stripMargin
 }

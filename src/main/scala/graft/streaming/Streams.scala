@@ -1048,6 +1048,69 @@ object Streams {
       }
   }
 
+  /** Per-instrument state for s27: the BBO book (s25's two doubles),
+    * the previous trade price, and the last non-zero tick direction —
+    * everything the Lee–Ready rules need, bounded per instrument.
+    */
+  case class TradeSignState(bb: Double, hasBb: Boolean,
+                            ba: Double, hasBa: Boolean,
+                            prevPx: Double, hasPrev: Boolean,
+                            lastDir: Int)
+
+  /** s27 — streaming Lee–Ready trade classification: the incremental
+    * twin of batch q153's per-trade signs. Quotes (non-purchase
+    * events) update the book; each trade classifies against the
+    * current midpoint with the tick-rule fallback and emits
+    * (user, event_id, sign). Within one timestamp quotes apply BEFORE
+    * trades (matching the batch as-of's post-instant BBO state at the
+    * trade's own microsecond); the comparisons and the midpoint
+    * average are the same double arithmetic as the batch columns, so
+    * signs are bit-identical. In-order-per-key delivery caveat as
+    * [[ewmaState]] — here it extends to same-µs quotes landing in a
+    * later micro-batch than the trade.
+    */
+  def tradeSignStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Int)] = {
+    import spark.implicits._
+    events.filter(col("value") > 0)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        (col("event_type") === "purchase").as("is_trade"))
+      .as[(Long, java.sql.Timestamp, Double, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TradeSignState, (Long, Long, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long,
+         evs: Iterator[(Long, java.sql.Timestamp, Double, Long, Boolean)],
+         state: GroupState[TradeSignState]) =>
+          // quotes sort before trades at the same instant: the batch
+          // as-of sees the post-instant book at the trade's microsecond
+          val sorted = evs.toSeq.sortBy(e => (micros(e._2), e._5, e._4))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          var st = state.getOption.getOrElse(
+            TradeSignState(0.0, false, 0.0, false, 0.0, false, 0))
+          sorted.foreach { case (_, _, px, eventId, isTrade) =>
+            if (!isTrade) {
+              st = if (eventId % 2 == 0) st.copy(bb = px, hasBb = true)
+                   else st.copy(ba = px, hasBa = true)
+            } else {
+              val dir = if (st.hasPrev && px > st.prevPx) 1
+                        else if (st.hasPrev && px < st.prevPx) -1
+                        else 0
+              val eff = if (dir != 0) dir else st.lastDir
+              val sign =
+                if (st.hasBb && st.hasBa) {
+                  val mid = (st.bb + st.ba) / 2
+                  if (px > mid) 1 else if (px < mid) -1 else eff
+                } else eff
+              out += ((user, eventId, sign))
+              st = st.copy(prevPx = px, hasPrev = true, lastDir = eff)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

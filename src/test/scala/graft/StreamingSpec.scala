@@ -654,6 +654,49 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exists(r => r._4.isEmpty || r._7.isEmpty))
   }
 
+  test("streaming trade signs (s27) equal batch q153 per-trade across micro-batches") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sign").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.tradeSignStream(spark, stream)
+      .toDF("user_id", "event_id", "sign")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sign_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sign_out")
+      .select($"user_id", $"event_id", $"sign")
+      .as[(Long, Long, Int)].collect().toSet
+    val batch = graft.queries.SecurityMaster.q153TradeSigns(spark, sf)
+      .select($"user_id", $"event_id", $"sign".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // every classification regime genuinely occurs
+    val signs = streamed.map(_._3)
+    assert(signs.contains(1) && signs.contains(-1))
+    // the carried book genuinely classified across the boundary: some
+    // post-split trade has a quote-test mid whose user saw no
+    // post-split quote before it (its book state is pre-split)
+    val firstPost = ev.filter($"value" > 0 && unix_micros($"ts") > mid)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      .filter($"rn" === 1 && $"event_type" === "purchase")
+      .select($"event_id")
+    val carried = graft.queries.SecurityMaster.q153TradeSigns(spark, sf)
+      .join(firstPost, Seq("event_id"))
+      .filter($"mid".isNotNull).count()
+    assert(carried > 0, "no cross-batch quote-test trade — state untested")
+  }
+
   test("streaming SCD2 maintenance converges to the from-scratch batch build") {
     // two mtime-ordered micro-batches of signup records: the second
     // interleaves in event time with the first, so applyDelta must
