@@ -568,4 +568,63 @@ object Dedup {
           .cast("double").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Maximal duplicated-substring spans: for every document, the
+    * maximal character runs in which each character lies inside at
+    * least one `k`-char window shared verbatim with a DIFFERENT
+    * document. This is the exact-substring dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), re-expressed for a cluster: their suffix array is a
+    * single-machine construction, but the same "duplicated span ≥ k"
+    * semantics falls out of a k-gram inverted index — a shape that
+    * distributes.
+    *
+    * Plan: (1) slide a k-char window over each doc (row-local
+    * explode, ~len rows per doc — the tokenize-order blowup every
+    * text op here already pays); (2) shuffle the 16-byte md5 gram
+    * identity (never the gram text) to count DISTINCT source docs per
+    * gram — map-side combined, linear, and crucially NEVER expanded
+    * into pairs, so a gram shared by a million docs costs one counter,
+    * not 10¹² candidates (the q34-family df-cap exists because those
+    * tiers need the pairs; this one only needs membership); (3) join
+    * position rows back to the shared-gram set on the hash (equi-join;
+    * AQE broadcasts it when the dup set is small); (4) one window pass
+    * per doc merges overlapping duplicated windows into maximal spans:
+    * positions p, p' of k-windows overlap as character intervals iff
+    * p' − p ≤ k, so a span breaks where the position gap exceeds k.
+    * Per-doc state is bounded by doc length — the partition key is
+    * doc_id, so skew is bounded by the longest document, not the
+    * hottest gram.
+    *
+    * Returns one row per (doc, span): doc_id, span_start (1-based),
+    * span_end (inclusive), span_chars.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(k - 1)))
+          .as("pos"), col(textCol).as("__t"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("__t").substr(col("pos"), lit(k))).as("__gh"))
+    val shared = grams.groupBy(col("__gh"))
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("__gh"))
+    val marked = grams.join(shared, Seq("__gh"))
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) > k, 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__brk"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1)).as("span_chars"))
+  }
 }
