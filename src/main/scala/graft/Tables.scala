@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.types._
 
 /** Typed loaders for the driver-generated test tables.
@@ -64,11 +64,18 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot map to
-    * TimestampType (µs). It is read as raw nanos (LongType, via
-    * `spark.sql.legacy.parquet.nanosAsLong`) and truncated to µs with
-    * integer `div` — float division would lose precision above 2^53 ns.
-    * DuckDB performs the same µs truncation on read, so oracles agree.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * re-materializations: parquet TIMESTAMP(NANOS) — unmappable to Spark's
+    * µs TimestampType, readable only as raw long nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncated to µs with
+    * integer `div` (float division loses precision above 2^53 ns) — and
+    * TIMESTAMP_MICROS (naive → TimestampNTZ; UTC-adjusted after our own
+    * round-trips). Hard-coding either unit corrupts the other by 1000×,
+    * so [[eventsReadPlan]] branches on the footer's declared type, and
+    * [[events]] asserts the loaded range lands in years [2000, 2100] so
+    * a future silent unit/epoch flip fails loudly at load time instead
+    * of as dozens of downstream hash mismatches. This schema is the
+    * raw-nanos read schema (the LongType branch).
     */
   val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -107,11 +114,57 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** Read schema + ts-normalizer for an events parquet, chosen from the
+    * footer's declared type of `ts`. Output contract either way:
+    * `ts: TimestampType` holding the original instant at µs precision
+    * (entry points pin the session to UTC, so the NTZ cast is
+    * instant-preserving). The footer sniff is one driver-side metadata
+    * read per load call — not a data scan.
+    */
+  def eventsReadPlan(s: SparkSession,
+                     path: String): (StructType, DataFrame => DataFrame) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    s.read.parquet(path).schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) or raw BIGINT nanos
+        (eventsSchema,
+          df => df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+      case tsType => // TIMESTAMP_MICROS/_MILLIS, naive (NTZ) or UTC-adjusted
+        (StructType(eventsSchema.fields.map {
+          case f if f.name == "ts" => StructField("ts", tsType)
+          case f => f
+        }),
+          df => df.withColumn("ts", F.col("ts").cast(TimestampType)))
+    }
+  }
+
+  /** Paths whose ts range has already passed the contract check (per JVM). */
+  private val tsContractOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Data-contract guard: loaded min/max(ts) must land in years
+    * [2000, 2100]. Runs once per path per JVM — a single-column min/max
+    * that parquet answers from row-group statistics, so it stays cheap
+    * at cluster scale too.
+    */
+  private[graft] def assertTsContract(path: String, df: DataFrame): Unit =
+    if (!tsContractOk.contains(path)) {
+      val r = df.agg(F.min("ts"), F.max("ts")).collect()(0)
+      def year(i: Int) = r.getTimestamp(i).toInstant
+        .atOffset(java.time.ZoneOffset.UTC).getYear
+      require(!r.isNullAt(0) && year(0) >= 2000 && year(1) <= 2100,
+        s"events.ts data contract violated for $path: loaded range " +
+          s"[${r.get(0)}, ${r.get(1)}] is outside years [2000, 2100] — " +
+          "probable timestamp unit/epoch drift in the source parquet " +
+          "(e.g. nanos decoded as micros or vice versa)")
+      tsContractOk.add(path)
+    }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val (schema, normalize) = eventsReadPlan(s, path)
+    val df = normalize(s.read.schema(schema).parquet(path))
+    assertTsContract(path, df)
+    df
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -602,6 +602,12 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id", k: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // One explicit hash-exchange on the gram identity, consumed by BOTH
+    // the distinct-doc count and the position join-back: with identical
+    // child plans the physical planner emits a ReusedExchange, so the
+    // explode+md5 pass over the full corpus runs ONCE and the second
+    // consumer replays shuffle files — spill-safe reuse with no cache
+    // pin, which is the 100 TB-friendly version of `.persist()`.
     val grams = docs
       .filter(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"),
@@ -609,9 +615,16 @@ object Dedup {
           .as("pos"), col(textCol).as("__t"))
       .select(col("doc_id"), col("pos"),
         md5(col("__t").substr(col("pos"), lit(k))).as("__gh"))
+      .repartition(col("__gh"))
+    // max(pos) (always ≥ 1, so the extra predicate is a no-op) keeps this
+    // branch's column set identical to the join branch's — otherwise
+    // column pruning narrows one side of the exchange and the planner
+    // could no longer reuse it
     val shared = grams.groupBy(col("__gh"))
-      .agg(count_distinct(col("doc_id")).as("__nd"))
-      .filter(col("__nd") >= 2).select(col("__gh"))
+      .agg(count_distinct(col("doc_id")).as("__nd"),
+        max(col("pos")).as("__maxpos"))
+      .filter(col("__nd") >= 2 && col("__maxpos") >= 1)
+      .select(col("__gh"))
     val marked = grams.join(shared, Seq("__gh"))
       .select(col("doc_id"), col("pos"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -23,15 +23,17 @@ object Streams {
                      session_value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
-  /** File-source stream over the events parquet with the same
-    * nanos→µs normalization as the batch loader.
+  /** File-source stream over an events parquet directory, normalized by
+    * the same footer-branched read plan as the batch loader
+    * ([[Tables.eventsReadPlan]]) — so a unit change in the source encoding
+    * (TIMESTAMP(NANOS) vs TIMESTAMP_MICROS) is handled identically on the
+    * batch and streaming paths. The plan is sniffed once from the files
+    * present at stream construction; a file source directory is
+    * single-schema by contract.
     */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(Tables.eventsSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (schema, normalize) = Tables.eventsReadPlan(spark, path)
+    normalize(spark.readStream.schema(schema).parquet(path))
   }
 
   /** Sliding-window counts with a watermark: late data beyond 1 hour is

@@ -37,11 +37,14 @@ object ScaleUp {
 
   def scaleTable(spark: SparkSession, src: String, dst: String,
                  table: String, factor: Int): Unit = {
-    // read through the library's forced schemas: events.ts is parquet
-    // TIMESTAMP(NANOS), which only reads as raw long nanos — it is
-    // written back as plain BIGINT nanos, which graft.Tables.events
-    // consumes identically (same div-1000 truncation path)
-    val df = graft.Tables.load(spark, src, table)
+    // read through the library's loaders: events goes through the
+    // footer-branched read plan (Tables.events), so both NANOS-era and
+    // MICROS-era source dirs derive correctly; the derived copy is
+    // written back as standard TimestampType µs, which the same loader
+    // consumes natively on re-read
+    val df =
+      if (table == "events") graft.Tables.events(spark, src)
+      else graft.Tables.load(spark, src, table)
     val out =
       if (fixedDims.contains(table) || factor <= 1) df
       else {

@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkTestBase {
   import spark.implicits._
 
-  /** Synthetic events fixture: (event_id, ts_micros, user_id, type,
-    * value) written the way the real table is stored (raw nanos longs).
+  /** Synthetic events fixture: (event_id, ts_micros-offset, user_id, type,
+    * value) written the way the nanos-era table is stored (raw nanos
+    * longs). Offsets are rebased to 2024-01-01 00:00 UTC so the tape
+    * satisfies the loader's ts-range contract guard.
     */
+  private val t0d = 19723L // 2024-01-01 in epoch days
+  private val t0 = t0d * 86400L * 1000000L
+
   private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_synth").toString
-    rows.map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v, "{}") }
+    rows.map { case (id, us, u, t, v) => (id, (t0 + us) * 1000L, u, t, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
@@ -33,7 +38,7 @@ class AnalyticsSpec extends SparkTestBase {
     val dir = writeEvents(rows)
     val got = SparkEntry.queries("q83_concurrency")(spark, dir)
       .select($"day", $"max_concurrency").as[(java.sql.Timestamp, Long)]
-      .collect().toMap.map { case (d, c) => (d.getTime / 86400000L, c) }
+      .collect().toMap.map { case (d, c) => (d.getTime / 86400000L - t0d, c) }
     // brute force: conc(pt) = #{intervals with start <= pt < end}
     val iv = rows.map { case (_, us, _, _, _) => (us, us + 1800L * 1000000L) }
     val pts = iv.flatMap { case (s, e) => Seq(s, e) }.distinct
@@ -56,7 +61,7 @@ class AnalyticsSpec extends SparkTestBase {
     val dir = writeEvents(rows)
     val got = SparkEntry.queries("q82_interpolate")(spark, dir)
       .select($"day", $"close_interp").as[(java.sql.Timestamp, Double)]
-      .collect().toMap.map { case (d, v) => (d.getTime / 86400000L, v) }
+      .collect().toMap.map { case (d, v) => (d.getTime / 86400000L - t0d, v) }
     val expected = Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0,
       4L -> 6.0, 5L -> 8.0, 6L -> 10.0)
     assert(got == expected, s"got=$got expected=$expected")

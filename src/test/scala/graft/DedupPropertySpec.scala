@@ -162,4 +162,55 @@ class DedupPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("duplicateSpans pins shared blocks, merges at gap=k, splits at gap=k+1") {
+    val k = 4
+    // doc 1 = S1 ++ S2 back-to-back; doc 2 shares S1, doc 3 shares S2,
+    // each wrapped in per-doc-unique filler so no accidental grams match.
+    // Marked window positions in doc 1: 1..5 (S1) and 9..13 (S2) — the
+    // boundary windows straddling S1|S2 are unshared, leaving a position
+    // gap of exactly k, which the ≤k rule merges into ONE maximal span
+    // covering the whole 16-char doc.
+    val adjacent = Seq(
+      (1L, "ABCDEFGH" + "ijklmnop"),
+      (2L, "qrst" + "ABCDEFGH" + "uvwx"),
+      (3L, "0123" + "ijklmnop" + "4567")).toDF("doc_id", "text")
+    val gotA = Dedup.duplicateSpans(adjacent, k = k)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(gotA.size == 3, gotA.toString)
+    assert(gotA(1L) == ((1L, 16L, 16L)), s"gap=k must merge: ${gotA(1L)}")
+    assert(gotA(2L) == ((5L, 12L, 8L)), s"S1 occurrence exactly: ${gotA(2L)}")
+    assert(gotA(3L) == ((5L, 12L, 8L)), s"S2 occurrence exactly: ${gotA(3L)}")
+
+    // one filler char between the blocks pushes the position gap to k+1:
+    // the span must break into the two exact block occurrences
+    val split = Seq(
+      (1L, "ABCDEFGH" + "z" + "ijklmnop"),
+      (2L, "qrst" + "ABCDEFGH" + "uvwx"),
+      (3L, "0123" + "ijklmnop" + "4567")).toDF("doc_id", "text")
+    val gotB = Dedup.duplicateSpans(split, k = k)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq }
+    assert(gotB(1L) == Seq((1L, 8L, 8L), (10L, 17L, 8L)),
+      s"gap=k+1 must split: ${gotB(1L)}")
+
+    // intra-doc-only repetition: grams repeated inside ONE doc but found
+    // nowhere else must produce no spans (count_distinct(doc_id) >= 2)
+    val intra = Seq(
+      (1L, "ABCDABCDABCDABCD"),
+      (2L, "wxyz5678wxyz5678")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(intra, k = k).count() == 0,
+      "intra-doc repeats are not cross-doc duplication")
+  }
+
+  test("duplicateSpans reuses the gram exchange (explode+md5 runs once)") {
+    val docs = randomDocs(7, 30).toDF("doc_id", "text")
+    val df = Dedup.duplicateSpans(docs, k = 8)
+    df.collect() // AQE finalizes stage reuse only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"gram exchange must be reused, not recomputed:\n$plan")
+  }
 }

@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
 class MetricsSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Fixture rows are given as µs offsets from 2024-01-01 00:00 UTC so the
+    * synthetic tape satisfies the loader's ts-range contract guard. */
+  private val t0 = 19723L * 86400L * 1000000L // 2024-01-01 epoch-µs
+
   private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_synth").toString
-    rows.map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v, "{}") }
+    rows.map { case (id, us, u, t, v) => (id, (t0 + us) * 1000L, u, t, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
@@ -87,9 +91,9 @@ class MetricsSpec extends SparkTestBase {
     df.unpersist()
   }
 
-  test("q112 seasonal profile: epoch origin maps to Thursday (dow=4) and shares sum to 1") {
-    // 1970-01-01 was a Thursday; pins the 0=Sunday convention cross-engine
-    val dir = writeEvents(Seq((1L, 0L, 1L, "t", 1.0)))
+  test("q112 seasonal profile: 2024-01-04 maps to Thursday (dow=4) and shares sum to 1") {
+    // 2024-01-04 was a Thursday; pins the 0=Sunday convention cross-engine
+    val dir = writeEvents(Seq((1L, 3L * 86400L * 1000000L, 1L, "t", 1.0)))
     val row = SparkEntry.queries("q112_seasonal_profile")(spark, dir)
       .select($"dow", $"hr").as[(Int, Int)].head()
     assert(row == ((4, 0)))

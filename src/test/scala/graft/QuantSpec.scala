@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
 class QuantSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Fixture rows are given as µs offsets from 2024-01-01 00:00 UTC so the
+    * synthetic tape satisfies the loader's ts-range contract guard. */
+  private val t0 = 19723L * 86400L * 1000000L // 2024-01-01 epoch-µs
+
   private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_synth").toString
-    rows.map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v, "{}") }
+    rows.map { case (id, us, u, t, v) => (id, (t0 + us) * 1000L, u, t, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
@@ -176,7 +180,8 @@ class QuantSpec extends SparkTestBase {
     val got = SparkEntry.queries("q131_cusum")(spark, writeEvents(rows))
       .as[(String, Long, java.sql.Timestamp, Double)].collect().head
     assert(got._2 == 20L && got._4 == 50.0, got.toString)
-    assert(got._3.toInstant == java.time.Instant.EPOCH.plusSeconds(10 * 86400))
+    assert(got._3.toInstant ==
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(10 * 86400))
   }
 
   test("q132 gini is exactly 0 for perfectly even revenues and in [0,1) on real data") {

@@ -40,11 +40,12 @@ class ScaleUpSpec extends SparkTestBase {
       orders0.groupBy("o_orderkey").count()
         .agg(max("count")).first().getLong(0))
 
-    // events: ts written as raw BIGINT nanos (parquet TIMESTAMP(NANOS)
-    // round-trip), payload columns verbatim, event_type cardinality fixed
+    // events: ts round-trips through the footer-branched read plan and is
+    // written back as a standard µs timestamp; payload columns verbatim,
+    // event_type cardinality fixed
     val events3raw = spark.read.parquet(s"$dst/events.parquet")
     assert(events3raw.schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.types.TimestampType)
     // read back through the same Tables.events path the queries use
     val events0 = Tables.events(spark, sf)
     val events3 = Tables.events(spark, dst)

@@ -21,17 +21,20 @@ class SecurityMasterSpec extends SparkTestBase {
   private val day = 86400L * 1000000L
   private def d(epochDay: Long, hour: Long = 0L): Long =
     epochDay * day + hour * 3600L * 1000000L
+  /** Base day for fixtures given as small day indexes — keeps the
+    * synthetic tape inside the loader's ts-range contract guard. */
+  private val day0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
 
   test("q135 symbology resolves each trade to the identifier epoch in effect at trade time") {
     // user 1: symbols minted on day 1 and day 10; trades on day 0 (no
     // symbol yet -> dropped), day 5 (epoch 1), day 12 twice (epoch 2)
     val rows = Seq(
-      (1L, d(1), 1L, "signup", 0.0),
-      (2L, d(10), 1L, "signup", 0.0),
-      (3L, d(0), 1L, "purchase", 10.0),
-      (4L, d(5), 1L, "purchase", 20.0),
-      (5L, d(12), 1L, "purchase", 30.0),
-      (6L, d(12, 6), 1L, "purchase", 40.0))
+      (1L, d(day0 + 1), 1L, "signup", 0.0),
+      (2L, d(day0 + 10), 1L, "signup", 0.0),
+      (3L, d(day0), 1L, "purchase", 10.0),
+      (4L, d(day0 + 5), 1L, "purchase", 20.0),
+      (5L, d(day0 + 12), 1L, "purchase", 30.0),
+      (6L, d(day0 + 12, 6), 1L, "purchase", 40.0))
     val got = SparkEntry.queries("q135_symbology")(spark, writeEvents(rows))
       .as[(Long, String, Long, Double)].collect()
       .map(r => r._2 -> ((r._3, r._4))).toMap
@@ -43,15 +46,15 @@ class SecurityMasterSpec extends SparkTestBase {
     // bars on day 1 and day 3; a 2x action (value 1000 -> factor 2)
     // lands midday on day 2: day 1's close doubles, day 3's does not
     val rows = Seq(
-      (1L, d(1, 12), 1L, "purchase", 100.0),
-      (2L, d(3, 12), 1L, "purchase", 50.0),
-      (3L, d(2, 12), 1L, "signup", 1000.0))
+      (1L, d(day0 + 1, 12), 1L, "purchase", 100.0),
+      (2L, d(day0 + 3, 12), 1L, "purchase", 50.0),
+      (3L, d(day0 + 2, 12), 1L, "signup", 1000.0))
     val got = SparkEntry.queries("q136_corp_actions")(spark, writeEvents(rows))
       .as[(Long, java.sql.Timestamp, Double, Double, Double)].collect()
       .map(r => r._2.toInstant.getEpochSecond / 86400L -> ((r._3, r._4, r._5)))
       .toMap
-    assert(got(1L) == ((100.0, 0.693147, 200.0)), got.toString)
-    assert(got(3L) == ((50.0, 0.0, 50.0)), got.toString)
+    assert(got(day0 + 1) == ((100.0, 0.693147, 200.0)), got.toString)
+    assert(got(day0 + 3) == ((50.0, 0.0, 50.0)), got.toString)
   }
 
   test("q137 counts only weekday non-holiday sessions and pins the first missing day") {
@@ -75,7 +78,7 @@ class SecurityMasterSpec extends SparkTestBase {
     // id 5 RESTATES day D1 two days later (tx on D3), id 6 records D3
     // itself. Cutoff = start of D3: fact D1 was believed 1.0 (revised
     // to 2.0 after), fact D3 wasn't known at all.
-    val D1 = 11L; val D3 = 13L
+    val D1 = day0 + 11L; val D3 = day0 + 13L
     val rows = Seq(
       (3L, d(D1, 10), 1L, "view", 1.0),   // valid D1, tx D1 10:00
       (5L, d(D3, 9), 1L, "view", 2.0),    // valid D1 (13-2), tx D3 09:00
@@ -93,7 +96,7 @@ class SecurityMasterSpec extends SparkTestBase {
     // a single active user: the market series equals their own series,
     // so every full-window beta is cov(x,x)/var(x) = 1
     val rows = (1 to 15).map(i =>
-      (i.toLong, d(i, 9), 1L, "view", 100.0 + i * i * 0.37))
+      (i.toLong, d(day0 + i, 9), 1L, "view", 100.0 + i * i * 0.37))
     val got = SparkEntry.queries("q141_rolling_beta")(spark, writeEvents(rows))
       .as[(Long, java.sql.Timestamp, Double)].collect()
     assert(got.length == 6) // days 10..15 have full 10-day windows
