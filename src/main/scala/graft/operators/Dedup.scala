@@ -402,6 +402,50 @@ object Dedup {
     collapseExpand(docs, textCol, idCol, "containment")(reps =>
       containmentPairs(reps, textCol, idCol, n, maxDf, threshold))
 
+  /** Incremental variant of the saturation tier, for streaming ingest
+    * ([[graft.streaming.Streams.dedupIngestSaturatedSink]]): the
+    * exact-hash collapse runs over base+delta, rep pairs are re-scored
+    * only where a text group GAINED a delta member (the rep-level
+    * incremental prune — untouched×untouched groups never re-pair), and
+    * both the member expansion and the intra-group clique keep only
+    * pairs with a delta side. Across an ingest stream every pair is
+    * therefore emitted exactly once — in the micro-batch where its
+    * later document arrives — and verbatim-duplicate mass cannot
+    * saturate the df cap, because dfs count distinct texts exactly as
+    * in the batch tier.
+    */
+  def ngramJaccardPairsSaturatedIncremental(docs: DataFrame,
+      isDelta: org.apache.spark.sql.Column, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 2, maxDf: Int = 50,
+      threshold: Double = 0.2): DataFrame = {
+    val keyed = docs.select(md5(col(textCol)).as("__h"),
+      col(idCol).as("__id"), col(textCol).as("__text"), isDelta.as("__isd"))
+    val groups = keyed.groupBy(col("__h"))
+      .agg(min(col("__id")).as("__rep"), min(col("__text")).as("__rtext"),
+        max(col("__isd")).as("__gd"))
+    val members = keyed.select(col("__h"), col("__id"), col("__isd"))
+      .join(groups.select(col("__h"), col("__rep")), Seq("__h"))
+      .select(col("__rep"), col("__id"), col("__isd"))
+    val reps = groups.select(col("__rep").as(idCol),
+      col("__rtext").as(textCol), col("__gd").as("__repd"))
+    val cross = ngramJaccardPairsIncremental(reps, col("__repd"), textCol,
+        idCol, n, maxDf, threshold)
+      .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ia"),
+        col("__isd").as("__da")), Seq("doc_a"))
+      .join(members.select(col("__rep").as("doc_b"), col("__id").as("__ib"),
+        col("__isd").as("__db")), Seq("doc_b"))
+      .filter(col("__da") || col("__db"))
+      .select(least(col("__ia"), col("__ib")).as("doc_a"),
+        greatest(col("__ia"), col("__ib")).as("doc_b"), col("jaccard"))
+    val intra = members.as("x")
+      .join(members.as("y"), col("x.__rep") === col("y.__rep") &&
+        col("x.__id") < col("y.__id") &&
+        (col("x.__isd") || col("y.__isd")))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
   private def ngramJaccardImpl(docs: DataFrame, textCol: String,
                                idCol: String, n: Int, maxDf: Int,
                                threshold: Double,

@@ -358,6 +358,35 @@ object Streams {
   def dedupIngestSink(docs: DataFrame, baseDir: String, pairsDir: String,
                       checkpointDir: String,
                       maxDf: Int = Int.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
+    ingestScoredSink(docs, baseDir, pairsDir, checkpointDir)((all, isDelta) =>
+      graft.operators.Dedup
+        .ngramJaccardPairsIncremental(all, isDelta, maxDf = maxDf))
+
+  /** s28 — streaming twin of q150's dup-saturation tier: the same
+    * ingest scaffolding as [[dedupIngestSink]], scored with
+    * [[graft.operators.Dedup.ngramJaccardPairsSaturatedIncremental]].
+    * Where the plain capped incremental path degrades to ZERO pairs
+    * under verbatim duplication (every gram's document frequency blows
+    * past the cap), this one collapses exact-hash groups first, so
+    * dfs count distinct texts and recall survives saturation — the
+    * differential vs the batch saturated tier is exact when the
+    * rep-level df stays under the cap (StreamingSpec).
+    */
+  def dedupIngestSaturatedSink(docs: DataFrame, baseDir: String,
+                               pairsDir: String, checkpointDir: String,
+                               maxDf: Int = 50, threshold: Double = 0.2): org.apache.spark.sql.streaming.StreamingQuery =
+    ingestScoredSink(docs, baseDir, pairsDir, checkpointDir)((all, isDelta) =>
+      graft.operators.Dedup.ngramJaccardPairsSaturatedIncremental(
+        all, isDelta, maxDf = maxDf, threshold = threshold))
+
+  /** Shared exactly-once ingest scaffolding: batchId-keyed overwrite
+    * subdirs for base and pairs, delta re-read from its own landed
+    * parquet, `score(all, isDelta)` pluggable. See [[dedupIngestSink]]
+    * for the exactly-once argument.
+    */
+  private def ingestScoredSink(docs: DataFrame, baseDir: String,
+      pairsDir: String, checkpointDir: String)
+      (score: (DataFrame, org.apache.spark.sql.Column) => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -381,8 +410,7 @@ object Streams {
           if (priorDirs.isEmpty) delta
           else ss.read.schema(Tables.documentsSchema).parquet(priorDirs: _*)
             .withColumn("is_delta", lit(false)).unionByName(delta)
-        graft.operators.Dedup
-          .ngramJaccardPairsIncremental(all, col("is_delta"), maxDf = maxDf)
+        score(all, col("is_delta"))
           .write.mode("overwrite").parquet(s"$pairsDir/b$batchId")
         ()
       }

@@ -201,6 +201,58 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming saturated dedup emits exactly the batch saturated pair set at dup-saturation") {
+    // the sf3 stress shape: 20 distinct texts, each verbatim ×30 — every
+    // shared gram's document frequency is ≥ 30 > the cap, so the PLAIN
+    // capped tier (what dedupIngestSink would score with a finite cap)
+    // sees nothing; the saturated twin must recover the full pair set
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("red", "blue", "fox", "dog", "runs", "jumps", "high", "low")
+    val base = (0L until 20L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val corpus = for { (id, t) <- base; c <- 0 until 30 } yield (id + 1000L * c, t)
+    def asDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("synth").as("source"), length($"text").cast("long").as("n_chars"))
+    val cDf = asDocs(corpus)
+    assert(graft.operators.Dedup.ngramJaccardPairs(cDf, maxDf = 25,
+        threshold = 0.3).count() == 0,
+      "saturation premise broken — the plain capped tier found pairs")
+    // split by COPY index so each text group straddles the two
+    // micro-batches: intra-group 1.0 pairs must cross batches
+    val root = java.nio.file.Files.createTempDirectory("graft_sat")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    Seq(0, 1).foreach { gen =>
+      val tmp = root.resolve(s"tmp$gen").toString
+      asDocs(corpus.filter { case (id, _) => (id / 1000L) % 2 == gen })
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    val stream = spark.readStream.schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Streams.dedupIngestSaturatedSink(stream,
+      baseDir = root.resolve("base").toString,
+      pairsDir = root.resolve("pairs").toString,
+      checkpointDir = root.resolve("ckpt").toString,
+      maxDf = 25, threshold = 0.3)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(root.resolve("pairs").toString)
+      .as[(Long, Long, Double)].collect().toSet
+    // rep-level dfs (≤ 20 distinct texts) stay under the cap, so the
+    // per-batch df lag never bites and the union is EXACTLY the batch run
+    val full = graft.operators.Dedup
+      .ngramJaccardPairsSaturated(cDf, maxDf = 25, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == full,
+      s"extra=${streamed.diff(full).take(3)} missing=${full.diff(streamed).take(3)}")
+    // the verbatim-dup mass is present as 1.0 cliques
+    assert(streamed.count(_._3 == 1.0) >= 20 * 30 * 29 / 2)
+  }
+
   test("streaming corpus-prep gate equals the same plan run in batch") {
     val docs = Tables.documents(spark, sf)
     val root = java.nio.file.Files.createTempDirectory("graft_prep")
