@@ -165,7 +165,18 @@ object EditDistance {
                    blockCol: String, maxDist: Int = 3): DataFrame = {
     val k = maxDist
     val s = k + 1
-    val (a, b) = sides(df, keyCol, nameCol, blockCol)
+    // Both exploded sides are NARROW — (block, length, slot, substring,
+    // key) only. Shuffling the full name string and mask with every
+    // exploded row measured ~35% of the path's wall-clock at sf0.1;
+    // names are re-attached by key AFTER the candidate pairs are
+    // deduplicated, so each string crosses the wire once per final
+    // pair, not once per (slot, length, window) emission.
+    val p = df.select(col(blockCol).as("__blk"), col(keyCol).as("__key"),
+      col(nameCol).as("__name"))
+    val a = p.select(col("__blk"), col("__key").as("key_a"),
+      col("__name").as("name_a"))
+    val b = p.select(col("__blk"), col("__key").as("key_b"),
+      col("__name").as("name_b"))
     // slot i of a length-l split: len_i = l div s + (i < l % s),
     // start_i (0-based) = i*(l div s) + least(i, l % s)
     val aSeg = a
@@ -177,10 +188,16 @@ object EditDistance {
            |    i * (la div $s) + least(i, la % $s) + 1,
            |    (la div $s) + if(i < la % $s, 1, 0))))""".stripMargin)))
       .select(col("__blk"), col("la"), col("__seg.slot").as("slot"),
-        col("__seg.sub").as("sub"),
-        col("key_a"), col("name_a"), col("mask_a"))
-    // right side: every substring a compatible partner could need —
-    // partner lengths l within ±k, and for slot i the MULTI-MATCH-AWARE
+        col("__seg.sub").as("sub"), col("key_a"))
+    // right side: every substring a compatible partner could need.
+    // Partner lengths are enumerated ONE-DIRECTIONALLY, l ∈ [lb−k, lb]:
+    // the segment lemma (≥1 of the k+1 segments of x survives k edits
+    // and appears in y) holds for whichever side is indexed, so probing
+    // only shorter-or-equal partners still generates every unordered
+    // pair exactly once where la < lb — halving the candidate volume the
+    // two-directional ±k enumeration paid — and twice where la = lb
+    // (both directions), which the key canonicalization + the existing
+    // post-verify distinct collapse. For slot i the MULTI-MATCH-AWARE
     // position window (PassJoin §4.2): with p the slot's source start
     // and Δ = lb − l, a match can only start in
     //   [max(p − i, p + Δ − (k − i)),  min(p + i, p + Δ + (k − i))]
@@ -197,7 +214,7 @@ object EditDistance {
       .withColumn("lb", length(col("name_b")))
       .withColumn("__sub", explode(expr(
         s"""array_distinct(flatten(transform(
-           |  sequence(greatest($s, lb - $k), lb + $k), l ->
+           |  sequence(greatest($s, lb - $k), lb), l ->
            |  flatten(transform(sequence(0, ${s - 1}), i ->
            |    if(greatest(i * (l div $s) + least(i, l % $s) - i,
            |          i * (l div $s) + least(i, l % $s) + lb - l - ($k - i),
@@ -218,16 +235,37 @@ object EditDistance {
            |      array()))))))""".stripMargin)))
       .select(col("__blk"), col("__sub.la").as("la"),
         col("__sub.slot").as("slot"), col("__sub.sub").as("sub"),
-        col("key_b"), col("name_b"), col("mask_b"))
+        col("key_b"))
+    // A true pair matches on several (slot, l) keys (×2.4 duplication
+    // measured at sf0.1), so canonicalize (key order can disagree with
+    // the one-directional length order — least/greatest, lev is
+    // symmetric) and dedupe the NARROW key pairs FIRST: the banded
+    // Levenshtein then runs once per unique pair instead of once per
+    // candidate emission. (The earlier note about distinct-before-
+    // verify being 3× slower applied to distincting WIDE rows that
+    // carried both name strings; narrow 16-byte key pairs shuffle
+    // cheaply.)
     val cand = aSeg.join(bSub, Seq("__blk", "la", "slot", "sub"))
-      .filter(guards(maxDist))
-    // A true pair matches on several (slot, l) keys; dedupe AFTER the
-    // verify, on the narrow (key_a, key_b, lev) rows. The alternative
-    // — distinct() on candidates before the verify — shuffles the full
-    // name strings for every duplicated candidate and measured 3×
-    // slower end-to-end than re-running the banded (codegen'd,
-    // shuffle-free) Levenshtein on each duplicate. lev is
-    // deterministic per pair, so the distinct collapses exactly.
-    verified(cand, maxDist).distinct()
+      .filter(col("key_a") =!= col("key_b"))
+      .select(least(col("key_a"), col("key_b")).as("key_a"),
+        greatest(col("key_a"), col("key_b")).as("key_b"))
+      .distinct()
+    // re-attach names + masks by key for the guards and the verify —
+    // broadcast while the name table fits an executor, shuffle join
+    // beyond (the deduped pair side is narrow either way)
+    val names = p.select(col("__key"), col("__name"),
+      charMask(col("__name")).as("__mask"))
+    val attach: DataFrame => DataFrame =
+      if (names.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= BigInt(BroadcastSafeByteLimit)) broadcast
+      else identity
+    verified(cand
+      .join(attach(names.select(col("__key").as("key_a"),
+        col("__name").as("name_a"), col("__mask").as("mask_a"))), Seq("key_a"))
+      .join(attach(names.select(col("__key").as("key_b"),
+        col("__name").as("name_b"), col("__mask").as("mask_b"))), Seq("key_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
+        bit_count(col("mask_a").bitwiseXOR(col("mask_b"))) <= 2 * maxDist),
+      maxDist)
   }
 }
