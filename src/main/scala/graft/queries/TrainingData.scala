@@ -639,4 +639,42 @@ object TrainingData {
       |FROM pairs
       |WHERE CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
       |    AS DECIMAL(28,12)), 4) AS DOUBLE) >= 0.2""".stripMargin
+
+  /** q154_duplicate_spans — character-level duplicated-span detection
+    * ([[graft.operators.Dedup.duplicateSpans]]): maximal spans of
+    * k=32-char windows shared verbatim across ≥ 2 documents — the
+    * remove-duplicated-boilerplate primitive (terms-of-service blocks,
+    * nav chrome, license headers) a training-data pipeline runs before
+    * near-dup scoring. Window positions ≤ k apart merge into one
+    * maximal span. Exact semantics, full SQL oracle.
+    */
+  def q154DuplicateSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.duplicateSpans(Tables.documents(spark, dir))
+      .select($"doc_id", $"span_start".cast("long").as("span_start"),
+        $"span_end".cast("long").as("span_end"),
+        $"span_chars".cast("long").as("span_chars"))
+  }
+
+  val q154Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    md5(substring(text, CAST(i AS INT), 32)) AS gh
+      |  FROM documents, unnest(range(1, length(text) - 30)) AS t(i)
+      |  WHERE length(text) >= 32),
+      |shared AS (
+      |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      |m AS (SELECT doc_id, pos FROM g JOIN shared USING (gh)),
+      |b AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 32
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM m),
+      |s AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      |  FROM b)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 31 AS span_end,
+      |  max(pos) + 31 - min(pos) + 1 AS span_chars
+      |FROM s GROUP BY doc_id, span""".stripMargin
 }
