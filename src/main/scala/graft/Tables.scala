@@ -121,10 +121,18 @@ object Tables {
     * instant-preserving). The footer sniff is one driver-side metadata
     * read per load call — not a data scan.
     */
+  /** Footer-declared ts type per path, memoized: one FS metadata
+    * round-trip per path per JVM instead of one per load call (paths
+    * are immutable for a process lifetime here — testdata dirs and
+    * write-once temp fixtures). */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
   def eventsReadPlan(s: SparkSession,
                      path: String): (StructType, DataFrame => DataFrame) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(path).schema("ts").dataType match {
+    tsTypeCache.computeIfAbsent(path,
+        p => s.read.parquet(p).schema("ts").dataType) match {
       case LongType => // TIMESTAMP(NANOS) or raw BIGINT nanos
         (eventsSchema,
           df => df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
