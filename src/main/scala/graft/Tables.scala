@@ -114,13 +114,6 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** Read schema + ts-normalizer for an events parquet, chosen from the
-    * footer's declared type of `ts`. Output contract either way:
-    * `ts: TimestampType` holding the original instant at µs precision
-    * (entry points pin the session to UTC, so the NTZ cast is
-    * instant-preserving). The footer sniff is one driver-side metadata
-    * read per load call — not a data scan.
-    */
   /** Footer-declared ts type per path, memoized: one FS metadata
     * round-trip per path per JVM instead of one per load call (paths
     * are immutable for a process lifetime here — testdata dirs and
@@ -128,38 +121,56 @@ object Tables {
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 
-  def eventsReadPlan(s: SparkSession,
-                     path: String): (StructType, DataFrame => DataFrame) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsTypeCache.computeIfAbsent(path,
-        p => s.read.parquet(p).schema("ts").dataType) match {
+  private def eventsPlanFor(tsType: DataType): (StructType, DataFrame => DataFrame) =
+    tsType match {
       case LongType => // TIMESTAMP(NANOS) or raw BIGINT nanos
         (eventsSchema,
           df => df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-      case tsType => // TIMESTAMP_MICROS/_MILLIS, naive (NTZ) or UTC-adjusted
+      case t => // TIMESTAMP_MICROS/_MILLIS, naive (NTZ) or UTC-adjusted
         (StructType(eventsSchema.fields.map {
-          case f if f.name == "ts" => StructField("ts", tsType)
+          case f if f.name == "ts" => StructField("ts", t)
           case f => f
         }),
           df => df.withColumn("ts", F.col("ts").cast(TimestampType)))
     }
+
+  /** Read schema + ts-normalizer for an events parquet, chosen from the
+    * footer's declared type of `ts`. Output contract either way:
+    * `ts: TimestampType` holding the original instant at µs precision
+    * (entry points pin the session to UTC, so the NTZ cast is
+    * instant-preserving). The footer sniff is one driver-side metadata
+    * read per path per JVM — not a data scan.
+    */
+  def eventsReadPlan(s: SparkSession,
+                     path: String): (StructType, DataFrame => DataFrame) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    eventsPlanFor(tsTypeCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema("ts").dataType))
   }
+
+  /** Fallback read plan for a directory with no footer to sniff yet (an
+    * empty streaming landing dir): assume the current TIMESTAMP_MICROS
+    * era, which is what every producer in this harness writes today. */
+  def eventsMicrosPlan: (StructType, DataFrame => DataFrame) =
+    eventsPlanFor(TimestampNTZType)
 
   /** Paths whose ts range has already passed the contract check (per JVM). */
   private val tsContractOk =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Data-contract guard: loaded min/max(ts) must land in years
-    * [2000, 2100]. Runs once per path per JVM — a single-column min/max
-    * that parquet answers from row-group statistics, so it stays cheap
-    * at cluster scale too.
+    * [2000, 2100]. Runs once per path per JVM — a single-column scan of
+    * the normalized ts (the agg is over a derived expression, so parquet
+    * stats can't answer it; the one-time cost buys every later load a
+    * loud failure instead of silent 1000×-off timestamps). An EMPTY
+    * table passes: the guard is about unit drift, not emptiness.
     */
   private[graft] def assertTsContract(path: String, df: DataFrame): Unit =
     if (!tsContractOk.contains(path)) {
       val r = df.agg(F.min("ts"), F.max("ts")).collect()(0)
       def year(i: Int) = r.getTimestamp(i).toInstant
         .atOffset(java.time.ZoneOffset.UTC).getYear
-      require(!r.isNullAt(0) && year(0) >= 2000 && year(1) <= 2100,
+      require(r.isNullAt(0) || (year(0) >= 2000 && year(1) <= 2100),
         s"events.ts data contract violated for $path: loaded range " +
           s"[${r.get(0)}, ${r.get(1)}] is outside years [2000, 2100] — " +
           "probable timestamp unit/epoch drift in the source parquet " +

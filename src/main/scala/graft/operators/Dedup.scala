@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{SimHash, Text, TextExpressions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -352,29 +352,44 @@ object Dedup {
     * (q61/q68 shapes) should consume the (rep, member) star instead,
     * which yields identical connected components without the clique.
     */
+  /** Shared collapse/expand scaffold for the saturation tier, batch AND
+    * incremental: with `isDelta` set, rep pairs re-score only for text
+    * groups that GAINED a delta member (`__repd` on the reps frame, for
+    * the scorer's incremental prune) and both the cross expansion and
+    * the intra-group clique keep only pairs with a delta side — each
+    * pair emits exactly once, in the batch where its later doc arrives.
+    * Without `isDelta` every row counts as delta and the filters
+    * constant-fold away, leaving the plain batch tier.
+    */
   private def collapseExpand(docs: DataFrame, textCol: String,
-                             idCol: String, score: String)
+                             idCol: String, score: String,
+                             isDelta: Option[Column] = None)
                             (repPairs: DataFrame => DataFrame): DataFrame = {
     val keyed = docs.select(md5(col(textCol)).as("__h"),
-      col(idCol).as("__id"), col(textCol).as("__text"))
+      col(idCol).as("__id"), col(textCol).as("__text"),
+      isDelta.getOrElse(lit(true)).as("__isd"))
     // min(text) not first(): values are identical within an md5 group,
     // min keeps the agg deterministic for the planner
     val groups = keyed.groupBy(col("__h"))
-      .agg(min(col("__id")).as("__rep"), min(col("__text")).as("__rtext"))
-    val members = keyed.select(col("__h"), col("__id"))
+      .agg(min(col("__id")).as("__rep"), min(col("__text")).as("__rtext"),
+        max(col("__isd")).as("__gd"))
+    val members = keyed.select(col("__h"), col("__id"), col("__isd"))
       .join(groups.select(col("__h"), col("__rep")), Seq("__h"))
-      .select(col("__rep"), col("__id"))
-    val reps = groups.select(col("__rep").as(idCol), col("__rtext").as(textCol))
+      .select(col("__rep"), col("__id"), col("__isd"))
+    val reps = groups.select(col("__rep").as(idCol),
+      col("__rtext").as(textCol), col("__gd").as("__repd"))
     val cross = repPairs(reps)
-      .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ia")),
-        Seq("doc_a"))
-      .join(members.select(col("__rep").as("doc_b"), col("__id").as("__ib")),
-        Seq("doc_b"))
+      .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ia"),
+        col("__isd").as("__da")), Seq("doc_a"))
+      .join(members.select(col("__rep").as("doc_b"), col("__id").as("__ib"),
+        col("__isd").as("__db")), Seq("doc_b"))
+      .filter(col("__da") || col("__db"))
       .select(least(col("__ia"), col("__ib")).as("doc_a"),
         greatest(col("__ia"), col("__ib")).as("doc_b"), col(score))
     val intra = members.as("x")
       .join(members.as("y"), col("x.__rep") === col("y.__rep") &&
-        col("x.__id") < col("y.__id"))
+        col("x.__id") < col("y.__id") &&
+        (col("x.__isd") || col("y.__isd")))
       .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
         lit(1.0).as(score))
     cross.unionByName(intra)
@@ -417,34 +432,10 @@ object Dedup {
   def ngramJaccardPairsSaturatedIncremental(docs: DataFrame,
       isDelta: org.apache.spark.sql.Column, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 2, maxDf: Int = 50,
-      threshold: Double = 0.2): DataFrame = {
-    val keyed = docs.select(md5(col(textCol)).as("__h"),
-      col(idCol).as("__id"), col(textCol).as("__text"), isDelta.as("__isd"))
-    val groups = keyed.groupBy(col("__h"))
-      .agg(min(col("__id")).as("__rep"), min(col("__text")).as("__rtext"),
-        max(col("__isd")).as("__gd"))
-    val members = keyed.select(col("__h"), col("__id"), col("__isd"))
-      .join(groups.select(col("__h"), col("__rep")), Seq("__h"))
-      .select(col("__rep"), col("__id"), col("__isd"))
-    val reps = groups.select(col("__rep").as(idCol),
-      col("__rtext").as(textCol), col("__gd").as("__repd"))
-    val cross = ngramJaccardPairsIncremental(reps, col("__repd"), textCol,
-        idCol, n, maxDf, threshold)
-      .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ia"),
-        col("__isd").as("__da")), Seq("doc_a"))
-      .join(members.select(col("__rep").as("doc_b"), col("__id").as("__ib"),
-        col("__isd").as("__db")), Seq("doc_b"))
-      .filter(col("__da") || col("__db"))
-      .select(least(col("__ia"), col("__ib")).as("doc_a"),
-        greatest(col("__ia"), col("__ib")).as("doc_b"), col("jaccard"))
-    val intra = members.as("x")
-      .join(members.as("y"), col("x.__rep") === col("y.__rep") &&
-        col("x.__id") < col("y.__id") &&
-        (col("x.__isd") || col("y.__isd")))
-      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(intra)
-  }
+      threshold: Double = 0.2): DataFrame =
+    collapseExpand(docs, textCol, idCol, "jaccard", Some(isDelta))(reps =>
+      ngramJaccardPairsIncremental(reps, col("__repd"), textCol, idCol,
+        n, maxDf, threshold))
 
   private def ngramJaccardImpl(docs: DataFrame, textCol: String,
                                idCol: String, n: Int, maxDf: Int,

@@ -178,8 +178,15 @@ object EditDistance {
     val b = p.select(col("__blk"), col("__key").as("key_b"),
       col("__name").as("name_b"))
     // slot i of a length-l split: len_i = l div s + (i < l % s),
-    // start_i (0-based) = i*(l div s) + least(i, l % s)
+    // start_i (0-based) = i*(l div s) + least(i, l % s).
+    // The length >= k+1 contract is enforced here rather than assumed:
+    // a shorter name would split into empty segments (unbounded join
+    // buckets) and, on the probe side, make the one-directional length
+    // sequence run DESCENDING into bogus partner lengths — out-of-
+    // contract rows now simply emit no pairs, matching the documented
+    // behavior instead of corrupting the index.
     val aSeg = a
+      .filter(length(col("name_a")) >= s)
       .withColumn("la", length(col("name_a")))
       .withColumn("__seg", explode(expr(
         s"""transform(sequence(0, ${s - 1}), i -> named_struct(
@@ -196,8 +203,8 @@ object EditDistance {
     // only shorter-or-equal partners still generates every unordered
     // pair exactly once where la < lb — halving the candidate volume the
     // two-directional ±k enumeration paid — and twice where la = lb
-    // (both directions), which the key canonicalization + the existing
-    // post-verify distinct collapse. For slot i the MULTI-MATCH-AWARE
+    // (both directions), which the key canonicalization + pre-verify
+    // candidate distinct below collapse. For slot i the MULTI-MATCH-AWARE
     // position window (PassJoin §4.2): with p the slot's source start
     // and Δ = lb − l, a match can only start in
     //   [max(p − i, p + Δ − (k − i)),  min(p + i, p + Δ + (k − i))]
@@ -211,6 +218,7 @@ object EditDistance {
     // needed; array_distinct still dedupes repeated (l, slot, sub)
     // keys before the explode multiplies them.
     val bSub = b
+      .filter(length(col("name_b")) >= s)
       .withColumn("lb", length(col("name_b")))
       .withColumn("__sub", explode(expr(
         s"""array_distinct(flatten(transform(

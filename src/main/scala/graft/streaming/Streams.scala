@@ -32,7 +32,15 @@ object Streams {
     * single-schema by contract.
     */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
-    val (schema, normalize) = Tables.eventsReadPlan(spark, path)
+    val (schema, normalize) =
+      try Tables.eventsReadPlan(spark, path)
+      catch {
+        // empty or not-yet-created landing dir: nothing to sniff at
+        // stream construction (the kappa start-then-produce pattern) —
+        // fall back to the current-era micros plan instead of failing
+        case _: org.apache.spark.sql.AnalysisException =>
+          Tables.eventsMicrosPlan
+      }
     normalize(spark.readStream.schema(schema).parquet(path))
   }
 

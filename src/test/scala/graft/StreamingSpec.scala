@@ -201,6 +201,22 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("events stream starts on an empty landing dir and picks up later files") {
+    // kappa start-then-produce: no footer exists at stream construction,
+    // so eventsStream must fall back to the micros-era plan, not throw
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty")
+    val stream = Streams.eventsStream(spark, dir.toString)
+    val q = Streams.windowedCounts(stream).writeStream
+      .outputMode("append").format("memory").queryName("empty_start").start()
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        dir.resolve("events.parquet"))
+      q.processAllAvailable()
+    } finally { q.stop() }
+    assert(spark.table("empty_start").count() > 0)
+  }
+
   test("streaming saturated dedup emits exactly the batch saturated pair set at dup-saturation") {
     // the sf3 stress shape: 20 distinct texts, each verbatim ×30 — every
     // shared gram's document frequency is ≥ 30 > the cap, so the PLAIN

@@ -32,6 +32,14 @@ class TablesSpec extends SparkTestBase {
       Seq("2024-01-01T00:00:00Z", "2024-01-01T01:00:00Z"))
   }
 
+  test("an empty events table loads as an empty frame, not a guard error") {
+    // the guard is about unit drift, not emptiness: min/max NULL passes
+    val dir = java.nio.file.Files.createTempDirectory("graft_tables").toString
+    Tables.events(spark, sf).filter(org.apache.spark.sql.functions.lit(false))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Tables.events(spark, dir).count() == 0)
+  }
+
   test("ts-range contract guard fires loudly on a wrong-unit tape") {
     // µs values stored in a raw long column: the nanos branch divides by
     // 1000 and the tape lands in 1970 — exactly the r9 drift signature,
