@@ -27,6 +27,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("p_brand"), p)
   }
 
+  test("ts range filters push through the loader's cast to the events scan") {
+    // the footer-branched micros read exposes ts as a native timestamp
+    // column, so a time-range predicate reaches parquet as a pushed
+    // filter (row-group pruning at scale) — impossible under the old
+    // raw-long read, where the filter sat above timestamp_micros(div)
+    import org.apache.spark.sql.functions._
+    val p = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(ts,"), p)
+  }
+
   test("dimension chains broadcast instead of shuffling the fact side") {
     val p = plan("q4_broadcast_join")
     assert(count(p, "BroadcastHashJoin") == 2, p)
