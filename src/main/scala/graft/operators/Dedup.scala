@@ -635,7 +635,28 @@ object Dedup {
     * span_end (inclusive), span_chars.
     */
   def duplicateSpans(docs: DataFrame, textCol: String = "text",
-                     idCol: String = "doc_id", k: Int = 32): DataFrame = {
+                     idCol: String = "doc_id", k: Int = 32): DataFrame =
+    duplicateSpansImpl(docs, textCol, idCol, k, only = None)
+
+  /** Ingest-time variant of [[duplicateSpans]]: spans are emitted for
+    * DELTA documents only, with gram sharing counted against the full
+    * base+delta corpus — "which regions of the arriving documents are
+    * already boilerplate" at arrival time. Exactly equal to
+    * [[duplicateSpans]] over the same corpus restricted to the delta
+    * ids (the restriction happens on the position rows BEFORE the span
+    * window, so base documents never pay the merge pass). Used by
+    * [[graft.streaming.Streams.spansIngestSink]] (s29), where each doc
+    * is scored once, in the micro-batch where it arrives.
+    */
+  def duplicateSpansIncremental(docs: DataFrame, isDelta: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 32): DataFrame =
+    duplicateSpansImpl(docs, textCol, idCol, k,
+      only = Some(docs.filter(isDelta).select(col(idCol).as("doc_id"))))
+
+  private def duplicateSpansImpl(docs: DataFrame, textCol: String,
+                                 idCol: String, k: Int,
+                                 only: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One explicit hash-exchange on the gram identity, consumed by BOTH
     // the distinct-doc count and the position join-back: with identical
@@ -660,8 +681,15 @@ object Dedup {
         max(col("pos")).as("__maxpos"))
       .filter(col("__nd") >= 2 && col("__maxpos") >= 1)
       .select(col("__gh"))
-    val marked = grams.join(shared, Seq("__gh"))
+    val markedAll = grams.join(shared, Seq("__gh"))
       .select(col("doc_id"), col("pos"))
+    // incremental restriction: keep only delta-doc position rows (the
+    // id set is doc-level and small relative to positions — semi-join
+    // prunes before the per-doc span window)
+    val marked = only.fold(markedAll)(ids =>
+      // no broadcast hint: the delta id set is usually tiny (AQE
+      // converts to broadcast at runtime) but is not provably bounded
+      markedAll.join(ids.distinct(), Seq("doc_id"), "left_semi"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked
       .withColumn("__brk",

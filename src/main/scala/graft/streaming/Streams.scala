@@ -387,6 +387,22 @@ object Streams {
       graft.operators.Dedup.ngramJaccardPairsSaturatedIncremental(
         all, isDelta, maxDf = maxDf, threshold = threshold))
 
+  /** s29 — ingest-time duplicated-span flagging: each arriving
+    * micro-batch of documents is scored with
+    * [[graft.operators.Dedup.duplicateSpansIncremental]] against the
+    * corpus ingested so far — "which regions of the new documents are
+    * already boilerplate" — and the spans land in batchId-keyed
+    * subdirs (same exactly-once scaffold as the dedup sinks). Each
+    * document is scored exactly once, in the batch where it arrives;
+    * StreamingSpec proves each batch's emission equals the batch
+    * operator run over the corpus visible at that point.
+    */
+  def spansIngestSink(docs: DataFrame, baseDir: String, spansDir: String,
+                      checkpointDir: String,
+                      k: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    ingestScoredSink(docs, baseDir, spansDir, checkpointDir)((all, isDelta) =>
+      graft.operators.Dedup.duplicateSpansIncremental(all, isDelta, k = k))
+
   /** Shared exactly-once ingest scaffolding: batchId-keyed overwrite
     * subdirs for base and pairs, delta re-read from its own landed
     * parquet, `score(all, isDelta)` pluggable. See [[dedupIngestSink]]

@@ -205,6 +205,21 @@ class DedupPropertySpec extends SparkTestBase {
       "intra-doc repeats are not cross-doc duplication")
   }
 
+  test("duplicateSpansIncremental equals the full run restricted to delta docs") {
+    val k = 4
+    val all = Seq(
+      (1L, "ABCDEFGH" + "ijklmnop", false),
+      (2L, "qrst" + "ABCDEFGH" + "uvwx", true),
+      (3L, "0123" + "ijklmnop" + "4567", true)).toDF("doc_id", "text", "d")
+    val inc = Dedup.duplicateSpansIncremental(all, $"d", k = k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val full = Dedup.duplicateSpans(all.drop("d"), k = k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == full.filter(r => r._1 == 2L || r._1 == 3L), inc.toString)
+    assert(inc.nonEmpty && !inc.exists(_._1 == 1L),
+      "base doc must not be re-scored")
+  }
+
   test("duplicateSpans reuses the gram exchange (explode+md5 runs once)") {
     val docs = randomDocs(7, 30).toDF("doc_id", "text")
     val df = Dedup.duplicateSpans(docs, k = 8)

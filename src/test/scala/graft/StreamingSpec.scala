@@ -201,6 +201,58 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming span flagging scores each batch against the corpus so far") {
+    // synthetic corpus with a 48-char boilerplate block shared across
+    // the generation split: per-doc-unique filler prevents accidental
+    // 16-gram collisions, even ids carry the boilerplate
+    val boiler = "TERMS-OF-SERVICE-BOILERPLATE-BLOCK-SHARED-BY-ALL"
+    def filler(id: Long, tag: String) =
+      (0 until 3).map(i => f"$tag$id%03d$i").mkString("")
+    val rows = (1L to 20L).map { id =>
+      val mid = if (id % 2 == 0) boiler else filler(id, "u")
+      (id, filler(id, "a") + mid + filler(id, "z"))
+    }
+    def asDocs(rs: Seq[(Long, String)]) = rs.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("synth").as("source"), length($"text").cast("long").as("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_spans")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    Seq(0, 1).foreach { gen =>
+      val tmp = root.resolve(s"tmp$gen").toString
+      asDocs(rows.filter { case (id, _) => (if (id <= 10) 0 else 1) == gen })
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    val stream = spark.readStream.schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Streams.spansIngestSink(stream,
+      baseDir = root.resolve("base").toString,
+      spansDir = root.resolve("spans").toString,
+      checkpointDir = root.resolve("ckpt").toString, k = 16)
+    try { q.processAllAvailable() } finally { q.stop() }
+    // per-batch differential: batch b's emission equals the batch
+    // operator over the corpus visible at b, restricted to b's docs
+    def spansOf(dir: java.nio.file.Path) = spark.read.parquet(dir.toString)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val allDocs = asDocs(rows)
+    var seen = Set.empty[Long]
+    for (b <- 0 to 1) {
+      val ids = spark.read.parquet(root.resolve(s"base/b$b").toString)
+        .select("doc_id").as[Long].collect().toSet
+      seen ++= ids
+      val visible = allDocs.filter($"doc_id".isin(seen.toSeq: _*))
+      val expected = graft.operators.Dedup.duplicateSpans(visible, k = 16)
+        .as[(Long, Long, Long, Long)].collect().toSet
+        .filter(r => ids(r._1))
+      assert(spansOf(root.resolve(s"spans/b$b")) == expected, s"batch $b")
+    }
+    // the cross-generation boilerplate is actually exercised: gen-1
+    // even docs must flag their boiler block against gen-0 docs
+    assert(spansOf(root.resolve("spans/b1")).nonEmpty)
+  }
+
   test("events stream starts on an empty landing dir and picks up later files") {
     // kappa start-then-produce: no footer exists at stream construction,
     // so eventsStream must fall back to the micros-era plan, not throw
