@@ -464,6 +464,20 @@ object Dedup {
                           incremental: Boolean): DataFrame =
     jaccardAllPairsImpl(prepared, maxDf, threshold, incremental)
 
+  /** [[ngramJaccardPairsIncremental]] over PRE-SHINGLED postings — the
+    * ingest-state entry ([[graft.streaming.Streams.dedupIngestPostingsSink]],
+    * s30): callers that persist `(id, grams)` per batch score later
+    * batches without re-tokenizing the corpus; only the arriving docs
+    * are ever shingled. Scores are identical to the text-input path —
+    * the shingle step is deterministic, so stored grams ≡ recomputed
+    * grams. */
+  def jaccardPairsFromPostings(postings: DataFrame, isDelta: Column,
+                               maxDf: Int = 50,
+                               threshold: Double = 0.2): DataFrame =
+    jaccardAllPairsImpl(
+      postings.select(col("id"), isDelta.as("is_delta"), col("grams")),
+      maxDf, threshold, incremental = true)
+
   /** High-threshold path: PPJoin-style PREFIX filtering (Chaudhuri et
     * al. primitive / Xiao et al. PPJoin). Tokens get a global canonical
     * order (ascending document frequency — rarest first); a pair with

@@ -403,6 +403,61 @@ object Streams {
     ingestScoredSink(docs, baseDir, spansDir, checkpointDir)((all, isDelta) =>
       graft.operators.Dedup.duplicateSpansIncremental(all, isDelta, k = k))
 
+  /** s30 — posting-state ingest dedup: pair-identical to
+    * [[dedupIngestSink]], but each batch persists its SHINGLED postings
+    * `(id, grams)` and later batches read the STORED postings for the
+    * base side instead of re-tokenizing the whole corpus — the
+    * corpus-sized tokenize+shingle CPU drops out of the per-batch cost,
+    * leaving a columnar posting scan (the practical ingest shape at
+    * scale; a fully incremental df/candidate state is the next step
+    * beyond). Exactly-once via the same batchId-keyed overwrite
+    * convention: postings/b<id> is the idempotent landing of batch id,
+    * and the base side is the subdirs with smaller ids.
+    */
+  def dedupIngestPostingsSink(docs: DataFrame, postingsDir: String,
+                              pairsDir: String, checkpointDir: String,
+                              maxDf: Int = Int.MaxValue,
+                              threshold: Double = 0.2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val pDir = new org.apache.hadoop.fs.Path(postingsDir)
+        val fs = pDir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+        batch.toDF()
+          .select(col("doc_id").as("id"),
+            graft.functions.TextExpressions.shingleSet(col("text"), 2)
+              .as("grams"))
+          .write.mode("overwrite").parquet(s"$postingsDir/b$batchId")
+        val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("grams",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))))
+        val delta = ss.read.schema(postingsSchema)
+          .parquet(s"$postingsDir/b$batchId")
+          .withColumn("is_delta", lit(true))
+        val priorDirs =
+          if (!fs.exists(pDir)) Seq.empty[String]
+          else fs.listStatus(pDir).toSeq.map(_.getPath)
+            .filter { p =>
+              val n = p.getName
+              n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+                n.drop(1).toLong < batchId
+            }.map(_.toString)
+        val all =
+          if (priorDirs.isEmpty) delta
+          else ss.read.schema(postingsSchema).parquet(priorDirs: _*)
+            .withColumn("is_delta", lit(false)).unionByName(delta)
+        graft.operators.Dedup
+          .jaccardPairsFromPostings(all, col("is_delta"),
+            maxDf = maxDf, threshold = threshold)
+          .write.mode("overwrite").parquet(s"$pairsDir/b$batchId")
+        ()
+      }
+      .start()
+
   /** Shared exactly-once ingest scaffolding: batchId-keyed overwrite
     * subdirs for base and pairs, delta re-read from its own landed
     * parquet, `score(all, isDelta)` pluggable. See [[dedupIngestSink]]

@@ -321,6 +321,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count(_._3 == 1.0) >= 20 * 30 * 29 / 2)
   }
 
+  test("posting-state ingest dedup emits exactly the batch pair set") {
+    // same differential as the re-tokenizing sink, but the base side is
+    // scored from STORED (id, grams) postings — stored grams must be
+    // exactly the recomputed grams, so the pair set is identical
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_post")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    Seq(0, 1).foreach { gen =>
+      val tmp = root.resolve(s"tmp$gen").toString
+      docs.filter($"doc_id" % 2 === gen).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    val stream = spark.readStream.schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Streams.dedupIngestPostingsSink(stream,
+      postingsDir = root.resolve("post").toString,
+      pairsDir = root.resolve("pairs").toString,
+      checkpointDir = root.resolve("ckpt").toString)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(root.resolve("pairs").toString)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = graft.operators.Dedup
+      .ngramJaccardPairs(docs, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == full,
+      s"extra=${streamed.diff(full).size} missing=${full.diff(streamed).size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming corpus-prep gate equals the same plan run in batch") {
     val docs = Tables.documents(spark, sf)
     val root = java.nio.file.Files.createTempDirectory("graft_prep")
