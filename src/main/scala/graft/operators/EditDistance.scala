@@ -162,7 +162,32 @@ object EditDistance {
   }
 
   def segmentPairs(df: DataFrame, keyCol: String, nameCol: String,
-                   blockCol: String, maxDist: Int = 3): DataFrame = {
+                   blockCol: String, maxDist: Int = 3): DataFrame =
+    segmentImpl(df, keyCol, nameCol, blockCol, maxDist, probeDelta = None)
+
+  /** Incremental segment join for ingest: emit exactly the pairs with
+    * lev <= maxDist that TOUCH the delta rows (`isDelta`) — delta×base
+    * and delta×delta — never re-pairing base×base. The segment index
+    * is built over the WHOLE frame but only delta rows probe it, so
+    * per-batch candidate volume is |delta|·(bounded emission), not
+    * corpus². Because the probe side is no longer the symmetric self-
+    * join, partner lengths enumerate BOTH directions (l ∈ [lb−k,
+    * lb+k]) — the one-directional halving in [[segmentPairs]] relies
+    * on every row probing, which is exactly what incremental mode
+    * gives up. Pair (base, delta) generates once (base indexed, delta
+    * probes); (delta, delta') generates from both probes and the
+    * canonical distinct collapses it. Used by the s31 ingest sink;
+    * per-batch union differential vs [[pairs]] proven in StreamingSpec.
+    */
+  def segmentPairsIncremental(df: DataFrame, isDelta: Column,
+                              keyCol: String, nameCol: String,
+                              blockCol: String, maxDist: Int = 3): DataFrame =
+    segmentImpl(df, keyCol, nameCol, blockCol, maxDist,
+      probeDelta = Some(isDelta))
+
+  private def segmentImpl(df: DataFrame, keyCol: String, nameCol: String,
+                          blockCol: String, maxDist: Int,
+                          probeDelta: Option[Column]): DataFrame = {
     val k = maxDist
     val s = k + 1
     // Both exploded sides are NARROW — (block, length, slot, substring,
@@ -172,11 +197,15 @@ object EditDistance {
     // deduplicated, so each string crosses the wire once per final
     // pair, not once per (slot, length, window) emission.
     val p = df.select(col(blockCol).as("__blk"), col(keyCol).as("__key"),
-      col(nameCol).as("__name"))
+      col(nameCol).as("__name"),
+      probeDelta.getOrElse(lit(true)).as("__probe"))
     val a = p.select(col("__blk"), col("__key").as("key_a"),
       col("__name").as("name_a"))
-    val b = p.select(col("__blk"), col("__key").as("key_b"),
-      col("__name").as("name_b"))
+    val b = p.filter(col("__probe")).select(col("__blk"),
+      col("__key").as("key_b"), col("__name").as("name_b"))
+    // symmetric self-join: one-directional lengths (see the lemma note
+    // below); incremental: only delta probes, so enumerate both ways
+    val lUpper = if (probeDelta.isDefined) s"lb + $k" else "lb"
     // slot i of a length-l split: len_i = l div s + (i < l % s),
     // start_i (0-based) = i*(l div s) + least(i, l % s).
     // The length >= k+1 contract is enforced here rather than assumed:
@@ -222,7 +251,7 @@ object EditDistance {
       .withColumn("lb", length(col("name_b")))
       .withColumn("__sub", explode(expr(
         s"""array_distinct(flatten(transform(
-           |  sequence(greatest($s, lb - $k), lb), l ->
+           |  sequence(greatest($s, lb - $k), $lUpper), l ->
            |  flatten(transform(sequence(0, ${s - 1}), i ->
            |    if(greatest(i * (l div $s) + least(i, l % $s) - i,
            |          i * (l div $s) + least(i, l % $s) + lb - l - ($k - i),

@@ -458,13 +458,35 @@ object Streams {
       }
       .start()
 
+  /** s31 — ingest-time fuzzy name matching: each arriving micro-batch
+    * of reference rows (new securities / parts) is matched against the
+    * master ingested so far with the PassJoin segment index
+    * ([[graft.operators.EditDistance.segmentPairsIncremental]]): the
+    * batch emits exactly the lev<=maxDist pairs touching its rows —
+    * the "is this new listing a typo of an existing one" gate, run at
+    * ingest instead of as a nightly corpus self-join. Same exactly-once
+    * batchId-keyed scaffold as the dedup sinks; per-batch cost is
+    * |delta|·bounded-emission probes of the stored-master index, never
+    * master². StreamingSpec proves the per-batch union equals the
+    * batch [[graft.operators.EditDistance.pairs]] over the full table.
+    */
+  def nameMatchIngestSink(parts: DataFrame, baseDir: String,
+                          pairsDir: String, checkpointDir: String,
+                          maxDist: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    ingestScoredSink(parts, baseDir, pairsDir, checkpointDir,
+      landedSchema = Tables.partSchema)((all, isDelta) =>
+      graft.operators.EditDistance.segmentPairsIncremental(
+        all, isDelta, keyCol = "p_partkey", nameCol = "p_name",
+        blockCol = "p_brand", maxDist = maxDist))
+
   /** Shared exactly-once ingest scaffolding: batchId-keyed overwrite
     * subdirs for base and pairs, delta re-read from its own landed
     * parquet, `score(all, isDelta)` pluggable. See [[dedupIngestSink]]
     * for the exactly-once argument.
     */
   private def ingestScoredSink(docs: DataFrame, baseDir: String,
-      pairsDir: String, checkpointDir: String)
+      pairsDir: String, checkpointDir: String,
+      landedSchema: org.apache.spark.sql.types.StructType = Tables.documentsSchema)
       (score: (DataFrame, org.apache.spark.sql.Column) => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -475,7 +497,7 @@ object Streams {
         // the default FS and throw for an s3a:// base on an hdfs cluster
         val fs = basePath.getFileSystem(ss.sparkContext.hadoopConfiguration)
         batch.toDF().write.mode("overwrite").parquet(s"$baseDir/b$batchId")
-        val delta = ss.read.schema(Tables.documentsSchema)
+        val delta = ss.read.schema(landedSchema)
           .parquet(s"$baseDir/b$batchId").withColumn("is_delta", lit(true))
         val priorDirs =
           if (!fs.exists(basePath)) Seq.empty[String]
@@ -487,7 +509,7 @@ object Streams {
             }.map(_.toString)
         val all =
           if (priorDirs.isEmpty) delta
-          else ss.read.schema(Tables.documentsSchema).parquet(priorDirs: _*)
+          else ss.read.schema(landedSchema).parquet(priorDirs: _*)
             .withColumn("is_delta", lit(false)).unionByName(delta)
         score(all, col("is_delta"))
           .write.mode("overwrite").parquet(s"$pairsDir/b$batchId")

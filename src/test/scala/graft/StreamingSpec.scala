@@ -988,4 +988,41 @@ class StreamingSpec extends SparkTestBase {
       Seq("user_id", "session_start", "n_events"), "left_anti")
     assert(missing.count() == 0)
   }
+
+  test("streaming name-match ingest emits exactly the batch pair set") {
+    // fuzzy-match each arriving generation of parts against the master
+    // so far: the per-batch union must equal the one-shot batch self-
+    // join (both plans recall-complete by the segment lemma)
+    val parts = Tables.part(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_nm")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    Seq(0, 1).foreach { gen =>
+      val tmp = root.resolve(s"tmp$gen").toString
+      parts.filter($"p_partkey" % 2 === gen).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    val stream = spark.readStream.schema(Tables.partSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Streams.nameMatchIngestSink(stream,
+      baseDir = root.resolve("base").toString,
+      pairsDir = root.resolve("pairs").toString,
+      checkpointDir = root.resolve("ckpt").toString, maxDist = 3)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(root.resolve("pairs").toString)
+      .as[(Long, Long, Int)].collect().toSet
+    val full = graft.operators.EditDistance.pairs(parts,
+        keyCol = "p_partkey", nameCol = "p_name", blockCol = "p_brand",
+        maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == full,
+      s"extra=${streamed.diff(full).size} missing=${full.diff(streamed).size}")
+    assert(streamed.nonEmpty)
+    // the cross-generation requirement is real: some pair must straddle
+    // the even/odd split (guards the test itself against a degenerate
+    // all-within-one-batch corpus)
+    assert(streamed.exists { case (a, b, _) => a % 2 != b % 2 })
+  }
 }
