@@ -478,6 +478,67 @@ object Dedup {
       postings.select(col("id"), isDelta.as("is_delta"), col("grams")),
       maxDf, threshold, incremental = true)
 
+  /** PROBE-BOUNDED incremental scoring over a persisted gram index —
+    * the ingest-state shape one step beyond [[jaccardPairsFromPostings]]
+    * (which still re-explodes and re-shuffles the whole stored corpus
+    * per batch). Inputs are already-exploded posting rows
+    * `(gram, id, n_grams)`:
+    *
+    *  - `delta` — postings of the arriving batch;
+    *  - `base`  — the stored index (every prior batch);
+    *  - `keptGrams` — the delta's distinct grams whose FULL-corpus
+    *    document frequency lies in [2, maxDf] (the caller owns the df
+    *    state and the cap; see the s32 sink).
+    *
+    * The kept-gram set is delta-bounded, so it broadcasts (stats-
+    * guarded like the other small-side joins): the base index is
+    * consumed by one columnar SCAN filtered through the broadcast —
+    * no corpus-sized shuffle, no corpus-sized CPU. Only rows whose
+    * gram the delta actually touches ever leave the scan, so per-batch
+    * cost is |delta postings| + |candidate postings|, the production
+    * ingest shape. Scores are identical to [[ngramJaccardPairsIncremental]]
+    * for the same visible corpus: every shared gram of a delta-touching
+    * pair is by definition one of the delta's grams, so restricting df
+    * lookup and probing to delta grams loses nothing.
+    */
+  def jaccardPairsProbed(delta: DataFrame, base: DataFrame,
+                         keptGrams: DataFrame,
+                         threshold: Double = 0.2): DataFrame = {
+    val kept =
+      if (keptGrams.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= BigInt(512L * 1024 * 1024)) broadcast(keptGrams)
+      else keptGrams
+    val deltaKept = delta.join(kept, Seq("gram"))
+    val a = deltaKept.select(col("gram"), col("id").as("doc_a"),
+      col("n_grams").as("n_a"))
+    val b = base.join(kept, Seq("gram"))
+      .select(col("gram"), col("id").as("doc_b"),
+        col("n_grams").as("n_b"), lit(false).as("d_b"))
+      .unionByName(deltaKept.select(col("gram"), col("id").as("doc_b"),
+        col("n_grams").as("n_b"), lit(true).as("d_b")))
+    a.join(b, Seq("gram"))
+      // delta×base pairs generate once (delta probes, base streams);
+      // delta×delta would generate from both orientations — keep one
+      .filter(!col("d_b") || col("doc_a") < col("doc_b"))
+      // exact length prefilter, same margin discipline as the batch plan
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")) * (threshold - 1e-3))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("__ratio", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("__ratio") >= threshold - 1e-3)
+      .select(
+        // delta×base orientation is arrival-order, not id-order —
+        // canonicalize on output (jaccard is symmetric)
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        round(col("__ratio")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
+          .cast("double").as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** High-threshold path: PPJoin-style PREFIX filtering (Chaudhuri et
     * al. primitive / Xiao et al. PPJoin). Tokens get a global canonical
     * order (ascending document frequency — rarest first); a pair with

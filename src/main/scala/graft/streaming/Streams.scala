@@ -479,6 +479,90 @@ object Streams {
         all, isDelta, keyCol = "p_partkey", nameCol = "p_name",
         blockCol = "p_brand", maxDist = maxDist))
 
+  /** s32 — gram-INDEX-state ingest dedup: the probe-bounded production
+    * shape. Where s8 re-tokenizes and s30 re-explodes + re-shuffles the
+    * whole stored corpus each batch, this sink persists the EXPLODED
+    * inverted index — `grams/b<id>` posting rows `(gram, id, n_grams)`
+    * — plus a per-batch document-frequency ledger `dfs/b<id>`
+    * `(gram, cnt)`. A batch then:
+    *
+    *  1. shingles ONLY its own docs and lands postings + df ledger;
+    *  2. resolves full-corpus dfs for exactly the delta's grams — the
+    *     ledger scan is filtered through a broadcast of the delta gram
+    *     set, and summing per-batch counts replaces any corpus-wide
+    *     re-aggregation (df maintenance is O(delta ledger scan));
+    *  3. scores with [[graft.operators.Dedup.jaccardPairsProbed]]: the
+    *     stored index is consumed by one broadcast-filtered columnar
+    *     scan, so nothing corpus-sized is shuffled, tokenized, or
+    *     aggregated — per-batch cost is the scan plus |candidates|.
+    *
+    * Exactly-once by the same batchId-keyed overwrite convention
+    * (replays overwrite their own subdirs; the base side is strictly
+    * smaller ids). Per-batch union differential vs the batch operator
+    * proven in StreamingSpec alongside the s8/s30 twins.
+    */
+  def dedupIngestGramIndexSink(docs: DataFrame, indexDir: String,
+                               pairsDir: String, checkpointDir: String,
+                               n: Int = 2, maxDf: Int = Int.MaxValue,
+                               threshold: Double = 0.2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        import org.apache.spark.sql.types._
+        val postingsSchema = StructType(Seq(
+          StructField("gram", StringType), StructField("id", LongType),
+          StructField("n_grams", IntegerType)))
+        val dfsSchema = StructType(Seq(
+          StructField("gram", StringType), StructField("cnt", LongType)))
+        def priorDirs(sub: String): Seq[String] = {
+          val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+          val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq.map(_.getPath)
+            .filter { d =>
+              val nm = d.getName
+              nm.startsWith("b") && nm.drop(1).forall(_.isDigit) &&
+                nm.drop(1).toLong < batchId
+            }.map(_.toString)
+        }
+        def readOrEmpty(dirs: Seq[String], schema: StructType) =
+          if (dirs.isEmpty)
+            ss.createDataFrame(ss.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row], schema)
+          else ss.read.schema(schema).parquet(dirs: _*)
+        // 1. land the delta's postings and df ledger (idempotent subdir)
+        batch.toDF()
+          .select(col("doc_id").as("id"),
+            graft.functions.TextExpressions.shingleSet(col("text"), n)
+              .as("grams"))
+          .select(col("id"), size(col("grams")).as("n_grams"),
+            explode(col("grams")).as("gram"))
+          .select(col("gram"), col("id"), col("n_grams"))
+          .write.mode("overwrite").parquet(s"$indexDir/grams/b$batchId")
+        val delta = ss.read.schema(postingsSchema)
+          .parquet(s"$indexDir/grams/b$batchId")
+        delta.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$indexDir/dfs/b$batchId")
+        val deltaDfs = ss.read.schema(dfsSchema)
+          .parquet(s"$indexDir/dfs/b$batchId")
+        // 2. full-corpus dfs for the delta's grams only: broadcast the
+        // delta gram set into the ledger scan, sum per-batch counts
+        val dfTotal = readOrEmpty(priorDirs("dfs"), dfsSchema)
+          .unionByName(deltaDfs)
+          .join(broadcast(deltaDfs.select(col("gram"))), Seq("gram"))
+          .groupBy(col("gram")).agg(sum(col("cnt")).as("df"))
+        val keptGrams = dfTotal
+          .filter(col("df").between(2, maxDf)).select(col("gram"))
+        // 3. probe the stored index; only candidate postings leave the scan
+        graft.operators.Dedup.jaccardPairsProbed(
+            delta, readOrEmpty(priorDirs("grams"), postingsSchema),
+            keptGrams, threshold = threshold)
+          .write.mode("overwrite").parquet(s"$pairsDir/b$batchId")
+        ()
+      }
+      .start()
+
   /** Shared exactly-once ingest scaffolding: batchId-keyed overwrite
     * subdirs for base and pairs, delta re-read from its own landed
     * parquet, `score(all, isDelta)` pluggable. See [[dedupIngestSink]]

@@ -989,6 +989,38 @@ class StreamingSpec extends SparkTestBase {
     assert(missing.count() == 0)
   }
 
+  test("gram-index-state ingest dedup emits exactly the batch pair set") {
+    // probe-bounded state sink: pairs must still match the one-shot
+    // batch run — the stored exploded index + summed df ledgers are
+    // semantically identical to re-deriving both from text
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_gidx")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    Seq(0, 1).foreach { gen =>
+      val tmp = root.resolve(s"tmp$gen").toString
+      docs.filter($"doc_id" % 2 === gen).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    val stream = spark.readStream.schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Streams.dedupIngestGramIndexSink(stream,
+      indexDir = root.resolve("idx").toString,
+      pairsDir = root.resolve("pairs").toString,
+      checkpointDir = root.resolve("ckpt").toString)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(root.resolve("pairs").toString)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = graft.operators.Dedup
+      .ngramJaccardPairs(docs, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == full,
+      s"extra=${streamed.diff(full).size} missing=${full.diff(streamed).size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming name-match ingest emits exactly the batch pair set") {
     // fuzzy-match each arriving generation of parts against the master
     // so far: the per-batch union must equal the one-shot batch self-
