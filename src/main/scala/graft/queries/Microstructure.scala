@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 microstructure batch (SURVEY §2, q155–q157, q160): the
+  * tick-tape diagnostics a trading-analytics master runs next to the
+  * BBO/trade-sign family (q151–q153) — post-trade markouts, tick-rule
+  * order-flow imbalance, realized variance, and quote conflation.
+  * The events table is the tick tape (user_id = instrument, value =
+  * price), as everywhere in the quant family.
+  *
+  * Scale shapes: every query is one keyed window pass or one as-of
+  * union pass over the tape — shuffles on user_id (or user_id+day)
+  * only, no self-joins, no driver loops. FP discipline per SURVEY §6:
+  * derived doubles round in decimal space; sign/suppression decisions
+  * compare STORED doubles (exact), never derived ones.
+  */
+object Microstructure {
+
+  private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
+    graft.functions.Num.decRound(c, scale)
+
+  /** q155_markout — multi-horizon post-trade markout: for every
+    * purchase print, the tape price at (or first after) t+h for
+    * h ∈ {60s, 300s, 900s}, averaged per horizon. The standard
+    * execution-quality measure (positive average markout on buys =
+    * adverse selection). ONE forward as-of pass: the three horizon
+    * copies of the trade side are exploded row-locally, shifted to
+    * their deadline, and the whole union sorts once per user — no
+    * per-horizon tape re-scan (3 horizons cost one exchange, not
+    * three), which at 100 TB is the difference between a single tape
+    * shuffle and h of them.
+    */
+  def q155Markout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val trades = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .withColumn("h_sec", explode(array(lit(60L), lit(300L), lit(900L))))
+      .withColumn("ts_q",
+        timestamp_micros(unix_micros($"ts") + $"h_sec" * 1000000L))
+    val tape = ev.select($"user_id", $"ts", $"value")
+    graft.operators.AsOf.join(trades, tape, key = "user_id",
+      leftTs = "ts_q", rightTs = "ts",
+      rightVals = Seq("value" -> "px_h"),
+      inner = true, toleranceSec = Some(86400L), direction = "forward")
+      .groupBy($"h_sec")
+      .agg(count(lit(1)).as("n_trades"),
+        decRound(avg($"px_h" - $"value"), 4).as("avg_markout"))
+  }
+
+  val q155Sql: String =
+    """SELECT CAST(h.h_sec AS BIGINT) AS h_sec, count(*) AS n_trades,
+      |  CAST(round(CAST(avg(p.value - t.value) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS avg_markout
+      |FROM events t
+      |CROSS JOIN (VALUES (60), (300), (900)) AS h(h_sec)
+      |JOIN LATERAL (
+      |  SELECT value FROM events p
+      |  WHERE p.user_id = t.user_id
+      |    AND epoch_us(p.ts) >= epoch_us(t.ts) + h.h_sec * 1000000
+      |    AND epoch_us(p.ts) <= epoch_us(t.ts) + h.h_sec * 1000000 + 86400000000
+      |  ORDER BY p.ts ASC, p.value DESC LIMIT 1) p ON true
+      |WHERE t.event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
+  /** q156_order_imbalance — tick-rule order-flow imbalance per
+    * (instrument, day): each print is signed by the tick test (+1 on
+    * an uptick, −1 on a downtick, zero-ticks carry the LAST nonzero
+    * sign — the no-quote half of Lee–Ready, q153's cousin), and OFI =
+    * Σ(sign·size)/Σ(size) over the signed prints. The carry-forward is
+    * the portable gaps-and-islands shape (island id = running count of
+    * nonzero ticks; each island holds exactly one nonzero sign), not an
+    * IGNORE NULLS window — identical semantics on both engines by
+    * construction. Two window passes + one agg, all keyed on user_id.
+    */
+  def q156OrderImbalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      // raw tick sign: exact comparison of STORED doubles, no rounding
+      .withColumn("raw", signum($"value" - lag($"value", 1).over(wOrd)))
+      .withColumn("grp",
+        count(when($"raw" =!= 0.0, lit(1))).over(wRun))
+      .withColumn("sign", max(when($"raw" =!= 0.0, $"raw"))
+        .over(Window.partitionBy($"user_id", $"grp")))
+      .filter($"sign".isNotNull)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_signed"),
+        decRound(sum($"sign" * $"value") / sum($"value"), 4).as("ofi"))
+  }
+
+  val q156Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    sign(value - lag(value) OVER w) AS raw
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, event_id, ts, value, raw,
+      |    count(CASE WHEN raw <> 0.0 THEN 1 END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM t),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    max(CASE WHEN raw <> 0.0 THEN raw END) OVER (
+      |      PARTITION BY user_id, grp) AS sgn
+      |  FROM g)
+      |SELECT user_id, date_trunc('day', ts) AS day,
+      |  count(*) AS n_signed,
+      |  CAST(round(CAST(sum(sgn * value) / sum(value) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS ofi
+      |FROM s WHERE sgn IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q157_realized_variance — per (instrument, day) realized variance
+    * from intraday log returns: RV = Σ ln(p_t/p_{t−1})², prev tick
+    * from the SAME day (overnight gaps excluded by partitioning the
+    * lag on (user, day)). Log returns keep each term O(1) so the
+    * group sum stays far from the 6dp rounding boundary under either
+    * engine's summation order (ln itself is bit-stable across both —
+    * the q25 precedent). Single-tick days emit rv NULL, n_rets 0 —
+    * present but unmeasurable, matching SQL aggregate semantics.
+    */
+  def q157RealizedVariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", date_trunc("day", $"ts"))
+      .orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("ret",
+        log($"value" / nullif(lag($"value", 1).over(w), lit(0.0))))
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count($"ret").as("n_rets"),
+        decRound(sum($"ret" * $"ret"), 6).as("rv"))
+  }
+
+  val q157Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    ln(value / nullif(lag(value) OVER (
+      |      PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts, event_id), 0.0)) AS ret
+      |  FROM events)
+      |SELECT user_id, day, count(ret) AS n_rets,
+      |  CAST(round(CAST(sum(ret * ret) AS DECIMAL(28,12)), 6) AS DOUBLE) AS rv
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** q160_conflate — quote-conflation audit: a print is SUPPRESSIBLE
+    * when it repeats the previous print's price within 5 seconds (the
+    * unchanged-tick storm a feed handler conflates before the tape is
+    * stored). Emits the per-instrument keep/suppress census the
+    * ingest pipeline sizes its conflation buffers from. Decision
+    * inputs are a stored-double equality and an integer µs gap — both
+    * exact, so the flag is engine-independent with no tolerance knob.
+    */
+  def q160Conflate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("dup", ($"value" === lag($"value", 1).over(w)) &&
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))
+          <= 5000000L))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_suppressed"))
+  }
+
+  val q160Sql: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    CASE WHEN value = lag(value) OVER w
+      |          AND epoch_us(ts) - epoch_us(lag(ts) OVER w) <= 5000000
+      |         THEN 1 ELSE 0 END AS dup
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(dup) AS BIGINT) AS n_suppressed
+      |FROM d GROUP BY 1""".stripMargin
+}

@@ -246,6 +246,137 @@ object TextOps {
       |FROM tk JOIN lp ON tk.token = lp.token
       |GROUP BY tk.doc_id""".stripMargin
 
+  /** q158_source_kl — corpus drift per source: KL(source ‖ corpus)
+    * over add-one-smoothed unigram distributions. The textbook
+    * formulation sums over the WHOLE vocabulary for every source — a
+    * source×vocab cross product. This plan never builds it: the sum
+    * over tokens ABSENT from a source collapses in closed form
+    * (p_s is the constant 1/(n_s+V) there), so
+    *   KL = Σ_present p_s·(ln p_s − ln p_g)
+    *      + (1/(n_s+V))·((V−V_s)·ln(1/(n_s+V)) − (S_all − S_present)),
+    * with S = Σ ln p_g. One token-keyed join (present terms) + one
+    * broadcast of three corpus scalars — linear in corpus tokens at
+    * any vocabulary size. The standard curation screen for "which
+    * source stopped looking like the rest of the corpus".
+    */
+  def q158SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = Tables.documents(spark, dir)
+      .select($"source", Text.tokens($"text").as("toks"))
+      .select($"source", explode($"toks").as("token"))
+    val g = tk.groupBy($"token").agg(count(lit(1)).as("cg"))
+    // S_all = Σ ln p_g = Σ ln cg − V·ln N; carrying Σ ln cg instead of
+    // Σ ln(cg/N) keeps the scalar pass independent of N's own agg
+    val scal = g.agg(sum($"cg").as("ng"), count(lit(1)).as("v"),
+      sum(log($"cg")).as("s_lncg_all"))
+    val sc = tk.groupBy($"source", $"token").agg(count(lit(1)).as("cs"))
+      .withColumn("ns", sum($"cs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+    val present = sc.join(g, "token").crossJoin(broadcast(scal))
+      .withColumn("ps", ($"cs" + 1).cast("double") /
+        ($"ns" + $"v").cast("double"))
+      .withColumn("lpg", log($"cg".cast("double") / $"ng".cast("double")))
+      .groupBy($"source")
+      .agg(first($"ns").as("n_tokens"), first($"v").as("v"),
+        first($"ng").as("ng"), first($"s_lncg_all").as("s_lncg_all"),
+        count(lit(1)).as("vs"),
+        sum($"ps" * (log($"ps") - $"lpg")).as("kl_present"),
+        sum(log($"cg")).as("s_lncg_present"))
+    present
+      .withColumn("q", lit(1.0) / ($"n_tokens" + $"v").cast("double"))
+      // S_abs = S_all − S_present, each Σ ln cg − (count)·ln N
+      .withColumn("s_abs", ($"s_lncg_all" - $"s_lncg_present") -
+        ($"v" - $"vs").cast("double") * log($"ng".cast("double")))
+      .select($"source", $"n_tokens",
+        decRound($"kl_present" +
+          $"q" * (($"v" - $"vs").cast("double") * log($"q") - $"s_abs"), 6)
+          .as("kl"))
+  }
+
+  val q158Sql: String =
+    """WITH tk AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |g AS (SELECT token, count(*) AS cg FROM tk GROUP BY token),
+      |scal AS (
+      |  SELECT CAST(sum(cg) AS BIGINT) AS ng, count(*) AS v,
+      |    sum(ln(cg)) AS s_lncg_all
+      |  FROM g),
+      |sc AS (
+      |  SELECT source, token, count(*) AS cs FROM tk GROUP BY 1, 2),
+      |scn AS (
+      |  SELECT source, token, cs,
+      |    CAST(sum(cs) OVER (PARTITION BY source) AS BIGINT) AS ns
+      |  FROM sc),
+      |pres AS (
+      |  SELECT s.source, any_value(s.ns) AS n_tokens, any_value(c.v) AS v,
+      |    any_value(c.ng) AS ng, any_value(c.s_lncg_all) AS s_lncg_all,
+      |    count(*) AS vs,
+      |    sum(((s.cs + 1) / CAST(s.ns + c.v AS DOUBLE)) *
+      |        (ln((s.cs + 1) / CAST(s.ns + c.v AS DOUBLE)) -
+      |         ln(g.cg / CAST(c.ng AS DOUBLE)))) AS kl_present,
+      |    sum(ln(g.cg)) AS s_lncg_present
+      |  FROM scn s JOIN g ON s.token = g.token CROSS JOIN scal c
+      |  GROUP BY s.source)
+      |SELECT source, n_tokens,
+      |  CAST(round(CAST(kl_present +
+      |    (1.0 / (n_tokens + v)) * ((v - vs) * ln(1.0 / (n_tokens + v)) -
+      |      ((s_lncg_all - s_lncg_present) - (v - vs) * ln(CAST(ng AS DOUBLE))))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS kl
+      |FROM pres""".stripMargin
+
+  /** q159_mixture_temperature — temperature-flattened sampling mixture
+    * (the Pile/Gopher τ-scaling convention): per-source token shares
+    * are raised to τ=0.7 and renormalized, up-weighting small sources
+    * without letting any source dominate; `epochs` = temp_share /
+    * raw_share is how many passes over each source one mixture epoch
+    * implies (the oversampling-risk column reviewers actually read).
+    * One scan → per-source agg → one broadcast scalar join; the
+    * mixture table is source-cardinality-sized however big the corpus.
+    */
+  def q159MixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source", size(Text.tokens($"text")).as("n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").cast("long").as("n_tokens"))
+    // two scalar passes over the tiny per-source frame: total tokens,
+    // then the τ-power normalizer (a single pass would nest aggregates)
+    val tot = {
+      val t = per.agg(sum($"n_tokens").cast("double").as("tot"))
+      per.crossJoin(broadcast(t))
+        .agg(first($"tot").as("tot"),
+          sum(pow($"n_tokens".cast("double") / $"tot", lit(0.7))).as("z"))
+    }
+    per.crossJoin(broadcast(tot))
+      .withColumn("share", $"n_tokens".cast("double") / $"tot")
+      .withColumn("temp_share", pow($"share", lit(0.7)) / $"z")
+      .select($"source", $"n_docs", $"n_tokens",
+        decRound($"share", 6).as("share"),
+        decRound($"temp_share", 6).as("temp_share"),
+        decRound($"temp_share" / $"share", 4).as("epochs"))
+  }
+
+  val q159Sql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
+      |z AS (
+      |  SELECT sum(power(n_tokens / tot, 0.7)) AS z
+      |  FROM per, tot)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(round(CAST(n_tokens / tot AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS share,
+      |  CAST(round(CAST(power(n_tokens / tot, 0.7) / z AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS temp_share,
+      |  CAST(round(CAST((power(n_tokens / tot, 0.7) / z) / (n_tokens / tot)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS epochs
+      |FROM per, tot, z""".stripMargin
+
   val q96Sql: String =
     """WITH t AS (
       |  SELECT doc_id,
