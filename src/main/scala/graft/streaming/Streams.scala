@@ -601,6 +601,98 @@ object Streams {
       }
       .start()
 
+  /** s33 — streaming quote conflation census via
+    * flatMapGroupsWithState: the incremental twin of batch q160. State
+    * is ONE (last price, last ts) per instrument; each micro-batch
+    * folds its prints in (ts, event_id) order and emits that batch's
+    * (n_events, n_suppressed) INCREMENTS — summing all emitted rows
+    * reproduces the batch census exactly (pure integer counts; the
+    * suppression decision is a stored-double equality + integer µs
+    * gap, both exact), including unchanged-tick runs that straddle a
+    * micro-batch boundary, which the carried state stitches. This is
+    * the live shape of the audit: a feed handler sizes conflation
+    * buffers from the running census, not a nightly batch. Same
+    * in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def conflateStream(spark: SparkSession, events: DataFrame,
+                     windowSec: Long = 5L): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Double, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var prev = state.getOption
+          var n = 0L
+          var sup = 0L
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            n += 1L
+            prev.foreach { case (pv, pt) =>
+              if (e.value == pv && t - pt <= windowSec * 1000000L) sup += 1L
+            }
+            prev = Some((e.value, t))
+          }
+          prev.foreach(state.update)
+          if (n == 0L) Iterator.empty else Iterator((user, n, sup))
+      }
+  }
+
+  /** s34 — streaming order-flow imbalance via flatMapGroupsWithState:
+    * the incremental twin of batch q156. State is (last price, last
+    * nonzero tick sign) per instrument — the tick test and its
+    * zero-tick carry-forward need nothing else — and each micro-batch
+    * emits per-(instrument, day) INCREMENTS of the OFI fractions
+    * (n_signed, Σ sign·size, Σ size). Emitting fractions rather than
+    * the ratio is what makes the operator streamable: increments sum;
+    * ratios don't. The consumer (and the differential test) reduces
+    * increments and forms Σnum/Σden — matching batch q156 up to FP
+    * summation order on the two sums (the ±value partial sums are
+    * order-sensitive in the last ulp; the 4dp round absorbs it).
+    * Signs straddling a batch boundary come from the carried state.
+    */
+  def ofiStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, java.sql.Timestamp, Long, Double, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double),
+        (Long, java.sql.Timestamp, Long, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Double, Double)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          // state tuple: (last price, last nonzero sign; 0.0 = none yet)
+          var lastPx = state.getOption.map(_._1)
+          var lastSign = state.getOption.map(_._2).filter(_ != 0.0)
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Double, Double)]
+          sorted.foreach { e =>
+            val raw = lastPx.map(p => math.signum(e.value - p))
+            val sign = raw match {
+              case Some(r) if r != 0.0 => lastSign = Some(r); Some(r)
+              case Some(_) => lastSign // zero-tick: carry
+              case None => None // first print ever: unsigned
+            }
+            sign.foreach { s =>
+              val day = micros(e.ts) - Math.floorMod(micros(e.ts),
+                86400L * 1000000L)
+              val (n, num, den) = acc.getOrElse(day, (0L, 0.0, 0.0))
+              acc(day) = (n + 1L, num + s * e.value, den + e.value)
+            }
+            lastPx = Some(e.value)
+          }
+          lastPx.foreach(p => state.update((p, lastSign.getOrElse(0.0))))
+          acc.iterator.map { case (day, (n, num, den)) =>
+            (user, tsFromMicros(day), n, num, den)
+          }
+      }
+  }
+
   /** s9 — streaming corpus-prep gate: ingest-time quality screen +
     * chunk split. Entirely STATELESS (no watermark, no state store),
     * so the exact batch operators compose with Structured Streaming

@@ -989,6 +989,62 @@ class StreamingSpec extends SparkTestBase {
     assert(missing.count() == 0)
   }
 
+  test("streaming conflation census increments sum to the batch q160 census") {
+    // two-file mtime-ordered split: unchanged-tick runs straddling the
+    // micro-batch boundary must come from the carried (price, ts) state
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_confl").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.conflateStream(spark, stream)
+      .toDF("user_id", "n_events", "n_suppressed")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("confl_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("confl_out")
+      .groupBy($"user_id")
+      .agg(sum($"n_events").as("n_events"),
+        sum($"n_suppressed").as("n_suppressed"))
+    val batch = SparkEntry.queries("q160_conflate")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming OFI increments reduce to the batch q156 result") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ofi").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.ofiStream(spark, stream)
+      .toDF("user_id", "day", "n_signed", "num", "den")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ofi_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ofi_out")
+      .groupBy($"user_id", $"day")
+      .agg(sum($"n_signed").as("n_signed"),
+        graft.functions.Num.decRound(sum($"num") / sum($"den"), 4).as("ofi"))
+    val batch = SparkEntry.queries("q156_order_imbalance")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("gram-index-state ingest dedup emits exactly the batch pair set") {
     // probe-bounded state sink: pairs must still match the one-shot
     // batch run — the stored exploded index + summed df ledgers are
