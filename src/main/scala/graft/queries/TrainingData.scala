@@ -677,4 +677,94 @@ object TrainingData {
       |SELECT doc_id, min(pos) AS span_start, max(pos) + 31 AS span_end,
       |  max(pos) + 31 - min(pos) + 1 AS span_chars
       |FROM s GROUP BY doc_id, span""".stripMargin
+
+  /** q161_ngram_novelty — per-document novelty in ingest order: the
+    * share of a doc's word-bigram shingles whose FIRST corpus
+    * occurrence (min doc_id) is this document. The curation curve
+    * behind "is new data still adding anything": novelty trending to
+    * zero means the crawl is re-reading itself. Same shingle identity
+    * as the whole q34 dedup family ([[graft.functions.TextExpressions.shingleSet]]).
+    * Plan: one shuffle on the gram (min-doc aggregation fused with the
+    * membership window — no gram ever expands into pairs), one on
+    * doc_id for the per-doc rollup; linear at any corpus size.
+    */
+  def q161NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.functions.TextExpressions.shingleSet($"text", 2).as("g"))
+      .select($"doc_id", size($"g").as("n_shingles"), explode($"g").as("gram"))
+    ex.withColumn("first_doc", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"gram")))
+      .groupBy($"doc_id", $"n_shingles")
+      .agg(sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+        .as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        graft.functions.Num.decRound(
+          $"n_novel".cast("double") / $"n_shingles", 4).as("novelty"))
+  }
+
+  val q161Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(g) AS n_shingles, unnest(g) AS gram FROM grams),
+      |fd AS (
+      |  SELECT doc_id, n_shingles, gram,
+      |    min(doc_id) OVER (PARTITION BY gram) AS first_doc
+      |  FROM ex)
+      |SELECT doc_id, n_shingles,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) /
+      |    CAST(n_shingles AS DOUBLE) AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS novelty
+      |FROM fd GROUP BY doc_id, n_shingles""".stripMargin
+
+  /** q162_cross_source_overlap — which sources share verbatim content
+    * with which: for every unordered source pair, the number of
+    * DISTINCT word-bigram shingles present in both (the
+    * mirror-detection matrix crawl curation starts from). The gram
+    * never expands into document pairs — each gram first collapses to
+    * its distinct source list, so candidate volume is Σ_g |sources(g)|²,
+    * bounded by source CARDINALITY (not corpus size) per gram; sources
+    * are a bounded dimension at any data scale, which is what makes
+    * this safe where a doc-level pair expansion would not be.
+    */
+  def q162CrossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gs = Tables.documents(spark, dir)
+      .select($"source",
+        graft.functions.TextExpressions.shingleSet($"text", 2).as("g"))
+      .select($"source", explode($"g").as("gram"))
+      .distinct()
+    val a = gs.select($"gram", $"source".as("src_a"))
+    val b = gs.select($"gram", $"source".as("src_b"))
+    a.join(b, Seq("gram"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val q162Sql: String =
+    """WITH toks AS (
+      |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT source,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |gs AS (SELECT DISTINCT source, gram FROM
+      |  (SELECT source, unnest(g) AS gram FROM grams))
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
 }
