@@ -458,6 +458,81 @@ object Streams {
       }
       .start()
 
+  /** The read set of one gram-index state family (`grams/` or `dfs/`)
+    * as visible to batch `batchId`: the newest covering compaction
+    * `c<j>` with j < batchId (which by the [[compactGramIndex]]
+    * contract contains every batch ≤ j) plus the delta subdirs
+    * `b<i>` with j < i < batchId. Crash-safe by SELECTION, not by
+    * deletion: once `c<j>` exists, any not-yet-deleted `b<=j` dirs are
+    * simply never read, so a compaction that crashes between its
+    * consolidated write and its cleanup can only leave dead files,
+    * never double-counted dfs.
+    */
+  private def gramIndexReadSet(ss: SparkSession, famDir: String,
+                               batchId: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(famDir)
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val entries = fs.listStatus(p).toSeq.map(_.getPath)
+      .flatMap { d =>
+        val nm = d.getName
+        if (nm.length > 1 && nm.tail.forall(_.isDigit) &&
+            (nm.head == 'b' || nm.head == 'c'))
+          Some((nm.head, nm.tail.toLong, d.toString))
+        else None
+      }
+    val cover = entries.collect { case ('c', j, path) if j < batchId => (j, path) }
+      .sortBy(_._1).lastOption
+    val floor = cover.map(_._1).getOrElse(-1L)
+    cover.map(_._2).toSeq ++
+      entries.collect { case ('b', i, path) if i > floor && i < batchId => path }
+  }
+
+  /** Compact the s32 gram-index state: consolidate every subdir the
+    * read set resolves for `upTo + 1` (the newest covering `c` plus
+    * all later `b`s ≤ upTo) into a single `c<upTo>` per family, then
+    * delete the dirs it replaced. Postings concatenate; df LEDGERS
+    * MERGE (groupBy gram, sum) — the ledger shrinks to one row per
+    * distinct gram, so a long-running ingest's df resolution cost
+    * stays bounded by vocabulary, not by batch count. The many-small-
+    * dirs problem this solves is the streaming-state twin of small-file
+    * compaction in [[graft.sources.Compact]]. Write-then-delete order
+    * plus read-set selection makes a mid-compaction crash harmless
+    * (see [[gramIndexReadSet]]). Run from a maintenance schedule, not
+    * from the hot sink path; `upTo` must be a fully-committed batch id
+    * (e.g. lastProgress.batchId while the sink is idle or stopped).
+    */
+  def compactGramIndex(spark: SparkSession, indexDir: String,
+                       upTo: Long): Unit = {
+    import org.apache.spark.sql.types._
+    val schemas = Seq(
+      "grams" -> StructType(Seq(
+        StructField("gram", StringType), StructField("id", LongType),
+        StructField("n_grams", IntegerType))),
+      "dfs" -> StructType(Seq(
+        StructField("gram", StringType), StructField("cnt", LongType))))
+    schemas.foreach { case (fam, schema) =>
+      val dirs = gramIndexReadSet(spark, s"$indexDir/$fam", upTo + 1L)
+      if (dirs.nonEmpty) {
+        val merged = spark.read.schema(schema).parquet(dirs: _*)
+        val out =
+          if (fam == "dfs")
+            merged.groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
+          else merged
+        // land under a temp name, rename into place, THEN delete the
+        // replaced dirs — readers either see the old set or the new
+        // covering dir, never a partial c<upTo>
+        val famPath = new org.apache.hadoop.fs.Path(s"$indexDir/$fam")
+        val fs = famPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(famPath, s"_tmp_c$upTo")
+        out.write.mode("overwrite").parquet(tmp.toString)
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(famPath, s"c$upTo"))
+        dirs.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
+    }
+  }
+
   /** s31 — ingest-time fuzzy name matching: each arriving micro-batch
     * of reference rows (new securities / parts) is matched against the
     * master ingested so far with the PassJoin segment index
@@ -515,17 +590,8 @@ object Streams {
           StructField("n_grams", IntegerType)))
         val dfsSchema = StructType(Seq(
           StructField("gram", StringType), StructField("cnt", LongType)))
-        def priorDirs(sub: String): Seq[String] = {
-          val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
-          val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
-          if (!fs.exists(p)) Seq.empty
-          else fs.listStatus(p).toSeq.map(_.getPath)
-            .filter { d =>
-              val nm = d.getName
-              nm.startsWith("b") && nm.drop(1).forall(_.isDigit) &&
-                nm.drop(1).toLong < batchId
-            }.map(_.toString)
-        }
+        def priorDirs(sub: String): Seq[String] =
+          gramIndexReadSet(ss, s"$indexDir/$sub", batchId)
         def readOrEmpty(dirs: Seq[String], schema: StructType) =
           if (dirs.isEmpty)
             ss.createDataFrame(ss.sparkContext

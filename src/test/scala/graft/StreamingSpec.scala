@@ -1077,6 +1077,54 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("gram-index compaction preserves scoring across a sink restart") {
+    // lifecycle: ingest two generations, stop, compact the state,
+    // ingest a third — batch 2 must score against the c-dir alone and
+    // the full pair union must still equal the one-shot batch run
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_gcompact")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    def drop(gen: Int): Unit = {
+      val tmp = root.resolve(s"tmp$gen").toString
+      docs.filter($"doc_id" % 3 === gen).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    drop(0); drop(1)
+    def startSink() = Streams.dedupIngestGramIndexSink(
+      spark.readStream.schema(Tables.documentsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString),
+      indexDir = root.resolve("idx").toString,
+      pairsDir = root.resolve("pairs").toString,
+      checkpointDir = root.resolve("ckpt").toString)
+    val q1 = startSink()
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    Streams.compactGramIndex(spark, root.resolve("idx").toString, upTo = 1L)
+    // the replaced delta dirs are gone, the covering dir is in place,
+    // and the merged df ledger is one row per distinct gram
+    assert(java.nio.file.Files.exists(root.resolve("idx/grams/c1")))
+    assert(!java.nio.file.Files.exists(root.resolve("idx/grams/b0")))
+    assert(!java.nio.file.Files.exists(root.resolve("idx/dfs/b1")))
+    val ledger = spark.read.parquet(root.resolve("idx/dfs/c1").toString)
+    assert(ledger.count() == ledger.select("gram").distinct().count())
+    drop(2)
+    val q2 = startSink()
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(root.resolve("pairs").toString)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = graft.operators.Dedup
+      .ngramJaccardPairs(docs, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == full,
+      s"extra=${streamed.diff(full).size} missing=${full.diff(streamed).size}")
+    // batch 2's pairs include cross-compaction matches (vs gens 0/1)
+    val b2 = spark.read.parquet(root.resolve("pairs/b2").toString)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(b2.exists { case (a, b, _) => a % 3 != 2 || b % 3 != 2 })
+  }
+
   test("streaming name-match ingest emits exactly the batch pair set") {
     // fuzzy-match each arriving generation of parts against the master
     // so far: the per-batch union must equal the one-shot batch self-
