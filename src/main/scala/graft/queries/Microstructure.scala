@@ -71,28 +71,35 @@ object Microstructure {
     * (instrument, day): each print is signed by the tick test (+1 on
     * an uptick, −1 on a downtick, zero-ticks carry the LAST nonzero
     * sign — the no-quote half of Lee–Ready, q153's cousin), and OFI =
-    * Σ(sign·size)/Σ(size) over the signed prints. The carry-forward is
-    * the portable gaps-and-islands shape (island id = running count of
-    * nonzero ticks; each island holds exactly one nonzero sign), not an
-    * IGNORE NULLS window — identical semantics on both engines by
-    * construction. Two window passes + one agg, all keyed on user_id.
+    * Σ(sign·size)/Σ(size) over the signed prints. Spark carries the
+    * sign with last-nonzero-over-ordered-frame (ignoreNulls) so every
+    * window AND the rollup cluster on user_id — one tape exchange; the
+    * oracle states the same carry as a gaps-and-islands CTE (island id
+    * = running count of nonzero ticks, one nonzero sign per island),
+    * which is provably the same function — DuckDB's planner cost
+    * doesn't matter on the oracle side, cross-engine semantic
+    * certainty does.
     */
   def q156OrderImbalance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both windows and the final rollup are user_id-clustered, so the
+    // whole query runs on ONE tape exchange (PlanSpec-pinned): the
+    // carry-forward is last-nonzero over the SAME ordered frame as the
+    // tick diff, and groupBy(user_id, day) reuses the window's
+    // hashpartitioning(user_id) by the subset rule
     Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"ts", $"value")
       // raw tick sign: exact comparison of STORED doubles, no rounding
       .withColumn("raw", signum($"value" - lag($"value", 1).over(wOrd)))
-      .withColumn("grp",
-        count(when($"raw" =!= 0.0, lit(1))).over(wRun))
-      .withColumn("sign", max(when($"raw" =!= 0.0, $"raw"))
-        .over(Window.partitionBy($"user_id", $"grp")))
+      .withColumn("sign",
+        last(when($"raw" =!= 0.0, $"raw"), ignoreNulls = true).over(wRun))
       .filter($"sign".isNotNull)
       .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
       .agg(count(lit(1)).as("n_signed"),
-        decRound(sum($"sign" * $"value") / sum($"value"), 4).as("ofi"))
+        decRound(sum($"sign" * $"value") / nullif(sum($"value"), lit(0.0)), 4)
+          .as("ofi"))
   }
 
   val q156Sql: String =
@@ -114,7 +121,7 @@ object Microstructure {
       |  FROM g)
       |SELECT user_id, date_trunc('day', ts) AS day,
       |  count(*) AS n_signed,
-      |  CAST(round(CAST(sum(sgn * value) / sum(value) AS DECIMAL(28,12)), 4)
+      |  CAST(round(CAST(sum(sgn * value) / nullif(sum(value), 0.0) AS DECIMAL(28,12)), 4)
       |    AS DOUBLE) AS ofi
       |FROM s WHERE sgn IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
@@ -130,13 +137,19 @@ object Microstructure {
     */
   def q157RealizedVariance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id", date_trunc("day", $"ts"))
-      .orderBy($"ts", $"event_id")
+    // day materialized once so the window partition and the rollup
+    // group on the same attributes — one tape exchange (PlanSpec)
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
     Tables.events(spark, dir)
-      .select($"user_id", $"event_id", $"ts", $"value")
-      .withColumn("ret",
-        log($"value" / nullif(lag($"value", 1).over(w), lit(0.0))))
-      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .select($"user_id", $"event_id", $"ts", $"value",
+        date_trunc("day", $"ts").as("day"))
+      // zero prices (the tape contains exact 0.0 values) must be
+      // EXCLUDED explicitly: Spark's log() nulls on non-positive input
+      // but DuckDB's ln() throws — the CASE guard pins the same
+      // "unmeasurable return" semantics on both engines
+      .withColumn("ret", when($"value" > 0.0,
+        log($"value" / nullif(lag($"value", 1).over(w), lit(0.0)))))
+      .groupBy($"user_id", $"day")
       .agg(count($"ret").as("n_rets"),
         decRound(sum($"ret" * $"ret"), 6).as("rv"))
   }
@@ -144,9 +157,10 @@ object Microstructure {
   val q157Sql: String =
     """WITH r AS (
       |  SELECT user_id, date_trunc('day', ts) AS day,
-      |    ln(value / nullif(lag(value) OVER (
-      |      PARTITION BY user_id, date_trunc('day', ts)
-      |      ORDER BY ts, event_id), 0.0)) AS ret
+      |    CASE WHEN value > 0.0 THEN
+      |      ln(value / nullif(lag(value) OVER (
+      |        PARTITION BY user_id, date_trunc('day', ts)
+      |        ORDER BY ts, event_id), 0.0)) END AS ret
       |  FROM events)
       |SELECT user_id, day, count(ret) AS n_rets,
       |  CAST(round(CAST(sum(ret * ret) AS DECIMAL(28,12)), 6) AS DOUBLE) AS rv

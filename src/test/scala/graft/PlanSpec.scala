@@ -341,4 +341,23 @@ class PlanSpec extends SparkTestBase {
       }
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("multi-horizon markout runs all horizons on one tape exchange") {
+    // the 3 horizon copies ride the SAME union+window pass as the tape:
+    // one user_id data exchange, one 3-row agg exchange, no range join
+    val p = plan("q155_markout")
+    assert(count(p, "Exchange") == 2, s"q155: expected 2 exchanges\n$p")
+    assert(count(p, "NestedLoop") == 0, p)
+  }
+
+  test("tick-sign carry + daily rollup share a single tape exchange") {
+    // q156 (diff + carry-forward + OFI) and q157 (day-keyed returns +
+    // RV) each cluster every window and the rollup on the same keys:
+    // a second tape shuffle here doubles the dominant cost at 100 TB
+    for (q <- Seq("q156_order_imbalance", "q157_realized_variance",
+        "q160_conflate")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
+    }
+  }
 }
