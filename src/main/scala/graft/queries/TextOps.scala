@@ -377,6 +377,78 @@ object TextOps {
       |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS epochs
       |FROM per, tot, z""".stripMargin
 
+  /** q163_bm25_search — ranked keyword retrieval over the corpus: BM25
+    * (Lucene's non-negative idf variant, k1=1.2, b=0.75) for a fixed
+    * 3-term query, global top-10. The search-engine face of the q95
+    * inverted index: term postings filter BEFORE any shuffle (only
+    * docs containing a query term are ever scored — at 100 TB the
+    * scored set is postings-sized, not corpus-sized), corpus scalars
+    * (N, avgdl from an exact integer token-count sum) broadcast, and
+    * the top-10 plans as TakeOrderedAndProject, never a full sort.
+    * Ranking key is the 6dp-rounded score with doc_id tie-break, so
+    * the emitted SET is deterministic across engines even where the
+    * 3-term FP sum differs in the last ulp.
+    */
+  def q163Bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("spark", "window", "join")
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").as("dl"), $"toks")
+    val scal = base.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    // the tf frame feeds BOTH the scorer and the df derivation: pin a
+    // repartition on the (tiny, term-filtered) postings so the second
+    // consumer replays the shuffle files (ReusedExchange, PlanSpec) —
+    // the corpus tokenize+explode runs once, not once per consumer
+    val tf = base
+      .select($"doc_id", $"dl", explode($"toks").as("token"))
+      .filter($"token".isin(terms: _*))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        $"doc_id", $"dl", $"token")
+      .groupBy($"doc_id", $"dl", $"token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "token")
+      .crossJoin(broadcast(scal))
+      .withColumn("idf",
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("contrib", $"idf" * $"tf" /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        decRound(sum($"contrib"), 6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val q163Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+      |scal AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d)
+      |  WHERE token IN ('spark', 'window', 'join')
+      |  GROUP BY 1, 2, 3),
+      |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |sc AS (
+      |  SELECT tf.doc_id, count(*) AS n_terms,
+      |    CAST(round(CAST(sum(
+      |      ln((c.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * tf.tf /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / c.avgdl)))
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS bm25
+      |  FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN scal c
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, n_terms, bm25 FROM sc
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   val q96Sql: String =
     """WITH t AS (
       |  SELECT doc_id,

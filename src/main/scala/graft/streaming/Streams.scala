@@ -759,6 +759,78 @@ object Streams {
       }
   }
 
+  case class MarkoutEvent(user_id: Long, ts: java.sql.Timestamp,
+                          value: Double, event_id: Long, event_type: String)
+
+  /** s35 — streaming multi-horizon markout via flatMapGroupsWithState:
+    * the live twin of batch q155 — execution quality measured AS the
+    * tape arrives instead of in a nightly as-of join. State per
+    * instrument is the PENDING-TRADE book: each purchase print posts
+    * one (deadline, horizon, trade px) entry per horizon; every
+    * arriving tick first SETTLES all pendings whose deadline it has
+    * reached (the first at-or-after tick is, by in-order folding,
+    * exactly the forward as-of match; ties at the same µs resolve to
+    * the max price, mirroring AsOf's struct tie key), then posts its
+    * own pendings if it is a trade. Entries unreached within the
+    * tolerance settle as expired (no emission) — identical to the
+    * batch inner as-of. State is bounded by trades-in-flight per
+    * horizon window, not by tape length. Emits per-batch per-horizon
+    * fraction INCREMENTS (n, Σ markout); reduced increments equal
+    * batch q155 up to FP summation order (absorbed by the 4dp round).
+    * Deadlines straddling micro-batch boundaries settle on the first
+    * tick of a later batch via the carried book. Same in-order-per-key
+    * delivery caveat as [[ewmaState]].
+    */
+  def markoutStream(spark: SparkSession, events: DataFrame,
+                    horizonsSec: Seq[Long] = Seq(60L, 300L, 900L),
+                    toleranceSec: Long = 86400L)
+      : Dataset[(Long, Long, Long, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        col("event_type"))
+      .as[MarkoutEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Long, Double)],
+        (Long, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[MarkoutEvent],
+         state: GroupState[Seq[(Long, Long, Double)]]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).toArray
+          var pending = state.getOption.getOrElse(Seq.empty).toList
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Double)]
+          var i = 0
+          while (i < sorted.length) {
+            val t = micros(sorted(i).ts)
+            // the whole same-µs tick group settles together: the
+            // matching price for any deadline <= t is the group max
+            var j = i
+            var px = Double.NegativeInfinity
+            while (j < sorted.length && micros(sorted(j).ts) == t) {
+              if (sorted(j).value > px) px = sorted(j).value
+              j += 1
+            }
+            val (due, rest) = pending.partition(_._1 <= t)
+            pending = rest
+            due.foreach { case (dl, h, px0) =>
+              if (t - dl <= toleranceSec * 1000000L) {
+                val (n, s) = acc.getOrElse(h, (0L, 0.0))
+                acc(h) = (n + 1L, s + (px - px0))
+              } // else: expired unfilled — batch inner as-of drops it too
+            }
+            (i until j).foreach { k =>
+              val e = sorted(k)
+              if (e.event_type == "purchase")
+                horizonsSec.foreach(h =>
+                  pending ::= ((t + h * 1000000L, h, e.value)))
+            }
+            i = j
+          }
+          state.update(pending)
+          acc.iterator.map { case (h, (n, s)) => (user, h, n, s) }
+      }
+  }
+
   /** s9 — streaming corpus-prep gate: ingest-time quality screen +
     * chunk split. Entirely STATELESS (no watermark, no state store),
     * so the exact batch operators compose with Structured Streaming

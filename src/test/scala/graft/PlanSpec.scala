@@ -342,6 +342,16 @@ class PlanSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("BM25 top-10 plans as TakeOrderedAndProject with scan-side term filter") {
+    val df = SparkEntry.queries("q163_bm25_search")(spark, sf)
+    df.collect() // AQE finalizes stage reuse only on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // tf feeds both the scorer and the df derivation off ONE pinned
+    // exchange — the corpus tokenize+explode must not run per consumer
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+  }
+
   test("multi-horizon markout runs all horizons on one tape exchange") {
     // the 3 horizon copies ride the SAME union+window pass as the tape:
     // one user_id data exchange, one 3-row agg exchange, no range join

