@@ -187,6 +187,58 @@ object Microstructure {
         sum(when($"dup", 1L).otherwise(0L)).as("n_suppressed"))
   }
 
+  /** q164_benford — first-significant-digit forensics per event type:
+    * observed digit shares against the Benford expectation
+    * log10(1+1/d), the standard fabricated-data screen a data-quality
+    * pipeline runs over new numeric feeds. Digit extraction goes
+    * through DECIMAL(18,6) → string → first [1-9] — decimal casts
+    * round half-up identically on both engines (the Num.decRound
+    * contract), where a log10-of-double formulation would sit exactly
+    * on representation boundaries. One scan, one (type, digit) agg;
+    * the deviation column is row-local arithmetic on the agg output.
+    */
+  def q164Benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wT = Window.partitionBy($"event_type")
+    Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"event_type",
+        regexp_extract(
+          $"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            .cast("string"), "[1-9]", 0).as("digit"))
+      .filter($"digit" =!= "")
+      .groupBy($"event_type", $"digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        $"n".cast("double") / sum($"n").over(wT).cast("double"))
+      .select($"event_type", $"digit", $"n",
+        decRound($"share", 6).as("share"),
+        decRound(log(10.0, lit(1.0) + lit(1.0) / $"digit".cast("double")), 6).as("benford"),
+        decRound(abs($"share" - log(10.0, lit(1.0) + lit(1.0) / $"digit".cast("double"))), 6).as("abs_dev"))
+  }
+
+  val q164Sql: String =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    regexp_extract(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR),
+      |      '[1-9]', 0) AS digit
+      |  FROM events WHERE value > 0.0),
+      |c AS (
+      |  SELECT event_type, digit, count(*) AS n
+      |  FROM d WHERE digit <> '' GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, digit, n,
+      |    CAST(n AS DOUBLE) /
+      |      CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share,
+      |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford
+      |  FROM c)
+      |SELECT event_type, digit, n,
+      |  CAST(round(CAST(share AS DECIMAL(28,12)), 6) AS DOUBLE) AS share,
+      |  CAST(round(CAST(benford AS DECIMAL(28,12)), 6) AS DOUBLE) AS benford,
+      |  CAST(round(CAST(abs(share - benford) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS abs_dev
+      |FROM s""".stripMargin
+
   val q160Sql: String =
     """WITH d AS (
       |  SELECT user_id,
