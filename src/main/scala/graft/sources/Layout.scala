@@ -36,6 +36,53 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Z-ORDER layout: interleave-bit clustering across SEVERAL keys so
+    * row-group pruning works on every one of them at once — the
+    * multi-dimensional complement to [[clusteredWrite]], which makes
+    * one key perfectly skippable and leaves the others spanning the
+    * full domain in every file. Each key is linearly bucketed into
+    * 2^bits cells between its observed min/max (one column-pruned agg;
+    * the Morton-curve standard for numeric keys), the per-key bucket
+    * bits interleave into one z-value — a single codegen'd
+    * shiftleft/OR expression, no UDF — and the frame range-partitions
+    * + sorts on that z expression (never materialized into the
+    * output). Locality math: with n files over k keys, each file
+    * covers ~n^(−1/k) of every key's domain instead of 1/n of one key
+    * and 100% of the rest — the layout behind "WHERE order BETWEEN …
+    * AND part BETWEEN …" reading a handful of row groups at 100 TB.
+    * LayoutSpec audits the claim from the written footers against a
+    * single-key layout, not from this comment.
+    */
+  def zorderWrite(df: DataFrame, outDir: String, numFiles: Int,
+                  bits: Int, keys: String*): Unit = {
+    require(keys.size >= 2, "zorderWrite needs at least two cluster keys")
+    require(bits * keys.size <= 62, "z-value must fit a long")
+    import org.apache.spark.sql.functions._
+    val k = keys.size
+    val cells = 1L << bits
+    // one scan for the per-key domains (column-pruned, map-side agg)
+    val aggs = keys.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val z = keys.zipWithIndex.map { case (c, ci) =>
+      val mn = row.getAs[Double](s"mn_$c")
+      val mx = row.getAs[Double](s"mx_$c")
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      val bucket = least(
+        floor((col(c).cast("double") - lit(mn)) / lit(span) * lit(cells))
+          .cast("long"),
+        lit(cells - 1L))
+      (0 until bits).map(i =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * k + ci)
+          : org.apache.spark.sql.Column)
+        .reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** One row group's footer statistics for a long-typed column. */
   final case class RowGroupRange(file: String, rows: Long,
                                  min: Long, max: Long)
