@@ -224,6 +224,59 @@ object Streams {
       }
       .start()
 
+  /** The s36 maintained aggregate over any events frame: per
+    * (user_id, event_type) — row count, value total on the
+    * DECIMAL(28,6) lattice, first/last event time. Shared by the sink
+    * (per-batch partials + merges) and the differential test (one-shot
+    * batch run), so streamed and batch results are the same FUNCTION
+    * by construction; the decimal lattice is what makes the merge
+    * EXACT — decimal addition is associative, so any batch split
+    * produces bit-identical totals, where double sums would drift with
+    * merge order.
+    */
+  def aggMv(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+          .as("sum_value"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+
+  /** s36 — incremental MATERIALIZED-VIEW maintenance: the running
+    * (user, event_type) aggregate published as a versioned snapshot
+    * after every micro-batch — the always-fresh rollup a dashboard
+    * reads without ever scanning the fact stream. Each batch computes
+    * its own partial ([[aggMv]] over the batch alone — state the size
+    * of the GROUP space, not the tape) and folds it into the current
+    * snapshot with the same count/sum/min/max merge; publication is
+    * [[publishVersion]]'s atomic pointer swap, idempotent under
+    * foreachBatch replay. The decimal value lattice makes the folded
+    * totals EXACTLY equal the one-shot batch aggregate — the
+    * differential test asserts set equality, no tolerance.
+    */
+  def aggMvSink(events: DataFrame, tableDir: String, checkpointDir: String,
+                keepVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val part = aggMv(batch.toDF())
+        publishVersion(ss, tableDir, batchId,
+          currentSnapshot(ss, tableDir) match {
+            case None => part
+            case Some(cur) => cur.unionByName(part)
+              .groupBy(col("user_id"), col("event_type"))
+              .agg(sum(col("n")).cast("long").as("n"),
+                sum(col("sum_value"))
+                  .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+                  .as("sum_value"),
+                min(col("min_ts")).as("min_ts"),
+                max(col("max_ts")).as("max_ts"))
+          }, keepVersions)
+        ()
+      }
+      .start()
+
   /** s16 — streaming SCD2 dimension maintenance via foreachBatch: each
     * micro-batch of reference records is applied to the persisted
     * interval table with [[graft.operators.Scd2.applyDelta]] — only the

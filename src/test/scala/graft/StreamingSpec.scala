@@ -989,6 +989,19 @@ class StreamingSpec extends SparkTestBase {
     assert(missing.count() == 0)
   }
 
+  test("aggregate MV snapshot equals the one-shot batch aggregate exactly") {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ck").toString
+    val stream = Streams.eventsStream(spark, streamDir)
+    val q = Streams.aggMvSink(stream, tableDir, ckpt)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val snapshot = Streams.currentSnapshot(spark, tableDir).get
+    val batch = Streams.aggMv(Tables.events(spark, sf))
+    // decimal lattice ⇒ merge-order-independent totals: exact equality
+    assert(snapshot.count() > 0)
+    assert(snapshot.exceptAll(batch).isEmpty && batch.exceptAll(snapshot).isEmpty)
+  }
+
   test("streaming conflation census increments sum to the batch q160 census") {
     // two-file mtime-ordered split: unchanged-tick runs straddling the
     // micro-batch boundary must come from the carried (price, ts) state
