@@ -116,9 +116,29 @@ object Bench {
           dimBroadcast = Some(false))
           .write.format("noop").mode("overwrite").save()
       }
+      // top-3 lineitems by price per partkey, same task both plans:
+      // the k-bounded aggregator vs the full-sort window — the pair
+      // that prices TopKAgg's map-side-combine claim every round
+      val liTop = li.select(col("l_partkey"), col("l_extendedprice"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"))
+      val topkAgg = time {
+        liTop.groupBy(col("l_partkey"))
+          .agg(graft.functions.TopK.topK(col("l_extendedprice"),
+            col("lid"), 3).as("top"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val topkWin = time {
+        liTop.withColumn("rnk", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_partkey"))
+              .orderBy(col("l_extendedprice").desc, col("lid"))))
+          .filter(col("rnk") <= 3)
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
         "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm,
-        "x_fx_window" -> fx)
+        "x_fx_window" -> fx, "x_topk_agg" -> topkAgg,
+        "x_topk_window" -> topkWin)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     val ok = results.filter(_._3.isEmpty)

@@ -5,12 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-10 microstructure batch (SURVEY §2, q155–q157, q160): the
-  * tick-tape diagnostics a trading-analytics master runs next to the
-  * BBO/trade-sign family (q151–q153) — post-trade markouts, tick-rule
-  * order-flow imbalance, realized variance, and quote conflation.
-  * The events table is the tick tape (user_id = instrument, value =
-  * price), as everywhere in the quant family.
+/** Round-10 microstructure batch (SURVEY §2, q155–q157, q160,
+  * q164–q166): the tick-tape diagnostics a trading-analytics master
+  * runs next to the BBO/trade-sign family (q151–q153) — post-trade
+  * markouts, tick-rule order-flow imbalance, realized variance, quote
+  * conflation, Benford forensics, Amihud illiquidity, and staleness
+  * SLA audit. The events table is the tick tape (user_id =
+  * instrument, value = price), as everywhere in the quant family.
   *
   * Scale shapes: every query is one keyed window pass or one as-of
   * union pass over the tape — shuffles on user_id (or user_id+day)
@@ -186,6 +187,139 @@ object Microstructure {
       .agg(count(lit(1)).as("n_events"),
         sum(when($"dup", 1L).otherwise(0L)).as("n_suppressed"))
   }
+
+  /** q165_amihud — Amihud (2002) illiquidity per (instrument, day):
+    * avg(|return| / size) over same-day consecutive prints, scaled
+    * ×10⁶ — price impact per unit of flow, THE standard low-frequency
+    * liquidity proxy. Returns reuse the q157 lag discipline (same-day
+    * partition, zero prices excluded on both engines); terms guard
+    * both divisors. One tape exchange, same plan family as q157.
+    */
+  def q165Amihud(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value",
+        date_trunc("day", $"ts").as("day"))
+      .withColumn("prev", lag($"value", 1).over(w))
+      .withColumn("illiq", when($"value" > 0.0 && $"prev" > 0.0,
+        abs(($"value" - $"prev") / $"prev") / $"value" * lit(1000000.0)))
+      .groupBy($"user_id", $"day")
+      .agg(count($"illiq").as("n_terms"),
+        decRound(avg($"illiq"), 4).as("amihud"))
+  }
+
+  val q165Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, value,
+      |    lag(value) OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, day,
+      |    CASE WHEN value > 0.0 AND prev > 0.0 THEN
+      |      abs((value - prev) / prev) / value * 1000000.0 END AS illiq
+      |  FROM r)
+      |SELECT user_id, day, count(illiq) AS n_terms,
+      |  CAST(round(CAST(avg(illiq) AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS amihud
+      |FROM t GROUP BY 1, 2""".stripMargin
+
+  /** q166_staleness — market-data SLA audit per (instrument, day):
+    * the share of the day's traded span spent with the latest print
+    * older than 300s, plus the worst gap. Pure integer µs arithmetic
+    * until the final ratio (exact on both engines); the excess-over-
+    * threshold sum is the time-weighted staleness a feed SLA is
+    * written against, not a gap count. Single-print days carry a NULL
+    * share (no span), mirroring q157's unmeasurable convention.
+    */
+  def q166Staleness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts",
+        date_trunc("day", $"ts").as("day"))
+      .withColumn("gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .groupBy($"user_id", $"day")
+      .agg(
+        sum(greatest($"gap_us" - 300000000L, lit(0L))).as("stale_us"),
+        max($"gap_us").as("max_gap_us"),
+        (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("span_us"))
+      .select($"user_id", $"day",
+        coalesce($"stale_us", lit(0L)).as("stale_us"),
+        $"max_gap_us",
+        decRound($"stale_us".cast("double") /
+          nullif($"span_us", lit(0L)).cast("double"), 6).as("stale_share"))
+  }
+
+  val q166Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, ts,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+      |      PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts, event_id)) AS gap_us
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, day,
+      |    CAST(sum(greatest(gap_us - 300000000, 0)) AS BIGINT) AS stale_us,
+      |    CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+      |    max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+      |  FROM g GROUP BY 1, 2)
+      |SELECT user_id, day, coalesce(stale_us, 0) AS stale_us, max_gap_us,
+      |  CAST(round(CAST(CAST(stale_us AS DOUBLE) /
+      |    CAST(nullif(span_us, 0) AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS stale_share
+      |FROM a""".stripMargin
+
+  /** q167_roll_spread — Roll (1984) implied effective spread per
+    * (instrument, day): 2·√(−cov(Δp_t, Δp_{t−1})) over same-day
+    * consecutive price changes, defined only where the serial
+    * covariance is negative (the bid-ask bounce signature). The
+    * covariance is guarded by an explicit CASE on BOTH engines —
+    * Spark's sqrt yields NaN on a positive-cov day where DuckDB
+    * throws, the q157 error-semantics lesson applied to sqrt. Two
+    * same-key window passes + covar_pop, all on the one tape exchange.
+    */
+  def q167RollSpread(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value",
+        date_trunc("day", $"ts").as("day"))
+      .withColumn("dp", $"value" - lag($"value", 1).over(w))
+      .withColumn("dp_prev", lag($"dp", 1).over(w))
+      .groupBy($"user_id", $"day")
+      .agg(
+        count(when($"dp".isNotNull && $"dp_prev".isNotNull, 1)).as("n_pairs"),
+        covar_pop($"dp", $"dp_prev").as("cov"))
+      .select($"user_id", $"day", $"n_pairs",
+        decRound(when($"cov" < 0.0, lit(2.0) * sqrt(-$"cov")), 6)
+          .as("roll_spread"))
+  }
+
+  val q167Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, ts, event_id,
+      |    value - lag(value) OVER w AS dp
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+      |               ORDER BY ts, event_id)),
+      |p AS (
+      |  SELECT user_id, day, dp,
+      |    lag(dp) OVER (PARTITION BY user_id, day
+      |                  ORDER BY ts, event_id) AS dp_prev
+      |  FROM d),
+      |a AS (
+      |  SELECT user_id, day,
+      |    count(CASE WHEN dp IS NOT NULL AND dp_prev IS NOT NULL THEN 1 END)
+      |      AS n_pairs,
+      |    covar_pop(dp, dp_prev) AS cov
+      |  FROM p GROUP BY 1, 2)
+      |SELECT user_id, day, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(round(CAST(CASE WHEN cov < 0.0 THEN 2.0 * sqrt(-cov) END
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS roll_spread
+      |FROM a""".stripMargin
 
   /** q164_benford — first-significant-digit forensics per event type:
     * observed digit shares against the Benford expectation

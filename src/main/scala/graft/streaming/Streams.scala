@@ -277,6 +277,54 @@ object Streams {
       }
       .start()
 
+  /** The s37 maintained order statistic: top-5 largest prints per
+    * event type as (event_type, value, event_id, rnk) rows — shared by
+    * sink and differential test like [[aggMv]]. Built on
+    * [[graft.functions.TopK]]: selection is arithmetic-free, so any
+    * batch split merges to EXACTLY the one-shot result (the (value
+    * desc, event_id asc) contract breaks ties deterministically).
+    */
+  def topKMv(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.TopK.topK(col("value"), col("event_id"), 5)
+        .as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), col("col._1").as("value"),
+        col("col._2").as("event_id"), (col("pos") + 1).as("rnk"))
+
+  /** s37 — maintained TOP-K materialized view: the running "largest
+    * prints per event type" leaderboard, published per micro-batch via
+    * the same versioned-snapshot machinery as [[aggMvSink]]. Each
+    * batch computes its own bounded top-k partial ([[topKMv]] — state
+    * is k rows per group however large the batch), unions it with the
+    * current k-row snapshot, and re-selects top-k — a merge of two
+    * bounded lists, never a re-scan of history. The order-statistic
+    * complement to the sum/count MV: together they cover the two MV
+    * families (associative arithmetic, bounded selection) that admit
+    * exact incremental maintenance without a fact-table replay.
+    */
+  def topKMvSink(events: DataFrame, tableDir: String, checkpointDir: String,
+                 keepVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val part = topKMv(batch.toDF())
+        publishVersion(ss, tableDir, batchId,
+          currentSnapshot(ss, tableDir) match {
+            case None => part
+            case Some(cur) => cur.unionByName(part)
+              .groupBy(col("event_type"))
+              .agg(graft.functions.TopK.topK(col("value"), col("event_id"), 5)
+                .as("top"))
+              .select(col("event_type"), posexplode(col("top")))
+              .select(col("event_type"), col("col._1").as("value"),
+                col("col._2").as("event_id"), (col("pos") + 1).as("rnk"))
+          }, keepVersions)
+        ()
+      }
+      .start()
+
   /** s16 — streaming SCD2 dimension maintenance via foreachBatch: each
     * micro-batch of reference records is applied to the persisted
     * interval table with [[graft.operators.Scd2.applyDelta]] — only the

@@ -211,4 +211,36 @@ class OperatorsSpec extends SparkTestBase {
       assert((nSampled == 0) == (tok == 0L))
     }
   }
+
+  test("TopKAgg equals the row_number window plan on the q78 task") {
+    import org.apache.spark.sql.functions._
+    val cnt = Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("n_lines"))
+    val joined = cnt.join(
+      broadcast(Tables.part(spark, sf).select($"p_partkey", $"p_brand")),
+      $"l_partkey" === $"p_partkey")
+    val agg = joined.groupBy($"p_brand")
+      .agg(graft.functions.TopK.topK($"n_lines", $"p_partkey", 3).as("top"))
+      .select($"p_brand", posexplode($"top"))
+      .select($"p_brand", ($"pos" + 1).as("rnk"),
+        $"col._2".as("p_partkey"), $"col._1".cast("long").as("n_lines"))
+      .select($"p_brand", $"p_partkey", $"n_lines", $"rnk".cast("int"))
+    val window = SparkEntry.queries("q78_topn_per_group")(spark, sf)
+    assert(agg.count() > 0)
+    assert(agg.exceptAll(window).isEmpty && window.exceptAll(agg).isEmpty)
+  }
+
+  test("TopKAgg merge respects the (metric desc, id asc) contract under any split") {
+    // property: fold order and partition splits never change the result
+    val agg = new graft.functions.TopKAgg(3)
+    val rows = Seq((5.0, 7L), (5.0, 2L), (9.0, 9L), (1.0, 1L), (5.0, 3L),
+      (9.0, 4L), (0.5, 0L))
+    val expected = Seq((9.0, 4L), (9.0, 9L), (5.0, 2L))
+    for (cut <- 0 to rows.size) {
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected, s"split at $cut")
+    }
+  }
 }

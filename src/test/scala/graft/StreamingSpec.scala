@@ -1002,6 +1002,19 @@ class StreamingSpec extends SparkTestBase {
     assert(snapshot.exceptAll(batch).isEmpty && batch.exceptAll(snapshot).isEmpty)
   }
 
+  test("top-k MV snapshot equals the one-shot batch leaderboard exactly") {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_tkmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tkmv_ck").toString
+    val stream = Streams.eventsStream(spark, streamDir)
+    val q = Streams.topKMvSink(stream, tableDir, ckpt)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val snapshot = Streams.currentSnapshot(spark, tableDir).get
+    val batch = Streams.topKMv(Tables.events(spark, sf))
+    // bounded selection is arithmetic-free: exact equality, ranks included
+    assert(snapshot.count() > 0)
+    assert(snapshot.exceptAll(batch).isEmpty && batch.exceptAll(snapshot).isEmpty)
+  }
+
   test("streaming conflation census increments sum to the batch q160 census") {
     // two-file mtime-ordered split: unchanged-tick runs straddling the
     // micro-batch boundary must come from the carried (price, ts) state
