@@ -91,6 +91,13 @@ object GraftExtensions {
     // injectFunction path above doesn't apply)
     spark.udf.register("graft_bitmap_distinct",
       graft.functions.BitmapDistinct.udf)
+    // top-3/top-5 are the SQL-surface spots; other k via the Scala DSL
+    spark.udf.register("graft_top3",
+      org.apache.spark.sql.functions.udaf(new graft.functions.TopKAgg(3),
+        org.apache.spark.sql.Encoders.product[(Double, Long)]))
+    spark.udf.register("graft_top5",
+      org.apache.spark.sql.functions.udaf(new graft.functions.TopKAgg(5),
+        org.apache.spark.sql.Encoders.product[(Double, Long)]))
     ()
   }
 }

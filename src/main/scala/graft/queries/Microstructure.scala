@@ -321,6 +321,54 @@ object Microstructure {
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS roll_spread
       |FROM a""".stripMargin
 
+  /** q168_variance_ratio — Lo–MacKinlay VR(5) per instrument:
+    * Var(5-period aggregated log return) / (5·Var(1-period)) over the
+    * full tape — ≈1 under a random walk, <1 under mean reversion
+    * (microstructure noise), >1 under momentum. The 5-period sums come
+    * from a bounded ROWS frame gated on a full count (partial windows
+    * at the head emit nothing, identically on both engines); both
+    * variances are population moments per user; zero-variance tapes
+    * emit NULL rather than an ANSI division error.
+    */
+  def q168VarianceRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w5 = w.rowsBetween(-4, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("r", when($"value" > 0.0,
+        log($"value" / nullif(lag($"value", 1).over(w), lit(0.0)))))
+      .withColumn("r5",
+        when(count($"r").over(w5) === 5, sum($"r").over(w5)))
+      .groupBy($"user_id")
+      .agg(count($"r").as("n_rets"),
+        var_pop($"r").as("v1"), var_pop($"r5").as("v5"))
+      .select($"user_id", $"n_rets",
+        decRound($"v5" / nullif(lit(5.0) * $"v1", lit(0.0)), 6).as("vr5"))
+  }
+
+  val q168Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN value > 0.0 THEN
+      |      ln(value / nullif(lag(value) OVER w, 0.0)) END AS r
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r5 AS (
+      |  SELECT user_id, r,
+      |    CASE WHEN count(r) OVER w5 = 5 THEN sum(r) OVER w5 END AS r5
+      |  FROM r
+      |  WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      |a AS (
+      |  SELECT user_id, count(r) AS n_rets,
+      |    var_pop(r) AS v1, var_pop(r5) AS v5
+      |  FROM r5 GROUP BY user_id)
+      |SELECT user_id, CAST(n_rets AS BIGINT) AS n_rets,
+      |  CAST(round(CAST(v5 / nullif(5.0 * v1, 0.0) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS vr5
+      |FROM a""".stripMargin
+
   /** q164_benford — first-significant-digit forensics per event type:
     * observed digit shares against the Benford expectation
     * log10(1+1/d), the standard fabricated-data screen a data-quality

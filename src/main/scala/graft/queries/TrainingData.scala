@@ -727,6 +727,37 @@ object TrainingData {
       |    AS novelty
       |FROM fd GROUP BY doc_id, n_shingles""".stripMargin
 
+  /** q169_embedding_dim_stats — per-DIMENSION embedding health: mean,
+    * population std, and a dead-dimension flag (σ < 1e−6) across the
+    * whole collection — the drift/collapse audit run before any ANN
+    * index build (a dead or runaway dimension silently dominates every
+    * distance). Row-local posexplode then a dim-keyed agg: one shuffle
+    * of (dim, value) pairs, output is embedding-width rows at any
+    * collection size. Floats widen to double exactly on both engines.
+    */
+  def q169EmbeddingDimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(posexplode($"embedding"))
+      .select($"pos".cast("long").as("dim"), $"col".cast("double").as("x"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Num.decRound(avg($"x"), 6).as("mean"),
+        graft.functions.Num.decRound(stddev_pop($"x"), 6).as("sd"),
+        (stddev_pop($"x") < 1e-6).as("dead"))
+  }
+
+  val q169Sql: String =
+    """WITH e AS (
+      |  SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings)
+      |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+      |  CAST(round(CAST(avg(x) AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean,
+      |  CAST(round(CAST(stddev_pop(x) AS DECIMAL(28,12)), 6) AS DOUBLE) AS sd,
+      |  stddev_pop(x) < 0.000001 AS dead
+      |FROM e GROUP BY 1""".stripMargin
+
   /** q162_cross_source_overlap — which sources share verbatim content
     * with which: for every unordered source pair, the number of
     * DISTINCT word-bigram shingles present in both (the

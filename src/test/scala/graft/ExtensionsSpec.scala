@@ -93,6 +93,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(withNulls == 2L)
   }
 
+  test("graft_top3 from pure SQL equals the window top-3") {
+    GraftExtensions.install(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("ev_topk")
+    val viaSql = spark.sql(
+      """SELECT event_type, t.col._2 AS event_id FROM (
+        |  SELECT event_type, graft_top3(value, event_id) AS top
+        |  FROM ev_topk GROUP BY event_type) LATERAL VIEW explode(top) t"""
+        .stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaWindow = Tables.events(spark, sf)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaSql == viaWindow && viaSql.nonEmpty)
+  }
+
   test("non-literal static parameter fails with a clear message") {
     GraftExtensions.install(spark)
     val e = intercept[Exception] {
