@@ -135,10 +135,24 @@ object Bench {
           .filter(col("rnk") <= 3)
           .write.format("noop").mode("overwrite").save()
       }
+      // q21's exact task through the custom merge exec vs its
+      // union+window plan (the q21 number above) — the pair pricing
+      // the option-(c) operator every round
+      val evAsof = graft.Tables.events(spark, sfDir)
+      val purch = evAsof.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val sign = evAsof.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      val asofExec = time {
+        graft.operators.AsOf.execJoin(purch, sign, key = "user_id",
+          leftTs = "ts", rightTs = "ts",
+          rightVals = Seq("ts" -> "ref_ts", "value" -> "ref_value"))
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
         "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm,
         "x_fx_window" -> fx, "x_topk_agg" -> topkAgg,
-        "x_topk_window" -> topkWin)
+        "x_topk_window" -> topkWin, "x_asof_exec" -> asofExec)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     val ok = results.filter(_._3.isEmpty)

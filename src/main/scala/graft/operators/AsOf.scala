@@ -120,6 +120,48 @@ object AsOf {
       rightVals.map { case (_, o) => col("__match").getField(o).as(o) }).toIndexedSeq: _*)
   }
 
+  /** [[join]] through the CUSTOM physical operator
+    * ([[graft.plans.AsOfJoinExec]] — logical node + strategy +
+    * streaming merge exec) instead of the composed union+window plan.
+    * Same signature, same semantics, spec-proven identical output
+    * (AsOfPropertySpec differentials: both directions × tolerance ×
+    * inner/outer, plus same-µs duplicate refs). Each side sorts in its
+    * own exchange and the merge streams with O(1) state — no union
+    * blow-up, no per-row struct packing, no window frame machinery.
+    * Priced against the composed plan by the bench (x_asof_exec); the
+    * composed plan stays the default entry point until the numbers
+    * argue otherwise. Keys and timestamps must be non-null here (the
+    * window plan would instead group null keys into one partition).
+    */
+  def execJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightVals: Seq[(String, String)],
+               inner: Boolean = true,
+               toleranceSec: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val spark = left.sparkSession
+    org.apache.spark.sql.GraftPlanBridge.ensureStrategy(spark,
+      graft.plans.AsOfJoinStrategy)
+    // fresh exprIds on the right via aliases — a self-as-of (trades vs
+    // quotes derived from one table) must not present one attribute id
+    // from both children
+    val r = right.select(col(key).as("__rk") +: col(rightTs).as("__rt") +:
+      rightVals.map { case (in, out) => col(in).as(out) }: _*)
+    val lPlan = org.apache.spark.sql.GraftPlanBridge.analyzed(left)
+    val rPlan = org.apache.spark.sql.GraftPlanBridge.analyzed(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, leftTs),
+      attr(rPlan, "__rk"), attr(rPlan, "__rt"),
+      toleranceSec.map(_ * 1000000L), forward = direction == "forward",
+      inner = inner)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
+  }
+
   /** As-of join against a SMALL GLOBAL reference (no key): calendars,
     * published adjustment factors, index fixings — dims of at most a
     * few thousand rows matched by billions of query rows.

@@ -20,6 +20,28 @@ object GraftColumnBridge {
   * covers session construction; this covers notebooks/REPLs that got
   * their session handed to them).
   */
+/** Bridge to `private[sql]` Dataset/plan plumbing for the custom
+  * AsOfJoinNode: build a DataFrame from a hand-assembled logical plan,
+  * read a frame's analyzed plan, and install an extra planner strategy
+  * on a live session (the extension-config path in GraftExtensions
+  * covers session construction).
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  def ensureStrategy(spark: SparkSession,
+                     s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
+}
+
 object GraftRegistryBridge {
   def registerFunction(
       spark: SparkSession,

@@ -186,4 +186,77 @@ class AsOfPropertySpec extends SparkTestBase {
       else assert(k4.forall(id => viaBroadcast.get(id).contains(None)))
     }
   }
+
+  test("custom AsOfJoinExec equals the union+window plan across all regimes") {
+    // the option-(c) operator must be output-identical to the composed
+    // plan it prices against — every (direction, tolerance, inner)
+    // combination over the same seeded random cases
+    for (seed <- 0 until 6; inner <- Seq(true, false);
+         tol <- Seq(None, Some(50L), Some(0L));
+         direction <- Seq("backward", "forward")) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(4)
+      val left = (0 until 30).map { i =>
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(1000).toLong), i.toLong)
+      }
+      val right = rnd.shuffle((0 until 1000).toList).take(25).map { t =>
+        (rnd.nextInt(nKeys).toLong, ts(t.toLong),
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(100).toDouble))
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val lDf = left.toDF("k", "ts", "row_id")
+      val rDf = right.toDF("k", "rts", "v")
+      def collectMap(df: org.apache.spark.sql.DataFrame) =
+        df.select($"row_id", $"v").collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val viaExec = collectMap(AsOf.execJoin(lDf, rDf, "k", "ts", "rts",
+        Seq("v" -> "v"), inner = inner, toleranceSec = tol,
+        direction = direction))
+      val viaWindow = collectMap(AsOf.join(lDf, rDf, "k", "ts", "rts",
+        Seq("v" -> "v"), inner = inner, toleranceSec = tol,
+        direction = direction))
+      assert(viaExec == viaWindow,
+        s"seed=$seed inner=$inner tol=$tol dir=$direction:\n" +
+          s" exec=$viaExec\n win=$viaWindow")
+    }
+  }
+
+  test("custom AsOfJoinExec resolves same-instant duplicate refs to the greatest values") {
+    // two refs at the SAME (key, ts): both plans must pick the max
+    // value tuple, both directions — the tie rule lives in the exec's
+    // required child ordering, so this is the case that would break
+    // first if that ordering regressed
+    val lDf = Seq((1L, ts(100), 0L), (1L, ts(50), 1L)).toDF("k", "ts", "row_id")
+    val rDf = Seq((1L, ts(100), 10.0), (1L, ts(100), 99.0), (1L, ts(30), 5.0))
+      .toDF("k", "rts", "v")
+    for (direction <- Seq("backward", "forward")) {
+      val exec = AsOf.execJoin(lDf, rDf, "k", "ts", "rts", Seq("v" -> "v"),
+        direction = direction).select($"row_id", $"v")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val win = AsOf.join(lDf, rDf, "k", "ts", "rts", Seq("v" -> "v"),
+        direction = direction).select($"row_id", $"v")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(exec == win, s"$direction: exec=$exec win=$win")
+      assert(exec(0L) == 99.0, s"$direction tie must pick the greatest value")
+    }
+  }
+
+  test("custom AsOfJoinExec handles the self-as-of q21 shape on real events") {
+    // trades and quotes derive from ONE table: the execJoin alias
+    // projection must keep the children's attribute ids disjoint
+    val ev = Tables.events(spark, sf)
+    val trades = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val quotes = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value")
+    val exec = AsOf.execJoin(trades, quotes, "user_id", "ts", "ts",
+      Seq("value" -> "quote"), inner = true)
+      .select($"event_id", $"quote").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val win = AsOf.join(trades, quotes, "user_id", "ts", "ts",
+      Seq("value" -> "quote"), inner = true)
+      .select($"event_id", $"quote").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exec == win && exec.nonEmpty)
+  }
 }
