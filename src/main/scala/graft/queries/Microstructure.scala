@@ -432,4 +432,62 @@ object Microstructure {
       |SELECT user_id, count(*) AS n_events,
       |  CAST(sum(dup) AS BIGINT) AS n_suppressed
       |FROM d GROUP BY 1""".stripMargin
+
+  /** q170_kyle_lambda — Kyle (1985) price-impact coefficient per
+    * instrument: the OLS slope of the tick price change on SIGNED
+    * flow, λ = cov(Δp, sign·size) / var(sign·size), scaled ×10⁶
+    * (impact per million size units). Signs come from q156's
+    * tick-rule recurrence (raw signum of the stored-double diff,
+    * zero-ticks carry the last nonzero sign over the SAME ordered
+    * frame); size is the props JSON `k` field (the q62 extraction),
+    * so flow is independent of the price column. Both windows and
+    * the final per-instrument rollup are user_id-clustered — the
+    * whole regression runs on ONE tape exchange, and the slope is a
+    * pair of streaming co-moments, never a row-matrix materialization.
+    * Zero-variance flow (a one-sided or empty tape) nulls λ via the
+    * divisor guard; cross-engine co-moment accumulation-order drift
+    * is absorbed by the 6dp decimal round (the q167 discipline).
+    */
+  def q170KyleLambda(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value",
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("size"))
+      .withColumn("dp", $"value" - lag($"value", 1).over(wOrd))
+      .withColumn("raw", signum($"dp"))
+      .withColumn("sign",
+        last(when($"raw" =!= 0.0, $"raw"), ignoreNulls = true).over(wRun))
+      .filter($"sign".isNotNull && $"dp".isNotNull)
+      .withColumn("q", $"sign" * $"size".cast("double"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        decRound(covar_pop($"dp", $"q") /
+          nullif(var_pop($"q"), lit(0.0)) * lit(1000000.0), 6)
+          .as("kyle_lambda"))
+  }
+
+  val q170Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS size,
+      |    value - lag(value) OVER w AS dp
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, dp, size,
+      |    last_value(CASE WHEN sign(dp) <> 0.0 THEN sign(dp) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+      |  FROM d),
+      |f AS (
+      |  SELECT user_id, dp, sgn * CAST(size AS DOUBLE) AS q
+      |  FROM s WHERE sgn IS NOT NULL AND dp IS NOT NULL)
+      |SELECT user_id, count(*) AS n_obs,
+      |  CAST(round(CAST(covar_pop(dp, q) / nullif(var_pop(q), 0.0)
+      |    * 1000000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS kyle_lambda
+      |FROM f GROUP BY 1""".stripMargin
 }

@@ -466,4 +466,55 @@ object TextOps {
       |  CAST(round(CAST(n_distinct / n_bigrams AS DECIMAL(28,12)), 4) AS DOUBLE)
       |    < 0.6 AS flag_repetitive
       |FROM m""".stripMargin
+
+  /** q172_zipf_fit — per-source Zipf exponent: the OLS slope of
+    * ln(freq) on ln(rank) over each source's top-100 tokens (natural
+    * text sits near −1; a flat or broken slope flags templated /
+    * machine-generated feeds before they pollute a training mix).
+    * Tokenization is the SHARED q56 tokenizer (one convention across
+    * the corpus family). Ranks are row_number by (freq DESC, token) —
+    * deterministic on both engines, and the (rank, freq) pairs are
+    * invariant under tie reordering, so the regression inputs are
+    * bit-identical; the slope's co-moment accumulation drift is
+    * absorbed by the 6dp round.
+    *
+    * Scale shape: token counting is the q56 vocab agg (linear,
+    * one shuffle on token); the per-source rank window sorts
+    * VOCABULARY-sized data per source partition, never the corpus;
+    * everything after `rk <= 100` is constant-sized per source.
+    */
+  def q172ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy($"source").orderBy($"n".desc, $"token")
+    Tables.documents(spark, dir)
+      .select($"source", explode(Text.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wr))
+      .filter($"rk" <= 100)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_ranks"),
+        graft.functions.Num.decRound(
+          regr_slope(log($"n".cast("double")), log($"rk".cast("double"))), 6)
+          .as("zipf_slope"))
+  }
+
+  val q172Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, token, count(*) AS n
+      |  FROM t WHERE token <> '' GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, token, n,
+      |    row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
+      |  FROM c)
+      |SELECT source, count(*) AS n_ranks,
+      |  CAST(round(CAST(regr_slope(ln(CAST(n AS DOUBLE)),
+      |    ln(CAST(rk AS DOUBLE))) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS zipf_slope
+      |FROM r WHERE rk <= 100 GROUP BY 1""".stripMargin
 }

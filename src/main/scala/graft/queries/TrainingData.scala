@@ -798,4 +798,69 @@ object TrainingData {
       |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
       |FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
       |GROUP BY 1, 2""".stripMargin
+
+  /** q171_kmeans_step — one k-means assignment step with the LABEL
+    * means as centroids: per cluster, how many vectors land there, how
+    * many defect from their own label's centroid, and the inertia
+    * (Σ min squared L2) — the label-coherence audit run before
+    * trusting labels for stratified sampling or ANN ground truth.
+    *
+    * Scale shape: centroids are label-cardinality × width (here
+    * 10×64) — they reduce through one (label, dim) agg on exploded
+    * pairs, collapse to ONE broadcast row of (label, centroid[])
+    * structs, and every vector scores all centroids ROW-LOCALLY
+    * (transform + zip_with fold in index order — no per-centroid row
+    * expansion, no argmin shuffle: array_min on (d2, label) structs
+    * IS the deterministic tie-broken argmin). The only data-sized
+    * shuffle is the final 10-row rollup. Cross-engine FP drift (the
+    * centroid means and the d2 fold accumulate in different orders)
+    * is absorbed by the 4dp round; an assignment flip would need two
+    * centroids equidistant to ~1e−13, which labeled cluster data
+    * does not produce.
+    */
+  def q171KmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val cents = e
+      .select($"label", posexplode($"v"))
+      .groupBy($"label", $"pos")
+      .agg(avg($"col").as("m"))
+      .groupBy($"label".as("c_label"))
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        x => x.getField("m")).as("centroid"))
+      .agg(collect_list(struct($"c_label", $"centroid")).as("cs"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(transform($"cs", c =>
+        struct(
+          aggregate(zip_with($"v", c.getField("centroid"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("d2"),
+          c.getField("c_label").as("cl")))))
+      .groupBy($"best.cl".as("cluster"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(when($"label" =!= $"best.cl", 1L).otherwise(0L)).as("n_defectors"),
+        graft.functions.Num.decRound(sum($"best.d2"), 4).as("inertia"))
+  }
+
+  val q171Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label AS c_label, dim, avg(x) AS m FROM e GROUP BY 1, 2),
+      |d AS (
+      |  SELECT e.vec_id, e.label, c.c_label,
+      |    sum((e.x - c.m) * (e.x - c.m)) AS d2
+      |  FROM e JOIN c ON e.dim = c.dim GROUP BY 1, 2, 3),
+      |b AS (
+      |  SELECT vec_id, label, c_label, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |  FROM d)
+      |SELECT c_label AS cluster, count(*) AS n_assigned,
+      |  CAST(sum(CASE WHEN label <> c_label THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_defectors,
+      |  CAST(round(CAST(sum(d2) AS DECIMAL(28,12)), 4) AS DOUBLE) AS inertia
+      |FROM b WHERE rn = 1 GROUP BY 1""".stripMargin
 }

@@ -1697,4 +1697,120 @@ object Streams {
           }
       }
   }
+
+  /** s38 — streaming realized variance via flatMapGroupsWithState: the
+    * incremental twin of batch q157. State is ONE (day, last price)
+    * per instrument — the same-day lag needs nothing else, and a day
+    * rollover resets it exactly like q157's (user, day) window
+    * partition. Each micro-batch folds its prints in (ts, event_id)
+    * order and emits per-(instrument, day) INCREMENTS of (n_rets,
+    * Σ ln²) — sums, not the variance, so increments reduce (the s34
+    * fractions convention). A return exists iff the current price is
+    * positive, a same-day previous print exists, and the price ratio
+    * is positive — the exact tri-state of batch q157's
+    * `when(value>0, log(value / nullif(prev, 0)))` under Spark's
+    * null-on-nonpositive log. Reduced increments match batch q157 up
+    * to FP summation order on Σ ln² (absorbed by the 6dp round);
+    * day boundaries and batch boundaries both stitch through the
+    * carried state. Same in-order-per-key delivery caveat as
+    * [[ewmaState]].
+    */
+  def rvStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, java.sql.Timestamp, Long, Double)] = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double),
+        (Long, java.sql.Timestamp, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Long, Double)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          // state: (current day in µs, last price that day)
+          var prev = state.getOption
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Double)]
+          sorted.foreach { e =>
+            val day = micros(e.ts) - Math.floorMod(micros(e.ts), dayUs)
+            // always touch the day so no-return days still emit a
+            // (0, 0.0) increment — batch q157 keeps those rows with
+            // n_rets=0 / NULL rv, and the reducer rebuilds the NULL
+            // from n=0, so the row sets stay identical
+            val (n, ss) = acc.getOrElse(day, (0L, 0.0))
+            acc(day) = prev match {
+              case Some((d, p))
+                  if d == day && e.value > 0.0 && p != 0.0 &&
+                    e.value / p > 0.0 =>
+                val r = math.log(e.value / p)
+                (n + 1L, ss + r * r)
+              case _ => (n, ss)
+            }
+            prev = Some((day, e.value))
+          }
+          prev.foreach(state.update)
+          acc.iterator.map { case (day, (n, ss)) =>
+            (user, tsFromMicros(day), n, ss)
+          }
+      }
+  }
+
+  /** s39 — streaming market-data staleness via flatMapGroupsWithState:
+    * the incremental twin of batch q166, and the live form the SLA is
+    * actually monitored in (a feed watchdog wants the stale clock
+    * ticking NOW, not in a nightly batch). State is (day, last ts µs)
+    * per instrument. Emissions per (instrument, day) carry the batch's
+    * stale-excess INCREMENT (Σ max(0, gap−300s)), its local max gap,
+    * and its local min/max print µs — every component reduces exactly
+    * (sum / max / min+max), so the reduced rows rebuild q166's
+    * integer-µs aggregates BIT-FOR-BIT, including gaps that straddle a
+    * micro-batch boundary (computed from the carried last ts) and
+    * single-print days (no gap emitted ⇒ NULL max gap, the batch
+    * convention). Only the final stale-share division is FP, applied
+    * once after reduction — the whole pipeline is exact integer
+    * arithmetic end to end.
+    */
+  def stalenessStream(spark: SparkSession, events: DataFrame,
+                      thresholdSec: Long = 300L)
+      : Dataset[(Long, java.sql.Timestamp, Long, Option[Long], Long, Long)] = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long),
+        (Long, java.sql.Timestamp, Long, Option[Long], Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Long, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          // state: (current day µs, last print µs that day)
+          var prev = state.getOption
+          // day -> (stale excess inc, max gap or -1, min ts, max ts)
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Long, Long, Long)]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            val day = t - Math.floorMod(t, dayUs)
+            val (st, mg, lo, hi) =
+              acc.getOrElse(day, (0L, -1L, Long.MaxValue, Long.MinValue))
+            val gap = prev match {
+              case Some((d, pt)) if d == day => Some(t - pt)
+              case _ => None
+            }
+            acc(day) = (
+              st + gap.map(g => math.max(0L, g - thresholdSec * 1000000L))
+                .getOrElse(0L),
+              gap.map(math.max(mg, _)).getOrElse(mg),
+              math.min(lo, t), math.max(hi, t))
+            prev = Some((day, t))
+          }
+          prev.foreach(state.update)
+          acc.iterator.map { case (day, (st, mg, lo, hi)) =>
+            (user, tsFromMicros(day), st,
+              if (mg < 0L) None else Some(mg), lo, hi)
+          }
+      }
+  }
 }

@@ -1221,4 +1221,67 @@ class StreamingSpec extends SparkTestBase {
     // all-within-one-batch corpus)
     assert(streamed.exists { case (a, b, _) => a % 2 != b % 2 })
   }
+
+  test("streaming realized-variance increments reduce to the batch q157 result") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rv").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.rvStream(spark, stream)
+      .toDF("user_id", "day", "n", "ss")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("rv_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // n=0 days reduce back to the batch NULL-rv convention
+    val streamed = spark.table("rv_out")
+      .groupBy($"user_id", $"day")
+      .agg(sum($"n").as("n_rets"),
+        when(sum($"n") > 0L,
+          graft.functions.Num.decRound(sum($"ss"), 6)).as("rv"))
+    val batch = SparkEntry.queries("q157_realized_variance")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming staleness increments rebuild the batch q166 SLA audit exactly") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.stalenessStream(spark, stream)
+      .toDF("user_id", "day", "stale_inc", "max_gap", "lo_us", "hi_us")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stale_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // sum / max / min+max reductions — integer µs end to end, so the
+    // rebuilt aggregates are bit-identical to batch q166, including the
+    // NULL max-gap and NULL share of single-print days
+    val streamed = spark.table("stale_out")
+      .groupBy($"user_id", $"day")
+      .agg(sum($"stale_inc").as("stale_us"),
+        max($"max_gap").as("max_gap_us"),
+        (max($"hi_us") - min($"lo_us")).as("span_us"))
+      .select($"user_id", $"day", $"stale_us", $"max_gap_us",
+        graft.functions.Num.decRound($"stale_us".cast("double") /
+          nullif($"span_us", lit(0L)).cast("double"), 6).as("stale_share"))
+    val batch = SparkEntry.queries("q166_staleness")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
