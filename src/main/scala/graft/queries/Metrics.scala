@@ -422,4 +422,74 @@ object Metrics {
       |FROM bi JOIN uni ua ON ua.token = bi.w1
       |        JOIN uni ub ON ub.token = bi.w2
       |        CROSS JOIN tot""".stripMargin
+
+  /** q174_psi_drift — Population Stability Index over document length
+    * between the first and second ingest half (doc_id midpoint split):
+    * the industry-standard drift score (banking model-monitoring
+    * convention: <0.1 stable, >0.25 action) reported per bin so the
+    * shifted mass is visible, complementing q111's KS (continuous,
+    * two-sample) and q158's KL (token distribution). Bins are FIXED
+    * 100-char buckets capped at 20 — deterministic on both engines
+    * (integer division), where quantile-based bins would inherit
+    * cross-engine percentile semantics. Counts smooth by +0.5 over the
+    * OBSERVED bin count so an empty side never divides by zero
+    * (Laplace, closed-form on both engines).
+    *
+    * Scale shape: one scan with a row-local bin + half flag, one
+    * 20-row agg; the totals window runs over the CONSTANT-width bin
+    * frame (≤20 rows at any corpus size), so the empty-partition
+    * window is bounded by construction, not by data. The midpoint is
+    * a 1-row broadcast scalar.
+    */
+  def q174PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+    val mid = d.agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .selectExpr("(mn + mx) div 2 AS mid")
+    val wAll = Window.partitionBy()
+    d.crossJoin(broadcast(mid))
+      .select(expr("least(n_chars div 100, 19)").as("bin"),
+        ($"doc_id" <= $"mid").as("is_ref"))
+      .groupBy($"bin")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"))
+      .withColumn("tr", sum($"n_ref").over(wAll))
+      .withColumn("tc", sum($"n_cur").over(wAll))
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .withColumn("pr", ($"n_ref".cast("double") + 0.5) /
+        ($"tr".cast("double") + lit(0.5) * $"nb".cast("double")))
+      .withColumn("pc", ($"n_cur".cast("double") + 0.5) /
+        ($"tc".cast("double") + lit(0.5) * $"nb".cast("double")))
+      .select($"bin", $"n_ref", $"n_cur",
+        graft.functions.Num.decRound(
+          ($"pr" - $"pc") * log($"pr" / $"pc"), 6).as("psi_contrib"))
+  }
+
+  val q174Sql: String =
+    """WITH s AS (
+      |  SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
+      |b AS (
+      |  SELECT least(n_chars // 100, 19) AS bin,
+      |    CASE WHEN doc_id <= (SELECT mid FROM s) THEN 1 ELSE 0 END AS is_ref
+      |  FROM documents),
+      |c AS (
+      |  SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+      |    CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+      |  FROM b GROUP BY 1),
+      |t AS (
+      |  SELECT bin, n_ref, n_cur,
+      |    sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc,
+      |    count(*) OVER () AS nb
+      |  FROM c),
+      |p AS (
+      |  SELECT bin, n_ref, n_cur,
+      |    (CAST(n_ref AS DOUBLE) + 0.5) /
+      |      (CAST(tr AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS pr,
+      |    (CAST(n_cur AS DOUBLE) + 0.5) /
+      |      (CAST(tc AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS pc
+      |  FROM t)
+      |SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur,
+      |  CAST(round(CAST((pr - pc) * ln(pr / pc) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS psi_contrib
+      |FROM p""".stripMargin
 }

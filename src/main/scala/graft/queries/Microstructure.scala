@@ -490,4 +490,73 @@ object Microstructure {
       |  CAST(round(CAST(covar_pop(dp, q) / nullif(var_pop(q), 0.0)
       |    * 1000000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS kyle_lambda
       |FROM f GROUP BY 1""".stripMargin
+
+  /** q173_quoted_spread_tw — TIME-weighted quoted spread per
+    * (instrument, day): each book state (the q151 even/odd-side BBO
+    * recurrence) holds from its print to the next same-day print, and
+    * the spread is averaged by those holding times — the quoted-cost
+    * figure an execution desk actually budgets against, where the
+    * print-weighted average over-counts bursts of quote flicker.
+    * Intervals with a one-sided or crossed book are unquotable and
+    * drop (both their spread and their time), so the denominator is
+    * two-sided-quoted time, not the calendar day.
+    *
+    * Scale shape: the book carry rides ONE user_id tape exchange
+    * (same sorted frame as q151); the same-day lead and the rollup are
+    * (user_id, day) — a subset-clustered re-sort, not a second
+    * shuffle. Weights are exact integer µs; the Σ(spread·w) doubles
+    * accumulate engine-side in different orders, absorbed by the 6dp
+    * round. Same-µs consecutive prints carry zero weight, and a day
+    * whose quoted time is entirely zero-weight nulls the average via
+    * the divisor guard rather than dividing by zero (ANSI mode).
+    */
+  def q173QuotedSpreadTw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wBook = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDay = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .filter($"value" > 0)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_id" % 2 === 0, $"value").as("bid_px"),
+        when($"event_id" % 2 =!= 0, $"value").as("ask_px"))
+      .withColumn("best_bid", last($"bid_px", ignoreNulls = true).over(wBook))
+      .withColumn("best_ask", last($"ask_px", ignoreNulls = true).over(wBook))
+      .withColumn("day", date_trunc("day", $"ts"))
+      .withColumn("w_us",
+        unix_micros(lead($"ts", 1).over(wDay)) - unix_micros($"ts"))
+      .filter($"w_us".isNotNull && $"best_bid".isNotNull &&
+        $"best_ask".isNotNull && $"best_bid" < $"best_ask")
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_quoted"),
+        sum($"w_us").as("quoted_us"),
+        decRound(sum(($"best_ask" - $"best_bid") * $"w_us".cast("double")) /
+          nullif(sum($"w_us"), lit(0L)).cast("double"), 6).as("tw_spread"))
+  }
+
+  val q173Sql: String =
+    """WITH b AS (
+      |  SELECT user_id, ts, event_id, date_trunc('day', ts) AS day,
+      |    last_value(CASE WHEN event_id % 2 = 0 THEN value END IGNORE NULLS)
+      |      OVER w AS best_bid,
+      |    last_value(CASE WHEN event_id % 2 <> 0 THEN value END IGNORE NULLS)
+      |      OVER w AS best_ask
+      |  FROM events WHERE value > 0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |l AS (
+      |  SELECT user_id, day, best_bid, best_ask,
+      |    epoch_us(lead(ts) OVER (PARTITION BY user_id, day
+      |      ORDER BY ts, event_id)) - epoch_us(ts) AS w_us
+      |  FROM b),
+      |f AS (
+      |  SELECT * FROM l
+      |  WHERE w_us IS NOT NULL AND best_bid IS NOT NULL
+      |    AND best_ask IS NOT NULL AND best_bid < best_ask)
+      |SELECT user_id, day, count(*) AS n_quoted,
+      |  CAST(sum(w_us) AS BIGINT) AS quoted_us,
+      |  CAST(round(CAST(sum((best_ask - best_bid) * CAST(w_us AS DOUBLE)) /
+      |    CAST(nullif(sum(w_us), 0) AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS tw_spread
+      |FROM f GROUP BY 1, 2""".stripMargin
 }

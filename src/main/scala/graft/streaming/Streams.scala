@@ -1813,4 +1813,61 @@ object Streams {
           }
       }
   }
+
+  case class KyleEvent(user_id: Long, ts: java.sql.Timestamp,
+                       value: Double, event_id: Long, size: Long)
+
+  /** s40 — streaming Kyle lambda via flatMapGroupsWithState: the
+    * incremental twin of batch q170. State is (last price, last
+    * nonzero tick sign) per instrument — identical to s34, because the
+    * tick-rule recurrence is the only sequential dependency; the
+    * regression itself is FIVE runnings sums. Each micro-batch emits
+    * per-instrument MOMENT increments (n, Σ Δp, Σ q, Σ Δp·q, Σ q²)
+    * with q = sign·size; sums reduce across batches, and the consumer
+    * forms λ = cov/var from the reduced moments once. The closed-form
+    * moments differ from batch covar_pop/var_pop (streaming co-moment
+    * updates) only in FP accumulation noise, orders of magnitude
+    * below the 6dp round — the differential spec proves the reduced
+    * increments hit batch q170's rounded output exactly. Caller
+    * pre-extracts `size` from the props JSON (the q62/q170
+    * convention). Same in-order-per-key delivery caveat as
+    * [[ewmaState]].
+    */
+  def kyleStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Double, Double, Double, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .as[KyleEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double),
+        (Long, Long, Double, Double, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[KyleEvent],
+         state: GroupState[(Double, Double)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var lastPx = state.getOption.map(_._1)
+          var lastSign = state.getOption.map(_._2).filter(_ != 0.0)
+          var n = 0L
+          var sdp, sq, sxy, sq2 = 0.0
+          sorted.foreach { e =>
+            val dp = lastPx.map(e.value - _)
+            val raw = dp.map(math.signum)
+            val sign = raw match {
+              case Some(r) if r != 0.0 => lastSign = Some(r); Some(r)
+              case Some(_) => lastSign
+              case None => None
+            }
+            for (s <- sign; d <- dp) {
+              val q = s * e.size.toDouble
+              n += 1L
+              sdp += d; sq += q; sxy += d * q; sq2 += q * q
+            }
+            lastPx = Some(e.value)
+          }
+          lastPx.foreach(p => state.update((p, lastSign.getOrElse(0.0))))
+          if (n == 0L) Iterator.empty
+          else Iterator((user, n, sdp, sq, sxy, sq2))
+      }
+  }
 }

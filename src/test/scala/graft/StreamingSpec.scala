@@ -1284,4 +1284,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming Kyle-lambda moment increments reduce to the batch q170 result") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kyle").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.kyleStream(spark, stream)
+      .toDF("user_id", "n", "sdp", "sq", "sxy", "sq2")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kyle_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // closed-form moments from the reduced sums; FP noise vs batch
+    // covar_pop/var_pop sits far below the 6dp round
+    val streamed = spark.table("kyle_out")
+      .groupBy($"user_id")
+      .agg(sum($"n").as("n_obs"), sum($"sdp").as("sdp"),
+        sum($"sq").as("sq"), sum($"sxy").as("sxy"), sum($"sq2").as("sq2"))
+      .select($"user_id", $"n_obs",
+        graft.functions.Num.decRound(
+          (($"sxy" / $"n_obs") - ($"sdp" / $"n_obs") * ($"sq" / $"n_obs")) /
+            nullif(($"sq2" / $"n_obs") - ($"sq" / $"n_obs") * ($"sq" / $"n_obs"),
+              lit(0.0)) * lit(1000000.0), 6).as("kyle_lambda"))
+    val batch = SparkEntry.queries("q170_kyle_lambda")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
