@@ -143,4 +143,46 @@ object GraphOps {
        |  UNION ALL SELECT part, 2 FROM r2
        |  UNION ALL SELECT part, 3 FROM r3)
        |SELECT part, min(hop) AS hop FROM lv GROUP BY part""".stripMargin
+
+  /** q175_triangle_census — triangle count and global clustering
+    * coefficient of the co-purchase graph via the degree-oriented
+    * wedge join (see [[graft.operators.Graph.triangleStats]] for the
+    * O(m^1.5) fan-out bound). Integer counts end-to-end; the single
+    * coefficient division rounds at 6dp.
+    */
+  def q175TriangleCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleStats(edges(spark, dir))
+
+  val q175Sql: String =
+    s"""WITH $edgesSql,
+       |und AS (SELECT src, dst FROM edges WHERE src < dst),
+       |dg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.src < u.dst)
+       |         THEN u.src ELSE u.dst END AS a,
+       |    CASE WHEN (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.src < u.dst)
+       |         THEN u.dst ELSE u.src END AS b,
+       |    CASE WHEN (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.src < u.dst)
+       |         THEN dd.deg ELSE ds.deg END AS bdeg
+       |  FROM und u JOIN dg ds ON ds.node = u.src
+       |             JOIN dg dd ON dd.node = u.dst),
+       |w AS (
+       |  SELECT e1.b AS wa, e2.b AS wb
+       |  FROM o e1 JOIN o e2 ON e1.a = e2.a
+       |    AND ((e1.bdeg < e2.bdeg) OR (e1.bdeg = e2.bdeg AND e1.b < e2.b))),
+       |t AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM w JOIN o ON o.a = w.wa AND o.b = w.wb),
+       |m AS (
+       |  SELECT count(*) AS n_nodes,
+       |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM dg),
+       |ne AS (SELECT count(*) AS n_edges FROM und)
+       |SELECT m.n_nodes, ne.n_edges, m.n_wedges,
+       |  CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       |  CAST(round(CAST(3.0 * t.n_triangles /
+       |    CAST(nullif(m.n_wedges, 0) AS DOUBLE) AS DECIMAL(28,12)), 6)
+       |    AS DOUBLE) AS global_cc
+       |FROM m, ne, t""".stripMargin
 }

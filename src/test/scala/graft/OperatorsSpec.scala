@@ -243,4 +243,18 @@ class OperatorsSpec extends SparkTestBase {
       assert(agg.finish(merged) == expected, s"split at $cut")
     }
   }
+
+  test("triangleStats counts a known graph exactly") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant 4-5 (0 triangles).
+    // wedges: deg = (3,3,3,4,1) -> 3+3+3+6+0 = 15; cc = 12/15 = 0.8
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = graft.operators.Graph.triangleStats(edges).collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 7L) // nodes, edges
+    assert(r.getLong(2) == 15L, s"wedges ${r.getLong(2)}")
+    assert(r.getLong(3) == 4L, s"triangles ${r.getLong(3)}")
+    assert(r.getDouble(4) == 0.8)
+  }
 }
