@@ -776,4 +776,76 @@ object Quant {
       |    CAST(n_parts + 1 AS DOUBLE) / n_parts
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS gini
       |FROM g""".stripMargin
+
+  /** q176_rank_ic — daily cross-sectional rank information
+    * coefficient: Pearson correlation between each instrument's
+    * within-day return RANK and its next-day rank — the
+    * signal-quality statistic a cross-sectional momentum desk tracks
+    * (IC ≈ 0: yesterday's ordering says nothing about today's).
+    * Day returns are first-to-last print (window-picked stored
+    * doubles, no arithmetic until the ratio); zero first prices drop
+    * via the divisor guard (q157 convention); ranks are row_number by
+    * (return, instrument) — integer, deterministic, and
+    * tie-stable on both engines, so corr's inputs are bit-identical
+    * and only its accumulation order needs the 6dp round. Day
+    * adjacency joins on the exact integer epoch-day, never on
+    * timestamp arithmetic.
+    *
+    * Scale shape: one tape window pass (user-keyed), a day-keyed
+    * rank window over instrument-cardinality frames, and a
+    * (user, day)-keyed equi-join — no self-join on the raw tape.
+    */
+  def q176RankIc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rets = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value",
+        date_trunc("day", $"ts").as("day"))
+      .withColumn("first_px", first($"value").over(wDay))
+      .withColumn("last_px", last($"value").over(wDay))
+      .select($"user_id", $"day", $"first_px", $"last_px").distinct()
+      .withColumn("ret",
+        ($"last_px" - $"first_px") / nullif($"first_px", lit(0.0)))
+      .filter($"ret".isNotNull)
+      .withColumn("day_idx", (unix_micros($"day") / lit(86400000000L))
+        .cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"day_idx").orderBy($"ret", $"user_id")))
+    val nxt = rets.select($"user_id", ($"day_idx" - 1L).as("day_idx"),
+      $"rk".as("rk_next"))
+    rets.join(nxt, Seq("user_id", "day_idx"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_names"),
+        graft.functions.Num.decRound(
+          corr($"rk".cast("double"), $"rk_next".cast("double")), 6).as("ic"))
+  }
+
+  val q176Sql: String =
+    """WITH px AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+      |    first_value(value) OVER w AS first_px,
+      |    last_value(value) OVER w AS last_px
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |r AS (
+      |  SELECT user_id, day,
+      |    epoch_us(day) // 86400000000 AS day_idx,
+      |    (last_px - first_px) / nullif(first_px, 0.0) AS ret
+      |  FROM px
+      |  WHERE (last_px - first_px) / nullif(first_px, 0.0) IS NOT NULL),
+      |rk AS (
+      |  SELECT user_id, day, day_idx,
+      |    row_number() OVER (PARTITION BY day_idx ORDER BY ret, user_id)
+      |      AS rk
+      |  FROM r)
+      |SELECT a.day, count(*) AS n_names,
+      |  CAST(round(CAST(corr(CAST(a.rk AS DOUBLE), CAST(b.rk AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS ic
+      |FROM rk a JOIN rk b
+      |  ON a.user_id = b.user_id AND b.day_idx = a.day_idx + 1
+      |GROUP BY 1""".stripMargin
 }

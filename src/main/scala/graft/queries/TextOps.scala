@@ -517,4 +517,79 @@ object TextOps {
       |    ln(CAST(rk AS DOUBLE))) AS DECIMAL(28,12)), 6) AS DOUBLE)
       |    AS zipf_slope
       |FROM r WHERE rk <= 100 GROUP BY 1""".stripMargin
+
+  /** q177_heaps_curve — vocabulary growth in ingest order: the corpus
+    * is cut into 10 fixed doc_id-range buckets, and each bucket
+    * reports its token volume, its NEW type count (tokens whose first
+    * corpus occurrence falls in the bucket), and the cumulative
+    * totals — the Heaps-law curve that answers "is more crawl still
+    * buying vocabulary?" (a flattening curve says no; its log-log
+    * slope is Heaps' β). Pure INTEGER pipeline end to end: bucket
+    * boundaries are integer arithmetic on doc_id (deterministic where
+    * quantile bucketing would inherit engine percentile semantics),
+    * first occurrence is min(doc_id) per token, and the cumulative
+    * window runs over the CONSTANT 10-row bucket frame.
+    *
+    * Scale shape: one tokenize pass (the shared q56 tokenizer), one
+    * (token) agg for first-docs, one (bucket) agg each for volumes
+    * and new types, a 10-row cumulative window. Nothing downstream
+    * of the token agg is corpus-sized.
+    */
+  def q177HeapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val bounds = d.agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+    // integer div (SQL `div`), not floor-of-double: exact at any id scale
+    def bucket(idCol: String) =
+      expr(s"least((($idCol - mn) * 10) div (mx - mn + 1), 9)")
+    val toks = d.crossJoin(broadcast(bounds))
+      .select(bucket("doc_id").as("bucket"), $"doc_id",
+        explode(Text.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val vol = toks.groupBy($"bucket").agg(count(lit(1)).as("n_tokens"))
+    val novel = toks.groupBy($"token").agg(min($"doc_id").as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket("first_doc").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val wCum = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol.join(novel, Seq("bucket"), "full_outer")
+      .select($"bucket", coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_new_types", lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(wCum))
+      .withColumn("cum_types", sum($"n_new_types").over(wCum))
+  }
+
+  val q177Sql: String =
+    """WITH s AS (
+      |  SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+      |t AS (
+      |  SELECT least((doc_id - (SELECT mn FROM s)) * 10 //
+      |      ((SELECT mx FROM s) - (SELECT mn FROM s) + 1), 9) AS bucket,
+      |    doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |tk AS (SELECT * FROM t WHERE token <> ''),
+      |vol AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM tk GROUP BY 1),
+      |fd AS (
+      |  SELECT token, min(doc_id) AS first_doc FROM tk GROUP BY 1),
+      |nv AS (
+      |  SELECT least((first_doc - (SELECT mn FROM s)) * 10 //
+      |      ((SELECT mx FROM s) - (SELECT mn FROM s) + 1), 9) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_new_types
+      |  FROM fd GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(v.bucket, n.bucket) AS bucket,
+      |    coalesce(v.n_tokens, 0) AS n_tokens,
+      |    coalesce(n.n_new_types, 0) AS n_new_types
+      |  FROM vol v FULL OUTER JOIN nv n ON v.bucket = n.bucket)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, n_tokens, n_new_types,
+      |  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(sum(n_new_types) OVER w AS BIGINT) AS cum_types
+      |FROM j
+      |WINDOW w AS (ORDER BY bucket
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 }
