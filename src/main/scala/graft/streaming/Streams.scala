@@ -1870,4 +1870,63 @@ object Streams {
           else Iterator((user, n, sdp, sq, sxy, sq2))
       }
   }
+
+  /** s41 — streaming time-weighted quoted spread via
+    * flatMapGroupsWithState: the incremental twin of batch q173, and
+    * the s25 BBO recurrence carried one step further into the
+    * time-weighted domain. State per instrument is (best bid, best
+    * ask, last print µs) — the interval OPEN at the batch boundary is
+    * priced by the NEXT batch's first print against the carried book,
+    * which is exactly how the batch lead() weights it. A day rollover
+    * closes the last interval of the old day at zero weight (the
+    * batch same-day lead drops it), while the book itself carries
+    * across days (the q151/q173 running-book convention). Emits
+    * per-(instrument, day) increments of (n_quoted, quoted µs,
+    * Σ spread·w); integer weights are exact, the one double sum is
+    * absorbed by the 6dp round at reduction. Crossed or one-sided
+    * book intervals contribute nothing, matching the batch filter.
+    */
+  def quotedSpreadStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, java.sql.Timestamp, Long, Long, Double)] = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events.filter(col("value") > 0)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double, Long),
+        (Long, java.sql.Timestamp, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Double, Double, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          // state: (best bid, best ask, last print µs); NaN = side unset
+          var (bid, ask, lastT) =
+            state.getOption.getOrElse((Double.NaN, Double.NaN, -1L))
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Long, Double)]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            if (lastT >= 0L) {
+              val day = lastT - Math.floorMod(lastT, dayUs)
+              // interval [lastT, t) belongs to lastT's day; it prices
+              // only if t is still the same day (the batch lead() is
+              // same-day partitioned) and the carried book is two-sided
+              // and uncrossed
+              if (t - Math.floorMod(t, dayUs) == day &&
+                  !bid.isNaN && !ask.isNaN && bid < ask) {
+                val w = t - lastT
+                val (n, qus, sw) = acc.getOrElse(day, (0L, 0L, 0.0))
+                acc(day) = (n + 1L, qus + w, sw + (ask - bid) * w.toDouble)
+              }
+            }
+            if (e.event_id % 2 == 0) bid = e.value else ask = e.value
+            lastT = t
+          }
+          state.update((bid, ask, lastT))
+          acc.iterator.map { case (day, (n, qus, sw)) =>
+            (user, tsFromMicros(day), n, qus, sw)
+          }
+      }
+  }
 }

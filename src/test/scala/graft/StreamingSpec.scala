@@ -1318,4 +1318,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming time-weighted spread increments reduce to the batch q173 result") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.quotedSpreadStream(spark, stream)
+      .toDF("user_id", "day", "n", "qus", "sw")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("tws_out")
+      .groupBy($"user_id", $"day")
+      .agg(sum($"n").as("n_quoted"), sum($"qus").as("quoted_us"),
+        graft.functions.Num.decRound(sum($"sw") /
+          nullif(sum($"qus"), lit(0L)).cast("double"), 6).as("tw_spread"))
+    val batch = SparkEntry.queries("q173_quoted_spread_tw")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
