@@ -863,4 +863,53 @@ object TrainingData {
       |    AS n_defectors,
       |  CAST(round(CAST(sum(d2) AS DECIMAL(28,12)), 4) AS DOUBLE) AS inertia
       |FROM b WHERE rn = 1 GROUP BY 1""".stripMargin
+
+  /** q178_modal_alignment — cross-modal coherence audit joining the
+    * TEXT table to the EMBEDDING table on the shared id: per
+    * (source, label) cell, membership count, mean document length,
+    * mean embedding L2 norm, and corr(length, norm) — the
+    * is-my-embedding-space-confounded check (a label that correlates
+    * with raw document length, or a source whose norms sit apart,
+    * leaks pipeline artifacts into every downstream distance). The
+    * only query in the suite that joins both modality tables
+    * directly, exercising the id-aligned multimodal contract.
+    *
+    * Scale shape: one equi-join on the shared key (both sides
+    * id-partitioned — co-located at any scale), norm computed
+    * ROW-LOCALLY by an index-ordered fold (identical sequential
+    * summation on both engines), one (source, label) agg. corr's
+    * accumulation order is the only cross-engine FP surface — 6dp.
+    */
+  def q178ModalAlignment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val norms = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("doc_id"), $"label",
+        sqrt(aggregate($"embedding".cast("array<double>"), lit(0.0),
+          (acc, x) => acc + x * x)).as("norm"))
+    docs.join(norms, "doc_id")
+      .groupBy($"source", $"label")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Num.decRound(avg($"n_chars"), 4).as("avg_len"),
+        graft.functions.Num.decRound(avg($"norm"), 6).as("avg_norm"),
+        graft.functions.Num.decRound(
+          corr($"n_chars".cast("double"), $"norm"), 6).as("len_norm_corr"))
+  }
+
+  val q178Sql: String =
+    """WITH nm AS (
+      |  SELECT vec_id AS doc_id, label,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x * x))) AS norm
+      |  FROM embeddings)
+      |SELECT d.source, nm.label, count(*) AS n,
+      |  CAST(round(CAST(avg(d.n_chars) AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS avg_len,
+      |  CAST(round(CAST(avg(nm.norm) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS avg_norm,
+      |  CAST(round(CAST(corr(CAST(d.n_chars AS DOUBLE), nm.norm)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS len_norm_corr
+      |FROM documents d JOIN nm ON nm.doc_id = d.doc_id
+      |GROUP BY 1, 2""".stripMargin
 }
