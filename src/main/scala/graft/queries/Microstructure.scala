@@ -559,4 +559,76 @@ object Microstructure {
       |    CAST(nullif(sum(w_us), 0) AS DOUBLE) AS DECIMAL(28,12)), 6)
       |    AS DOUBLE) AS tw_spread
       |FROM f GROUP BY 1, 2""".stripMargin
+
+  /** q179_vpin — volume-synchronized order-flow toxicity (the VPIN
+    * construction of Easley/López de Prado/O'Hara) per instrument:
+    * signed prints (q156 tick-rule carry, q170 props-JSON size) are
+    * cut into fixed 500-unit VOLUME buckets by the integer cumulative
+    * volume, each bucket scores |Σ sign·size| / Σ size, and VPIN is
+    * the mean bucket score. Trades are not split across bucket
+    * boundaries (whole-print assignment by the volume cum BEFORE the
+    * print — documented simplification, mirrored exactly in the
+    * oracle). The pipeline is INTEGER until each bucket's single
+    * division (sign cast to ±1 long, so the imbalance numerator is an
+    * exact integer); only the final mean over buckets needs the 6dp
+    * round. Zero-volume buckets null their score and drop from the
+    * mean on both engines rather than dividing by zero.
+    *
+    * Scale shape: the sign carry, the cumulative volume, and both
+    * rollups are all user_id-clustered — one tape exchange end to
+    * end, the q156/q170 plan family; bucket count is data-volume /
+    * 500 per instrument, never materialized beyond the agg.
+    */
+  def q179Vpin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value",
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("size"))
+      .withColumn("raw", signum($"value" - lag($"value", 1).over(wOrd)))
+      .withColumn("sign",
+        last(when($"raw" =!= 0.0, $"raw"), ignoreNulls = true).over(wRun))
+      .filter($"sign".isNotNull)
+      .withColumn("sgn", $"sign".cast("long"))
+      .withColumn("cum", sum($"size").over(wRun))
+      .withColumn("bucket", expr("(cum - size) div 500"))
+      .groupBy($"user_id", $"bucket")
+      .agg(sum($"size").as("vol"), sum($"sgn" * $"size").as("snet"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        decRound(avg(abs($"snet").cast("double") /
+          nullif($"vol", lit(0L)).cast("double")), 6).as("vpin"))
+  }
+
+  val q179Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS size,
+      |    value - lag(value) OVER w AS dp
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, event_id, size,
+      |    last_value(CASE WHEN sign(dp) <> 0.0 THEN sign(dp) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+      |  FROM d),
+      |f AS (
+      |  SELECT user_id, size, CAST(sgn AS BIGINT) AS sgn,
+      |    sum(size) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM s WHERE sgn IS NOT NULL),
+      |b AS (
+      |  SELECT user_id, (cum - size) // 500 AS bucket,
+      |    CAST(sum(size) AS BIGINT) AS vol,
+      |    CAST(sum(sgn * size) AS BIGINT) AS snet
+      |  FROM f GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_buckets,
+      |  CAST(round(CAST(avg(CAST(abs(snet) AS DOUBLE) /
+      |    CAST(nullif(vol, 0) AS DOUBLE)) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS vpin
+      |FROM b GROUP BY 1""".stripMargin
 }
