@@ -1929,4 +1929,58 @@ object Streams {
           }
       }
   }
+
+  /** s42 — streaming VPIN bucket maintenance via
+    * flatMapGroupsWithState: the incremental twin of batch q179.
+    * State per instrument is (last price, last nonzero sign,
+    * cumulative signed volume so far) — the carried cum is what keys
+    * each print into its ABSOLUTE volume bucket, so bucket identity
+    * is stable across any micro-batch slicing. Emits per-(instrument,
+    * bucket) INTEGER increments (Σ size, Σ sign·size); increments
+    * reduce bit-exactly, and the consumer's per-bucket |net|/vol and
+    * bucket mean reproduce batch q179 at the 6dp round. A bucket
+    * straddling a batch boundary accumulates from both sides into the
+    * same bucket id via the carried cum. Same in-order-per-key
+    * delivery caveat as [[ewmaState]].
+    */
+  def vpinStream(spark: SparkSession, events: DataFrame,
+                 bucketVol: Long = 500L)
+      : Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .as[KyleEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double, Long),
+        (Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[KyleEvent],
+         state: GroupState[(Double, Double, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (lastPxRaw, lastSignRaw, cum) =
+            state.getOption.getOrElse((Double.NaN, 0.0, 0L))
+          var lastPx = if (lastPxRaw.isNaN) None else Some(lastPxRaw)
+          var lastSign = if (lastSignRaw == 0.0) None else Some(lastSignRaw)
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Long)]
+          sorted.foreach { e =>
+            val raw = lastPx.map(p => math.signum(e.value - p))
+            val sign = raw match {
+              case Some(r) if r != 0.0 => lastSign = Some(r); Some(r)
+              case Some(_) => lastSign
+              case None => None
+            }
+            sign.foreach { s =>
+              val bucket = cum / bucketVol // cum BEFORE this print
+              cum += e.size
+              val (vol, net) = acc.getOrElse(bucket, (0L, 0L))
+              acc(bucket) = (vol + e.size, net + s.toLong * e.size)
+            }
+            lastPx = Some(e.value)
+          }
+          state.update((lastPx.getOrElse(Double.NaN),
+            lastSign.getOrElse(0.0), cum))
+          acc.iterator.map { case (b, (vol, net)) => (user, b, vol, net) }
+      }
+  }
 }

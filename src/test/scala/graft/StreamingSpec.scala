@@ -1346,4 +1346,36 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming VPIN bucket increments reduce to the batch q179 result") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vpin").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.vpinStream(spark, stream)
+      .toDF("user_id", "bucket", "vol", "net")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("vpin_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // integer bucket increments reduce bit-exactly; the carried cum
+    // keeps bucket ids stable across the batch split
+    val streamed = spark.table("vpin_out")
+      .groupBy($"user_id", $"bucket")
+      .agg(sum($"vol").as("vol"), sum($"net").as("net"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        graft.functions.Num.decRound(avg(abs($"net").cast("double") /
+          nullif($"vol", lit(0L)).cast("double")), 6).as("vpin"))
+    val batch = SparkEntry.queries("q179_vpin")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
