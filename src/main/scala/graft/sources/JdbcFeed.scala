@@ -138,4 +138,80 @@ object JdbcFeed {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Keyed UPSERT into a JDBC table — the SINK half of the relational
+    * story (Spark's own jdbc writer only appends/overwrites; a
+    * reference-data master publishes by KEY). Rows with existing keys
+    * update the non-key columns; new keys insert. The shape is
+    * batched UPDATE-then-INSERT (per chunk: one UPDATE executeBatch,
+    * the 0-count misses re-batched as INSERTs) — the one upsert idiom
+    * every JDBC dialect supports; MERGE with a VALUES source is not
+    * portable (Derby, for one, rejects a non-base-table source).
+    *
+    * Exactly-once BY VALUE under retries: the write is convergent
+    * (re-upserting the same rows lands the same state — the replay
+    * just takes the UPDATE path), and rows are `repartition`-ed on
+    * the key columns first so any one key is written by exactly ONE
+    * task — no cross-task write race on a key, which is what makes
+    * the per-partition transaction safe to retry at any granularity.
+    * Per partition: one connection, one transaction, `batchSize`-row
+    * chunks — executor-side parallel publish, nothing single-streams
+    * through the driver. Input must be unique per key (the standard
+    * upsert contract; dedupe upstream — a doubled key in one chunk
+    * would race its own insert).
+    *
+    * @return rows written (update + insert paths)
+    */
+  def upsertWrite(df: DataFrame, url: String, table: String,
+                  keyCols: Seq[String], batchSize: Int = 500): Long = {
+    val schema = df.schema
+    val cols = schema.fields.map(_.name).toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"keyCols $keyCols must be columns of $cols")
+    val dataCols = cols.filterNot(keyCols.contains)
+    require(dataCols.nonEmpty, "upsertWrite needs at least one non-key column")
+    val updateSql =
+      s"""UPDATE $table SET ${dataCols.map(c => s"$c = ?").mkString(", ")}
+         | WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}""".stripMargin
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
+        s"(${cols.map(_ => "?").mkString(", ")})"
+    val dataIdx = dataCols.map(schema.fieldIndex).toArray
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val allIdx = cols.map(schema.fieldIndex).toArray
+    val keyed = df.repartition(keyCols.map(col): _*)
+    val written = keyed.sparkSession.sparkContext.longAccumulator("upserted")
+    keyed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          rows.grouped(batchSize).foreach { chunk =>
+            chunk.foreach { r =>
+              var i = 0
+              dataIdx.foreach { d => upd.setObject(i + 1, r.get(d)); i += 1 }
+              keyIdx.foreach { k => upd.setObject(i + 1, r.get(k)); i += 1 }
+              upd.addBatch()
+            }
+            val counts = upd.executeBatch()
+            val misses = chunk.iterator.zip(counts.iterator)
+              .collect { case (r, 0) => r }.toSeq
+            misses.foreach { r =>
+              allIdx.zipWithIndex.foreach { case (c, i) =>
+                ins.setObject(i + 1, r.get(c))
+              }
+              ins.addBatch()
+            }
+            if (misses.nonEmpty) ins.executeBatch()
+            written.add(chunk.size.toLong)
+          }
+          conn.commit()
+          upd.close(); ins.close()
+        } finally conn.close()
+      }
+    }
+    written.value
+  }
 }

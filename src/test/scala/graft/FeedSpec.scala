@@ -193,4 +193,35 @@ class FeedSpec extends SparkTestBase {
     assert(replayed.count() == 90, "crash-replay duplicated the overlap")
     assert(replayed.select($"id").distinct().count() == 90)
   }
+
+  test("JDBC upsert sink merges by key: updates, inserts, and idempotent replay") {
+    val url = s"jdbc:derby:$tmp/derbyup;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE master (id BIGINT PRIMARY KEY, px DOUBLE, src VARCHAR(4000))")
+    finally conn.close()
+
+    // first publish: pure inserts
+    val v1 = (1L to 50L).map(i => (i, i * 2.0, "feedA")).toDF("id", "px", "src")
+    assert(sources.JdbcFeed.upsertWrite(v1, url, "master",
+      keyCols = Seq("id"), batchSize = 16) == 50L)
+    val r1 = spark.read.jdbc(url, "master", props)
+    assert(r1.count() == 50 &&
+      r1.agg(sum($"PX")).as[Double].collect()(0) == 2.0 * 1275)
+
+    // second publish: 25 updates (new px, new src) + 10 inserts
+    val v2 = ((26L to 60L)).map(i => (i, i * 3.0, "feedB")).toDF("id", "px", "src")
+    sources.JdbcFeed.upsertWrite(v2, url, "master", keyCols = Seq("id"))
+    val r2 = spark.read.jdbc(url, "master", props)
+    assert(r2.count() == 60, "update path must not duplicate keys")
+    assert(r2.filter($"SRC" === "feedB").count() == 35)
+    assert(r2.filter($"ID" === 30L).select($"PX").as[Double].collect()(0) == 90.0)
+
+    // replaying the SAME publish converges to the same state
+    sources.JdbcFeed.upsertWrite(v2, url, "master", keyCols = Seq("id"))
+    val r3 = spark.read.jdbc(url, "master", props)
+    assert(r3.count() == 60 && r3.filter($"SRC" === "feedB").count() == 35)
+  }
 }
