@@ -816,4 +816,59 @@ object Analytics {
       |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS winsor_mean
       |FROM lineitem li JOIN s USING (l_returnflag)
       |GROUP BY li.l_returnflag""".stripMargin
+
+  /** q180_conversion_latency — time-to-convert distribution per
+    * signup cohort week: for each user, the latency from their FIRST
+    * view to the first purchase AT OR AFTER it, summarized as
+    * median/p90 per cohort week (q84's week convention) — the
+    * product-analytics companion to the funnel (q63 counts who
+    * converts; this measures how long conversion takes, which is what
+    * an activation team actually tunes). Latencies are exact integer
+    * µs diffs converted by ONE division on identical operands;
+    * percentile interpolation (quantile_cont ≡ percentile) then runs
+    * on identical double multisets, so only the decimal round is
+    * needed for belt-and-braces.
+    *
+    * Scale shape: one scan splits into per-user view minima and
+    * purchase prints; the "first at-or-after" is a user-keyed join +
+    * min — no window over the raw tape, no self-join; the percentile
+    * agg runs per cohort week over converter-cardinality data.
+    */
+  def q180ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"ts")
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id")
+      .agg(min($"us").as("v_us"), min($"ts").as("v_ts"))
+    val conv = ev.filter($"event_type" === "purchase")
+      .join(firstView, "user_id")
+      .filter($"us" >= $"v_us")
+      .groupBy($"user_id", date_trunc("week", $"v_ts").as("cohort_week"))
+      .agg(((min($"us") - first($"v_us")).cast("double") / 1e6)
+        .as("latency_s"))
+    conv.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("n_converters"),
+        decRound(percentile($"latency_s", lit(0.5)), 4).as("p50_s"),
+        decRound(percentile($"latency_s", lit(0.9)), 4).as("p90_s"))
+  }
+
+  val q180Sql: String =
+    """WITH fv AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS v_us,
+      |    date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |cv AS (
+      |  SELECT e.user_id, fv.cohort_week,
+      |    CAST(min(epoch_us(e.ts)) - fv.v_us AS DOUBLE) / 1e6 AS latency_s
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.v_us
+      |  GROUP BY e.user_id, fv.cohort_week, fv.v_us)
+      |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+      |  count(*) AS n_converters,
+      |  CAST(round(CAST(quantile_cont(latency_s, 0.5) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS p50_s,
+      |  CAST(round(CAST(quantile_cont(latency_s, 0.9) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS p90_s
+      |FROM cv GROUP BY 1""".stripMargin
 }
