@@ -1983,4 +1983,57 @@ object Streams {
           acc.iterator.map { case (b, (vol, net)) => (user, b, vol, net) }
       }
   }
+
+  /** s43 — streaming conversion latency via flatMapGroupsWithState:
+    * the incremental twin of batch q180, and the live activation
+    * monitor (a growth team wants the conversion clock as it closes,
+    * not in a nightly cohort job). State per user is (first-view µs
+    * or −1, converted flag) — two fields, bounded forever. The
+    * in-order fold emits EXACTLY ONE (cohort week, latency) row per
+    * user: the first purchase at-or-after the first view closes the
+    * clock (identical to the batch min-over-qualifying-purchases,
+    * because in-order the first qualifying print IS the min), views
+    * after the first don't move it, purchases before any view are
+    * ignored. The µs latency and the Monday-start week truncation
+    * are integer arithmetic (matching date_trunc('week') under the
+    * UTC session), so the emitted multiset equals the batch latency
+    * frame exactly and the consumer's percentile agg reproduces q180
+    * bit-for-bit before its decimal round. View→purchase pairs
+    * straddling a micro-batch boundary close from the carried state.
+    */
+  def conversionStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, java.sql.Timestamp, Double)] = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Boolean),
+        (Long, java.sql.Timestamp, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[TypedEvent],
+         state: GroupState[(Long, Boolean)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (vUs, done) = state.getOption.getOrElse((-1L, false))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, java.sql.Timestamp, Double)]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" if vUs < 0L => vUs = t
+              case "purchase" if vUs >= 0L && !done && t >= vUs =>
+                done = true
+                val dayIdx = Math.floorDiv(vUs, dayUs)
+                // Monday-start week truncation: 1970-01-01 is Thursday
+                val weekStart =
+                  (dayIdx - Math.floorMod(dayIdx + 3L, 7L)) * dayUs
+                out += ((user, tsFromMicros(weekStart), (t - vUs) / 1e6))
+              case _ => ()
+            }
+          }
+          state.update((vUs, done))
+          out.iterator
+      }
+  }
 }

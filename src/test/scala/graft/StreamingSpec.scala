@@ -1378,4 +1378,37 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming conversion latencies rebuild the batch q180 percentiles") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.conversionStream(spark, stream)
+      .toDF("user_id", "cohort_week", "latency_s")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("conv_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // each user converts at most once; the emitted latency multiset is
+    // the batch latency frame, so the same percentile agg matches
+    val emitted = spark.table("conv_out")
+    assert(emitted.select($"user_id").distinct().count() == emitted.count())
+    val streamed = emitted.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("n_converters"),
+        graft.functions.Num.decRound(
+          percentile($"latency_s", lit(0.5)), 4).as("p50_s"),
+        graft.functions.Num.decRound(
+          percentile($"latency_s", lit(0.9)), 4).as("p90_s"))
+    val batch = SparkEntry.queries("q180_conversion_latency")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
