@@ -98,6 +98,10 @@ object GraftExtensions {
     spark.udf.register("graft_top5",
       org.apache.spark.sql.functions.udaf(new graft.functions.TopKAgg(5),
         org.apache.spark.sql.Encoders.product[(Double, Long)]))
+    // Misra–Gries heavy hitters at the k=10 SQL spot; other k via DSL
+    spark.udf.register("graft_freq10",
+      org.apache.spark.sql.functions.udaf(new graft.functions.FreqItemsAgg(10),
+        org.apache.spark.sql.Encoders.STRING))
     ()
   }
 }

@@ -112,6 +112,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql == viaWindow && viaSql.nonEmpty)
   }
 
+  test("graft_freq10 from pure SQL keeps every over-threshold event type") {
+    GraftExtensions.install(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("ev_freq")
+    // 5 event types over any n/11 threshold -> the k=10 summary must
+    // hold ALL of them (MG guarantee), with counts never overcounting
+    val got = spark.sql(
+      """SELECT t.col._1 AS item, t.col._2 AS cnt FROM (
+        |  SELECT graft_freq10(event_type) AS s FROM ev_freq)
+        |LATERAL VIEW explode(s) t""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val truth = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(truth.keySet.subsetOf(got.keySet)) // 5 types, all heavy
+    got.foreach { case (i, c) => assert(c <= truth(i)) }
+  }
+
   test("non-literal static parameter fails with a clear message") {
     GraftExtensions.install(spark)
     val e = intercept[Exception] {

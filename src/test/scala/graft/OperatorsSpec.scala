@@ -244,6 +244,40 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("Misra-Gries summary: exact under k, heavy hitters guaranteed, undercount bounded") {
+    val agg = new graft.functions.FreqItemsAgg(5)
+    // (a) <= k distinct items: the summary is EXACT
+    val small = Seq("a", "b", "a", "c", "a", "b")
+    val exact = agg.finish(small.foldLeft(agg.zero)(agg.reduce))
+    assert(exact == Seq("a" -> 3L, "b" -> 2L, "c" -> 1L))
+
+    // (b) skewed stream over 40 distinct items, deterministic shuffle
+    val heavy = Seq.fill(300)("HOT") ++ Seq.fill(120)("WARM") ++
+      (1 to 38).flatMap(i => Seq.fill(8)(s"cold$i"))
+    val stream = new scala.util.Random(7).shuffle(heavy)
+    val n = stream.size
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // fold through arbitrary split points and MERGE the partials —
+    // the map-side-combine path the shuffle actually exercises
+    for (cut <- Seq(1, n / 3, n / 2, n - 2)) {
+      val (l, r) = stream.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val got = agg.finish(merged).toMap
+      assert(got.size <= 5)
+      // every item with true freq > n/(k+1) MUST be present
+      truth.filter(_._2 > n / 6).keys.foreach { hh =>
+        assert(got.contains(hh), s"split $cut lost heavy hitter $hh")
+      }
+      // every reported count undercounts truth by at most n/(k+1),
+      // and never overcounts
+      got.foreach { case (i, c) =>
+        assert(c <= truth(i), s"split $cut overcounted $i")
+        assert(truth(i) - c <= n / 6, s"split $cut bound broken for $i")
+      }
+    }
+  }
+
   test("triangleStats counts a known graph exactly") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) + pendant 4-5 (0 triangles).
