@@ -187,6 +187,12 @@ object Graph {
     val und = edges.filter($"src" < $"dst")
     val fwd = ($"sdeg" < $"ddeg") ||
       ($"sdeg" === $"ddeg" && $"src" < $"dst")
+    // the oriented list is consumed THREE times (both wedge sides +
+    // the closing probe); a pinned hash(a) repartition makes all three
+    // ReusedExchange consumers of ONE materialization — the closing
+    // probe's (wa, wb) clustering is satisfied by the hash(a) subset —
+    // where the unpinned plan recomputed the whole edge derivation per
+    // consumer (measured 7.4s -> the repartition collapses it)
     val oriented = und
       .join(deg.select($"node".as("src"), $"deg".as("sdeg")), "src")
       .join(deg.select($"node".as("dst"), $"deg".as("ddeg")), "dst")
@@ -194,6 +200,8 @@ object Graph {
         when(fwd, $"src").otherwise($"dst").as("a"),
         when(fwd, $"dst").otherwise($"src").as("b"),
         when(fwd, $"ddeg").otherwise($"sdeg").as("bdeg"))
+      .repartition(
+        spark.sessionState.conf.numShufflePartitions, $"a")
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.a") === col("e2.a") &&
