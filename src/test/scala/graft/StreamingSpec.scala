@@ -423,6 +423,44 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming Misra-Gries aggregation keeps its guarantee over the stream (s44)") {
+    // FreqItemsAgg drops into a streaming groupBy unchanged: the state
+    // store holds <= k counters per group, each micro-batch folds in
+    // via the mergeable-summaries merge — the MG guarantee (every item
+    // with freq > n/(k+1) present, counts never over) must hold on the
+    // final summary regardless of how the stream was sliced
+    val root = java.nio.file.Files.createTempDirectory("graft_s44")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
+      inDir.resolve("events.parquet"))
+    val stream = Streams.eventsStream(spark, inDir.toString)
+      .groupBy($"user_id" % 10)
+      .agg(graft.functions.FreqItems.freqItems($"event_type", 3).as("hh"))
+    val q = stream.writeStream.format("memory").queryName("s44_freq")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("s44_freq")
+      .select($"(user_id % 10)".as("g"), explode($"hh").as("e"))
+      .select($"g", $"e._1".as("item"), $"e._2".as("cnt"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val truth = Tables.events(spark, sf)
+      .groupBy(($"user_id" % 10).as("g"), $"event_type")
+      .count().as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(got.nonEmpty)
+    truth.foreach { case (g, tr) =>
+      val n = tr.values.sum
+      val summary = got.getOrElse(g, Map.empty)
+      tr.filter(_._2 > n / 4).keys.foreach { hh => // k=3 -> n/(k+1)
+        assert(summary.contains(hh), s"group $g lost heavy hitter $hh")
+      }
+      summary.foreach { case (i, c) =>
+        assert(c <= tr(i) && tr(i) - c <= n / 4, s"group $g bound broken for $i")
+      }
+    }
+  }
+
   test("streaming transition counts sum to the batch q107 matrix across micro-batches") {
     // two files split at the global ts midpoint -> per-user in-order
     // delivery across TWO micro-batches (maxFilesPerTrigger=1), so the
