@@ -180,6 +180,49 @@ object Graph {
     * hub-node blow-up and a bounded join on a skewed co-purchase
     * graph. Everything is integer until the final coefficient.
     */
+  /** Truncated k-core peel over a SYMMETRIC edge list: `rounds` fixed
+    * iterations of (drop nodes with degree < k, induce the subgraph),
+    * emitting (round, n_nodes, n_edges) per round — the graph's
+    * densification profile, and the fixed-iteration convention that
+    * keeps the oracle expressible as unrolled CTEs with IDENTICAL
+    * arithmetic (the q125 trade: a convergence loop would diverge
+    * from any finite SQL unroll; a pinned round count is
+    * engine-comparable and still monotone — the true k-core is the
+    * fixpoint these rounds approach from above). Integers end to end.
+    *
+    * Scale: each round is one degree agg + two semi joins, all keyed
+    * on the edge endpoints; the per-round repartition pin lets the
+    * stat branches of the final union reuse each round's exchange
+    * instead of recomputing the whole peel prefix per branch.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // the q125 lineage discipline: each round MATERIALIZES via eager
+    // localCheckpoint, so round r reads round r-1's blocks instead of
+    // replaying the whole peel prefix — without the cut, the unioned
+    // stat branches re-derive an O(rounds²) plan that the optimizer
+    // cannot be trusted to dedup (measured: the lazy form never
+    // finished at sf0.01; the checkpointed form is seconds)
+    var cur = edges.repartition(parts, $"src").localCheckpoint(eager = true)
+    val stats = (1 to rounds).map { r =>
+      val surv = cur.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"node")
+      cur = cur
+        .join(surv.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(surv.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .repartition(parts, $"src")
+        .localCheckpoint(eager = true)
+      cur.agg(
+        lit(r.toLong).as("round"),
+        countDistinct($"src").as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"))
+        .select($"round", $"n_nodes", $"n_edges")
+    }
+    stats.reduce(_ unionAll _)
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

@@ -144,6 +144,42 @@ object GraphOps {
        |  UNION ALL SELECT part, 3 FROM r3)
        |SELECT part, min(hop) AS hop FROM lv GROUP BY part""".stripMargin
 
+  /** q182_kcore_peel — 8-round truncated 3-core peel of the
+    * co-purchase graph: per round, the surviving node and edge counts
+    * (see [[graft.operators.Graph.kCorePeel]] for the fixed-round
+    * oracle convention). The densification profile a graph-quality
+    * audit reads before trusting community or centrality numbers.
+    */
+  def q182KcorePeel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCorePeel(edges(spark, dir), k = 3, rounds = 8)
+
+  val q182Sql: String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+    // 8-round chain would expand e8 into 2^8 re-derivations of the
+    // edge self-join (fd exhaustion at sf0.01, unrunnable at sf1);
+    // materialization evaluates each round once — the same thing the
+    // Spark side's localCheckpoint does
+    def round(prev: String, d: String, e: String): String =
+      s"""$d AS MATERIALIZED (SELECT src AS node FROM $prev GROUP BY src
+         |  HAVING count(*) >= 3),
+         |$e AS MATERIALIZED (SELECT p.src, p.dst FROM $prev p
+         |  JOIN $d a ON p.src = a.node JOIN $d b ON p.dst = b.node)"""
+        .stripMargin
+    val rounds = (1 to 8).map { r =>
+      val prev = if (r == 1) "edges" else s"e${r - 1}"
+      round(prev, s"d$r", s"e$r")
+    }.mkString(",\n")
+    val stats = (1 to 8).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT count(DISTINCT src) FROM e$r) AS n_nodes,
+         |  CAST((SELECT count(*) FROM e$r) // 2 AS BIGINT) AS n_edges"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $edgesSql,
+       |$rounds
+       |$stats""".stripMargin
+  }
+
   /** q175_triangle_census — triangle count and global clustering
     * coefficient of the co-purchase graph via the degree-oriented
     * wedge join (see [[graft.operators.Graph.triangleStats]] for the

@@ -848,4 +848,57 @@ object Quant {
       |FROM rk a JOIN rk b
       |  ON a.user_id = b.user_id AND b.day_idx = a.day_idx + 1
       |GROUP BY 1""".stripMargin
+
+  /** q181_event_study — post-event abnormal return per instrument:
+    * for every signup print on an instrument's tape, the cumulative
+    * return over the NEXT 3 prints (a forward row frame anchored at
+    * the event — the event-study CAR at a fixed horizon), de-meaned
+    * by 3× the instrument's own average print return (the
+    * constant-mean-return benchmark of the classic event-study
+    * design). Positive mean abnormal CAR = the event systematically
+    * precedes drift the baseline doesn't explain. Returns reuse the
+    * q165 zero-price guard; NULL returns inside a frame are skipped
+    * identically by both engines' window sums.
+    *
+    * Scale shape: the return lag, the forward CAR frame, the
+    * whole-partition mean, and the final per-instrument rollup are
+    * all user_id-clustered — ONE tape exchange (PlanSpec-pinned).
+    */
+  def q181EventStudy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wFwd = wOrd.rowsBetween(1, 3)
+    val wAll = Window.partitionBy($"user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value", $"event_type")
+      .withColumn("prev", lag($"value", 1).over(wOrd))
+      .withColumn("ret",
+        when($"value" > 0.0 && $"prev" > 0.0, $"value" / $"prev" - 1.0))
+      .withColumn("car3", sum($"ret").over(wFwd))
+      .withColumn("mean_ret", avg($"ret").over(wAll))
+      .filter($"event_type" === "signup" && $"car3".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        decRound(avg($"car3" - lit(3.0) * $"mean_ret"), 6).as("abn_car"))
+  }
+
+  val q181Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN value > 0.0 AND lag(value) OVER w > 0.0
+      |         THEN value / lag(value) OVER w - 1.0 END AS ret
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      |  SELECT user_id, event_type,
+      |    sum(ret) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS car3,
+      |    avg(ret) OVER (PARTITION BY user_id) AS mean_ret
+      |  FROM r)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(round(CAST(avg(car3 - 3.0 * mean_ret) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS abn_car
+      |FROM c WHERE event_type = 'signup' AND car3 IS NOT NULL
+      |GROUP BY 1""".stripMargin
 }
