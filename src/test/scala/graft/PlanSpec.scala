@@ -365,7 +365,8 @@ class PlanSpec extends SparkTestBase {
     // RV) each cluster every window and the rollup on the same keys:
     // a second tape shuffle here doubles the dominant cost at 100 TB
     for (q <- Seq("q156_order_imbalance", "q157_realized_variance",
-        "q160_conflate", "q170_kyle_lambda", "q179_vpin")) {
+        "q160_conflate", "q170_kyle_lambda", "q179_vpin",
+        "q181_event_study")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
     }
