@@ -912,4 +912,92 @@ object TrainingData {
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS len_norm_corr
       |FROM documents d JOIN nm ON nm.doc_id = d.doc_id
       |GROUP BY 1, 2""".stripMargin
+
+  /** q183_embedding_spectrum — anisotropy audit of the embedding
+    * space: the dominant eigenvalue of the collection covariance via
+    * 20 fixed power-iteration steps, its share of the trace
+    * (variance explained by one direction — a high share means a
+    * rogue common component is dominating every cosine), plus the
+    * trace itself. The covariance reduces DISTRIBUTED — one
+    * per-vector dim×dim pair expansion into a (d1, d2) agg, output
+    * exactly width² = 4096 cells at any collection size — and the
+    * 64×64 eigen-iteration runs on the driver over that
+    * CONSTANT-size matrix (the scalar-collect class the house rules
+    * allow; it is the plan's 4096-cell RESULT, not data). The oracle
+    * unrolls the same 20 steps as MATERIALIZED CTEs with identical
+    * arithmetic; power iteration is contractive, so the engines'
+    * sum-order drift stays far below the 6dp round.
+    */
+  def q183EmbeddingSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding".cast("array<double>")))
+      .select($"vec_id", $"pos".cast("long").as("d"), $"col".as("x"))
+    val cells = e.as("a").join(e.as("b"), "vec_id")
+      .groupBy($"a.d".as("d1"), $"b.d".as("d2"))
+      .agg(sum($"a.x" * $"b.x").as("sxy"), count(lit(1)).as("n"))
+    val means = e.groupBy($"d").agg(avg($"x").as("m"))
+    val cov = cells
+      .join(means.select($"d".as("d1"), $"m".as("m1")), "d1")
+      .join(means.select($"d".as("d2"), $"m".as("m2")), "d2")
+      .select($"d1", $"d2",
+        ($"sxy" / $"n" - $"m1" * $"m2").as("c"))
+      .collect()
+    val dim = math.sqrt(cov.length.toDouble).round.toInt
+    val c = Array.ofDim[Double](dim, dim)
+    cov.foreach(r => c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to 20) {
+      // matvec sums ascending d2 — the contractive iteration absorbs
+      // any ordering drift vs the oracle's group-by sums
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((acc, j) => acc + c(i)(j) * v(j)))
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    val trace = (0 until dim).map(i => c(i)(i)).sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((dim.toLong, r6(trace), r6(lambda), r6(lambda / trace)))
+      .toDF("dim", "trace", "lambda1", "top_share")
+  }
+
+  val q183Sql: String = {
+    val iters = (1 to 20).map { i =>
+      val pv = if (i == 1) "v0" else s"v${i - 1}"
+      s"""w$i AS MATERIALIZED (
+         |  SELECT c.d1 AS d, sum(c.c * p.v) AS w
+         |  FROM cv c JOIN $pv p ON p.d = c.d2 GROUP BY c.d1),
+         |l$i AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS l FROM w$i),
+         |v$i AS MATERIALIZED (
+         |  SELECT d, w / (SELECT l FROM l$i) AS v FROM w$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    unnest(generate_series(1, len(embedding))) - 1 AS d,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings),
+       |mn AS MATERIALIZED (SELECT d, avg(x) AS m FROM e GROUP BY d),
+       |cv AS MATERIALIZED (
+       |  SELECT a.d AS d1, b.d AS d2,
+       |    sum(a.x * b.x) / count(*) - m1.m * m2.m AS c
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id
+       |       JOIN mn m1 ON m1.d = a.d JOIN mn m2 ON m2.d = b.d
+       |  GROUP BY a.d, b.d, m1.m, m2.m),
+       |v0 AS (SELECT d1 AS d, 1.0 / sqrt(CAST(count(*) OVER () AS DOUBLE)) AS v
+       |       FROM (SELECT DISTINCT d1 FROM cv)),
+       |$iters
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM mn) AS dim,
+       |  CAST(round(CAST((SELECT sum(c) FROM cv WHERE d1 = d2)
+       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS trace,
+       |  CAST(round(CAST((SELECT l FROM l20) AS DECIMAL(28,12)), 6)
+       |    AS DOUBLE) AS lambda1,
+       |  CAST(round(CAST((SELECT l FROM l20) /
+       |    (SELECT sum(c) FROM cv WHERE d1 = d2) AS DECIMAL(28,12)), 6)
+       |    AS DOUBLE) AS top_share
+       |FROM (SELECT 1)""".stripMargin
+  }
 }
