@@ -1000,4 +1000,65 @@ object TrainingData {
        |    AS DOUBLE) AS top_share
        |FROM (SELECT 1)""".stripMargin
   }
+
+  /** q184_effective_rank — participation-ratio effective rank of the
+    * embedding covariance: PR = trace(C)² / ‖C‖²_F = (Σλ)²/Σλ²,
+    * computed in CLOSED FORM from the same distributed dim-pair
+    * covariance as q183 — no eigendecomposition, no iteration, just
+    * two sums over the width² cell frame. PR ≈ dim means isotropic
+    * use of the space; PR ≪ dim means the representation collapsed
+    * onto a few directions (the representation-learning diagnostic
+    * reported alongside anisotropy). Everything after the covariance
+    * agg is arithmetic over ≤ 4096 cells.
+    */
+  def q184EffectiveRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding".cast("array<double>")))
+      .select($"vec_id", $"pos".cast("long").as("d"), $"col".as("x"))
+    val cells = e.as("a").join(e.as("b"), "vec_id")
+      .groupBy($"a.d".as("d1"), $"b.d".as("d2"))
+      .agg(sum($"a.x" * $"b.x").as("sxy"), count(lit(1)).as("n"))
+    val means = e.groupBy($"d").agg(avg($"x").as("m"))
+    cells
+      .join(means.select($"d".as("d1"), $"m".as("m1")), "d1")
+      .join(means.select($"d".as("d2"), $"m".as("m2")), "d2")
+      .select($"d1", $"d2", ($"sxy" / $"n" - $"m1" * $"m2").as("c"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when($"d1" === $"d2", $"c")).as("tr"),
+        sum($"c" * $"c").as("fro2"))
+      .select(
+        graft.functions.Num.decRound($"tr", 6).as("trace"),
+        graft.functions.Num.decRound($"tr" * $"tr" / $"fro2", 4)
+          .as("eff_rank"),
+        graft.functions.Num.decRound(
+          $"tr" * $"tr" / $"fro2" / sqrt($"n_cells".cast("double")), 4)
+          .as("eff_share"))
+  }
+
+  val q184Sql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS d,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |mn AS MATERIALIZED (SELECT d, avg(x) AS m FROM e GROUP BY d),
+      |cv AS MATERIALIZED (
+      |  SELECT a.d AS d1, b.d AS d2,
+      |    sum(a.x * b.x) / count(*) - m1.m * m2.m AS c
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id
+      |       JOIN mn m1 ON m1.d = a.d JOIN mn m2 ON m2.d = b.d
+      |  GROUP BY a.d, b.d, m1.m, m2.m),
+      |agg AS (
+      |  SELECT count(*) AS n_cells,
+      |    sum(CASE WHEN d1 = d2 THEN c END) AS tr,
+      |    sum(c * c) AS fro2
+      |  FROM cv)
+      |SELECT
+      |  CAST(round(CAST(tr AS DECIMAL(28,12)), 6) AS DOUBLE) AS trace,
+      |  CAST(round(CAST(tr * tr / fro2 AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS eff_rank,
+      |  CAST(round(CAST(tr * tr / fro2 / sqrt(CAST(n_cells AS DOUBLE))
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS eff_share
+      |FROM agg""".stripMargin
 }
