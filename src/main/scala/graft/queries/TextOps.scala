@@ -592,4 +592,76 @@ object TextOps {
       |FROM j
       |WINDOW w AS (ORDER BY bucket
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q185_bigram_perplexity — per-document perplexity under an add-½
+    * smoothed corpus BIGRAM language model (the CCNet-style
+    * perplexity filter, one modeling step past q100's corpus unigram
+    * logprob): P(w₂|w₁) = (c(w₁w₂)+0.5)/(c(w₁)+0.5·V), per-doc
+    * ppl = 2^(−mean log₂ P), flagged against a fixed threshold — the
+    * standard screen that drops both gibberish (high ppl) and
+    * degenerate repetition (anomalously low ppl) before pretraining.
+    *
+    * Scale shape: ONE tokenization pass feeds doc bigrams; the corpus
+    * bigram/unigram count tables and the vocab scalar reduce from the
+    * same pass and join back token-keyed (vocabulary-sized, never
+    * corpus-sized); the per-doc agg is one doc-keyed reduction. The
+    * only FP is the per-doc log₂ sum — 4dp-rounded on both engines.
+    */
+  def q185BigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("ts"))
+    val bi = toks.select($"doc_id", posexplode($"ts"))
+      .select($"doc_id", $"pos", $"col".as("w2"),
+        lag($"col", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")).as("w1"))
+      .filter($"w1".isNotNull && length($"w1") > 0 && length($"w2") > 0)
+    val uniCnt = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val biCnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val vocab = bi.select($"w2").union(bi.select($"w1")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bi.join(biCnt, Seq("w1", "w2"))
+      .join(uniCnt, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits", -log(2.0,
+        ($"c12".cast("double") + 0.5) /
+          ($"c1".cast("double") + lit(0.5) * $"v".cast("double"))))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Num.decRound(
+          pow(lit(2.0), avg($"bits")), 4).as("ppl"))
+      .withColumn("flag_outlier", $"ppl" > 10000.0 || $"ppl" < 10.0)
+  }
+
+  val q185Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+      |    unnest(generate_series(1, len(
+      |      regexp_split_to_array(lower(trim(text)), '\s+')))) AS pos
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+      |    w AS w2
+      |  FROM t WHERE w <> ''),
+      |bf AS (SELECT * FROM bi WHERE w1 IS NOT NULL AND w1 <> ''),
+      |uni AS (SELECT w1, count(*) AS c1 FROM bf GROUP BY 1),
+      |bic AS (SELECT w1, w2, count(*) AS c12 FROM bf GROUP BY 1, 2),
+      |vc AS (
+      |  SELECT count(*) AS v FROM (
+      |    SELECT w2 FROM bf UNION SELECT w1 FROM bf)),
+      |sc AS (
+      |  SELECT b.doc_id,
+      |    -log2((CAST(c.c12 AS DOUBLE) + 0.5) /
+      |      (CAST(u.c1 AS DOUBLE) + 0.5 * CAST(vc.v AS DOUBLE))) AS bits
+      |  FROM bf b JOIN bic c ON c.w1 = b.w1 AND c.w2 = b.w2
+      |       JOIN uni u ON u.w1 = b.w1 CROSS JOIN vc),
+      |d AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(round(CAST(pow(2.0, avg(bits)) AS DECIMAL(28,12)), 4)
+      |      AS DOUBLE) AS ppl
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, n_bigrams, ppl,
+      |  ppl > 10000.0 OR ppl < 10.0 AS flag_outlier
+      |FROM d""".stripMargin
 }
