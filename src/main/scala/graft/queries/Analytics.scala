@@ -871,4 +871,95 @@ object Analytics {
       |  CAST(round(CAST(quantile_cont(latency_s, 0.9) AS DECIMAL(28,12)), 4)
       |    AS DOUBLE) AS p90_s
       |FROM cv GROUP BY 1""".stripMargin
+
+  /** q186_survival_km — Kaplan–Meier user-lifetime curve with right
+    * censoring: each user's observed lifetime is last−first event in
+    * whole days; users still active in the tape's final 3 days are
+    * CENSORED (they didn't churn — the tape just ended), everyone
+    * else churned at their duration. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)
+    * with nᵢ = users at risk (duration ≥ tᵢ, censored included until
+    * their horizon) — the estimator product rewritten as
+    * exp(Σ ln(1−d/n)) over an ORDERED cumulative window, so both
+    * engines sum identical doubles in identical ascending-t order
+    * and the only drift surface is the final exp (6dp). Integers
+    * everywhere else.
+    *
+    * Scale shape: one per-user agg off the tape, one duration-keyed
+    * agg (output ≤ tape-days rows), a reverse cumulative at-risk sum
+    * and the forward survival cumsum over that constant-sized frame.
+    */
+  def q186SurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+    val life = ev.groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("first_us"),
+        max(unix_micros($"ts")).as("last_us"))
+      .crossJoin(broadcast(
+        ev.agg(max(unix_micros($"ts")).as("tape_end"))))
+      .select($"user_id",
+        (($"last_us" - $"first_us") / dayUs).cast("long").as("t_days"),
+        ($"last_us" >= $"tape_end" - lit(3L) * dayUs).as("censored"))
+    val byT = life.groupBy($"t_days")
+      .agg(sum(when(!$"censored", 1L).otherwise(0L)).as("d_events"),
+        sum(when($"censored", 1L).otherwise(0L)).as("c_censored"),
+        count(lit(1)).as("n_at"))
+    val wRev = Window.orderBy($"t_days".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.orderBy($"t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a bucket where EVERYONE at risk dies (d = n, only possible at
+    // the curve's tail) sends S to an absorbing 0 — taken via an
+    // explicit flag on both engines, because ln(0) is null in Spark
+    // but THROWS in DuckDB (the q157 error-semantics lesson)
+    byT
+      .withColumn("n_risk", sum($"n_at").over(wRev))
+      .withColumn("term", when($"d_events" < $"n_risk",
+        log(lit(1.0) - $"d_events".cast("double") /
+          $"n_risk".cast("double"))).otherwise(lit(0.0)))
+      .withColumn("dead",
+        max(when($"d_events" >= $"n_risk", 1L).otherwise(0L)).over(wFwd))
+      .withColumn("survival", graft.functions.Num.decRound(
+        when($"dead" === 1L, lit(0.0))
+          .otherwise(exp(sum($"term").over(wFwd))), 6))
+      .select($"t_days", $"n_risk", $"d_events", $"c_censored", $"survival")
+  }
+
+  val q186Sql: String =
+    """WITH te AS (SELECT max(epoch_us(ts)) AS tape_end FROM events),
+      |life AS (
+      |  SELECT user_id,
+      |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t_days,
+      |    max(epoch_us(ts)) >= (SELECT tape_end FROM te)
+      |      - 3 * 86400000000 AS censored
+      |  FROM events GROUP BY user_id),
+      |bt AS (
+      |  SELECT t_days,
+      |    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d_events,
+      |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_censored,
+      |    count(*) AS n_at
+      |  FROM life GROUP BY 1),
+      |rk AS (
+      |  SELECT t_days, d_events, c_censored,
+      |    CAST(sum(n_at) OVER (ORDER BY t_days DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_risk
+      |  FROM bt),
+      |tm AS (
+      |  SELECT t_days, n_risk, d_events, c_censored,
+      |    CASE WHEN d_events < n_risk THEN
+      |      ln(1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |      ELSE 0.0 END AS term,
+      |    CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END AS deadf
+      |  FROM rk)
+      |SELECT CAST(t_days AS BIGINT) AS t_days, n_risk, d_events, c_censored,
+      |  CAST(round(CAST(CASE WHEN max(deadf) OVER w = 1 THEN 0.0
+      |    ELSE exp(sum(term) OVER w) END
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS survival
+      |FROM tm
+      |WINDOW w AS (ORDER BY t_days
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 }
