@@ -1984,6 +1984,38 @@ object Streams {
       }
   }
 
+  /** s45 — streaming PIT publish into a RELATIONAL store: the s5
+    * latest-per-key semantic delivered through
+    * [[graft.sources.JdbcFeed.upsertWrite]] instead of a parquet
+    * snapshot — the shape a reference-data master actually serves
+    * from (a keyed table consumers SELECT against), closing the loop
+    * between the streaming family and the JDBC sink. Per micro-batch:
+    * reduce the batch to its OWN latest row per (user, type) —
+    * upsertWrite's unique-key contract, and all the work the batch
+    * needs to do — then MERGE by key; in-order delivery makes the
+    * final table the tape's latest row per key, exactly batch q29.
+    * Convergent under foreachBatch replay (a re-merged batch lands
+    * the same state), the same idempotence argument as [[s5]]'s
+    * pointer swap but delegated to the transactional store.
+    */
+  def pitJdbcSink(events: DataFrame, url: String, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val latest = batch.toDF()
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"), col("event_type"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("latest_ts"), col("value").as("latest_value"))
+        graft.sources.JdbcFeed.upsertWrite(latest, url, table,
+          keyCols = Seq("user_id", "event_type"))
+        ()
+      }
+      .start()
+
   /** s43 — streaming conversion latency via flatMapGroupsWithState:
     * the incremental twin of batch q180, and the live activation
     * monitor (a growth team wants the conversion clock as it closes,

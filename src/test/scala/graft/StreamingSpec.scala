@@ -1417,6 +1417,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming PIT publish through the JDBC upsert sink converges to batch q29 (s45)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s45").toString
+    val url = s"jdbc:derby:$tmp/derby45;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      """CREATE TABLE pit (user_id BIGINT, event_type VARCHAR(40),
+        |latest_ts TIMESTAMP, latest_value DOUBLE,
+        |PRIMARY KEY (user_id, event_type))""".stripMargin.replace("\n", " "))
+    finally conn.close()
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$tmp/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$tmp/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batch_*")
+    val q = Streams.pitJdbcSink(stream, url, "pit")
+    try { q.processAllAvailable() } finally { q.stop() }
+    // the relational store now IS the PIT snapshot: keyed SELECT ≡ q29
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val served = spark.read.jdbc(url, "pit", props)
+      .select($"USER_ID".as("user_id"), $"EVENT_TYPE".as("event_type"),
+        $"LATEST_TS".as("latest_ts"), $"LATEST_VALUE".as("latest_value"))
+    val batch = SparkEntry.queries("q29_pit_latest")(spark, sf)
+    assert(served.count() > 0)
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty)
+  }
+
   test("streaming conversion latencies rebuild the batch q180 percentiles") {
     val ev = Tables.events(spark, sf)
     val mid = ev.agg(
