@@ -611,6 +611,11 @@ object TextOps {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", Text.tokens($"text").as("ts"))
+    // the bigram frame feeds four consumers; a hash(w1) pin was
+    // MEASURED against the unpinned plan (the q175 suspicion) and
+    // lost — the doc_id window exchange already anchors reuse and the
+    // extra corpus-wide repartition costs more than the tokenize it
+    // saves (1.4s vs 1.9s median warm at sf0.1) — so no pin here
     val bi = toks.select($"doc_id", posexplode($"ts"))
       .select($"doc_id", $"pos", $"col".as("w2"),
         lag($"col", 1).over(org.apache.spark.sql.expressions.Window
