@@ -206,21 +206,32 @@ object Graph {
     // cannot be trusted to dedup (measured: the lazy form never
     // finished at sf0.01; the checkpointed form is seconds)
     var cur = edges.repartition(parts, $"src").localCheckpoint(eager = true)
-    val stats = (1 to rounds).map { r =>
-      val surv = cur.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= k).select($"node")
-      cur = cur
-        .join(surv.select($"node".as("src")), Seq("src"), "left_semi")
-        .join(surv.select($"node".as("dst")), Seq("dst"), "left_semi")
-        .repartition(parts, $"src")
-        .localCheckpoint(eager = true)
-      cur.agg(
-        lit(r.toLong).as("round"),
-        countDistinct($"src").as("n_nodes"),
-        (count(lit(1)) / 2).cast("long").as("n_edges"))
-        .select($"round", $"n_nodes", $"n_edges")
+    // monotone-peel short-circuit: the edge set only shrinks, so an
+    // unchanged count means the FIXPOINT is reached and every later
+    // round is identical — replicate the converged row instead of
+    // running more join rounds (the co-purchase graph converges in a
+    // couple of rounds; without this the fixed-round contract pays
+    // for rounds that cannot change anything)
+    var prevEdges = -1L
+    var converged = false
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      if (!converged) {
+        val surv = cur.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= k).select($"node")
+        cur = cur
+          .join(surv.select($"node".as("src")), Seq("src"), "left_semi")
+          .join(surv.select($"node".as("dst")), Seq("dst"), "left_semi")
+          .repartition(parts, $"src")
+          .localCheckpoint(eager = true)
+        val row = cur.agg(countDistinct($"src"), count(lit(1))).collect()(0)
+        val (nn, ne) = (row.getLong(0), row.getLong(1) / 2)
+        if (row.getLong(1) == prevEdges) converged = true
+        prevEdges = row.getLong(1)
+        out += ((r.toLong, nn, ne))
+      } else out += ((r.toLong, out.last._2, out.last._3))
     }
-    stats.reduce(_ unionAll _)
+    out.toSeq.toDF("round", "n_nodes", "n_edges")
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {
