@@ -278,6 +278,22 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("kCorePeel peels a known graph and replicates after the fixpoint") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant chain 4-5, 5-6: k=2 kills 6 (deg 1)
+    // in round 1, then 5 (deg 1 after losing 6) in round 2, leaving
+    // K4 (4 nodes, 6 edges) as the stable 2-core from round 2 on
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = graft.operators.Graph.kCorePeel(edges, k = 2, rounds = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 5)
+    assert(r(0) == ((1L, 5L, 7L)), s"round1 ${r(0)}") // 6 gone
+    assert(r(1) == ((2L, 4L, 6L)), s"round2 ${r(1)}") // 5 gone -> K4
+    assert(r.drop(1).forall(x => (x._2, x._3) == ((4L, 6L))))
+  }
+
   test("triangleStats counts a known graph exactly") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) + pendant 4-5 (0 triangles).
