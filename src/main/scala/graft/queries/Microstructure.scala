@@ -603,6 +603,95 @@ object Microstructure {
           nullif($"vol", lit(0L)).cast("double")), 6).as("vpin"))
   }
 
+  /** q187_ofi_predictability — does today's order flow predict
+    * tomorrow's return? Per instrument: corr(OFI_t, ret_{t+1}) over
+    * its days — the standard signal-decay test run on the
+    * order-flow-imbalance literature's headline claim. Daily OFI
+    * reuses the exact q156 recurrence (tick-rule sign carry, ratio of
+    * Σ sign·px to Σ px per day); next-day return is the q176
+    * first-to-last convention; adjacency joins on exact integer
+    * epoch-days. Both daily frames come off ONE tape scan each with
+    * user-clustered windows; the join and correlation run on
+    * day-cardinality data per instrument. 6dp absorbs corr's
+    * accumulation order (its INPUTS are deterministic on both
+    * engines: the OFI ratio divides two fully-reduced sums, the
+    * return divides two picked prints).
+    */
+  def q187OfiPredictability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val ofi = ev
+      .withColumn("raw", signum($"value" - lag($"value", 1).over(wOrd)))
+      .withColumn("sign",
+        last(when($"raw" =!= 0.0, $"raw"), ignoreNulls = true).over(wRun))
+      .filter($"sign".isNotNull)
+      .groupBy($"user_id",
+        (unix_micros(date_trunc("day", $"ts")) / lit(86400000000L))
+          .cast("long").as("day_idx"))
+      .agg((sum($"sign" * $"value") / nullif(sum($"value"), lit(0.0)))
+        .as("ofi"))
+    val wDay = Window.partitionBy($"user_id", $"day_idx")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rets = ev
+      .withColumn("day_idx",
+        (unix_micros(date_trunc("day", $"ts")) / lit(86400000000L))
+          .cast("long"))
+      .withColumn("first_px", first($"value").over(wDay))
+      .withColumn("last_px", last($"value").over(wDay))
+      .select($"user_id", $"day_idx", $"first_px", $"last_px").distinct()
+      .select($"user_id", ($"day_idx" - 1L).as("day_idx"),
+        (($"last_px" - $"first_px") / nullif($"first_px", lit(0.0)))
+          .as("ret_next"))
+      .filter($"ret_next".isNotNull)
+    ofi.join(rets, Seq("user_id", "day_idx"))
+      .filter($"ofi".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        decRound(corr($"ofi", $"ret_next"), 6).as("pred_corr"))
+  }
+
+  val q187Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    value - lag(value) OVER w AS dp
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    last_value(CASE WHEN sign(dp) <> 0.0 THEN sign(dp) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+      |  FROM d),
+      |o AS (
+      |  SELECT user_id,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+      |    sum(sgn * value) / nullif(sum(value), 0.0) AS ofi
+      |  FROM s WHERE sgn IS NOT NULL GROUP BY 1, 2),
+      |px AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+      |    first_value(value) OVER w AS first_px,
+      |    last_value(value) OVER w AS last_px
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |r AS (
+      |  SELECT user_id, day_idx - 1 AS day_idx,
+      |    (last_px - first_px) / nullif(first_px, 0.0) AS ret_next
+      |  FROM px
+      |  WHERE (last_px - first_px) / nullif(first_px, 0.0) IS NOT NULL)
+      |SELECT o.user_id, count(*) AS n_days,
+      |  CAST(round(CAST(corr(o.ofi, r.ret_next) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS pred_corr
+      |FROM o JOIN r ON r.user_id = o.user_id AND r.day_idx = o.day_idx
+      |WHERE o.ofi IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   val q179Sql: String =
     """WITH d AS (
       |  SELECT user_id, ts, event_id, value,
