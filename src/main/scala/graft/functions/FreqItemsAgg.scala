@@ -35,7 +35,10 @@ class FreqItemsAgg(k: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
-    b.get(x) match {
+    // NULL inputs are skipped, matching SQL aggregate semantics (a
+    // null key would otherwise NPE finish()'s String ordering)
+    if (x == null) b
+    else b.get(x) match {
       case Some(c) => b.updated(x, c + 1L)
       case None if b.size < k => b.updated(x, 1L)
       case None => // decrement-all, drop zeros (the MG eviction step)

@@ -162,6 +162,24 @@ object JdbcFeed {
     *
     * @return rows written (update + insert paths)
     */
+  /** Which rows of an UPDATE batch must fall through to INSERT.
+    * Count 0 = definite miss. Drivers may return
+    * `Statement.SUCCESS_NO_INFO` (−2) for batched statements (Oracle,
+    * MySQL with rewriteBatchedStatements) — an unknown count is NOT an
+    * update hit, so those rows are re-probed with a per-row
+    * `executeUpdate` (exact count, convergent to re-run) and miss only
+    * when the probe touches 0 rows. Without this, every row on such a
+    * dialect looks "updated" and new keys are silently never inserted.
+    */
+  private[graft] def insertCandidates(
+      chunk: Seq[org.apache.spark.sql.Row], counts: Array[Int])(
+      reprobe: org.apache.spark.sql.Row => Int)
+      : Seq[org.apache.spark.sql.Row] =
+    chunk.iterator.zip(counts.iterator).collect {
+      case (r, 0) => Some(r)
+      case (r, c) if c < 0 => if (reprobe(r) == 0) Some(r) else None
+    }.flatten.toSeq
+
   def upsertWrite(df: DataFrame, url: String, table: String,
                   keyCols: Seq[String], batchSize: Int = 500): Long = {
     val schema = df.schema
@@ -196,8 +214,12 @@ object JdbcFeed {
               upd.addBatch()
             }
             val counts = upd.executeBatch()
-            val misses = chunk.iterator.zip(counts.iterator)
-              .collect { case (r, 0) => r }.toSeq
+            val misses = insertCandidates(chunk, counts) { r =>
+              var i = 0
+              dataIdx.foreach { d => upd.setObject(i + 1, r.get(d)); i += 1 }
+              keyIdx.foreach { k => upd.setObject(i + 1, r.get(k)); i += 1 }
+              upd.executeUpdate()
+            }
             misses.foreach { r =>
               allIdx.zipWithIndex.foreach { case (c, i) =>
                 ins.setObject(i + 1, r.get(c))

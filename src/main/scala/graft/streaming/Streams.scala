@@ -1815,7 +1815,7 @@ object Streams {
   }
 
   case class KyleEvent(user_id: Long, ts: java.sql.Timestamp,
-                       value: Double, event_id: Long, size: Long)
+                       value: Double, event_id: Long, size: Option[Long])
 
   /** s40 — streaming Kyle lambda via flatMapGroupsWithState: the
     * incremental twin of batch q170. State is (last price, last
@@ -1858,8 +1858,11 @@ object Streams {
               case Some(_) => lastSign
               case None => None
             }
-            for (s <- sign; d <- dp) {
-              val q = s * e.size.toDouble
+            // a NULL size (props lacks k / non-numeric) contributes no
+            // observation, matching batch covar_pop/var_pop null-skip;
+            // the tick state (lastPx, lastSign) still advances
+            for (s <- sign; d <- dp; sz <- e.size) {
+              val q = s * sz.toDouble
               n += 1L
               sdp += d; sq += q; sxy += d * q; sq2 += q * q
             }
@@ -1970,11 +1973,13 @@ object Streams {
               case Some(_) => lastSign
               case None => None
             }
-            sign.foreach { s =>
+            // NULL size adds no volume (batch sum null-skip); tick
+            // state still advances below
+            for (s <- sign; sz <- e.size) {
               val bucket = cum / bucketVol // cum BEFORE this print
-              cum += e.size
+              cum += sz
               val (vol, net) = acc.getOrElse(bucket, (0L, 0L))
-              acc(bucket) = (vol + e.size, net + s.toLong * e.size)
+              acc(bucket) = (vol + sz, net + s.toLong * sz)
             }
             lastPx = Some(e.value)
           }
@@ -2046,7 +2051,13 @@ object Streams {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[TypedEvent],
          state: GroupState[(Long, Boolean)]) =>
-          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          // views sort BEFORE purchases at the same microsecond: batch
+          // q180 qualifies a purchase by timestamp only (t >= first
+          // view ts), so a purchase tied to the µs of the first view
+          // must see vUs already set regardless of event_id order
+          val sorted = evs.toSeq.sortBy(e =>
+            (micros(e.ts), if (e.event_type == "purchase") 1 else 0,
+              e.event_id))
           var (vUs, done) = state.getOption.getOrElse((-1L, false))
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, java.sql.Timestamp, Double)]

@@ -224,4 +224,25 @@ class FeedSpec extends SparkTestBase {
     val r3 = spark.read.jdbc(url, "master", props)
     assert(r3.count() == 60 && r3.filter($"SRC" === "feedB").count() == 35)
   }
+
+  test("upsert insert-candidate selection handles SUCCESS_NO_INFO batch counts") {
+    // Oracle / MySQL-rewriteBatchedStatements return -2 for every row
+    // of a batch: an unknown count must be RE-PROBED, not treated as
+    // an update hit — otherwise new keys are silently dropped
+    import org.apache.spark.sql.Row
+    val rows = Seq(Row(1L), Row(2L), Row(3L), Row(4L))
+    var probed = List.empty[Long]
+    val probe: Row => Int = { r =>
+      probed ::= r.getLong(0)
+      if (r.getLong(0) % 2 == 0) 0 else 1 // even ids miss -> insert
+    }
+    // exact counts: only count==0 falls through, no probe at all
+    assert(sources.JdbcFeed.insertCandidates(
+      rows, Array(1, 0, 1, 1))(probe) == Seq(Row(2L)))
+    assert(probed == Nil)
+    // SUCCESS_NO_INFO everywhere: every row probed, misses inserted
+    assert(sources.JdbcFeed.insertCandidates(
+      rows, Array(-2, -2, -2, -2))(probe) == Seq(Row(2L), Row(4L)))
+    assert(probed.toSet == Set(1L, 2L, 3L, 4L))
+  }
 }

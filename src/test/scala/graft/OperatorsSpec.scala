@@ -251,6 +251,11 @@ class OperatorsSpec extends SparkTestBase {
     val exact = agg.finish(small.foldLeft(agg.zero)(agg.reduce))
     assert(exact == Seq("a" -> 3L, "b" -> 2L, "c" -> 1L))
 
+    // NULLs are skipped like every SQL aggregate — interleaved nulls
+    // leave the summary untouched (and never NPE finish()'s ordering)
+    val withNulls = Seq("a", null, "b", "a", null, "c", "a", "b", null)
+    assert(agg.finish(withNulls.foldLeft(agg.zero)(agg.reduce)) == exact)
+
     // (b) skewed stream over 40 distinct items, deterministic shuffle
     val heavy = Seq.fill(300)("HOT") ++ Seq.fill(120)("WARM") ++
       (1 to 38).flatMap(i => Seq.fill(8)(s"cold$i"))

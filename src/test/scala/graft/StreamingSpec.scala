@@ -1482,4 +1482,31 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("conversionStream counts a purchase tied to the first view's microsecond") {
+    // batch q180 qualifies purchases by TIMESTAMP only (t >= first
+    // view ts); a purchase sharing the first view's exact µs but with
+    // a SMALLER event_id must still convert (latency 0), and a
+    // purchase strictly before any view must not
+    val t0 = 1700000000000000L // µs, mid-2023 — inside the ts guard
+    val dir = java.nio.file.Files.createTempDirectory("graft_tie").toString
+    Seq(
+      (1L, t0, 10L, "view"), (1L, t0, 5L, "purchase"), // tie, id BEFORE view
+      (2L, t0 + 1000000L, 20L, "view"), (2L, t0, 21L, "purchase"))
+      .toDF("user_id", "us", "event_id", "event_type")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"event_id",
+        $"event_type")
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    val schema = spark.read.parquet(s"$dir/batch_a").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/batch_*")
+    val q = Streams.conversionStream(spark, stream)
+      .toDF("user_id", "cohort_week", "latency_s")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tie_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("tie_out")
+      .select($"user_id", $"latency_s").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 0.0)), s"got $got")
+  }
 }
