@@ -918,34 +918,28 @@ object TrainingData {
     * 20 fixed power-iteration steps, its share of the trace
     * (variance explained by one direction — a high share means a
     * rogue common component is dominating every cosine), plus the
-    * trace itself. The covariance reduces DISTRIBUTED — one
-    * per-vector dim×dim pair expansion into a (d1, d2) agg, output
-    * exactly width² = 4096 cells at any collection size — and the
-    * 64×64 eigen-iteration runs on the driver over that
-    * CONSTANT-size matrix (the scalar-collect class the house rules
-    * allow; it is the plan's 4096-cell RESULT, not data). The oracle
-    * unrolls the same 20 steps as MATERIALIZED CTEs with identical
-    * arithmetic; power iteration is contractive, so the engines'
-    * sum-order drift stays far below the 6dp round.
+    * trace itself. The covariance reduces DISTRIBUTED in ONE scan:
+    * [[graft.functions.GramAgg]] folds each vector's upper-triangle
+    * outer product row-locally, so the shuffle carries one
+    * width(width+5)/2-double buffer per partition — NO width²-row
+    * exchange, no self-join (the r10 posexplode+self-join plan
+    * emitted width² product rows per vector: fatal at production
+    * widths 1024–4096). The width×width eigen-iteration runs on the
+    * driver over the CONSTANT-size reduced matrix (the scalar-collect
+    * class the house rules allow; it is the plan's RESULT, not data).
+    * The oracle unrolls the same 20 steps as MATERIALIZED CTEs with
+    * identical arithmetic; power iteration is contractive, so the
+    * engines' sum-order drift stays far below the 6dp round.
     */
   def q183EmbeddingSpectrum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", posexplode($"embedding".cast("array<double>")))
-      .select($"vec_id", $"pos".cast("long").as("d"), $"col".as("x"))
-    val cells = e.as("a").join(e.as("b"), "vec_id")
-      .groupBy($"a.d".as("d1"), $"b.d".as("d2"))
-      .agg(sum($"a.x" * $"b.x").as("sxy"), count(lit(1)).as("n"))
-    val means = e.groupBy($"d").agg(avg($"x").as("m"))
-    val cov = cells
-      .join(means.select($"d".as("d1"), $"m".as("m1")), "d1")
-      .join(means.select($"d".as("d2"), $"m".as("m2")), "d2")
-      .select($"d1", $"d2",
-        ($"sxy" / $"n" - $"m1" * $"m2").as("c"))
-      .collect()
-    val dim = math.sqrt(cov.length.toDouble).round.toInt
-    val c = Array.ofDim[Double](dim, dim)
-    cov.foreach(r => c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    val buf = Tables.embeddings(spark, dir)
+      .filter($"embedding".isNotNull)
+      .select(graft.functions.Gram.gram(
+        $"embedding".cast("array<double>")).as("g"))
+      .collect()(0).getSeq[Double](0).toArray
+    val (_, _, c) = graft.functions.Gram.covariance(buf)
+    val dim = c.length
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var lambda = 0.0
     for (_ <- 1 to 20) {
@@ -1003,37 +997,40 @@ object TrainingData {
 
   /** q184_effective_rank — participation-ratio effective rank of the
     * embedding covariance: PR = trace(C)² / ‖C‖²_F = (Σλ)²/Σλ²,
-    * computed in CLOSED FORM from the same distributed dim-pair
-    * covariance as q183 — no eigendecomposition, no iteration, just
-    * two sums over the width² cell frame. PR ≈ dim means isotropic
-    * use of the space; PR ≪ dim means the representation collapsed
-    * onto a few directions (the representation-learning diagnostic
-    * reported alongside anisotropy). Everything after the covariance
-    * agg is arithmetic over ≤ 4096 cells.
+    * computed in CLOSED FORM from the same one-scan
+    * [[graft.functions.GramAgg]] moment reduction as q183 — no
+    * eigendecomposition, no iteration, no width²-row exchange; the
+    * two sums run driver-side over the reduced width² matrix. PR ≈
+    * dim means isotropic use of the space; PR ≪ dim means the
+    * representation collapsed onto a few directions (the
+    * representation-learning diagnostic reported alongside
+    * anisotropy).
     */
   def q184EffectiveRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", posexplode($"embedding".cast("array<double>")))
-      .select($"vec_id", $"pos".cast("long").as("d"), $"col".as("x"))
-    val cells = e.as("a").join(e.as("b"), "vec_id")
-      .groupBy($"a.d".as("d1"), $"b.d".as("d2"))
-      .agg(sum($"a.x" * $"b.x").as("sxy"), count(lit(1)).as("n"))
-    val means = e.groupBy($"d").agg(avg($"x").as("m"))
-    cells
-      .join(means.select($"d".as("d1"), $"m".as("m1")), "d1")
-      .join(means.select($"d".as("d2"), $"m".as("m2")), "d2")
-      .select($"d1", $"d2", ($"sxy" / $"n" - $"m1" * $"m2").as("c"))
-      .agg(count(lit(1)).as("n_cells"),
-        sum(when($"d1" === $"d2", $"c")).as("tr"),
-        sum($"c" * $"c").as("fro2"))
-      .select(
-        graft.functions.Num.decRound($"tr", 6).as("trace"),
-        graft.functions.Num.decRound($"tr" * $"tr" / $"fro2", 4)
-          .as("eff_rank"),
-        graft.functions.Num.decRound(
-          $"tr" * $"tr" / $"fro2" / sqrt($"n_cells".cast("double")), 4)
-          .as("eff_share"))
+    val buf = Tables.embeddings(spark, dir)
+      .filter($"embedding".isNotNull)
+      .select(graft.functions.Gram.gram(
+        $"embedding".cast("array<double>")).as("g"))
+      .collect()(0).getSeq[Double](0).toArray
+    val (_, _, c) = graft.functions.Gram.covariance(buf)
+    val dim = c.length
+    var tr = 0.0
+    var fro2 = 0.0
+    var i = 0
+    while (i < dim) {
+      tr += c(i)(i)
+      var j = 0
+      while (j < dim) { fro2 += c(i)(j) * c(i)(j); j += 1 }
+      i += 1
+    }
+    val pr = tr * tr / fro2
+    def rd(x: Double, s: Int) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // eff_share divides by sqrt(n_cells) = dim, the oracle's formula
+    Seq((rd(tr, 6), rd(pr, 4), rd(pr / dim.toDouble, 4)))
+      .toDF("trace", "eff_rank", "eff_share")
   }
 
   val q184Sql: String =

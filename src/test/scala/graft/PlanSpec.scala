@@ -371,4 +371,40 @@ class PlanSpec extends SparkTestBase {
       assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
     }
   }
+
+  test("embedding covariance reduces in one scan at width 512: no self-join, no explode") {
+    import spark.implicits._
+    // the q183/q184 moment reduction must never exchange width² rows:
+    // at production widths (512 here; 1024-4096 in the wild) the r10
+    // posexplode+self-join shape emits 262k+ product rows PER VECTOR.
+    // The GramAgg plan is scan -> partial agg -> one single-row
+    // exchange -> final agg, with buffer size set by width, not rows.
+    val w = 512
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(64)(Array.fill(w)(rnd.nextGaussian()))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding").repartition(8)
+    val agg = df.select(
+      graft.functions.Gram.gram($"embedding".cast("array<double>")).as("g"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(count(p, "Join") == 0, s"self-join crept back in\n$p")
+    assert(count(p, "Generate") == 0, s"explode crept back in\n$p")
+    // one SinglePartition agg exchange fed by a PARTIAL aggregate:
+    // the shuffle carries one reduced buffer per partition, nothing
+    // proportional to rows or width² (the test's own repartition(8)
+    // is the only other exchange)
+    assert(count(p, "Exchange SinglePartition") == 1, p)
+    assert(p.contains("partial_gramagg"), s"map-side combine lost\n$p")
+    // numerics: the reduced covariance equals the brute-force matrix
+    val buf = agg.collect()(0).getSeq[Double](0).toArray
+    val (n, mean, c) = graft.functions.Gram.covariance(buf)
+    assert(n == 64L && c.length == w)
+    val bf = Array.tabulate(w)(i => vecs.map(_(i)).sum / 64.0)
+    val spots = Seq((0, 0), (0, 511), (17, 400), (511, 511), (255, 3))
+    spots.foreach { case (i, j) =>
+      val exact = vecs.map(v => v(i) * v(j)).sum / 64.0 - bf(i) * bf(j)
+      assert(math.abs(c(i)(j) - exact) < 1e-9, s"cell ($i,$j)")
+      assert(math.abs(mean(i) - bf(i)) < 1e-12, s"mean $i")
+    }
+  }
 }
