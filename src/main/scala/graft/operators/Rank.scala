@@ -82,13 +82,62 @@ object Rank {
     */
   val NativeWindowByteLimit: Long = 64L * 1024 * 1024
 
-  private def useNative(df: DataFrame, twoPass: Option[Boolean]): Boolean =
+  /** Hard bound on the driver-merged per-(slice, group) offset frame.
+    * The two-pass path collects slices × |groups| partial rows; with a
+    * HIGH-cardinality group that collect is data-sized — unbounded
+    * driver memory, the exact hazard class the events-ts contract
+    * guard exists for. 1M rows ≲ ~100 MB of boxed Rows: well inside
+    * any driver, far above every legitimate caller (the operator
+    * exists for LOW-cardinality groups, where the native window
+    * single-tasks; a ≥ cap/slices-cardinality group set spreads the
+    * native window's hash partitioning over ≥ tens of thousands of
+    * units and cannot straggle short of pathological skew).
+    */
+  val DriverOffsetRowCap: Long = 1L << 20
+
+  /** Plan choice: native window for small inputs (stats, no job) AND
+    * for high-cardinality groups (one approx-distinct job over the
+    * Parquet-pruned group columns — only reached when the input is
+    * already big enough that the sketch/counts jobs would run anyway).
+    * The two-pass shape is only ever the right plan when groups are
+    * few and huge; keying the choice on both statistics means the
+    * driver-side offset merge stays model-sized BY CONSTRUCTION, not
+    * by caller discipline.
+    */
+  private[graft] def useNative(df: DataFrame, group: Seq[String],
+                               twoPass: Option[Boolean],
+                               nativeByteLimit: Long = NativeWindowByteLimit,
+                               offsetRowCap: Long = DriverOffsetRowCap)
+      : Boolean =
     twoPass match {
       case Some(t) => !t
       case None =>
         df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-          NativeWindowByteLimit
+          nativeByteLimit || {
+          val slices =
+            df.sparkSession.sessionState.conf.numShufflePartitions
+          val estGroups = df
+            .select(approx_count_distinct(struct(group.map(col): _*))
+              .as("g"))
+            .collect()(0).getLong(0)
+          estGroups > offsetRowCap / math.max(slices, 1)
+        }
     }
+
+  /** Bounded offset-frame collect: never pulls more than `cap`+1 rows
+    * to the driver, and fails LOUDLY past the cap instead of silently
+    * absorbing a data-sized collect — the forced `twoPass=Some(true)`
+    * path has no cardinality guard, so this is its backstop.
+    */
+  private def boundedCollect(partials: DataFrame, cap: Long): Array[Row] = {
+    val rows = partials.limit(math.min(cap + 1, Int.MaxValue).toInt).collect()
+    require(rows.length <= cap,
+      s"Rank two-pass offset frame exceeds DriverOffsetRowCap=$cap " +
+        "(slice, group) partial rows — the group cardinality is too " +
+        "high for a driver-side offset merge. High-cardinality groups " +
+        "cannot straggle the native window: pass twoPass=Some(false).")
+    rows
+  }
 
   /** Adds `rankCol` (1-based global row number within each group, long)
     * and `totalCol` (group row count, long) to `df`. `order` columns
@@ -104,9 +153,10 @@ object Rank {
   def groupRowNumber(df: DataFrame, group: Seq[String], order: Seq[String],
                      rankCol: String = "rn",
                      totalCol: String = "n_total",
-                     twoPass: Option[Boolean] = None): DataFrame = {
+                     twoPass: Option[Boolean] = None,
+                     offsetRowCap: Long = DriverOffsetRowCap): DataFrame = {
     val outCols = (df.columns :+ rankCol :+ totalCol).map(col)
-    if (useNative(df, twoPass)) {
+    if (useNative(df, group, twoPass, offsetRowCap = offsetRowCap)) {
       val w = Window.partitionBy(group.map(col): _*)
         .orderBy(order.map(col): _*)
       df.withColumn(rankCol, row_number().over(w).cast("long"))
@@ -117,8 +167,9 @@ object Rank {
       val slice = sliceExpr(df, group ++ order)
       val tagged = df.withColumn("__slice", slice)
       // counts per (slice, group): map-side partial agg, S×|g| shuffle
-      val counts = tagged.groupBy(("__slice" +: group).map(col): _*)
-        .agg(count(lit(1)).as("__v")).collect()
+      val counts = boundedCollect(
+        tagged.groupBy(("__slice" +: group).map(col): _*)
+          .agg(count(lit(1)).as("__v")), offsetRowCap)
       val offsets = offsetFrame(df, group, counts, totalTooCol = Some(totalCol))
       val w = Window.partitionBy(("__slice" +: group).map(col): _*)
         .orderBy(order.map(col): _*)
@@ -143,9 +194,10 @@ object Rank {
     */
   def groupRunningSum(df: DataFrame, group: Seq[String], order: Seq[String],
                       valueCol: String, out: String = "cum",
-                      twoPass: Option[Boolean] = None): DataFrame = {
+                      twoPass: Option[Boolean] = None,
+                      offsetRowCap: Long = DriverOffsetRowCap): DataFrame = {
     val outCols = (df.columns :+ out).map(col)
-    if (useNative(df, twoPass)) {
+    if (useNative(df, group, twoPass, offsetRowCap = offsetRowCap)) {
       val w = Window.partitionBy(group.map(col): _*)
         .orderBy(order.map(col): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -154,8 +206,10 @@ object Rank {
     } else {
       val slice = sliceExpr(df, group ++ order)
       val tagged = df.withColumn("__slice", slice)
-      val sums = tagged.groupBy(("__slice" +: group).map(col): _*)
-        .agg(sum(col(valueCol).cast("long")).as("__v")).collect()
+      val sums = boundedCollect(
+        tagged.groupBy(("__slice" +: group).map(col): _*)
+          .agg(sum(col(valueCol).cast("long")).as("__v")),
+        offsetRowCap)
       val offsets = offsetFrame(df, group, sums, totalTooCol = None)
       val w = Window.partitionBy(("__slice" +: group).map(col): _*)
         .orderBy(order.map(col): _*)

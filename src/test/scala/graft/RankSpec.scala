@@ -155,6 +155,38 @@ class RankSpec extends SparkTestBase {
       .except(forced.select($"event_id", $"r", $"n_total")).count() == 0)
   }
 
+  test("plan choice keys on group cardinality: high-cardinality frames take the native window") {
+    // a high-cardinality group set would make the two-pass offset
+    // collect data-sized (slices x |groups| driver rows); such frames
+    // cannot straggle the native window's hash partitioning, so the
+    // guard must route them native even when the byte-size statistic
+    // says "big". nativeByteLimit=0 forces the stats branch here.
+    val manyGroups = (1L to 5000L).map(i => (i, i * 7 % 1000))
+      .toDF("g", "k")
+    assert(operators.Rank.useNative(manyGroups, Seq("g"), None,
+      nativeByteLimit = 0L, offsetRowCap = 1000L),
+      "5000 groups with cap 1000 must choose the native window")
+    // few groups, big-by-stats: the two-pass path stays chosen
+    assert(!operators.Rank.useNative(manyGroups, Seq("k"), None,
+      nativeByteLimit = 0L, offsetRowCap = 1000000L),
+      "low-cardinality big input must keep the two-pass path")
+  }
+
+  test("forced two-pass past the offset-row cap fails loudly, not with a driver OOM") {
+    // the forced path has no cardinality guard; the bounded collect is
+    // its backstop. 5000 distinct groups x >=1 slice overflows a
+    // temporarily-lowered cap and must surface the named contract
+    // error, never a silent data-sized collect.
+    val manyGroups = (1L to 5000L).map(i => (i, i)).toDF("g", "k")
+    assert(operators.Rank.DriverOffsetRowCap >= 1000000L,
+      "production cap must stay model-sized-large")
+    val e = intercept[IllegalArgumentException] {
+      operators.Rank.groupRowNumber(manyGroups, Seq("g"), Seq("k"),
+        twoPass = Some(true), offsetRowCap = 100L).collect()
+    }
+    assert(e.getMessage.contains("DriverOffsetRowCap"), e.getMessage)
+  }
+
   test("ntileFromRank follows the SQL bucket-size rule when rows < buckets and on remainders") {
     // 13 rows, 5 buckets: sizes 3,3,3,2,2
     val sizes = (1 to 13).map(r =>
