@@ -607,20 +607,29 @@ object TextOps {
     * corpus-sized); the per-doc agg is one doc-keyed reduction. The
     * only FP is the per-doc log₂ sum — 4dp-rounded on both engines.
     */
+  /** (doc_id, w1, w2) bigram INSTANCES of a documents frame — the one
+    * tokenization pass q185 and its streaming ledger twin (s46) share,
+    * so the LM's event definition can never drift between them.
+    */
+  def docBigrams(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", Text.tokens($"text").as("ts"))
+      .select($"doc_id", posexplode($"ts"))
+      .select($"doc_id", $"col".as("w2"),
+        lag($"col", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")).as("w1"))
+      .filter($"w1".isNotNull && length($"w1") > 0 && length($"w2") > 0)
+      .select($"doc_id", $"w1", $"w2")
+  }
+
   def q185BigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", Text.tokens($"text").as("ts"))
     // the bigram frame feeds four consumers; a hash(w1) pin was
     // MEASURED against the unpinned plan (the q175 suspicion) and
     // lost — the doc_id window exchange already anchors reuse and the
     // extra corpus-wide repartition costs more than the tokenize it
     // saves (1.4s vs 1.9s median warm at sf0.1) — so no pin here
-    val bi = toks.select($"doc_id", posexplode($"ts"))
-      .select($"doc_id", $"pos", $"col".as("w2"),
-        lag($"col", 1).over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"pos")).as("w1"))
-      .filter($"w1".isNotNull && length($"w1") > 0 && length($"w2") > 0)
+    val bi = docBigrams(Tables.documents(spark, dir))
     val uniCnt = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val biCnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val vocab = bi.select($"w2").union(bi.select($"w1")).distinct()

@@ -634,6 +634,122 @@ object Streams {
     }
   }
 
+  private val biLedgerSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("w1",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("w2",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("cnt",
+      org.apache.spark.sql.types.LongType)))
+  private val vocLedgerSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.StringType)))
+
+  private def readLedgerOrEmpty(ss: SparkSession, dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (dirs.isEmpty)
+      ss.createDataFrame(
+        ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else ss.read.schema(schema).parquet(dirs: _*)
+
+  /** s46 — streaming perplexity scoring against the corpus-so-far LM:
+    * the q185 bigram language model maintained as PERSISTED COUNT
+    * LEDGERS (the s32 gram-index-state shape applied to LM counts).
+    * Each micro-batch:
+    *
+    *  1. tokenizes ONLY its own docs (one pass, cached for the batch)
+    *     and lands two vocabulary-sized ledgers under batchId-keyed
+    *     overwrite subdirs — `bi/b<id>` (w1, w2, cnt) bigram counts
+    *     and `voc/b<id>` (w) the batch's distinct words. Unigram
+    *     context counts need no third family: c(w₁) = Σ_w₂ c(w₁w₂)
+    *     folds from the bigram ledger;
+    *  2. resolves corpus-so-far counts for EXACTLY the delta's
+    *     bigrams — the prior ledgers are scanned filtered through a
+    *     broadcast of the delta's (w₁, w₂) set, so per-batch cost is
+    *     a vocabulary-sized ledger scan plus the delta, never a
+    *     corpus re-tokenization (the s32 df-resolution idiom);
+    *  3. scores its docs under the add-½ model INCLUDING itself
+    *     (the LM "as of the end of this batch") and lands
+    *     `scores/b<id>` — so the LAST batch's rows equal batch q185's
+    *     rows for those docs exactly, which the spec pins.
+    *
+    * Exactly-once by the batchId-keyed overwrite convention (replays
+    * overwrite their own subdirs); the ledger families reuse
+    * [[gramIndexReadSet]]'s c/b selection, so a future compaction of
+    * long-running ledgers gets crash-safety for free. A full RESCORE
+    * against the final ledgers ([[perplexityScore]]) reproduces batch
+    * q185 bit-for-bit at the 4dp round — the differential the spec
+    * proves across micro-batch splits.
+    */
+  def perplexityLedgerSink(docs: DataFrame, ledgerDir: String,
+                           scoresDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        // 1. one tokenize pass over the delta, cached for the batch
+        val inst = graft.queries.TextOps.docBigrams(batch.toDF()).persist()
+        try {
+          inst.groupBy(col("w1"), col("w2"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$ledgerDir/bi/b$batchId")
+          inst.select(col("w2").as("w")).union(inst.select(col("w1")))
+            .distinct()
+            .write.mode("overwrite").parquet(s"$ledgerDir/voc/b$batchId")
+          // 2+3. score the delta against every ledger visible to the
+          // NEXT batch (= corpus so far including this delta)
+          scoreBigrams(ss, inst, ledgerDir, batchId + 1L)
+            .write.mode("overwrite").parquet(s"$scoresDir/b$batchId")
+        } finally inst.unpersist()
+        ()
+      }
+      .start()
+
+  /** Score arbitrary documents under the ledger LM as of `upTo`
+    * (exclusive batch-id bound; default = everything landed). This is
+    * the production CCNet-style screen — score NEW text under the
+    * corpus model without touching the corpus — and the differential
+    * surface: rescoring the full corpus against the final ledgers
+    * reproduces batch q185 exactly. Bigram contexts the ledger has
+    * never seen smooth to (0+½)/(0+½V) — the add-½ model's own
+    * unseen-event probability, not a dropped row.
+    */
+  def perplexityScore(spark: SparkSession, docs: DataFrame,
+                      ledgerDir: String, upTo: Long = Long.MaxValue)
+      : DataFrame =
+    scoreBigrams(spark, graft.queries.TextOps.docBigrams(docs),
+      ledgerDir, upTo)
+
+  private def scoreBigrams(ss: SparkSession, inst: DataFrame,
+                           ledgerDir: String, upTo: Long): DataFrame = {
+    val bi = readLedgerOrEmpty(ss,
+      gramIndexReadSet(ss, s"$ledgerDir/bi", upTo), biLedgerSchema)
+    // only the probe's own (w1, w2) and w1 groups leave the ledger
+    // scan: broadcast-filter then sum per-batch partial counts
+    val probeBi = inst.select(col("w1"), col("w2")).distinct()
+    val c12 = bi.join(broadcast(probeBi), Seq("w1", "w2"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
+    val c1 = bi.join(broadcast(probeBi.select(col("w1")).distinct()),
+        Seq("w1"))
+      .groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
+    val vocab = readLedgerOrEmpty(ss,
+      gramIndexReadSet(ss, s"$ledgerDir/voc", upTo), vocLedgerSchema)
+      .distinct().agg(count(lit(1)).as("v"))
+    inst.join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits", -log(2.0,
+        (coalesce(col("c12"), lit(0L)).cast("double") + 0.5) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(0.5) * col("v").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Num.decRound(
+          pow(lit(2.0), avg(col("bits"))), 4).as("ppl"))
+      .withColumn("flag_outlier", col("ppl") > 10000.0 || col("ppl") < 10.0)
+  }
+
   /** s31 — ingest-time fuzzy name matching: each arriving micro-batch
     * of reference rows (new securities / parts) is matched against the
     * master ingested so far with the PassJoin segment index

@@ -1483,6 +1483,41 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming perplexity ledgers rebuild the batch q185 LM exactly (s46)") {
+    // ledger-state LM: after streaming the corpus in two arbitrary
+    // micro-batches, (a) rescoring the full corpus against the final
+    // ledgers equals batch q185 bit-for-bit at its 4dp round, and
+    // (b) the LAST batch's live scores (corpus-so-far = full corpus)
+    // already equal q185's rows for those docs
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_ppl")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    Seq(0, 1).foreach { gen =>
+      val tmp = root.resolve(s"tmp$gen").toString
+      docs.filter($"doc_id" % 2 === gen).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    val stream = spark.readStream.schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val ledgers = root.resolve("lm").toString
+    val scores = root.resolve("scores").toString
+    val q = Streams.perplexityLedgerSink(stream, ledgers, scores,
+      checkpointDir = root.resolve("ckpt").toString)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val batchQ185 = SparkEntry.queries("q185_bigram_perplexity")(spark, sf)
+    val rescore = Streams.perplexityScore(spark, docs, ledgers)
+    assert(rescore.count() == batchQ185.count())
+    assert(rescore.exceptAll(batchQ185).isEmpty &&
+      batchQ185.exceptAll(rescore).isEmpty)
+    // the final batch saw the complete LM: its landed rows are q185 rows
+    val last = spark.read.parquet(s"$scores/b1")
+    assert(last.count() > 0)
+    assert(last.exceptAll(batchQ185).isEmpty,
+      "last-batch live scores must already sit on the full-corpus LM")
+  }
+
   test("conversionStream counts a purchase tied to the first view's microsecond") {
     // batch q180 qualifies purchases by TIMESTAMP only (t >= first
     // view ts); a purchase sharing the first view's exact µs but with
