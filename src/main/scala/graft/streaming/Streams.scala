@@ -123,89 +123,20 @@ object Streams {
   // -----------------------------------------------------------------
 
   /** Resolves the published snapshot of a versioned table dir, or None
-    * before the first publish. The pointer is a one-line `CURRENT`
-    * file naming the live `v<batchId>` directory — readers never
-    * observe a half-published state because the pointer is replaced
-    * atomically (FileContext rename with OVERWRITE), and version
-    * directories are immutable once published.
+    * before the first publish — a read-side view over
+    * [[graft.sources.VersionedTable]], which owns the pointer/version
+    * machinery every snapshot sink (s5/s16/s36/s37) publishes through.
     */
   def currentSnapshot(spark: SparkSession, tableDir: String): Option[DataFrame] =
-    currentVersion(spark, tableDir).map(v => spark.read.parquet(s"$tableDir/$v"))
+    new graft.sources.VersionedTable(spark, tableDir).current
 
-  private def currentVersion(spark: SparkSession, tableDir: String): Option[String] = {
-    val ptr = new org.apache.hadoop.fs.Path(s"$tableDir/CURRENT")
-    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try Some(new java.io.BufferedReader(new java.io.InputStreamReader(in))
-        .readLine().trim)
-      finally in.close()
-    }
-  }
-
-  /** Publishes `merged` as version `v<batchId>` of `tableDir` and
-    * swaps the `CURRENT` pointer file atomically. foreachBatch is
-    * at-least-once: a crash between the pointer swap and the
-    * checkpoint commit REPLAYS the batch, so application must be
-    * idempotent — if the pointer already names this batch's version,
-    * the merge was fully applied and the replay is a no-op (re-merging
-    * would union the delta into the dim twice). A crash before the
-    * swap just rewrites the same immutable version dir from the same
-    * published base — deterministic. The pointer swap itself is a
-    * FileContext rename with OVERWRITE — atomic on HDFS and local
-    * filesystems ONLY, which is where this claim is scoped: S3A
-    * implements rename as copy+delete, so object-store deployments
-    * must swap the pointer through a conditional-put (if-match) or an
-    * external pointer service instead. Versions older than the newest
-    * `keepVersions` are pruned after a successful swap; the default
-    * (2) keeps exactly the predecessor so a reader that resolved
-    * CURRENT just before the swap can finish its scan — raise it for
-    * slow readers or rapid publish cadences, where predecessor-only
-    * retention is load-bearing.
-    */
-  private def publishVersion(ss: SparkSession, tableDir: String,
-                             batchId: Long,
-                             merged: => DataFrame,
-                             keepVersions: Int = 2): Unit = {
-    require(keepVersions >= 2,
-      "keepVersions < 2 would delete the version a concurrent reader " +
-        "may still be scanning")
-    val version = s"v$batchId"
-    if (currentVersion(ss, tableDir).contains(version)) return // replayed
-    val hconf = ss.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = dir.getFileSystem(hconf)
-    merged.write.mode("overwrite").parquet(s"$tableDir/$version")
-    // atomic pointer swap: write CURRENT.tmp, rename over CURRENT
-    val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, hconf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$tableDir/CURRENT"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // prune: keep the newest keepVersions (>= the published version
-    // plus its predecessor, so readers that resolved the pointer just
-    // before the swap finish their scan)
-    val keep = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong).sorted.takeRight(keepVersions).toSet
-    fs.listStatus(dir).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-          !keep.contains(n.drop(1).toLong)) {
-        if (!fs.delete(p, true))
-          throw new java.io.IOException(s"failed to prune stale version $p")
-      }
-    }
-  }
 
   /** Incremental PIT-upsert sink: every micro-batch merges into a
     * parquet-backed latest-per-key snapshot via foreachBatch — the
     * ingestion-side "incremental upsert" of a securities master
     * without a table format. Each batch writes an immutable versioned
     * snapshot directory and atomically swaps the `CURRENT` pointer
-    * file ([[publishVersion]] — idempotent under foreachBatch replay,
+    * file ([[graft.sources.VersionedTable.commit]] — idempotent under foreachBatch replay,
     * never loses the dim mid-swap); read the live snapshot with
     * [[currentSnapshot]]. At scale the same code runs against
     * HDFS/S3A through the Hadoop FileSystem API it already uses.
@@ -216,10 +147,9 @@ object Streams {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ss = batch.sparkSession
-        publishVersion(ss, tableDir, batchId,
-          upsertLatest(currentSnapshot(ss, tableDir), batch.toDF()),
+        new graft.sources.VersionedTable(batch.sparkSession, tableDir,
           keepVersions)
+          .commit(batchId)(base => upsertLatest(base, batch.toDF()))
         ()
       }
       .start()
@@ -249,7 +179,7 @@ object Streams {
     * its own partial ([[aggMv]] over the batch alone — state the size
     * of the GROUP space, not the tape) and folds it into the current
     * snapshot with the same count/sum/min/max merge; publication is
-    * [[publishVersion]]'s atomic pointer swap, idempotent under
+    * [[graft.sources.VersionedTable.commit]]'s atomic pointer swap, idempotent under
     * foreachBatch replay. The decimal value lattice makes the folded
     * totals EXACTLY equal the one-shot batch aggregate — the
     * differential test asserts set equality, no tolerance.
@@ -261,8 +191,8 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
         val part = aggMv(batch.toDF())
-        publishVersion(ss, tableDir, batchId,
-          currentSnapshot(ss, tableDir) match {
+        new graft.sources.VersionedTable(ss, tableDir, keepVersions)
+          .commit(batchId) {
             case None => part
             case Some(cur) => cur.unionByName(part)
               .groupBy(col("user_id"), col("event_type"))
@@ -272,7 +202,7 @@ object Streams {
                   .as("sum_value"),
                 min(col("min_ts")).as("min_ts"),
                 max(col("max_ts")).as("max_ts"))
-          }, keepVersions)
+          }
         ()
       }
       .start()
@@ -310,8 +240,8 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
         val part = topKMv(batch.toDF())
-        publishVersion(ss, tableDir, batchId,
-          currentSnapshot(ss, tableDir) match {
+        new graft.sources.VersionedTable(ss, tableDir, keepVersions)
+          .commit(batchId) {
             case None => part
             case Some(cur) => cur.unionByName(part)
               .groupBy(col("event_type"))
@@ -320,7 +250,7 @@ object Streams {
               .select(col("event_type"), posexplode(col("top")))
               .select(col("event_type"), col("col._1").as("value"),
                 col("col._2").as("event_id"), (col("pos") + 1).as("rnk"))
-          }, keepVersions)
+          }
         ()
       }
       .start()
@@ -330,7 +260,7 @@ object Streams {
     * interval table with [[graft.operators.Scd2.applyDelta]] — only the
     * keys the batch touches get their validity intervals rebuilt
     * (late-arriving records reopen and re-split old intervals), and the
-    * snapshot publishes through [[publishVersion]] — an immutable
+    * snapshot publishes through [[graft.sources.VersionedTable.commit]] — an immutable
     * version dir plus an atomic `CURRENT` pointer swap, idempotent
     * under foreachBatch's at-least-once replay (a replayed batch whose
     * pointer is already live is a no-op, so the delta is never unioned
@@ -348,8 +278,8 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
         val delta = batch.toDF()
-        publishVersion(ss, tableDir, batchId,
-          currentSnapshot(ss, tableDir) match {
+        new graft.sources.VersionedTable(ss, tableDir)
+          .commit(batchId) {
             case Some(cur) =>
               graft.operators.Scd2.applyDelta(cur, delta, keys, ts, rid)
             case None =>
@@ -357,7 +287,7 @@ object Streams {
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(keys.map(col): _*).orderBy(col(ts), col(rid))
               delta.withColumn("valid_to", lead(col(ts), 1).over(w))
-          })
+          }
         ()
       }
       .start()
