@@ -16,6 +16,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // engine contract: runtime bloom-filter pruning stays ON — at
+      // production scale the selective-dim fact joins (q3/q5 shape)
+      // pass the default 10 GB application-side gate and the orders
+      // side's bloom prunes the lineitem exchange (eligibility of the
+      // real builders is PlanSpec-pinned); at bench scale the gate
+      // correctly keeps the overhead off
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -208,16 +208,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("runtime bloom filter prunes the fact side of a selective dim join") {
-    // Spark's InjectRuntimeFilter: a selective filter on the dim side
-    // becomes a bloom filter evaluated against the fact side BEFORE its
-    // shuffle — at 100 TB this cuts the exchanged bytes by the dim
-    // selectivity without any hand-written semi-join.
+  test("runtime bloom filters prune the q3/q5 fact scans at scale-representative confs") {
+    // Spark's InjectRuntimeFilter: the selective o_orderdate filter on
+    // orders becomes a bloom filter evaluated against lineitem BEFORE
+    // its shuffle — at 100 TB this cuts the biggest exchange in each
+    // query by the orders selectivity with no hand-written semi-join.
+    // At test scale two production gates hide the rewrite: the 10 GB
+    // application-side scan threshold (sf0.001 is KB) and the
+    // broadcast threshold (a broadcast-able orders side needs no
+    // bloom). This spec pins ELIGIBILITY of the real builders: under
+    // the conf state a 1000-executor cluster actually runs — fact
+    // scans ≥ 10 GB, orders beyond broadcast size — the production
+    // q3/q5 plans must carry might_contain on the lineitem side. The
+    // explicit broadcast() hints on the true dims (customer, supplier,
+    // nation) are unaffected. Oracle output cannot change: the filter
+    // is pure pruning.
     val restore = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-      // production default gates injection on a >=10GB fact scan; the
-      // test data is tiny, so drop the gate to demonstrate the rewrite
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -226,16 +232,14 @@ class PlanSpec extends SparkTestBase {
       val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old
     }
     try {
-      import spark.implicits._
-      val li = Tables.lineitem(spark, sf)
-      val ord = Tables.load(spark, sf, "orders")
-        .filter($"o_orderpriority" === "1-URGENT")
-      import org.apache.spark.sql.functions.{count => fcount, lit}
-      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .groupBy($"l_returnflag").agg(fcount(lit(1)).as("n"))
-      val p = joined.queryExecution.optimizedPlan.toString
-      assert(p.contains("might_contain"),
-        s"no runtime bloom filter injected:\n$p")
+      for (q <- Seq("q3_join_agg", "q5_multi_join")) {
+        val p = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.optimizedPlan.toString
+        assert(p.contains("might_contain"),
+          s"$q: no runtime bloom filter on the fact side\n$p")
+        assert(p.contains("bloom_filter_agg"),
+          s"$q: creation-side aggregate missing\n$p")
+      }
     } finally restore.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
