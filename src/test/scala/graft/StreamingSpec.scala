@@ -1448,6 +1448,20 @@ class StreamingSpec extends SparkTestBase {
     val batch = SparkEntry.queries("q29_pit_latest")(spark, sf)
     assert(served.count() > 0)
     assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty)
+    // restart with a FRESH checkpoint: the entire tape replays into
+    // the SAME table — upsertWrite's convergence means the re-merged
+    // state is exactly what was already there (the crash-recovery
+    // path a production deployment actually exercises)
+    val q2 = Streams.pitJdbcSink(spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batch_*"),
+      url, "pit")
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val replayed = spark.read.jdbc(url, "pit", props)
+      .select($"USER_ID".as("user_id"), $"EVENT_TYPE".as("event_type"),
+        $"LATEST_TS".as("latest_ts"), $"LATEST_VALUE".as("latest_value"))
+    assert(replayed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(replayed).isEmpty,
+      "full-tape replay into the live table must converge to the same state")
   }
 
   test("streaming conversion latencies rebuild the batch q180 percentiles") {
