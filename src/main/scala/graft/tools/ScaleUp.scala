@@ -14,11 +14,26 @@ import org.apache.spark.sql.functions._
   * low-cardinality — exactly the property the skew/limit guards are
   * supposed to survive. Dimension tables (region, nation) are fixed,
   * as in TPC-H scaling. Timestamps are left alone: more rows in the
-  * same span models higher feed volume. Payload columns (text,
-  * embedding) are copied verbatim — correctness gates compare both
-  * engines on the SAME derived input, so replication cannot bias the
-  * comparison, and duplicated payloads stress-test the dedup caps at
-  * their worst case.
+  * same span models higher feed volume.
+  *
+  * Payload columns are perturbed ORGANICALLY per copy (copy 0 stays
+  * verbatim), because verbatim replication made every near-dup /
+  * name-match output quadratic in the replication factor — the scale
+  * gate was partly measuring the generator, not the engine:
+  *  - `documents.text`: every token gets a per-copy suffix, so WITHIN
+  *    a copy all pairwise shingle Jaccards equal the source's (both
+  *    members shift identically) while ACROSS copies token/shingle
+  *    overlap is zero — the near-dup structure replicates linearly
+  *    (n_chars is recomputed to stay = length(text));
+  *  - `part.p_name`: a 6-char per-copy tag keeps within-copy edit
+  *    distances unchanged and pushes cross-copy distances past every
+  *    matcher threshold;
+  *  - `embeddings.embedding`: a per-copy CIRCULAR SHIFT of the
+  *    dimensions — an orthogonal transform, so norms and all
+  *    within-copy dot products/cosines are preserved exactly, while
+  *    cross-copy cosine collapses to the background level.
+  * Correctness gates still compare both engines on the SAME derived
+  * input, so perturbation cannot bias the comparison.
   */
 object ScaleUp {
 
@@ -34,6 +49,39 @@ object ScaleUp {
     "embeddings" -> Seq("vec_id")
   )
   private val fixedDims = Seq("region", "nation")
+
+  /** Per-copy payload perturbation (None = copy verbatim). Copy 0 is
+    * always verbatim so the source's own near-dup structure survives
+    * exactly once. See the object doc for the invariants each branch
+    * preserves.
+    */
+  private[tools] def perturbed(table: String, column: String,
+                               copy: Int): Option[org.apache.spark.sql.Column] =
+    if (copy == 0) None
+    else (table, column) match {
+      case ("documents", "text") =>
+        // suffix every non-empty token; null/empty text stays itself
+        val tagged = concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            t => when(length(t) === 0, t)
+              .otherwise(concat(t, lit(s"_c$copy")))))
+        Some(when(col("text").isNull, col("text")).otherwise(tagged))
+      case ("documents", "n_chars") =>
+        Some(when(col("text").isNull, col("n_chars"))
+          .otherwise(length(perturbed(table, "text", copy).get)
+            .cast("long")))
+      case ("part", "p_name") =>
+        val tag = ('a' + (copy % 26)).toChar.toString * 6
+        Some(concat(col("p_name"), lit(s" $tag")))
+      case ("embeddings", "embedding") =>
+        // circular dimension shift by copy mod width: orthogonal
+        val sz = size(col("embedding"))
+        val k = lit(copy) % sz
+        Some(when(col("embedding").isNull, col("embedding")).otherwise(
+          concat(slice(col("embedding"), k + 1, sz - k),
+            slice(col("embedding"), lit(1), k))))
+      case _ => None
+    }
 
   def scaleTable(spark: SparkSession, src: String, dst: String,
                  table: String, factor: Int): Unit = {
@@ -57,7 +105,7 @@ object ScaleUp {
           df.select(df.columns.map { cn =>
             val ki = keys.indexOf(cn)
             if (ki >= 0 && c > 0) (col(cn) + lit(c * offsets(ki))).as(cn)
-            else col(cn)
+            else perturbed(table, cn, c).map(_.as(cn)).getOrElse(col(cn))
           }.toIndexedSeq: _*)
         }.reduce(_.unionByName(_))
       }

@@ -59,6 +59,71 @@ class ScaleUpSpec extends SparkTestBase {
     assert(span0 == span3, "timestamps must be left alone")
   }
 
+  test("organic payload perturbation: within-copy structure exact, cross-copy near-dups gone") {
+    import spark.implicits._
+    val dst = Files.createTempDirectory("graft_organic").toString
+    for (t <- Seq("documents", "part", "embeddings"))
+      ScaleUp.scaleTable(spark, sf, dst, t, factor = 3)
+
+    // documents: copy 0 verbatim; per-copy token suffixing keeps
+    // within-copy token-set Jaccard EXACTLY the source's and zeroes
+    // cross-copy token overlap (near-dup outputs scale linearly, not
+    // quadratically, with the factor)
+    val docs0 = Tables.documents(spark, sf)
+    val nDocs = docs0.count()
+    val docs3 = Tables.documents(spark, dst)
+    assert(docs3.count() == 3 * nDocs)
+    val verbatim = docs3.as("d3").join(docs0.as("d0"), "doc_id")
+    assert(verbatim.count() == nDocs, "copy 0 keys must be unshifted")
+    assert(verbatim.filter(col("d3.text") =!= col("d0.text")).count() == 0,
+      "copy 0 text must stay verbatim")
+    val tok3 = docs3.select($"doc_id", explode(
+      graft.functions.Text.tokens($"text")).as("tok"))
+      .filter(length($"tok") > 0)
+    val copyOf = (floor($"doc_id" /
+      lit(docs0.agg(max($"doc_id")).first().getLong(0) + 1L))).as("copy")
+    val crossCopyShared = tok3.select($"tok", copyOf).distinct()
+      .groupBy($"tok").agg(countDistinct($"copy").as("nc"))
+      .filter($"nc" > 1).count()
+    assert(crossCopyShared == 0,
+      s"$crossCopyShared tokens shared across copies — cross-copy dedup " +
+        "pairs would be generator artifacts again")
+    // n_chars contract holds on every copy
+    assert(docs3.filter($"n_chars" =!= length($"text")).count() == 0)
+
+    // part: within-copy edit distances unchanged (shared suffix),
+    // cross-copy distance pushed past the maxDist=3 matcher band
+    val p3 = spark.read.parquet(s"$dst/part.parquet")
+    val p0 = Tables.load(spark, sf, "part")
+    val nP = p0.count()
+    val off = p0.agg(max($"p_partkey")).first().getLong(0) + 1L
+    val same = p3.as("a").join(p3.as("b"),
+      col("a.p_partkey") + lit(off) === col("b.p_partkey"))
+      .select(levenshtein(col("a.p_name"), col("b.p_name")).as("d"))
+    assert(same.filter($"d" <= 3).count() == 0,
+      "a part and its next-copy twin must sit outside the matcher band")
+
+    // embeddings: the circular shift is orthogonal — every copy keeps
+    // the exact norm multiset; vec and its shifted twin differ
+    val e3 = Tables.embeddings(spark, dst)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val nE = Tables.embeddings(spark, sf).count()
+    val eoff = Tables.embeddings(spark, sf)
+      .agg(max($"vec_id")).first().getLong(0) + 1L
+    val norms = e3.select(($"vec_id" >= eoff).as("copied"),
+      graft.functions.Num.decRound(
+        sqrt(aggregate($"e", lit(0.0), (a, x) => a + x * x)), 6).as("n"))
+    val normSets = norms.groupBy($"copied")
+      .agg(countDistinct($"n").as("dn")).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(normSets(true) == normSets(false),
+      "orthogonal shift must preserve the norm multiset")
+    val twins = e3.as("a").join(e3.as("b"),
+      col("a.vec_id") + lit(eoff) === col("b.vec_id"))
+      .filter(col("a.e") === col("b.e")).count()
+    assert(twins == 0, "cross-copy vectors must no longer be identical")
+  }
+
   test("GraphGate invariants hold on a ×3 derivation (the q125 scale gate)") {
     // the scaled co-purchase graph is 3 disjoint isomorphic copies, so
     // PageRank must scale exactly linearly — the gate that replaces
