@@ -189,17 +189,40 @@ object Bench {
     // The compact line shortens each query key to its "qNN" prefix and
     // reports warm (steady-state) seconds, keeping the line well under
     // the tail window.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warm_total":$warmTotal%.3f,"queries_warm":$warmQs,"forced":$forcedJson,"errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
-    def shortKey(k: String): String = k.takeWhile(_ != '_')
-    val warmShort = warmOk.map { case (k, v, _, _) => "\"" + shortKey(k) + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warm_total":$warmTotal%.3f,"queries_warm":$warmQs,"forced":$forcedJson,"errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full record also lands in a FILE: the driver keeps only the
+    // final ~2000 chars of stdout, so per-query history must never
+    // depend on the tail window (BENCH_r1..r10 all carried truncated
+    // maps; from r11 the committed results/ file is the archive).
+    val detailPath = "results/bench_full_latest.json"
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("results"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(detailPath), fullLine + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // sf pattern disallows a trailing dot (e.g. dir "sf2.final" must not
     // emit the invalid unquoted JSON number `2.`).
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // n_failed on the warm line counts BOTH passes: a query that succeeds
     // cold but fails warm must not silently vanish from the summary.
     val nFailed = SparkEntry.queries.size - warmOk.map(_._1).toSet.intersect(ok.map(_._1).toSet).size
-    println(f"""{"metric":"warm_total","value":$warmTotal%.3f,"unit":"sec","queries":$warmShort,"cold_total":$total%.3f,"warm_passes":3,"spread_med":${pct(0.5)}%.3f,"spread_p90":${pct(0.9)}%.3f,"spread_total":$spreadTotal%.3f,"forced":$forcedJson,"n_queries":${warmOk.size},"n_failed":$nFailed,"sf":$sfNum}""")
+    // Compact LAST line, guaranteed to fit the tail window whole: warm
+    // per-query times as MILLISECOND ints keyed by the bare query
+    // number ("123":62). If the query count ever pushes even that past
+    // the window, degrade deterministically to the summary + file
+    // pointer rather than letting truncation cut the line mid-map —
+    // a fragment parses as null and zeroes the round's bench record.
+    def qNum(k: String): String = k.takeWhile(_ != '_').drop(1)
+    val warmMs = warmOk.map { case (k, v, _, _) =>
+      "\"" + qNum(k) + "\":" + math.round(v * 1000) }
+      .mkString("{", ",", "}")
+    val summary = f""""value":$warmTotal%.3f,"unit":"sec","cold_total":$total%.3f,"warm_passes":3,"spread_med":${pct(0.5)}%.3f,"spread_p90":${pct(0.9)}%.3f,"spread_total":$spreadTotal%.3f,"n_queries":${warmOk.size},"n_failed":$nFailed,"sf":$sfNum,"detail":"$detailPath""""
+    val withMap = s"""{"metric":"warm_total",$summary,"q_warm_ms":$warmMs}"""
+    println(
+      if (withMap.length <= 1900) withMap
+      else s"""{"metric":"warm_total",$summary}""")
     spark.stop()
   }
 }
