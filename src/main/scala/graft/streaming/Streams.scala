@@ -582,6 +582,88 @@ object Streams {
         ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else ss.read.schema(schema).parquet(dirs: _*)
 
+  case class PrintEvent(user_id: Long, ts: java.sql.Timestamp,
+                        value: Double, event_id: Long, event_type: String)
+
+  /** s47 — streaming event study via flatMapGroupsWithState: the
+    * incremental twin of batch q181. Per-instrument state is (last
+    * price, running return moments (Σret, n), and the OPEN signup
+    * frames) — the frame list is bounded at 3 entries by construction:
+    * every print advances every open frame, so a frame closes exactly
+    * 3 prints after its anchor and at most the last 3 prints can have
+    * open frames. Each print folds in tape order: the q165 zero-price
+    * return guard, then every open frame absorbs the return (ROW-based
+    * frame — null returns advance the row count without adding, the
+    * window-sum null-skip), then the moments, then a signup print
+    * opens its own frame (its CAR starts at 1 FOLLOWING).
+    *
+    * Partial-horizon convention: a frame that never fills (tape ends
+    * within 3 prints of its anchor) is exactly batch q181's partial
+    * forward frame, so the sink emits EVERY open frame each batch and
+    * closed frames once, in Update mode, carrying (n_seen, n_ret) —
+    * the consumer keeps the per-event row with the largest progress,
+    * which after the final batch is the closed CAR for full horizons
+    * and the batch-identical partial sum for tape-end anchors. Return
+    * sums fold in tape order on both engines — bit-identical before
+    * the 6dp round. Same in-order-per-key delivery caveat as
+    * [[ewmaState]].
+    */
+  def eventStudyStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Double, Int, Boolean, Double, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        col("event_type"))
+      .as[PrintEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[
+        (Double, Double, Long, List[(Long, Double, Int, Boolean)]),
+        (Long, Long, Double, Int, Boolean, Double, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[PrintEvent],
+         state: GroupState[(Double, Double, Long,
+           List[(Long, Double, Int, Boolean)])]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (lastPx, sumRet, nRet, pend) =
+            state.getOption.getOrElse(
+              (Double.NaN, 0.0, 0L,
+                List.empty[(Long, Double, Int, Boolean)]))
+          val closed = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Double, Int, Boolean)]
+          sorted.foreach { e =>
+            val ret =
+              if (!lastPx.isNaN && e.value > 0.0 && lastPx > 0.0)
+                Some(e.value / lastPx - 1.0)
+              else None
+            // every print is a frame row for every open anchor
+            pend = pend.map { case (id, car, n, saw) =>
+              ret match {
+                case Some(r) => (id, car + r, n + 1, true)
+                case None    => (id, car, n + 1, saw)
+              }
+            }
+            val (done, open) = pend.partition(_._3 >= 3)
+            closed ++= done
+            pend = open
+            ret.foreach { r => sumRet += r; nRet += 1L }
+            if (e.event_type == "signup")
+              pend = pend :+ ((e.event_id, 0.0, 0, false))
+            lastPx = e.value
+          }
+          state.update((lastPx, sumRet, nRet, pend))
+          // moments sentinel (event_id = -1): the benchmark mean uses
+          // the WHOLE tape, so every batch that advanced the moments
+          // must publish them even when no frame is open — otherwise a
+          // user whose last frame closed early would serve stale means
+          val sentinel =
+            if (sorted.nonEmpty)
+              Iterator((user, -1L, 0.0, 0, false, sumRet, nRet))
+            else Iterator.empty
+          (closed.iterator ++ pend.iterator).map {
+            case (id, car, n, saw) => (user, id, car, n, saw, sumRet, nRet)
+          } ++ sentinel
+      }
+  }
+
   /** s46 — streaming perplexity scoring against the corpus-so-far LM:
     * the q185 bigram language model maintained as PERSISTED COUNT
     * LEDGERS (the s32 gram-index-state shape applied to LM counts).

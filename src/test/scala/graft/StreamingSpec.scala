@@ -1497,6 +1497,53 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming event-study frames rebuild batch q181 across micro-batches (s47)") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_es").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.eventStudyStream(spark, stream)
+      .toDF("user_id", "event_id", "car", "n_seen", "saw_ret",
+        "sum_ret", "n_ret")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("es_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val em = spark.table("es_out")
+    // per event: the row with the largest frame progress (a frame that
+    // straddles the split emits a partial then its close; tape-end
+    // anchors emit partials only — exactly batch q181's partial frame)
+    val wEv = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_id")
+      .orderBy($"n_seen".desc, $"n_ret".desc)
+    val cars = em.filter($"event_id" >= 0)
+      .withColumn("rn", row_number().over(wEv)).filter($"rn" === 1)
+      .filter($"saw_ret") // all-null frames are batch's NULL car3
+    // per user: the moments from the row with the most returns folded
+    // (max_by agg + renamed key keeps the self-derived join resolvable)
+    val moments = em.groupBy($"user_id")
+      .agg(max_by($"sum_ret", $"n_ret").as("m_sum"),
+        max($"n_ret").as("m_n"))
+      .select($"user_id".as("m_user"), $"m_sum", $"m_n")
+    val streamed = cars
+      .join(moments, cars("user_id") === moments("m_user"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Num.decRound(
+          avg($"car" - lit(3.0) * $"m_sum" / $"m_n"), 6).as("abn_car"))
+    val batch = SparkEntry.queries("q181_event_study")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming perplexity ledgers rebuild the batch q185 LM exactly (s46)") {
     // ledger-state LM: after streaming the corpus in two arbitrary
     // micro-batches, (a) rescoring the full corpus against the final
