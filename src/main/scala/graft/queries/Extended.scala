@@ -88,6 +88,54 @@ object Extended {
       | AND abs(length(a.p_name) - length(b.p_name)) <= 3
       |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
 
+  /** q189_name_link — record linkage by JARO–WINKLER similarity (the
+    * prefix-weighted complement to q70's edit distance: transposition
+    * tolerant, prefix-favoring — the classic census/securities
+    * cross-feed matcher for short entity names where levenshtein's
+    * unit-cost model over-penalizes swapped tokens). Candidate pairs
+    * come from (brand, first-token) blocks; each pair pays one
+    * O(|a|·|b|) native [[graft.functions.StringSim]] scoring — no
+    * UDF, no regex. Threshold 0.92 sits above the organic ScaleUp
+    * tag band (~0.86 for 6-char-suffixed twins) so derived-scale
+    * outputs stay linear in the factor.
+    *
+    * Scale shape: one equi-join on the block key (both sides hash on
+    * (p_brand, tok) — co-located), pair volume bounded by block
+    * density exactly like q70's blocked plan; the similarity is
+    * row-local post-join arithmetic. Part is a dimension table — the
+    * fact-side never touches this plan.
+    */
+  def q189NameLink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_name", $"p_brand",
+        split($"p_name", " ").getItem(0).as("tok"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.tok") === col("b.tok") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("key_a"),
+        col("b.p_partkey").as("key_b"),
+        graft.functions.StringSim.jw(col("a.p_name"), col("b.p_name"))
+          .as("sim_raw"))
+      .filter($"sim_raw" >= 0.92)
+      .select($"key_a", $"key_b",
+        graft.functions.Num.decRound($"sim_raw", 6).as("sim"))
+  }
+
+  val q189Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, p_brand,
+      |    split_part(p_name, ' ', 1) AS tok
+      |  FROM part)
+      |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  CAST(round(CAST(jaro_winkler_similarity(a.p_name, b.p_name)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS sim
+      |FROM p a JOIN p b
+      |  ON a.p_brand = b.p_brand AND a.tok = b.tok
+      | AND a.p_partkey < b.p_partkey
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92""".stripMargin
+
   /** q44_ann_ivf — IVF cell-probed ANN, top-3 per query. */
   def q44AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     // certified like q36: cell assignment is quantizer-specific, so the

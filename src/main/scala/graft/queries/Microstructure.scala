@@ -720,4 +720,71 @@ object Microstructure {
       |    CAST(nullif(vol, 0) AS DOUBLE)) AS DECIMAL(28,12)), 6)
       |    AS DOUBLE) AS vpin
       |FROM b GROUP BY 1""".stripMargin
+
+  /** q188_realized_moments — higher realized moments of the tick
+    * return distribution per instrument: realized variance (Σr²),
+    * realized SKEWNESS (√n·Σr³/(Σr²)^{3/2}) and realized KURTOSIS
+    * (n·Σr⁴/(Σr²)²) — the Amaya–Christoffersen–Jacobs–Vasquez
+    * estimators — plus downside semivariance (Σr² over r<0), the
+    * Sortino-style asymmetry input. RSkew < 0 flags crash-tilted
+    * tapes, RKurt ≫ 3 jump-dominated ones — the distribution audit
+    * that decides whether a variance-only risk model (q157/q134) is
+    * even admissible per name. Returns reuse q157's log-return with
+    * the zero-price CASE guard (Spark log() nulls where DuckDB ln()
+    * throws — same pinned semantics).
+    *
+    * Scale shape: ONE tape window (the q156/q157 tape-exchange
+    * discipline — lag over (user, ts, event_id)) feeding one
+    * user-keyed agg of four power sums: everything after the lag is
+    * map-side-combining arithmetic; nothing materializes per-pair or
+    * per-window state. Power sums accumulate in tape order on both
+    * engines; 6dp absorbs the reduction-order drift.
+    */
+  def q188RealizedMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("ret", when($"value" > 0.0,
+        log($"value" / nullif(lag($"value", 1).over(w), lit(0.0)))))
+      .filter($"ret".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_rets"),
+        sum($"ret" * $"ret").as("rv2"),
+        sum($"ret" * $"ret" * $"ret").as("rv3"),
+        sum($"ret" * $"ret" * $"ret" * $"ret").as("rv4"),
+        sum(when($"ret" < 0.0, $"ret" * $"ret").otherwise(0.0)).as("sv"))
+      .filter($"rv2" > 0.0)
+      .select($"user_id", $"n_rets",
+        decRound($"rv2", 6).as("rv"),
+        decRound($"sv", 6).as("downside_sv"),
+        decRound(sqrt($"n_rets".cast("double")) * $"rv3" /
+          pow($"rv2", 1.5), 6).as("rskew"),
+        decRound($"n_rets".cast("double") * $"rv4" /
+          ($"rv2" * $"rv2"), 6).as("rkurt"))
+  }
+
+  val q188Sql: String =
+    """WITH r AS (
+      |  SELECT user_id,
+      |    CASE WHEN value > 0.0 THEN
+      |      ln(value / nullif(lag(value) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id), 0.0)) END AS ret
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, count(*) AS n_rets,
+      |    sum(ret * ret) AS rv2,
+      |    sum(ret * ret * ret) AS rv3,
+      |    sum(ret * ret * ret * ret) AS rv4,
+      |    sum(CASE WHEN ret < 0.0 THEN ret * ret ELSE 0.0 END) AS sv
+      |  FROM r WHERE ret IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_rets,
+      |  CAST(round(CAST(rv2 AS DECIMAL(28,12)), 6) AS DOUBLE) AS rv,
+      |  CAST(round(CAST(sv AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS downside_sv,
+      |  CAST(round(CAST(sqrt(CAST(n_rets AS DOUBLE)) * rv3 /
+      |    pow(rv2, 1.5) AS DECIMAL(28,12)), 6) AS DOUBLE) AS rskew,
+      |  CAST(round(CAST(CAST(n_rets AS DOUBLE) * rv4 / (rv2 * rv2)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS rkurt
+      |FROM m WHERE rv2 > 0.0""".stripMargin
 }

@@ -1058,4 +1058,47 @@ object TrainingData {
       |  CAST(round(CAST(tr * tr / fro2 / sqrt(CAST(n_cells AS DOUBLE))
       |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS eff_share
       |FROM agg""".stripMargin
+
+  /** q190_hard_negatives — contrastive-pair mining: for each anchor,
+    * the SINGLE most-similar embedding carrying a DIFFERENT label (the
+    * hardest negative — what contrastive/metric-learning batches are
+    * built from; easy random negatives teach nothing once the model
+    * separates classes). Brute-force tier over a bounded anchor set,
+    * mirroring q35's proven cosine semantics: anchors broadcast
+    * against the corpus, one fused native cosine per (anchor,
+    * candidate), top-1 per anchor with id tiebreak. The 100 TB path
+    * is the q36 LSH bucketing with the label-mismatch filter pushed
+    * into the candidate join — same rerank arithmetic, so this exact
+    * tier stays the recall certifier.
+    */
+  def q190HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"),
+        $"embedding".as("q_vec"))
+    val c = emb.select($"vec_id".as("neg_id"), $"label".as("n_label"),
+      $"embedding".as("c_vec"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_raw".desc, $"neg_id")
+    c.join(broadcast(q), $"q_label" =!= $"n_label")
+      .withColumn("cos_raw", Vectors.cosine($"q_vec", $"c_vec"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" === 1)
+      .select($"query_id", $"neg_id", round($"cos_raw", 6).as("cos_sim"))
+  }
+
+  val q190Sql: String =
+    """SELECT query_id, neg_id, round(c, 6) AS cos_sim FROM (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neg_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(n.embedding AS DOUBLE[])) AS c,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+      |               n.vec_id) AS rnk
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 50 AND n.label <> q.label)
+      |WHERE rnk = 1""".stripMargin
 }

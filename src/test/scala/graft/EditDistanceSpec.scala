@@ -85,4 +85,22 @@ class EditDistanceSpec extends SparkTestBase {
     assert(!autoPlan.contains("Generate"), autoPlan.take(500))
     assert(segPlan.contains("Generate"), segPlan.take(500))
   }
+
+  test("JaroWinkler matches the reference values including both Winkler gates") {
+    import graft.functions.StringSim.jaroWinkler
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // probed against DuckDB jaro_winkler_similarity (RapidFuzz):
+    assert(close(jaroWinkler("martha", "marhta"), 0.9611111111111111))
+    assert(close(jaroWinkler("dwayne", "duane"), 0.8400000000000001))
+    assert(close(jaroWinkler("abcd", "abce"), 0.8833333333333334))
+    // the 0.7 boost gate: jaro 0.5 with a 2-char prefix gets NO bonus
+    assert(close(jaroWinkler("abcdefgh", "abzzzzzz"), 0.5))
+    // the 4-char prefix cap: 5 shared chars still bonus as 4
+    assert(close(jaroWinkler("prefixxx", "prefiyyy"), 0.85))
+    // window-0 transposition and degenerate cases
+    assert(close(jaroWinkler("ab", "ba"), 0.0))
+    assert(close(jaroWinkler("same", "same"), 1.0))
+    assert(close(jaroWinkler("", ""), 1.0))
+    assert(close(jaroWinkler("a", ""), 0.0))
+  }
 }
