@@ -764,6 +764,79 @@ object Microstructure {
           ($"rv2" * $"rv2"), 6).as("rkurt"))
   }
 
+  /** q191_effective_spread — execution quality per (instrument, day):
+    * each trade (purchase print) is priced against the PREVAILING
+    * two-sided book — the q151 even/odd quote recurrence carried to
+    * the trade's instant — giving the effective spread 2·|p−mid|/mid,
+    * reported beside the quoted spread at trade (ask−bid)/mid and the
+    * PRICE-IMPROVEMENT share (trades executing inside the quote).
+    * Effective ≪ quoted = real fills beat the displayed market — the
+    * standard best-execution audit (Rule 605 shape). Trades never
+    * update the book; crossed or one-sided books price nothing
+    * (q173's filter convention).
+    *
+    * Scale shape: the book carry is ONE tape window (running last per
+    * side over (user, ts, event_id) — the q151 sort), the rollup one
+    * (user, day) agg; every per-trade term is row-local arithmetic on
+    * two picked doubles. 6dp absorbs the avg reduction order.
+    */
+  def q191EffectiveSpread(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter($"value" > 0)
+      .select($"user_id", $"ts", $"event_id", $"value", $"event_type",
+        when($"event_type" =!= "purchase" && $"event_id" % 2 === 0,
+          $"value").as("bid_px"),
+        when($"event_type" =!= "purchase" && $"event_id" % 2 =!= 0,
+          $"value").as("ask_px"))
+      .withColumn("bb", last($"bid_px", ignoreNulls = true).over(w))
+      .withColumn("ba", last($"ask_px", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" &&
+        $"bb".isNotNull && $"ba".isNotNull && $"bb" < $"ba")
+      .withColumn("mid", ($"bb" + $"ba") / 2.0)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_trades"),
+        decRound(avg(lit(2.0) * abs($"value" - $"mid") / $"mid"), 6)
+          .as("eff_spread"),
+        decRound(avg(($"ba" - $"bb") / $"mid"), 6).as("quoted_at_trade"),
+        decRound(avg(when(lit(2.0) * abs($"value" - $"mid") <
+          $"ba" - $"bb", 1.0).otherwise(0.0)), 6).as("improve_share"))
+  }
+
+  val q191Sql: String =
+    """WITH q AS (
+      |  SELECT user_id, ts, event_id, value, event_type,
+      |    CASE WHEN event_type <> 'purchase' AND event_id % 2 = 0
+      |         THEN value END AS bid_px,
+      |    CASE WHEN event_type <> 'purchase' AND event_id % 2 <> 0
+      |         THEN value END AS ask_px
+      |  FROM events WHERE value > 0),
+      |b AS (
+      |  SELECT user_id, ts, value, event_type,
+      |    last_value(bid_px IGNORE NULLS) OVER w AS bb,
+      |    last_value(ask_px IGNORE NULLS) OVER w AS ba
+      |  FROM q
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, value,
+      |    (bb + ba) / 2.0 AS mid, ba - bb AS qspread
+      |  FROM b
+      |  WHERE event_type = 'purchase' AND bb IS NOT NULL
+      |    AND ba IS NOT NULL AND bb < ba)
+      |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+      |  count(*) AS n_trades,
+      |  CAST(round(CAST(avg(2.0 * abs(value - mid) / mid)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS eff_spread,
+      |  CAST(round(CAST(avg(qspread / mid) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS quoted_at_trade,
+      |  CAST(round(CAST(avg(CASE WHEN 2.0 * abs(value - mid) < qspread
+      |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS improve_share
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   val q188Sql: String =
     """WITH r AS (
       |  SELECT user_id,
