@@ -1884,6 +1884,104 @@ object Streams {
       }
   }
 
+  /** s48 — streaming realized MOMENTS via flatMapGroupsWithState: the
+    * incremental twin of batch q188, one power step past [[rvStream]].
+    * State is ONE last price per instrument (the whole-tape lag needs
+    * nothing else — q188's window does not reset per day). Each batch
+    * folds its prints in (ts, event_id) order and emits per-instrument
+    * INCREMENTS of the four power sums (n, Σr², Σr³, Σr⁴) plus the
+    * downside Σr²[r<0] — pure sums, so increments reduce exactly and
+    * the consumer forms rskew/rkurt from the REDUCED sums once,
+    * reproducing batch q188 at the 6dp round. Return tri-state is
+    * q157/q188's `when(value>0, log(value/nullif(prev,0)))` exactly.
+    * Same in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def momentsStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Double, Double, Double, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double,
+        (Long, Long, Double, Double, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[Double]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var prev = state.getOption.getOrElse(Double.NaN)
+          var n = 0L
+          var s2, s3, s4, sv = 0.0
+          sorted.foreach { e =>
+            if (e.value > 0.0 && !prev.isNaN && prev != 0.0 &&
+                e.value / prev > 0.0) {
+              val r = math.log(e.value / prev)
+              n += 1L
+              s2 += r * r; s3 += r * r * r; s4 += r * r * r * r
+              if (r < 0.0) sv += r * r
+            }
+            prev = e.value
+          }
+          if (!prev.isNaN) state.update(prev)
+          if (n == 0L) Iterator.empty
+          else Iterator((user, n, s2, s3, s4, sv))
+      }
+  }
+
+  /** s49 — streaming effective spread via flatMapGroupsWithState: the
+    * incremental twin of batch q191, the trade-pricing complement to
+    * the s41 time-weighted quote spread. State per instrument is the
+    * running (best bid, best ask) book — the q151/s25 even/odd
+    * recurrence; trades (purchase prints) never update it. Each batch
+    * emits per-(instrument, day) INCREMENTS of (n_trades,
+    * Σ 2·|p−mid|/mid, Σ (ask−bid)/mid, Σ improved-flag) — each
+    * per-trade term is computed against the book state at the trade's
+    * instant from the carried recurrence, so a trade whose quotes
+    * arrived in an earlier batch prices identically to batch q191;
+    * sums reduce, the consumer averages the reduced sums once. Same
+    * in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def effSpreadStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, java.sql.Timestamp, Long, Double, Double, Long)] = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events.filter(col("value") > 0)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        col("event_type"))
+      .as[PrintEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double),
+        (Long, java.sql.Timestamp, Long, Double, Double, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[PrintEvent],
+         state: GroupState[(Double, Double)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (bid, ask) = state.getOption.getOrElse((Double.NaN, Double.NaN))
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Double, Double, Long)]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase") {
+              if (!bid.isNaN && !ask.isNaN && bid < ask) {
+                val day = micros(e.ts) - Math.floorMod(micros(e.ts), dayUs)
+                val mid = (bid + ask) / 2.0
+                val eff = 2.0 * math.abs(e.value - mid) / mid
+                val qs = (ask - bid) / mid
+                val imp = if (2.0 * math.abs(e.value - mid) < ask - bid) 1L
+                          else 0L
+                val (n, se, sq, si) =
+                  acc.getOrElse(day, (0L, 0.0, 0.0, 0L))
+                acc(day) = (n + 1L, se + eff, sq + qs, si + imp)
+              }
+            } else {
+              if (e.event_id % 2 == 0) bid = e.value else ask = e.value
+            }
+          }
+          state.update((bid, ask))
+          acc.iterator.map { case (day, (n, se, sq, si)) =>
+            (user, tsFromMicros(day), n, se, sq, si)
+          }
+      }
+  }
+
   /** s39 — streaming market-data staleness via flatMapGroupsWithState:
     * the incremental twin of batch q166, and the live form the SLA is
     * actually monitored in (a feed watchdog wants the stale clock

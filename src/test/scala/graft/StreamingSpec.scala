@@ -1497,6 +1497,81 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming realized-moment increments reduce to the batch q188 result (s48)") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mom").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.momentsStream(spark, stream)
+      .toDF("user_id", "n", "s2", "s3", "s4", "sv")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("mom_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // power-sum increments reduce exactly; the consumer forms the
+    // moments from the reduced sums once, like batch q188
+    val streamed = spark.table("mom_out")
+      .groupBy($"user_id")
+      .agg(sum($"n").as("n_rets"), sum($"s2").as("rv2"),
+        sum($"s3").as("rv3"), sum($"s4").as("rv4"),
+        sum($"sv").as("svs"))
+      .filter($"rv2" > 0.0)
+      .select($"user_id", $"n_rets",
+        graft.functions.Num.decRound($"rv2", 6).as("rv"),
+        graft.functions.Num.decRound($"svs", 6).as("downside_sv"),
+        graft.functions.Num.decRound(sqrt($"n_rets".cast("double")) *
+          $"rv3" / pow($"rv2", 1.5), 6).as("rskew"),
+        graft.functions.Num.decRound($"n_rets".cast("double") * $"rv4" /
+          ($"rv2" * $"rv2"), 6).as("rkurt"))
+    val batch = SparkEntry.queries("q188_realized_moments")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming effective-spread increments reduce to the batch q191 result (s49)") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_eff").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.effSpreadStream(spark, stream)
+      .toDF("user_id", "day", "n", "se", "sq", "si")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("eff_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("eff_out")
+      .groupBy($"user_id", $"day")
+      .agg(sum($"n").as("n_trades"), sum($"se").as("se"),
+        sum($"sq").as("sq"), sum($"si").as("si"))
+      .select($"user_id", $"day", $"n_trades",
+        graft.functions.Num.decRound(
+          $"se" / $"n_trades".cast("double"), 6).as("eff_spread"),
+        graft.functions.Num.decRound(
+          $"sq" / $"n_trades".cast("double"), 6).as("quoted_at_trade"),
+        graft.functions.Num.decRound(
+          $"si".cast("double") / $"n_trades".cast("double"), 6)
+          .as("improve_share"))
+    val batch = SparkEntry.queries("q191_effective_spread")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming event-study frames rebuild batch q181 across micro-batches (s47)") {
     val ev = Tables.events(spark, sf)
     val mid = ev.agg(
