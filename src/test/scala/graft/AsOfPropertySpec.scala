@@ -259,4 +259,33 @@ class AsOfPropertySpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(exec == win && exec.nonEmpty)
   }
+
+  test("autoJoin dispatches by statistics and honors the null-key attestation") {
+    val ev = Tables.events(spark, sf)
+    val trades = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val quotes = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"value")
+    def planOf(threshold: Long, nonNull: Boolean) =
+      AsOf.autoJoin(trades, quotes, "user_id", "ts", "ts",
+        Seq("value" -> "quote"), keysNonNull = nonNull,
+        execByteThreshold = threshold)
+    // big-by-stats + attested non-null -> the custom exec plans
+    val execPlan = planOf(0L, nonNull = true)
+    assert(execPlan.queryExecution.executedPlan.toString
+      .contains("AsOfJoin"), "expected the custom exec above threshold")
+    // small-by-stats keeps the composed plan; so does a null-unsafe key
+    for (p <- Seq(planOf(Long.MaxValue, nonNull = true),
+        planOf(0L, nonNull = false))) {
+      assert(!p.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        "expected the composed union+window plan")
+    }
+    // and both dispatch branches return the same rows
+    val a = execPlan.select($"event_id", $"quote").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = planOf(Long.MaxValue, nonNull = true)
+      .select($"event_id", $"quote").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
 }
