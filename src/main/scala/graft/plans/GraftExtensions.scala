@@ -77,7 +77,12 @@ object GraftExtensions {
       info("graft_byte_stride",
         "graft_byte_stride(payload, stride) - every stride-th byte of a binary"),
       (children: Seq[Expression]) => ByteStride(children.head,
-        intLit(children(1), "stride"))))
+        intLit(children(1), "stride"))),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
+      (children: Seq[Expression]) =>
+        graft.functions.JaroWinklerExpr(children(0), children(1))))
 
   /** Register the functions on a live session (for sessions created
     * without the extension config — notebooks, REPLs, test harnesses).

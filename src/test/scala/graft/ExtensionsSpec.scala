@@ -135,4 +135,14 @@ class ExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("graft_jaro_winkler from pure SQL matches the Scala expression") {
+    GraftExtensions.install(spark)
+    val got = spark.sql(
+      """SELECT graft_jaro_winkler('martha', 'marhta') AS a,
+        |       graft_jaro_winkler('abcdefgh', 'abzzzzzz') AS b""".stripMargin)
+      .collect()(0)
+    assert(math.abs(got.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(got.getDouble(1) == 0.5) // the 0.7 boost gate holds via SQL too
+  }
 }
