@@ -370,7 +370,11 @@ class PlanSpec extends SparkTestBase {
     // a second tape shuffle here doubles the dominant cost at 100 TB
     for (q <- Seq("q156_order_imbalance", "q157_realized_variance",
         "q160_conflate", "q170_kyle_lambda", "q179_vpin",
-        "q181_event_study")) {
+        "q181_event_study", "q188_realized_moments",
+        // q191's (user, day) rollup rides the tape exchange too: hash
+        // partitioning on user_id alone satisfies the rollup's
+        // ClusteredDistribution (same (u, d) ⇒ same u ⇒ co-located)
+        "q191_effective_spread")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
     }
