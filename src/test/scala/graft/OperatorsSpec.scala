@@ -283,6 +283,35 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("GramAgg moment buffers merge identically across any partition split") {
+    // the map-side-combine contract: fold order and split points must
+    // never change the reduced moments (addition per slot is the only
+    // merge op, so equality is exact up to FP associativity — asserted
+    // at 1e-12 relative, far tighter than the 6dp query round)
+    val agg = new graft.functions.GramAgg
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(40)(Array.fill(16)(rnd.nextGaussian()))
+    val whole = rows.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- Seq(1, 13, 20, 39)) {
+      val (l, r) = rows.splitAt(cut)
+      // fresh folds each time: reduce mutates its buffer
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)((b, x) => agg.reduce(b.clone(), x)),
+        r.foldLeft(agg.zero)((b, x) => agg.reduce(b.clone(), x)))
+      assert(merged.length == whole.length)
+      whole.indices.foreach { i =>
+        val d = math.abs(merged(i) - whole(i))
+        assert(d <= 1e-12 * math.max(1.0, math.abs(whole(i))),
+          s"slot $i diverged at split $cut")
+      }
+    }
+    // ragged widths are a loud data error, not a silent wrong matrix
+    val e = intercept[IllegalArgumentException] {
+      agg.reduce(agg.reduce(agg.zero, Array(1.0, 2.0)), Array(1.0))
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("kCorePeel peels a known graph and replicates after the fixpoint") {
     import spark.implicits._
     // K4 on {1,2,3,4} + pendant chain 4-5, 5-6: k=2 kills 6 (deg 1)
