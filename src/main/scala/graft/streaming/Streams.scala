@@ -718,6 +718,39 @@ object Streams {
       }
       .start()
 
+  /** Compact the s46 perplexity-ledger state: consolidate the read set
+    * visible to `upTo + 1` into one `c<upTo>` dir per family — bigram
+    * counts MERGE (groupBy (w1, w2), sum) and the vocab dedups, so a
+    * long-running ingest's ledger resolution cost stays bounded by
+    * VOCABULARY, not by batch count. Same write-then-delete order and
+    * selection-based crash safety as [[compactGramIndex]]
+    * (the `c`/`b` read-set convention is shared via
+    * [[gramIndexReadSet]]); run from maintenance, not the hot sink
+    * path, with `upTo` a fully-committed batch id.
+    */
+  def compactPerplexityLedgers(spark: SparkSession, ledgerDir: String,
+                               upTo: Long): Unit = {
+    Seq(
+      ("bi", biLedgerSchema,
+        (df: DataFrame) => df.groupBy(col("w1"), col("w2"))
+          .agg(sum(col("cnt")).as("cnt"))),
+      ("voc", vocLedgerSchema, (df: DataFrame) => df.distinct())
+    ).foreach { case (fam, schema, consolidate) =>
+      val dirs = gramIndexReadSet(spark, s"$ledgerDir/$fam", upTo + 1L)
+      if (dirs.nonEmpty) {
+        val out = consolidate(spark.read.schema(schema).parquet(dirs: _*))
+        val famPath = new org.apache.hadoop.fs.Path(s"$ledgerDir/$fam")
+        val fs = famPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(famPath, s"_tmp_c$upTo")
+        out.write.mode("overwrite").parquet(tmp.toString)
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(famPath, s"c$upTo"))
+        dirs.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
+    }
+  }
+
   /** Score arbitrary documents under the ledger LM as of `upTo`
     * (exclusive batch-id bound; default = everything landed). This is
     * the production CCNet-style screen — score NEW text under the

@@ -1652,6 +1652,16 @@ class StreamingSpec extends SparkTestBase {
     assert(last.count() > 0)
     assert(last.exceptAll(batchQ185).isEmpty,
       "last-batch live scores must already sit on the full-corpus LM")
+    // compaction consolidates both families into c-dirs WITHOUT moving
+    // a single score: the merged counts are the same LM
+    Streams.compactPerplexityLedgers(spark, ledgers, upTo = 1L)
+    val famDirs = new java.io.File(s"$ledgers/bi").listFiles().map(_.getName)
+    assert(famDirs.contains("c1") && !famDirs.exists(_.startsWith("b")),
+      famDirs.mkString(","))
+    val rescore2 = Streams.perplexityScore(spark, docs, ledgers)
+    assert(rescore2.exceptAll(batchQ185).isEmpty &&
+      batchQ185.exceptAll(rescore2).isEmpty,
+      "compacted ledgers must score identically")
   }
 
   test("conversionStream counts a purchase tied to the first view's microsecond") {
