@@ -877,24 +877,48 @@ object TrainingData {
     * Scale shape: one equi-join on the shared key (both sides
     * id-partitioned — co-located at any scale), norm computed
     * ROW-LOCALLY by an index-ordered fold (identical sequential
-    * summation on both engines), one (source, label) agg. corr's
-    * accumulation order is the only cross-engine FP surface — 6dp.
+    * summation on both engines), one (source, label) agg. The
+    * correlation is computed from EXACT moments — lengths are
+    * integers (long sums), norms land on the 6dp decimal lattice
+    * before summing (decimal addition is associative, so partial-agg
+    * merge order cannot move a moment by even an ulp) — and the
+    * Pearson formula then runs the same double arithmetic on
+    * identical inputs in both engines. The r10 native corr() summed
+    * doubles in engine-specific order; at sf1 one cell's drift
+    * landed exactly on the 6dp HALF_UP boundary (−0.0185545) and
+    * flipped the round — the q5 money-lattice lesson applied to a
+    * correlation.
     */
   def q178ModalAlignment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"n_chars")
     val norms = Tables.embeddings(spark, dir)
       .select($"vec_id".as("doc_id"), $"label",
         sqrt(aggregate($"embedding".cast("array<double>"), lit(0.0),
           (acc, x) => acc + x * x)).as("norm"))
-    docs.join(norms, "doc_id")
+    val m = docs.join(norms, "doc_id")
+      .select($"source", $"label", $"n_chars".cast("long").as("x"),
+        $"norm".cast(DecimalType(18, 6)).as("y"))
       .groupBy($"source", $"label")
       .agg(count(lit(1)).as("n"),
-        graft.functions.Num.decRound(avg($"n_chars"), 4).as("avg_len"),
-        graft.functions.Num.decRound(avg($"norm"), 6).as("avg_norm"),
-        graft.functions.Num.decRound(
-          corr($"n_chars".cast("double"), $"norm"), 6).as("len_norm_corr"))
+        sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+        sum($"y").as("sy"), sum($"y" * $"y").as("syy"),
+        sum($"x".cast(DecimalType(18, 0)) * $"y").as("sxy"))
+    val nD = $"n".cast("double")
+    val (sx, sy, sxx, syy, sxy) = ($"sx".cast("double"),
+      $"sy".cast("double"), $"sxx".cast("double"),
+      $"syy".cast("double"), $"sxy".cast("double"))
+    val vx = nD * sxx - sx * sx
+    val vy = nD * syy - sy * sy
+    m.select($"source", $"label", $"n",
+      graft.functions.Num.decRound(sx / nD, 4).as("avg_len"),
+      graft.functions.Num.decRound(sy / nD, 6).as("avg_norm"),
+      graft.functions.Num.decRound(
+        when(vx > 0.0 && vy > 0.0,
+          (nD * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 6)
+        .as("len_norm_corr"))
   }
 
   val q178Sql: String =
@@ -902,16 +926,37 @@ object TrainingData {
       |  SELECT vec_id AS doc_id, label,
       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> x * x))) AS norm
-      |  FROM embeddings)
-      |SELECT d.source, nm.label, count(*) AS n,
-      |  CAST(round(CAST(avg(d.n_chars) AS DECIMAL(28,12)), 4) AS DOUBLE)
-      |    AS avg_len,
-      |  CAST(round(CAST(avg(nm.norm) AS DECIMAL(28,12)), 6) AS DOUBLE)
-      |    AS avg_norm,
-      |  CAST(round(CAST(corr(CAST(d.n_chars AS DOUBLE), nm.norm)
-      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS len_norm_corr
-      |FROM documents d JOIN nm ON nm.doc_id = d.doc_id
-      |GROUP BY 1, 2""".stripMargin
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT d.source, nm.label, count(*) AS n,
+      |    sum(CAST(d.n_chars AS BIGINT)) AS sx,
+      |    sum(CAST(d.n_chars AS BIGINT) * CAST(d.n_chars AS BIGINT))
+      |      AS sxx,
+      |    sum(CAST(nm.norm AS DECIMAL(18,6))) AS sy,
+      |    sum(CAST(nm.norm AS DECIMAL(18,6)) *
+      |        CAST(nm.norm AS DECIMAL(18,6))) AS syy,
+      |    sum(CAST(d.n_chars AS DECIMAL(18,0)) *
+      |        CAST(nm.norm AS DECIMAL(18,6))) AS sxy
+      |  FROM documents d JOIN nm ON nm.doc_id = d.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT source, label, n,
+      |  CAST(round(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_len,
+      |  CAST(round(CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_norm,
+      |  CAST(round(CAST(
+      |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+      |          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    END AS DECIMAL(28,12)), 6) AS DOUBLE) AS len_norm_corr
+      |FROM m""".stripMargin
 
   /** q183_embedding_spectrum — anisotropy audit of the embedding
     * space: the dominant eigenvalue of the collection covariance via
