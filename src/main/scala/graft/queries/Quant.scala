@@ -849,6 +849,112 @@ object Quant {
       |  ON a.user_id = b.user_id AND b.day_idx = a.day_idx + 1
       |GROUP BY 1""".stripMargin
 
+  /** q193_hurst — long-memory diagnostic per instrument: the Hurst
+    * exponent from the variance-of-aggregates regression. Tick
+    * log-returns (q157's zero-price guard) land on the 12dp decimal
+    * lattice; for k ∈ {1,2,4,8} the non-overlapping FULL k-bucket sums
+    * are EXACT decimal additions, and each (instrument, k) variance
+    * comes from exact decimal moments (Σs, Σs²) — the q178 lesson: no
+    * engine-ordered double accumulation anywhere before the final
+    * double formula. ln k is equally spaced (0, L, 2L, 3L with
+    * L = ln 2), so the 4-point slope collapses to fixed weights:
+    * H = slope/2 = (−1.5·ln v₁ − 0.5·ln v₂ + 0.5·ln v₄ + 1.5·ln v₈)
+    * / (10·ln 2). H ≈ 0.5 = random walk; H > 0.5 persistent, < 0.5
+    * mean-reverting — the regime sanity check beside q168's variance
+    * ratio. Zero-variance scales drop (ln throws in DuckDB, nulls in
+    * Spark — filtered identically); instruments missing any scale
+    * drop via the nk = 4 gate.
+    *
+    * Scale shape: ONE tape window (lag + row_number share the user
+    * sort), then integer-keyed bucket aggs — k·|buckets| rows through
+    * map-side combine; the per-user 4-row pivot is arithmetic.
+    */
+  def q193Hurst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val rets = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("ret", when($"value" > 0.0,
+        log($"value" / nullif(lag($"value", 1).over(wOrd), lit(0.0)))))
+      .filter($"ret".isNotNull)
+      .withColumn("idx", row_number().over(wOrd).cast("long") - 1L)
+      .select($"user_id", $"idx",
+        graft.functions.Num.decRound($"ret", 12)
+          .cast(DecimalType(18, 12)).as("r12"))
+    val ks = Seq(1, 2, 4, 8)
+    val bucketed = ks.map { k =>
+      rets.groupBy($"user_id", lit(k).as("k"),
+          ($"idx" / lit(k.toLong)).cast("long").as("bucket"))
+        // s re-narrows to (18,12) — values are tiny and a (28,12)²
+        // product would blow the 38-digit cap and silently round
+        // (Spark) or error (DuckDB); at (18,12) the square is exact
+        .agg(sum($"r12").cast(DecimalType(18, 12)).as("s"),
+          count(lit(1)).as("cnt"))
+        .filter($"cnt" === k.toLong)
+    }.reduce(_.unionByName(_))
+    val vark = bucketed.groupBy($"user_id", $"k")
+      .agg(count(lit(1)).as("n"),
+        sum($"s").as("ss"), sum($"s" * $"s").as("ss2"))
+      .select($"user_id", $"k", $"n",
+        ($"ss2".cast("double") / $"n".cast("double") -
+          ($"ss".cast("double") / $"n".cast("double")) *
+            ($"ss".cast("double") / $"n".cast("double"))).as("vark"))
+      .filter($"vark" > 0.0 && $"n" >= 2L)
+    vark.groupBy($"user_id")
+      .agg(count(lit(1)).as("nk"),
+        sum(when($"k" === 1, log($"vark"))).as("y1"),
+        sum(when($"k" === 2, log($"vark"))).as("y2"),
+        sum(when($"k" === 4, log($"vark"))).as("y4"),
+        sum(when($"k" === 8, log($"vark"))).as("y8"))
+      .filter($"nk" === 4L)
+      .select($"user_id",
+        decRound((lit(-1.5) * $"y1" - lit(0.5) * $"y2" +
+          lit(0.5) * $"y4" + lit(1.5) * $"y8") /
+          (lit(10.0) * log(lit(2.0))), 4).as("hurst"))
+  }
+
+  val q193Sql: String =
+    """WITH r0 AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN value > 0.0 THEN
+      |      ln(value / nullif(lag(value) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id), 0.0)) END AS ret
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS BIGINT) - 1 AS idx,
+      |    CAST(round(CAST(ret AS DECIMAL(28,12)), 12) AS DECIMAL(18,12))
+      |      AS r12
+      |  FROM r0 WHERE ret IS NOT NULL),
+      |b AS (
+      |  SELECT user_id, k, idx // k AS bucket,
+      |    CAST(sum(r12) AS DECIMAL(18,12)) AS s,
+      |    count(*) AS cnt
+      |  FROM r CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS k)
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(*) = k),
+      |v AS (
+      |  SELECT user_id, k, count(*) AS n,
+      |    CAST(sum(s * s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      - (CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |        * (CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |      AS vark
+      |  FROM b GROUP BY 1, 2),
+      |f AS (SELECT * FROM v WHERE vark > 0.0 AND n >= 2),
+      |h AS (
+      |  SELECT user_id, count(*) AS nk,
+      |    sum(CASE WHEN k = 1 THEN ln(vark) END) AS y1,
+      |    sum(CASE WHEN k = 2 THEN ln(vark) END) AS y2,
+      |    sum(CASE WHEN k = 4 THEN ln(vark) END) AS y4,
+      |    sum(CASE WHEN k = 8 THEN ln(vark) END) AS y8
+      |  FROM f GROUP BY 1)
+      |SELECT user_id,
+      |  CAST(round(CAST((-1.5 * y1 - 0.5 * y2 + 0.5 * y4 + 1.5 * y8)
+      |    / (10.0 * ln(2.0)) AS DECIMAL(28,12)), 4) AS DOUBLE) AS hurst
+      |FROM h WHERE nk = 4""".stripMargin
+
   /** q181_event_study — post-event abnormal return per instrument:
     * for every signup print on an instrument's tape, the cumulative
     * return over the NEXT 3 prints (a forward row frame anchored at

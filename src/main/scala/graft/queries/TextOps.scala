@@ -593,6 +593,76 @@ object TextOps {
       |WINDOW w AS (ORDER BY bucket
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** q192_tokenizer_fertility — per-language tokenizer cost profile:
+    * whitespace tokens AND BPE-ish lexical tokens (letter runs / digit
+    * runs / single symbols — the [[Text.lexTokens]] scheme q39 counts
+    * with) per character, plus mean lexical-token length — the
+    * fertility table that decides per-language sampling budgets before
+    * pretraining (a language whose tokenizer explodes into 3× the
+    * tokens per char eats 3× the context window for the same text).
+    * EVERYTHING reduces as INTEGER sums (token counts, char counts,
+    * token chars); the three ratios divide exact longs — deterministic
+    * doubles on both engines, 6dp for presentation only.
+    *
+    * Scale shape: one row-local tokenize pass, one lang-keyed agg of
+    * four longs — map-side combine, shuffle is |langs| rows.
+    */
+  def q192TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"lang", length($"text").cast("long").as("n_chars"),
+        size(filter(Text.tokens($"text"), t => length(t) > 0))
+          .cast("long").as("n_ws"),
+        Text.lexTokens($"text").as("lex"))
+      .select($"lang", $"n_chars", $"n_ws",
+        size($"lex").cast("long").as("n_lex"),
+        aggregate($"lex", lit(0L), (acc, t) => acc + length(t))
+          .as("lex_chars"))
+    toks.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars"),
+        sum($"n_ws").as("ws_tokens"),
+        sum($"n_lex").as("lex_tokens"),
+        sum($"lex_chars").as("lex_chars"))
+      .filter($"chars" > 0L)
+      .select($"lang", $"n_docs",
+        graft.functions.Num.decRound(
+          $"ws_tokens".cast("double") / $"chars".cast("double"), 6)
+          .as("ws_per_char"),
+        graft.functions.Num.decRound(
+          $"lex_tokens".cast("double") / $"chars".cast("double"), 6)
+          .as("lex_per_char"),
+        graft.functions.Num.decRound(
+          $"lex_chars".cast("double") /
+            nullif($"lex_tokens", lit(0L)).cast("double"), 6)
+          .as("avg_lex_len"))
+  }
+
+  val q192Sql: String =
+    """WITH t AS (
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+      |      '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws,
+      |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')
+      |      AS lex
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars,
+      |    sum(n_ws) AS ws_tokens,
+      |    sum(CAST(len(lex) AS BIGINT)) AS lex_tokens,
+      |    sum(CAST(list_sum(list_transform(lex, x -> len(x)))
+      |      AS BIGINT)) AS lex_chars
+      |  FROM t GROUP BY 1)
+      |SELECT lang, n_docs,
+      |  CAST(round(CAST(CAST(ws_tokens AS DOUBLE) / CAST(chars AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS ws_per_char,
+      |  CAST(round(CAST(CAST(lex_tokens AS DOUBLE) / CAST(chars AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS lex_per_char,
+      |  CAST(round(CAST(CAST(lex_chars AS DOUBLE) /
+      |    CAST(nullif(lex_tokens, 0) AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_lex_len
+      |FROM s WHERE chars > 0""".stripMargin
+
   /** q185_bigram_perplexity — per-document perplexity under an add-½
     * smoothed corpus BIGRAM language model (the CCNet-style
     * perplexity filter, one modeling step past q100's corpus unigram
