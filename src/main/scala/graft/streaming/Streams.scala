@@ -2015,6 +2015,58 @@ object Streams {
       }
   }
 
+  /** s50 — streaming variance-of-aggregates ledger via
+    * flatMapGroupsWithState: the incremental twin of batch q193's
+    * Hurst input. State per instrument is (last price, for each
+    * k ∈ {1,2,4,8} the OPEN bucket's partial sum and count) — the
+    * return lattice is carried as INTEGER picounits (the 12dp decimal
+    * × 10¹²), so bucket sums are exact long additions and any batch
+    * split reduces bit-identically. A bucket emits exactly once, when
+    * it FILLS; tape-end partial buckets never emit — precisely batch
+    * q193's full-bucket HAVING. The consumer recovers the exact
+    * decimal (the true value is a 12dp lattice point, so the
+    * double·1e−12 → round-12 roundtrip is exact), then runs the
+    * batch's own moment/variance/slope tail on identical inputs.
+    * Same in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def hurstLedgerStream(spark: SparkSession, events: DataFrame,
+                        ks: Seq[Int] = Seq(1, 2, 4, 8))
+      : Dataset[(Long, Int, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Seq[(Int, Long, Int)]),
+        (Long, Int, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Double, Seq[(Int, Long, Int)])]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (prev, partials) = state.getOption.getOrElse(
+            (Double.NaN, ks.map(k => (k, 0L, 0))))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long)]
+          sorted.foreach { e =>
+            if (e.value > 0.0 && !prev.isNaN && prev != 0.0 &&
+                e.value / prev > 0.0) {
+              // 12dp HALF_UP lattice in integer picounits — exactly
+              // Num.decRound(ret, 12) scaled by 10^12
+              val r12 = BigDecimal(math.log(e.value / prev))
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+                .*(BigDecimal(1000000000000L)).toLongExact
+              partials = partials.map { case (k, s, c) =>
+                val (s2, c2) = (s + r12, c + 1)
+                if (c2 == k) { out += ((user, k, s2)); (k, 0L, 0) }
+                else (k, s2, c2)
+              }
+            }
+            prev = e.value
+          }
+          if (!prev.isNaN) state.update((prev, partials))
+          out.iterator
+      }
+  }
+
   /** s39 — streaming market-data staleness via flatMapGroupsWithState:
     * the incremental twin of batch q166, and the live form the SLA is
     * actually monitored in (a feed watchdog wants the stale clock

@@ -1572,6 +1572,56 @@ class StreamingSpec extends SparkTestBase {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming Hurst bucket ledger reduces to the batch q193 result (s50)") {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hurst").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.hurstLedgerStream(spark, stream)
+      .toDF("user_id", "k", "s_long")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hurst_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // exact decimal recovery (12dp lattice point -> the roundtrip is
+    // exact), then the batch's own moment/variance/slope tail
+    val s = spark.table("hurst_out")
+      .select($"user_id", $"k",
+        round($"s_long".cast("double") * lit(1e-12), 12)
+          .cast(DecimalType(18, 12)).as("s"))
+    val vark = s.groupBy($"user_id", $"k")
+      .agg(count(lit(1)).as("n"),
+        sum($"s").as("ss"), sum($"s" * $"s").as("ss2"))
+      .select($"user_id", $"k", $"n",
+        ($"ss2".cast("double") / $"n".cast("double") -
+          ($"ss".cast("double") / $"n".cast("double")) *
+            ($"ss".cast("double") / $"n".cast("double"))).as("vark"))
+      .filter($"vark" > 0.0 && $"n" >= 2L)
+    val streamed = vark.groupBy($"user_id")
+      .agg(count(lit(1)).as("nk"),
+        sum(when($"k" === 1, log($"vark"))).as("y1"),
+        sum(when($"k" === 2, log($"vark"))).as("y2"),
+        sum(when($"k" === 4, log($"vark"))).as("y4"),
+        sum(when($"k" === 8, log($"vark"))).as("y8"))
+      .filter($"nk" === 4L)
+      .select($"user_id",
+        graft.functions.Num.decRound((lit(-1.5) * $"y1" - lit(0.5) * $"y2" +
+          lit(0.5) * $"y4" + lit(1.5) * $"y8") /
+          (lit(10.0) * log(lit(2.0))), 4).as("hurst"))
+    val batch = SparkEntry.queries("q193_hurst")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming event-study frames rebuild batch q181 across micro-batches (s47)") {
     val ev = Tables.events(spark, sf)
     val mid = ev.agg(
