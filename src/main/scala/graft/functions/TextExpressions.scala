@@ -113,6 +113,50 @@ case class MinHashSig(child: Expression, k: Int, shingleN: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** Character-distribution profile of a text payload in ONE row-local
+  * pass: `[shannon entropy (bits/char), printable-ASCII ratio]` — the
+  * corruption / encrypted-blob / mojibake screen a multimodal ingest
+  * runs before trusting a "text" column. The histogram accumulates in
+  * a small char-keyed map (≤ alphabet size), entropy sums in ASCENDING
+  * char order (deterministic within the engine; the cross-engine FP
+  * surface is the usual per-term log rounding, absorbed at the query's
+  * 6dp round). Empty input → null (no 0/0), matching the oracle's
+  * length guard. The composed alternative (explode to (doc, char)
+  * rows + two aggs) exchanges corpus×len rows — this is the
+  * per-row-blowup antipattern the native expression exists to kill.
+  */
+case class CharProfile(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.length
+    if (n == 0) return null
+    val counts = new java.util.TreeMap[Char, Int]()
+    var printable = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      counts.merge(c, 1, Integer.sum)
+      if (c >= ' ' && c <= '~') printable += 1
+      i += 1
+    }
+    var ent = 0.0
+    val it = counts.values().iterator()
+    val ln2 = math.log(2.0)
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      ent -= p * (math.log(p) / ln2)
+    }
+    new GenericArrayData(Array(ent, printable.toDouble / n))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharProfile =
+    copy(child = c)
+}
+
 /** Winnowing fingerprints (Schleimer et al.): distinct minima of a
   * sliding window over character k-gram hashes, O(n) via monotonic
   * deque.
@@ -161,4 +205,7 @@ object TextExpressions {
   /** array<long>: winnowing fingerprints of the text. */
   def winnowFp(text: Column, k: Int, window: Int): Column =
     col(WinnowFP(expr(text), k, window))
+
+  /** array<double>: [shannon entropy bits/char, printable-ASCII ratio]. */
+  def charProfile(text: Column): Column = col(CharProfile(expr(text)))
 }

@@ -1134,6 +1134,57 @@ object TrainingData {
       .select($"query_id", $"neg_id", round($"cos_raw", 6).as("cos_sim"))
   }
 
+  /** q194_payload_entropy — corruption / encoding screen over the
+    * payload sample: per sampled document, character-level Shannon
+    * entropy (bits/char) and printable-ASCII ratio from ONE row-local
+    * [[graft.functions.CharProfile]] pass (no per-char explode — the
+    * corpus×len row blowup is exactly what the native expression
+    * kills), plus a binaryish flag (high-entropy or low-printable
+    * payloads masquerading as text — the multimodal-ingest gate
+    * before any tokenizer runs). The 1-in-20 doc_id sample keeps the
+    * oracle's per-char unnest tractable at every sf; the Spark side
+    * is cheap enough to run unsampled in production.
+    */
+  def q194PayloadEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 20 === 0 && length($"text") > 0)
+      .select($"doc_id", length($"text").as("n_chars"),
+        graft.functions.TextExpressions.charProfile($"text").as("prof"))
+      .select($"doc_id", $"n_chars",
+        graft.functions.Num.decRound(element_at($"prof", 1), 6)
+          .as("entropy_bits"),
+        graft.functions.Num.decRound(element_at($"prof", 2), 6)
+          .as("printable_ratio"))
+      .withColumn("flag_binaryish",
+        $"entropy_bits" > 6.5 || $"printable_ratio" < 0.8)
+  }
+
+  val q194Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, length(text) AS n_chars, text
+      |  FROM documents WHERE doc_id % 20 = 0 AND length(text) > 0),
+      |c AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+      |  FROM s),
+      |h AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+      |e AS (
+      |  SELECT h.doc_id,
+      |    -sum((CAST(cnt AS DOUBLE) / s.n_chars) *
+      |      (ln(CAST(cnt AS DOUBLE) / s.n_chars) / ln(2.0))) AS ent,
+      |    CAST(sum(CASE WHEN ch >= ' ' AND ch <= '~' THEN cnt
+      |      ELSE 0 END) AS DOUBLE) / s.n_chars AS pr
+      |  FROM h JOIN s USING (doc_id) GROUP BY h.doc_id, s.n_chars)
+      |SELECT s.doc_id, CAST(s.n_chars AS INT) AS n_chars,
+      |  CAST(round(CAST(e.ent AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS entropy_bits,
+      |  CAST(round(CAST(e.pr AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS printable_ratio,
+      |  CAST(round(CAST(e.ent AS DECIMAL(28,12)), 6) AS DOUBLE) > 6.5
+      |    OR CAST(round(CAST(e.pr AS DECIMAL(28,12)), 6) AS DOUBLE) < 0.8
+      |    AS flag_binaryish
+      |FROM s JOIN e USING (doc_id)""".stripMargin
+
   val q190Sql: String =
     """SELECT query_id, neg_id, round(c, 6) AS cos_sim FROM (
       |  SELECT q.vec_id AS query_id, n.vec_id AS neg_id,
