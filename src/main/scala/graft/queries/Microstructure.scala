@@ -721,6 +721,60 @@ object Microstructure {
       |    AS DOUBLE) AS vpin
       |FROM b GROUP BY 1""".stripMargin
 
+  /** q195_message_traffic — venue message-traffic audit per
+    * (instrument, day): quote updates, trades, the order-to-trade
+    * ratio (the quote-stuffing / MiFID II OTR surveillance metric),
+    * and the PEAK minute (max quote messages in any one minute — the
+    * burst statistic rate limits are written against). ALL-INTEGER
+    * counts; the one ratio divides exact longs — deterministic on
+    * both engines, 6dp presentation only.
+    *
+    * Scale shape: a (user, day, minute) pre-agg with map-side combine
+    * collapses the tape to minute cardinality, then the (user, day)
+    * rollup (sum + max over ≤1440 rows per group). The minute agg's
+    * hash(u, day, min) partitioning does NOT satisfy the day rollup's
+    * clustering (superset keys ≠ subset clustering), so this is a
+    * two-exchange plan — but the second exchange moves minute-level
+    * rows, ~10⁻³ of the tape.
+    */
+  def q195MessageTraffic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byMin = Tables.events(spark, dir)
+      .filter($"value" > 0)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"),
+        date_trunc("minute", $"ts").as("minute"))
+      .agg(sum(when($"event_type" =!= "purchase", 1L).otherwise(0L))
+          .as("q_min"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("t_min"))
+    byMin.groupBy($"user_id", $"day")
+      .agg(sum($"q_min").as("n_quotes"), sum($"t_min").as("n_trades"),
+        max($"q_min").as("peak_minute_quotes"))
+      .select($"user_id", $"day", $"n_quotes", $"n_trades",
+        $"peak_minute_quotes",
+        graft.functions.Num.decRound(
+          $"n_quotes".cast("double") /
+            nullif($"n_trades", lit(0L)).cast("double"), 6).as("otr"))
+  }
+
+  val q195Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    date_trunc('minute', ts) AS minute,
+      |    sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      |      AS q_min,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS t_min
+      |  FROM events WHERE value > 0 GROUP BY 1, 2, 3)
+      |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+      |  CAST(sum(q_min) AS BIGINT) AS n_quotes,
+      |  CAST(sum(t_min) AS BIGINT) AS n_trades,
+      |  CAST(max(q_min) AS BIGINT) AS peak_minute_quotes,
+      |  CAST(round(CAST(CAST(sum(q_min) AS DOUBLE) /
+      |    CAST(nullif(sum(t_min), 0) AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS otr
+      |FROM m GROUP BY 1, 2""".stripMargin
+
   /** q188_realized_moments — higher realized moments of the tick
     * return distribution per instrument: realized variance (Σr²),
     * realized SKEWNESS (√n·Σr³/(Σr²)^{3/2}) and realized KURTOSIS
