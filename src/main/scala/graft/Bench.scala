@@ -156,10 +156,20 @@ object Bench {
           rightVals = Seq("ts" -> "ref_ts", "value" -> "ref_value"))
           .write.format("noop").mode("overwrite").save()
       }
+      // the sub-quadratic name-linkage tier vs q189's exact blocked
+      // plan (the ×10 scale sweep showed the blocked tier's pair
+      // volume is quadratic in catalog size by contract; this prices
+      // the fingerprint-bounded alternative every round)
+      val nlWinnow = time {
+        graft.operators.EditDistance.jwPairsWinnow(part, "p_partkey",
+          "p_name")
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
         "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm,
         "x_fx_window" -> fx, "x_topk_agg" -> topkAgg,
-        "x_topk_window" -> topkWin, "x_asof_exec" -> asofExec)
+        "x_topk_window" -> topkWin, "x_asof_exec" -> asofExec,
+        "x_namelink_winnow" -> nlWinnow)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     val ok = results.filter(_._3.isEmpty)

@@ -305,4 +305,44 @@ object EditDistance {
         bit_count(col("mask_a").bitwiseXOR(col("mask_b"))) <= 2 * maxDist),
       maxDist)
   }
+
+  /** Sub-quadratic JARO–WINKLER linkage: the 100×-scale tier behind
+    * q189's exact blocked contract. Candidates come from shared
+    * WINNOWING fingerprints (char k-gram hash minima — two names at
+    * jw ≥ 0.92 share most of their k-grams, hence fingerprints), with
+    * a df cap dropping ubiquitous fingerprints exactly like the
+    * gram-index dedup's stop-gram cap; only candidates pay the
+    * O(|a|·|b|) native rerank. Pair volume is bounded by fingerprint
+    * bucket density instead of block size² — the same probe-bounded
+    * shape as [[graft.operators.Dedup.jaccardPairsProbed]]. No brand
+    * blocking: this tier recalls cross-block twins the exact contract
+    * deliberately scopes out, so its output is a SUPERSET domain;
+    * recall against the exact tier is spec-measured, and the bench
+    * prices it as x_namelink_winnow every round.
+    */
+  def jwPairsWinnow(df: DataFrame, keyCol: String, nameCol: String,
+                    threshold: Double = 0.92, k: Int = 3, window: Int = 4,
+                    maxDf: Int = 1000): DataFrame = {
+    val names = df.select(col(keyCol).as("__key"), col(nameCol).as("__name"))
+    val fp = names.select(col("__key"), col("__name"),
+        explode(graft.functions.TextExpressions
+          .winnowFp(col("__name"), k, window)).as("__fp"))
+      .distinct()
+    val kept = fp.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2L, maxDf.toLong))
+      .select(col("__fp"))
+    val f2 = fp.join(kept, Seq("__fp"))
+    f2.as("a").join(f2.as("b"),
+        col("a.__fp") === col("b.__fp") &&
+          col("a.__key") < col("b.__key"))
+      .select(col("a.__key").as("key_a"), col("b.__key").as("key_b"),
+        col("a.__name").as("name_a"), col("b.__name").as("name_b"))
+      .distinct()
+      .select(col("key_a"), col("key_b"),
+        graft.functions.StringSim.jw(col("name_a"), col("name_b"))
+          .as("sim_raw"))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("key_a"), col("key_b"),
+        graft.functions.Num.decRound(col("sim_raw"), 6).as("sim"))
+  }
 }

@@ -86,6 +86,25 @@ class EditDistanceSpec extends SparkTestBase {
     assert(segPlan.contains("Generate"), segPlan.take(500))
   }
 
+  test("winnow-candidate JW tier recalls every exact blocked pair (measured 100%)") {
+    // the sub-quadratic scale tier behind q189: candidates from shared
+    // winnowing fingerprints, JW rerank. Its domain is a SUPERSET
+    // (no brand blocking), so the assertion is containment: every
+    // exact-tier pair must surface. Measured 100% at sf0.001 AND
+    // sf0.01 before pinning; a miss here means the fingerprint
+    // parameters stopped covering the 0.92 similarity band.
+    val exact = SparkEntry.queries("q189_name_link")(spark, sf)
+      .select($"key_a", $"key_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = operators.EditDistance.jwPairsWinnow(
+        Tables.part(spark, sf), "p_partkey", "p_name")
+      .select($"key_a", $"key_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(win),
+      s"winnow tier lost ${exact.diff(win).size}/${exact.size} exact pairs")
+  }
+
   test("JaroWinkler matches the reference values including both Winkler gates") {
     import graft.functions.StringSim.jaroWinkler
     def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
