@@ -849,6 +849,64 @@ object Quant {
       |  ON a.user_id = b.user_id AND b.day_idx = a.day_idx + 1
       |GROUP BY 1""".stripMargin
 
+  /** q196_underwater — drawdown DURATION per instrument: the longest
+    * spell (in prints and in integer µs) spent strictly below the
+    * running peak — q73 reports how DEEP drawdowns get, this reports
+    * how LONG they last (the risk metric investors actually live
+    * through; two books with equal max drawdown differ wildly in
+    * recovery time). Runs segment by the classic cumulative-resets
+    * trick: grp = running count of at-peak prints, so each underwater
+    * run shares a (user, grp) key. EVERYTHING is integer counts, µs
+    * differences, and exact double comparisons (value < running max
+    * picks doubles, never sums them) — deterministic on both engines,
+    * no rounding anywhere.
+    *
+    * Scale shape: two stacked windows and the rollup all cluster on
+    * user_id — the single-tape-exchange family; the (user, grp) run
+    * agg rides the same hash partitioning (subset-key clustering).
+    */
+  def q196Underwater(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("peak", max($"value").over(wRun))
+      .withColumn("under", ($"value" < $"peak").cast("int"))
+      .withColumn("grp", sum(lit(1) - $"under").over(wRun))
+      .filter($"under" === 1)
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len_prints"),
+        (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("len_us"))
+    runs.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_spells"),
+        max($"len_prints").as("max_underwater_prints"),
+        max($"len_us").as("max_underwater_us"))
+  }
+
+  val q196Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    max(value) OVER w AS peak
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN value < peak THEN 1 ELSE 0 END AS under,
+      |    sum(CASE WHEN value < peak THEN 0 ELSE 1 END) OVER w AS grp
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |r AS (
+      |  SELECT user_id, grp, count(*) AS len_prints,
+      |    max(epoch_us(ts)) - min(epoch_us(ts)) AS len_us
+      |  FROM g WHERE under = 1 GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_spells,
+      |  CAST(max(len_prints) AS BIGINT) AS max_underwater_prints,
+      |  CAST(max(len_us) AS BIGINT) AS max_underwater_us
+      |FROM r GROUP BY 1""".stripMargin
+
   /** q193_hurst — long-memory diagnostic per instrument: the Hurst
     * exponent from the variance-of-aggregates regression. Tick
     * log-returns (q157's zero-price guard) land on the 12dp decimal
