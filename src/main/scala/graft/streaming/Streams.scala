@@ -2067,6 +2067,55 @@ object Streams {
       }
   }
 
+  /** s51 — streaming underwater-spell tracker via
+    * flatMapGroupsWithState: the incremental twin of batch q196.
+    * State per instrument is five scalars — running peak, the at-peak
+    * print counter (the batch's run-group id), and the OPEN spell's
+    * (prints, start µs, last µs). An at-peak print closes the open
+    * spell (emitted once, final); the open spell re-emits each batch
+    * (update semantics) because batch q196 counts a tape-end spell
+    * still in progress — the consumer keeps the max-progress row per
+    * (instrument, group), exactly the s47 partial-horizon convention.
+    * Peak comparison picks doubles, lengths are integers — the
+    * reduced rows rebuild q196 bit-for-bit, no rounding anywhere.
+    * Same in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def underwaterStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Long, Long, Long, Long),
+        (Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Double, Long, Long, Long, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (peak, grp, len, startUs, lastUs) =
+            state.getOption.getOrElse((Double.NaN, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long)]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            if (!peak.isNaN && e.value < peak) {
+              if (len == 0L) { startUs = t }
+              len += 1L; lastUs = t
+            } else {
+              if (len > 0L) { // spell closes at this at-peak print
+                out += ((user, grp, len, lastUs - startUs))
+                len = 0L
+              }
+              grp += 1L
+              peak = if (peak.isNaN) e.value else math.max(peak, e.value)
+            }
+          }
+          state.update((peak, grp, len, startUs, lastUs))
+          if (len > 0L) out += ((user, grp, len, lastUs - startUs))
+          out.iterator
+      }
+  }
+
   /** s39 — streaming market-data staleness via flatMapGroupsWithState:
     * the incremental twin of batch q166, and the live form the SLA is
     * actually monitored in (a feed watchdog wants the stale clock

@@ -373,8 +373,9 @@ class PlanSpec extends SparkTestBase {
         "q181_event_study", "q188_realized_moments",
         // q191's (user, day) rollup rides the tape exchange too: hash
         // partitioning on user_id alone satisfies the rollup's
-        // ClusteredDistribution (same (u, d) ⇒ same u ⇒ co-located)
-        "q191_effective_spread")) {
+        // ClusteredDistribution (same (u, d) ⇒ same u ⇒ co-located);
+        // q196's (user, grp) run agg and user rollup likewise
+        "q191_effective_spread", "q196_underwater")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
     }

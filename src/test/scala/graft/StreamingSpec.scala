@@ -1622,6 +1622,40 @@ class StreamingSpec extends SparkTestBase {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming underwater spells rebuild batch q196 across micro-batches (s51)") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_uw").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.underwaterStream(spark, stream)
+      .toDF("user_id", "grp", "len_prints", "len_us")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("uw_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // max-progress per (user, grp): a spell straddling the split emits
+    // a partial then its close; a tape-end open spell's last emission
+    // is exactly batch q196's in-progress run
+    val streamed = spark.table("uw_out")
+      .groupBy($"user_id", $"grp")
+      .agg(max($"len_prints").as("len_prints"), max($"len_us").as("len_us"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_spells"),
+        max($"len_prints").as("max_underwater_prints"),
+        max($"len_us").as("max_underwater_us"))
+    val batch = SparkEntry.queries("q196_underwater")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming event-study frames rebuild batch q181 across micro-batches (s47)") {
     val ev = Tables.events(spark, sf)
     val mid = ev.agg(
