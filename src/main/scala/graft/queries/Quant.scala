@@ -849,6 +849,53 @@ object Quant {
       |  ON a.user_id = b.user_id AND b.day_idx = a.day_idx + 1
       |GROUP BY 1""".stripMargin
 
+  /** q197_kfold — stratified k-fold assignment audit: folds assigned
+    * round-robin WITHIN each label stratum (row_number by vec_id mod
+    * 5 — deterministic, reproducible, no RNG), reported as the per
+    * (fold, label) census plus each cell's deviation from perfect
+    * stratification (n/5 of its label). The ML-prep step between
+    * q122's class-balance audit and training: a fold whose deviation
+    * exceeds ±1 means the assignment is broken, not merely unlucky —
+    * which is exactly what round-robin guarantees and the oracle
+    * certifies. ALL integers.
+    *
+    * Scale shape: one label-keyed window (rank within stratum) and
+    * one (fold, label) agg — the window partitions on label
+    * (low-cardinality strata: acceptable here because the per-label
+    * work is a row_number scan, not a sort-heavy rollup; a
+    * high-cardinality stratifier would ride Rank.groupRowNumber).
+    */
+  def q197Kfold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"label").orderBy($"vec_id")
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label")
+      .withColumn("fold",
+        ((row_number().over(w) - 1) % 5).cast("int"))
+      .groupBy($"fold", $"label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total",
+        sum($"n").over(Window.partitionBy($"label")))
+      .select($"fold", $"label", $"n",
+        ($"n" * 5L - $"label_total").as("dev_x5"))
+      .withColumn("stratified_ok", abs($"dev_x5") <= 5L)
+  }
+
+  val q197Sql: String =
+    """WITH f AS (
+      |  SELECT label,
+      |    CAST((row_number() OVER (PARTITION BY label ORDER BY vec_id)
+      |      - 1) % 5 AS INT) AS fold
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT fold, label, count(*) AS n FROM f GROUP BY 1, 2)
+      |SELECT fold, label, n,
+      |  CAST(n * 5 - sum(n) OVER (PARTITION BY label) AS BIGINT)
+      |    AS dev_x5,
+      |  abs(CAST(n * 5 - sum(n) OVER (PARTITION BY label) AS BIGINT))
+      |    <= 5 AS stratified_ok
+      |FROM c""".stripMargin
+
   /** q196_underwater — drawdown DURATION per instrument: the longest
     * spell (in prints and in integer µs) spent strictly below the
     * running peak — q73 reports how DEEP drawdowns get, this reports

@@ -1134,6 +1134,56 @@ object TrainingData {
       .select($"query_id", $"neg_id", round($"cos_raw", 6).as("cos_sim"))
   }
 
+  /** q198_dedup_apply — the APPLY step the dedup finders (q31/q61)
+    * feed: canonicalize exact-duplicate groups (content hash; the
+    * min-doc_id member survives) and account for the cut, per source —
+    * docs in, docs kept, docs dropped, characters dropped, dedup
+    * ratio. This is the savings report a curation run publishes and
+    * the number a storage budget is signed against. Group identity is
+    * md5 over the raw text (q31's key); survivorship and every count
+    * are integers — deterministic; the one ratio divides exact longs.
+    *
+    * Scale shape: one hash-keyed agg picks the canonical member
+    * (min doc_id per md5) with map-side combine, one broadcast-free
+    * join back on the hash (co-partitioned), one source rollup.
+    */
+  def q198DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars", md5($"text").as("h"))
+    val canon = docs.groupBy($"h").agg(min($"doc_id").as("keep_id"))
+    docs.join(canon, "h")
+      .withColumn("kept", ($"doc_id" === $"keep_id").cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"kept").as("n_kept"),
+        (count(lit(1)) - sum($"kept")).as("n_dropped"),
+        sum(when($"kept" === 0L, $"n_chars").otherwise(0L))
+          .as("chars_dropped"))
+      .withColumn("dedup_ratio",
+        graft.functions.Num.decRound(
+          ($"n_docs" - $"n_kept").cast("double") /
+            $"n_docs".cast("double"), 6))
+  }
+
+  val q198Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+      |c AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1),
+      |j AS (
+      |  SELECT d.source, d.n_chars,
+      |    CASE WHEN d.doc_id = c.keep_id THEN 1 ELSE 0 END AS kept
+      |  FROM d JOIN c USING (h))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN kept = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS chars_dropped,
+      |  CAST(round(CAST(CAST(count(*) - sum(kept) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS dedup_ratio
+      |FROM j GROUP BY 1""".stripMargin
+
   /** q194_payload_entropy — corruption / encoding screen over the
     * payload sample: per sampled document, character-level Shannon
     * entropy (bits/char) and printable-ASCII ratio from ONE row-local
