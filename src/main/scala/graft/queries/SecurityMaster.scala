@@ -1253,4 +1253,82 @@ object SecurityMaster {
       |  CAST(round(sum(CAST(sign * px AS DECIMAL(28,12))), 4) AS DOUBLE)
       |    AS signed_notional
       |FROM s GROUP BY user_id""".stripMargin
+
+  /** q199_settlement — the T+2 settlement ledger: every trade
+    * (purchase print) maps to its settlement SESSION — the second
+    * trading day after its effective session on the q137 calendar
+    * (weekdays minus the synthetic first-of-month holiday) — and the
+    * ledger projects cash needs per settle day: trade count + gross
+    * notional on the 2dp money lattice (exact decimal sum, the q5
+    * discipline). A trade printed on a non-session day (weekend
+    * prints exist in a 24/7 event tape) settles from the NEXT session
+    * — the standard convention. Business-day arithmetic is integer
+    * rank arithmetic on the session spine: rank(effective) + 2 looked
+    * up by equi-join, never date addition.
+    *
+    * Scale shape: the spine is ~span-days rows — broadcast both times
+    * (interval forward-match + rank lookup); the fact side never
+    * shuffles before the settle-day rollup.
+    */
+  def q199Settlement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trades = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select(date_trunc("day", $"ts").as("day"), $"value")
+    val spine = Tables.events(spark, dir)
+      .agg(date_trunc("day", min($"ts")).as("mn"),
+        date_trunc("day", max($"ts")).as("mx"))
+      .select(explode(sequence($"mn", $"mx", expr("interval 1 day")))
+        .as("sday"))
+      .filter(dayofweek($"sday").between(2, 6) && dayofmonth($"sday") =!= 1)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"sday"))
+        .cast("long"))
+    // each session covers (previous session, itself]: the forward
+    // next-session-at-or-after match becomes a broadcast range join
+    val covers = spine.withColumn("prev",
+      coalesce(lag($"sday", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"sday")),
+        lit("1900-01-01").cast("timestamp")))
+    val settled = trades
+      .join(broadcast(covers), $"day" > $"prev" && $"day" <= $"sday")
+      .select(($"rk" + 2L).as("srk"), $"value")
+      .join(broadcast(spine.select($"rk".as("srk"),
+        $"sday".as("settle_day"))), "srk")
+    settled.groupBy($"settle_day")
+      .agg(count(lit(1)).as("n_trades"),
+        round(sum($"value".cast(
+          org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+          .cast("double").as("gross_notional"))
+  }
+
+  val q199Sql: String =
+    """WITH bounds AS (
+      |  SELECT date_trunc('day', min(ts)) AS mn,
+      |    date_trunc('day', max(ts)) AS mx FROM events),
+      |spine AS (
+      |  SELECT sday, CAST(row_number() OVER (ORDER BY sday) AS BIGINT)
+      |    AS rk
+      |  FROM (SELECT unnest(generate_series(
+      |      (SELECT mn FROM bounds), (SELECT mx FROM bounds),
+      |      INTERVAL 1 DAY)) AS sday)
+      |  WHERE isodow(sday) BETWEEN 1 AND 5
+      |    AND extract(day FROM sday) <> 1),
+      |covers AS (
+      |  SELECT sday, rk,
+      |    coalesce(lag(sday) OVER (ORDER BY sday),
+      |      TIMESTAMP '1900-01-01') AS prev
+      |  FROM spine),
+      |t AS (
+      |  SELECT date_trunc('day', ts) AS day, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |s AS (
+      |  SELECT c.rk + 2 AS srk, t.value
+      |  FROM t JOIN covers c ON t.day > c.prev AND t.day <= c.sday)
+      |SELECT CAST(p.sday AS TIMESTAMP) AS settle_day,
+      |  count(*) AS n_trades,
+      |  CAST(round(sum(CAST(s.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS gross_notional
+      |FROM s JOIN spine p ON p.rk = s.srk
+      |GROUP BY 1""".stripMargin
 }
