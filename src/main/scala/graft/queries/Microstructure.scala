@@ -721,6 +721,87 @@ object Microstructure {
       |    AS DOUBLE) AS vpin
       |FROM b GROUP BY 1""".stripMargin
 
+  /** q200_liquidity_score — the composite liquidity screen: each
+    * instrument ranked on THREE of the engine's own metrics — mean
+    * daily Amihud illiquidity (q165, ascending = liquid), mean daily
+    * time-weighted quoted spread (q173, ascending), and print count
+    * (descending) — composite = mean of the three integer ranks. The
+    * cross-metric table a trading-universe filter is actually built
+    * from, and the capstone showing the engine's outputs COMPOSE: the
+    * Spark side calls the q165/q173 builders, the oracle nests their
+    * SQL verbatim as subqueries — one definition each, no drift.
+    *
+    * Determinism: the daily inputs are the queries' own 6dp-rounded
+    * outputs (exact lattice points), per-instrument means reduce as
+    * EXACT decimal sums (q178 discipline), ranks are row_number with
+    * a user_id tiebreak, and the composite divides exact longs.
+    * Instruments missing either daily frame drop (inner joins) —
+    * you cannot rank what you cannot measure.
+    */
+  def q200LiquidityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val am = q165Amihud(spark, dir)
+      .filter($"amihud".isNotNull)
+      .groupBy($"user_id")
+      .agg((sum($"amihud".cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double")).as("m_amihud"))
+    val sp = q173QuotedSpreadTw(spark, dir)
+      .filter($"tw_spread".isNotNull)
+      .groupBy($"user_id")
+      .agg((sum($"tw_spread".cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double")).as("m_spread"))
+    val act = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_prints"))
+    val j = am.join(sp, "user_id").join(act, "user_id")
+    def rk(c: org.apache.spark.sql.Column, asc: Boolean) =
+      row_number().over(
+        if (asc) Window.orderBy(c.asc, $"user_id")
+        else Window.orderBy(c.desc, $"user_id")).cast("long")
+    j.select($"user_id",
+        rk($"m_amihud", asc = true).as("r_amihud"),
+        rk($"m_spread", asc = true).as("r_spread"),
+        rk($"n_prints", asc = false).as("r_activity"))
+      .withColumn("composite",
+        graft.functions.Num.decRound(
+          ($"r_amihud" + $"r_spread" + $"r_activity").cast("double") /
+            3.0, 4))
+  }
+
+  val q200Sql: String = {
+    s"""WITH q165 AS ($q165Sql),
+       |q173 AS ($q173Sql),
+       |am AS (
+       |  SELECT user_id,
+       |    CAST(sum(CAST(amihud AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS m_amihud
+       |  FROM q165 WHERE amihud IS NOT NULL GROUP BY 1),
+       |sp AS (
+       |  SELECT user_id,
+       |    CAST(sum(CAST(tw_spread AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS m_spread
+       |  FROM q173 WHERE tw_spread IS NOT NULL GROUP BY 1),
+       |act AS (
+       |  SELECT user_id, count(*) AS n_prints FROM events GROUP BY 1),
+       |j AS (
+       |  SELECT am.user_id, m_amihud, m_spread, n_prints
+       |  FROM am JOIN sp USING (user_id) JOIN act USING (user_id)),
+       |r AS (
+       |  SELECT user_id,
+       |    CAST(row_number() OVER (ORDER BY m_amihud, user_id)
+       |      AS BIGINT) AS r_amihud,
+       |    CAST(row_number() OVER (ORDER BY m_spread, user_id)
+       |      AS BIGINT) AS r_spread,
+       |    CAST(row_number() OVER (ORDER BY n_prints DESC, user_id)
+       |      AS BIGINT) AS r_activity
+       |  FROM j)
+       |SELECT user_id, r_amihud, r_spread, r_activity,
+       |  CAST(round(CAST(CAST(r_amihud + r_spread + r_activity
+       |    AS DOUBLE) / 3.0 AS DECIMAL(28,12)), 4) AS DOUBLE)
+       |    AS composite
+       |FROM r""".stripMargin
+  }
+
   /** q195_message_traffic — venue message-traffic audit per
     * (instrument, day): quote updates, trades, the order-to-trade
     * ratio (the quote-stuffing / MiFID II OTR surveillance metric),
