@@ -2381,6 +2381,58 @@ object Streams {
       }
       .start()
 
+  /** s52 — LIVE T+2 settlement ledger through the transactional table:
+    * each micro-batch of trades maps to settle sessions against the
+    * STATIC session calendar (stream-static, the q199 rank arithmetic
+    * unchanged) and folds per-settle-day increments into a
+    * [[graft.sources.VersionedTable]] — the ops-desk cash projection
+    * updating as trades print, served by `current`/`snapshotAt`
+    * (as-known-at = what the desk believed before a late batch).
+    * Counts and 2dp-decimal notionals merge EXACTLY (decimal addition
+    * is associative), so the converged ledger equals batch q199
+    * bit-for-bit, which the differential spec asserts; replays are
+    * no-ops via the table's monotone commit.
+    */
+  def settlementLedgerSink(trades: DataFrame, calendar: DataFrame,
+                           tableDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val covers = calendar.withColumn("prev",
+      coalesce(lag(col("sday"), 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sday"))),
+        lit("1900-01-01").cast("timestamp")))
+    trades.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val inc = batch.toDF()
+          .filter(col("event_type") === "purchase")
+          .select(date_trunc("day", col("ts")).as("day"), col("value"))
+          .join(broadcast(covers),
+            col("day") > col("prev") && col("day") <= col("sday"))
+          .select((col("rk") + 2L).as("srk"), col("value"))
+          .join(broadcast(calendar.select(col("rk").as("srk"),
+            col("sday").as("settle_day"))), "srk")
+          .groupBy(col("settle_day"))
+          .agg(count(lit(1)).as("n_trades"),
+            sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 2))
+              .as("gross_notional"))
+        new graft.sources.VersionedTable(ss, tableDir)
+          .commit(batchId) {
+            case None => inc
+            case Some(base) => base.unionByName(inc)
+              .groupBy(col("settle_day"))
+              .agg(sum(col("n_trades")).cast("long").as("n_trades"),
+                sum(col("gross_notional"))
+                  .cast(org.apache.spark.sql.types.DecimalType(28, 2))
+                  .as("gross_notional"))
+          }
+        ()
+      }
+      .start()
+  }
+
   /** s43 — streaming conversion latency via flatMapGroupsWithState:
     * the incremental twin of batch q180, and the live activation
     * monitor (a growth team wants the conversion clock as it closes,

@@ -1622,6 +1622,45 @@ class StreamingSpec extends SparkTestBase {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("live settlement ledger through VersionedTable converges to batch q199 (s52)") {
+    val ev = Tables.events(spark, sf)
+    // the static session calendar - q199's spine, built once
+    val calendar = ev
+      .agg(date_trunc("day", min($"ts")).as("mn"),
+        date_trunc("day", max($"ts")).as("mx"))
+      .select(explode(sequence($"mn", $"mx", expr("interval 1 day")))
+        .as("sday"))
+      .filter(dayofweek($"sday").between(2, 6) && dayofmonth($"sday") =!= 1)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"sday"))
+        .cast("long"))
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_settle").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.settlementLedgerSink(stream, calendar,
+      tableDir = s"$dir/ledger", checkpointDir = s"$dir/ckpt")
+    try { q.processAllAvailable() } finally { q.stop() }
+    // decimal merges are exact: the live ledger IS the batch ledger
+    val table = new graft.sources.VersionedTable(spark, s"$dir/ledger")
+    val served = table.current.get
+      .select($"settle_day", $"n_trades",
+        round($"gross_notional", 2).cast("double").as("gross_notional"))
+    val batch = SparkEntry.queries("q199_settlement")(spark, sf)
+    assert(served.count() > 0)
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty)
+    // as-known-at batch 0 differs (mid-tape knowledge), and versions
+    // retain exactly the travel depth
+    assert(table.versions.nonEmpty && table.currentVersion.contains(1L))
+  }
+
   test("streaming underwater spells rebuild batch q196 across micro-batches (s51)") {
     val ev = Tables.events(spark, sf)
     val mid = ev.agg(
