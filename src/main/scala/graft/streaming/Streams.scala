@@ -2381,6 +2381,34 @@ object Streams {
       }
       .start()
 
+  /** s53 — streaming tokenizer-fertility census: batch q192's four
+    * integer sums maintained by Spark's NATIVE streaming aggregation
+    * (update mode) — no custom state at all, because every per-row
+    * term is row-local and the sums are associative; this is the twin
+    * family's baseline showing where built-in incremental aggregation
+    * already suffices (the custom-state twins earn their complexity
+    * only when a recurrence or an ordering is involved). Emitted rows
+    * per lang are MONOTONE (sums only grow), so the consumer keeps
+    * each lang's max row and computes the exact-long ratios — equal
+    * to batch q192 by construction.
+    */
+  def fertilityStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), length(col("text")).cast("long").as("n_chars"),
+        size(filter(graft.functions.Text.tokens(col("text")),
+          t => length(t) > 0)).cast("long").as("n_ws"),
+        graft.functions.Text.lexTokens(col("text")).as("lex"))
+      .select(col("lang"), col("n_chars"), col("n_ws"),
+        size(col("lex")).cast("long").as("n_lex"),
+        aggregate(col("lex"), lit(0L), (acc, t) => acc + length(t))
+          .as("lex_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_lex")).as("lex_tokens"),
+        sum(col("lex_chars")).as("lex_chars"))
+
   /** s52 — LIVE T+2 settlement ledger through the transactional table:
     * each micro-batch of trades maps to settle sessions against the
     * STATIC session calendar (stream-static, the q199 rank arithmetic

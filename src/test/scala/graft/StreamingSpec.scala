@@ -1622,6 +1622,46 @@ class StreamingSpec extends SparkTestBase {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("native streaming aggregation rebuilds the batch q192 fertility table (s53)") {
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_fert")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    Seq(0, 1).foreach { gen =>
+      val tmp = root.resolve(s"tmp$gen").toString
+      docs.filter($"doc_id" % 2 === gen).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, inDir.resolve(s"gen$gen.parquet"))
+    }
+    val stream = spark.readStream.schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Streams.fertilityStream(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("fert_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // update-mode emissions are monotone per lang: keep the max row,
+    // then the batch ratio arithmetic on exact longs
+    val fin = spark.table("fert_out").groupBy($"lang")
+      .agg(max($"n_docs").as("n_docs"), max($"chars").as("chars"),
+        max($"ws_tokens").as("ws_tokens"),
+        max($"lex_tokens").as("lex_tokens"),
+        max($"lex_chars").as("lex_chars"))
+      .filter($"chars" > 0L)
+      .select($"lang", $"n_docs",
+        graft.functions.Num.decRound(
+          $"ws_tokens".cast("double") / $"chars".cast("double"), 6)
+          .as("ws_per_char"),
+        graft.functions.Num.decRound(
+          $"lex_tokens".cast("double") / $"chars".cast("double"), 6)
+          .as("lex_per_char"),
+        graft.functions.Num.decRound($"lex_chars".cast("double") /
+          nullif($"lex_tokens", lit(0L)).cast("double"), 6)
+          .as("avg_lex_len"))
+    val batch = SparkEntry.queries("q192_tokenizer_fertility")(spark, sf)
+    assert(fin.count() > 0)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+  }
+
   test("live settlement ledger through VersionedTable converges to batch q199 (s52)") {
     val ev = Tables.events(spark, sf)
     // the static session calendar - q199's spine, built once
