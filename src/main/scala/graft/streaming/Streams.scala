@@ -2381,6 +2381,72 @@ object Streams {
       }
       .start()
 
+  /** s54 — streaming message-traffic surveillance via
+    * flatMapGroupsWithState: the incremental twin of batch q195. Day
+    * totals are plain sum increments; the PEAK-minute statistic is the
+    * recurrence — state per instrument is just (open minute µs, its
+    * quote count): a print in a later minute CLOSES the open one,
+    * folding its full count into the day's closed-peak increment; the
+    * open minute re-emits its running count each batch (monotone), so
+    * the consumer's greatest(closed peaks, open counts) equals batch
+    * q195's max over complete minutes — including the tape-end minute
+    * that never closes (the s47 partial-horizon convention). All
+    * integers; reduces bit-exactly. Same in-order-per-key delivery
+    * caveat as [[ewmaState]].
+    */
+  def messageTrafficStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, java.sql.Timestamp, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val minUs = 60L * 1000000L
+    val dayUs = 86400L * 1000000L
+    events.filter(col("value") > 0)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        col("event_type"))
+      .as[PrintEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long),
+        (Long, java.sql.Timestamp, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[PrintEvent],
+         state: GroupState[(Long, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (curMin, curQ) = state.getOption.getOrElse((-1L, 0L))
+          // per-day batch increments: (dq, dt, closedPeak)
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Long, Long)]
+          def bump(day: Long)(f: ((Long, Long, Long)) => (Long, Long, Long))
+              : Unit = acc(day) = f(acc.getOrElse(day, (0L, 0L, 0L)))
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            val m = t - Math.floorMod(t, minUs)
+            if (m != curMin) {
+              if (curMin >= 0L) {
+                val oldDay = curMin - Math.floorMod(curMin, dayUs)
+                bump(oldDay) { case (q, tr, p) =>
+                  (q, tr, math.max(p, curQ)) }
+              }
+              curMin = m; curQ = 0L
+            }
+            val day = t - Math.floorMod(t, dayUs)
+            if (e.event_type == "purchase")
+              bump(day) { case (q, tr, p) => (q, tr + 1L, p) }
+            else {
+              curQ += 1L
+              bump(day) { case (q, tr, p) => (q + 1L, tr, p) }
+            }
+          }
+          state.update((curMin, curQ))
+          val openRow =
+            if (curMin >= 0L) {
+              val d = curMin - Math.floorMod(curMin, dayUs)
+              Iterator((user, tsFromMicros(d), 0L, 0L, 0L, curQ))
+            } else Iterator.empty
+          acc.iterator.map { case (d, (q, tr, p)) =>
+            (user, tsFromMicros(d), q, tr, p, 0L)
+          } ++ openRow
+      }
+  }
+
   /** s53 — streaming tokenizer-fertility census: batch q192's four
     * integer sums maintained by Spark's NATIVE streaming aggregation
     * (update mode) — no custom state at all, because every per-row

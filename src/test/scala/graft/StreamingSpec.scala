@@ -1622,6 +1622,43 @@ class StreamingSpec extends SparkTestBase {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming message-traffic increments rebuild batch q195 (s54)") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.messageTrafficStream(spark, stream)
+      .toDF("user_id", "day", "dq", "dt", "closed_peak", "open_cnt")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("mt_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // sums reduce; peak = greatest(closed peaks, open-minute partials)
+    // - an open minute that later closes is dominated by its closed
+    // count, the tape-end minute's last partial IS its full count
+    val streamed = spark.table("mt_out")
+      .groupBy($"user_id", $"day")
+      .agg(sum($"dq").as("n_quotes"), sum($"dt").as("n_trades"),
+        greatest(max($"closed_peak"), max($"open_cnt"))
+          .as("peak_minute_quotes"))
+      .select($"user_id", $"day", $"n_quotes", $"n_trades",
+        $"peak_minute_quotes",
+        graft.functions.Num.decRound(
+          $"n_quotes".cast("double") /
+            nullif($"n_trades", lit(0L)).cast("double"), 6).as("otr"))
+    val batch = SparkEntry.queries("q195_message_traffic")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("native streaming aggregation rebuilds the batch q192 fertility table (s53)") {
     val docs = Tables.documents(spark, sf)
     val root = java.nio.file.Files.createTempDirectory("graft_fert")
