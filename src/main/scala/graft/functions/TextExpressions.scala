@@ -132,16 +132,20 @@ case class CharProfile(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.toString
-    val n = s.length
+    // Walk CODE POINTS, not UTF-16 units: the oracle's per-character
+    // semantics count an emoji / non-BMP CJK char as ONE symbol; a
+    // charAt walk would histogram its surrogate halves separately and
+    // divide by the unit count, diverging on any non-BMP text.
+    val n = s.codePointCount(0, s.length)
     if (n == 0) return null
-    val counts = new java.util.TreeMap[Char, Int]()
+    val counts = new java.util.TreeMap[Integer, Int]()
     var printable = 0
     var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      counts.merge(c, 1, Integer.sum)
-      if (c >= ' ' && c <= '~') printable += 1
-      i += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, Integer.sum)
+      if (cp >= ' '.toInt && cp <= '~'.toInt) printable += 1
+      i += Character.charCount(cp)
     }
     var ent = 0.0
     val it = counts.values().iterator()

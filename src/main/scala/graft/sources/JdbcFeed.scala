@@ -170,6 +170,9 @@ object JdbcFeed {
     * `executeUpdate` (exact count, convergent to re-run) and miss only
     * when the probe touches 0 rows. Without this, every row on such a
     * dialect looks "updated" and new keys are silently never inserted.
+    * `Statement.EXECUTE_FAILED` (−3, drivers that report per-row
+    * failures without throwing) is a FAILED update, not an unknown
+    * one — re-probing would mask it as a fresh insert, so it throws.
     */
   private[graft] def insertCandidates(
       chunk: Seq[org.apache.spark.sql.Row], counts: Array[Int])(
@@ -177,7 +180,12 @@ object JdbcFeed {
       : Seq[org.apache.spark.sql.Row] =
     chunk.iterator.zip(counts.iterator).collect {
       case (r, 0) => Some(r)
-      case (r, c) if c < 0 => if (reprobe(r) == 0) Some(r) else None
+      case (r, java.sql.Statement.SUCCESS_NO_INFO) =>
+        if (reprobe(r) == 0) Some(r) else None
+      case (r, c) if c < 0 =>
+        throw new java.sql.SQLException(
+          s"batched UPDATE reported per-row failure (count=$c) for key row " +
+            s"$r — refusing to convert a failed update into an insert")
     }.flatten.toSeq
 
   def upsertWrite(df: DataFrame, url: String, table: String,

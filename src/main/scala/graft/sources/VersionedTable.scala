@@ -99,7 +99,14 @@ class VersionedTable(ss: SparkSession, tableDir: String,
       dirPath.toUri, hconf)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$tableDir/CURRENT"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    val keep = versions.takeRight(keepVersions).toSet
+    // Retention counts only versions AT OR BELOW the new live pointer:
+    // a crash-leftover dir numbered above it (a publisher that died
+    // after its parquet write but before its swap) was never visible
+    // to any reader and must not consume the retention quota — counting
+    // it could delete the live predecessor a concurrent reader is
+    // still scanning. Such orphan dirs are garbage and are deleted too
+    // (single-writer model: no in-flight higher commit can exist here).
+    val keep = versions.filter(_ <= batchId).takeRight(keepVersions).toSet
     fs.listStatus(dirPath).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&

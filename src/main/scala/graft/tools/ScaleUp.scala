@@ -71,12 +71,32 @@ object ScaleUp {
           .otherwise(length(perturbed(table, "text", copy).get)
             .cast("long")))
       case ("part", "p_name") =>
-        val tag = ('a' + (copy % 26)).toChar.toString * 6
+        // 3 base-26 digits of the FULL copy index, each repeated 4× —
+        // unique for any factor < 26³ (a single-letter tag repeats
+        // every 26 copies, quietly bringing back the cross-copy
+        // duplicate structure organic perturbation exists to kill),
+        // and two DISTINCT tags differ in ≥ 4 positions, keeping every
+        // cross-copy pair outside the maxDist=3 matcher band
+        require(copy < 26 * 26 * 26,
+          s"p_name tag space exhausted at copy $copy (max ${26 * 26 * 26})")
+        val tag = {
+          val sb = new StringBuilder; var c = copy
+          var d = 0
+          while (d < 3) {
+            val ch = ('a' + (c % 26)).toChar
+            var r = 0; while (r < 4) { sb.append(ch); r += 1 }
+            c /= 26; d += 1
+          }
+          sb.toString
+        }
         Some(concat(col("p_name"), lit(s" $tag")))
       case ("embeddings", "embedding") =>
-        // circular dimension shift by copy mod width: orthogonal
+        // circular dimension shift by ((copy-1) mod (width-1)) + 1:
+        // always in [1, width-1], so the shift is NEVER the identity
+        // (copy % width == 0 would reproduce the source vector
+        // verbatim at large factors)
         val sz = size(col("embedding"))
-        val k = lit(copy) % sz
+        val k = (lit(copy - 1) % (sz - 1)) + 1
         Some(when(col("embedding").isNull, col("embedding")).otherwise(
           concat(slice(col("embedding"), k + 1, sz - k),
             slice(col("embedding"), lit(1), k))))

@@ -244,5 +244,12 @@ class FeedSpec extends SparkTestBase {
     assert(sources.JdbcFeed.insertCandidates(
       rows, Array(-2, -2, -2, -2))(probe) == Seq(Row(2L), Row(4L)))
     assert(probed.toSet == Set(1L, 2L, 3L, 4L))
+    // EXECUTE_FAILED (-3) is a FAILED update, not an unknown count:
+    // converting it into a probe-then-insert would mask the failure
+    probed = Nil
+    val e = intercept[java.sql.SQLException] {
+      sources.JdbcFeed.insertCandidates(rows, Array(1, -3, 1, 1))(probe)
+    }
+    assert(e.getMessage.contains("-3") && probed == Nil)
   }
 }

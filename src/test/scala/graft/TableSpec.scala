@@ -78,6 +78,24 @@ class TableSpec extends SparkTestBase {
       Set((1L, 1.0)), "snapshotAt must not serve an uncommitted dir")
   }
 
+  test("retention quota ignores crash-leftover dirs above the live pointer") {
+    val dir = tmp()
+    val t = new VersionedTable(spark, dir, keepVersions = 2)
+    t.merge(0L, Seq((1L, 1.0)).toDF("id", "v"), Seq("id"))
+    t.merge(1L, Seq((2L, 2.0)).toDF("id", "v"), Seq("id"))
+    // a publisher died after writing v9 but before its swap — the dir
+    // exists, no reader ever saw it. If it counted toward the quota,
+    // committing v2 would prune v1: the live predecessor a concurrent
+    // reader may still be scanning.
+    Seq((9L, 9.0)).toDF("id", "v").write.parquet(s"$dir/v9")
+    t.merge(2L, Seq((3L, 3.0)).toDF("id", "v"), Seq("id"))
+    assert(t.versions == Seq(1L, 2L),
+      s"retained ${t.versions}: predecessor v1 must survive, orphan v9 " +
+        "must be swept")
+    assert(t.snapshotAt(1L).get.select($"id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+  }
+
   test("merge rejects keys missing from the delta") {
     val t = new VersionedTable(spark, tmp())
     val e = intercept[IllegalArgumentException] {

@@ -103,4 +103,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(viaBroadcast.exceptAll(viaKeyed).count() == 0)
     assert(viaKeyed.exceptAll(viaBroadcast).count() == 0)
   }
+
+  test("CharProfile counts code points, not UTF-16 units (non-BMP text)") {
+    import spark.implicits._
+    // "😀😀a": 3 code points (5 UTF-16 units). Per-SYMBOL semantics:
+    // p(😀)=2/3, p(a)=1/3 → H = log2(3) − 2/3; printable ratio 1/3.
+    // A charAt walk would histogram the surrogate halves separately
+    // (H over {2/5,2/5,1/5}) and report printable 1/5.
+    val got = Seq("😀😀a").toDF("t")
+      .select(graft.functions.TextExpressions.charProfile($"t").as("p"))
+      .as[Seq[Double]].head()
+    val hExp = (math.log(3.0) / math.log(2.0)) - 2.0 / 3.0
+    assert(math.abs(got(0) - hExp) < 1e-12, s"entropy ${got(0)} != $hExp")
+    assert(math.abs(got(1) - 1.0 / 3.0) < 1e-12,
+      s"printable ratio ${got(1)} != 1/3")
+    // ASCII behavior unchanged (the corpus the oracle gates on)
+    val ascii = Seq("aab").toDF("t")
+      .select(graft.functions.TextExpressions.charProfile($"t").as("p"))
+      .as[Seq[Double]].head()
+    assert(math.abs(ascii(0) - hExp) < 1e-12 && ascii(1) == 1.0)
+  }
 }
