@@ -221,4 +221,75 @@ object GraphOps {
        |    CAST(nullif(m.n_wedges, 0) AS DOUBLE) AS DECIMAL(28,12)), 6)
        |    AS DOUBLE) AS global_cc
        |FROM m, ne, t""".stripMargin
+
+  /** q204_assortativity — degree assortativity of the co-purchase
+    * graph: the Pearson correlation of endpoint degrees over the
+    * symmetric directed edge list (Newman's r). r > 0 = hubs attach to
+    * hubs (assortative mixing, resilient core); r < 0 = hub-and-spoke
+    * (the typical co-purchase/recommendation shape, vulnerable to hub
+    * removal). The structural health check run next to q175's
+    * clustering coefficient and q182's core depth before trusting any
+    * graph-derived feature.
+    * Scale shape: degrees are one count agg over the hash(src)-pinned
+    * edge materialization (src-side join co-located + ReusedExchange,
+    * the q175 discipline); the dst-side degree join is left UNHINTED so
+    * AQE broadcasts the |V|-sized degree table while it fits and falls
+    * back to a shuffle join past that — |V| grows with the catalog, so
+    * a hard broadcast would be the Graph.BroadcastVertexLimit hazard.
+    * Every moment is an exact BIGINT sum (degree products are integral
+    * — no FP until the final closed-form division), so the single
+    * output row is bit-deterministic in any engine at any scale.
+    */
+  def q204Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+    val degS = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val degD = degS.select(col("src").as("dst"), col("deg").as("deg_d"))
+    val joined = e.join(degS, "src")
+      .join(degD, "dst")
+      .select(col("deg").as("da"), col("deg_d").as("db"))
+    val m = joined.agg(count(lit(1)).as("n_edges"),
+      sum(col("da")).as("sa"), sum(col("db")).as("sb"),
+      sum(col("da") * col("db")).as("sab"),
+      sum(col("da") * col("da")).as("saa"),
+      sum(col("db") * col("db")).as("sbb"))
+    val nD = col("n_edges").cast("double")
+    val (sa, sb, sab, saa, sbb) = (col("sa").cast("double"),
+      col("sb").cast("double"), col("sab").cast("double"),
+      col("saa").cast("double"), col("sbb").cast("double"))
+    val va = nD * saa - sa * sa
+    val vb = nD * sbb - sb * sb
+    m.select(col("n_edges"),
+      decRound(when(va > 0.0 && vb > 0.0,
+        (nD * sab - sa * sb) / (sqrt(va) * sqrt(vb))), 6)
+        .as("assortativity"))
+  }
+
+  val q204Sql: String =
+    s"""WITH $edgesSql,
+       |j AS (
+       |  SELECT ds.deg AS da, dd.deg AS db
+       |  FROM edges e JOIN deg ds ON ds.part = e.src
+       |               JOIN deg dd ON dd.part = e.dst),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
+       |    CAST(sum(da * db) AS BIGINT) AS sab,
+       |    CAST(sum(da * da) AS BIGINT) AS saa,
+       |    CAST(sum(db * db) AS BIGINT) AS sbb
+       |  FROM j)
+       |SELECT n_edges,
+       |  CAST(round(CAST(CASE WHEN
+       |      CAST(n_edges AS DOUBLE) * CAST(saa AS DOUBLE)
+       |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0.0
+       |      AND CAST(n_edges AS DOUBLE) * CAST(sbb AS DOUBLE)
+       |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0.0
+       |    THEN (CAST(n_edges AS DOUBLE) * CAST(sab AS DOUBLE)
+       |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       |      / (sqrt(CAST(n_edges AS DOUBLE) * CAST(saa AS DOUBLE)
+       |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+       |        * sqrt(CAST(n_edges AS DOUBLE) * CAST(sbb AS DOUBLE)
+       |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+       |    END AS DECIMAL(28,12)), 6) AS DOUBLE) AS assortativity
+       |FROM m""".stripMargin
 }

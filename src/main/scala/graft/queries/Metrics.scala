@@ -492,4 +492,72 @@ object Metrics {
       |  CAST(round(CAST((pr - pc) * ln(pr / pc) AS DECIMAL(28,12)), 6)
       |    AS DOUBLE) AS psi_contrib
       |FROM p""".stripMargin
+
+  /** q207_burstiness — clustered-arrival diagnostics per instrument
+    * over the MINUTE-binned print counts: the Fano factor
+    * var(c)/mean(c) (1 = Poisson, ≫1 = clustered/bursty arrivals —
+    * the Hawkes-excitation screen) and the Goh–Barabási burstiness
+    * coefficient (σ−μ)/(σ+μ) ∈ (−1, 1). Complements q108 (which
+    * measures INTER-ARRIVAL gaps): count-binning sees the empty-minute
+    * mass that gap statistics integrate away.
+    * The empty-minute trick: zero-count minutes contribute nothing to
+    * Σc or Σc², so the moments need NO calendar grid — bin, count,
+    * and take n_mins = last−first+1 arithmetically. One
+    * (user, minute) agg then one user agg, both exact integer sums;
+    * hash(user_id) satisfies both clusterings, so the whole query is
+    * ONE exchange and no grid explode exists to blow up on a
+    * years-long span.
+    */
+  def q207Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perMin = Tables.events(spark, dir)
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
+      // rounding can cross a minute boundary on large µs values
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .withColumn("minute", expr("us div 60000000"))
+      // pin hash(user_id) BEFORE the first agg: it satisfies both the
+      // (user_id, minute) and the user_id clustering (subset rule), so
+      // both aggregations run on this ONE exchange
+      .repartition($"user_id")
+      .groupBy($"user_id", $"minute").agg(count(lit(1)).as("c"))
+    val m = perMin
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n_prints"),
+        sum($"c" * $"c").as("sc2"),
+        min($"minute").as("m0"), max($"minute").as("m1"))
+      .withColumn("n_mins", $"m1" - $"m0" + lit(1L))
+      .filter($"n_mins" >= 2L)
+    val nM = $"n_mins".cast("double")
+    val mu = $"n_prints".cast("double") / nM
+    val varC = $"sc2".cast("double") / nM - mu * mu
+    m.select($"user_id", $"n_prints", $"n_mins",
+      decRound(varC / mu, 6).as("fano"),
+      decRound((sqrt(varC) - mu) / (sqrt(varC) + mu), 6).as("burstiness"))
+  }
+
+  val q207Sql: String =
+    """WITH pm AS (
+      |  SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id,
+      |    CAST(sum(c) AS BIGINT) AS n_prints,
+      |    CAST(sum(c * c) AS BIGINT) AS sc2,
+      |    max(minute) - min(minute) + 1 AS n_mins
+      |  FROM pm GROUP BY 1),
+      |f AS (
+      |  SELECT user_id, n_prints, CAST(n_mins AS BIGINT) AS n_mins,
+      |    CAST(n_prints AS DOUBLE) / CAST(n_mins AS DOUBLE) AS mu,
+      |    CAST(sc2 AS DOUBLE) / CAST(n_mins AS DOUBLE)
+      |      - (CAST(n_prints AS DOUBLE) / CAST(n_mins AS DOUBLE))
+      |        * (CAST(n_prints AS DOUBLE) / CAST(n_mins AS DOUBLE))
+      |      AS var_c
+      |  FROM m WHERE n_mins >= 2)
+      |SELECT user_id, n_prints, n_mins,
+      |  CAST(round(CAST(var_c / mu AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS fano,
+      |  CAST(round(CAST((sqrt(var_c) - mu) / (sqrt(var_c) + mu)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS burstiness
+      |FROM f""".stripMargin
 }

@@ -995,4 +995,78 @@ object Microstructure {
       |  CAST(round(CAST(CAST(n_rets AS DOUBLE) * rv4 / (rv2 * rv2)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS rkurt
       |FROM m WHERE rv2 > 0.0""".stripMargin
+
+  /** q203_impl_shortfall — implementation-shortfall TCA per
+    * (instrument, day): the size-weighted slippage of the day's
+    * purchase prints against the ARRIVAL price (the first tape print
+    * of the day — the price at decision time in the Perold decomposition),
+    * in basis points: 10⁴ · (Σ k·px − arrival·Σ k) / (arrival·Σ k).
+    * Positive = paid above arrival (adverse drift + impact). The
+    * execution-desk complement of q155's markout (post-trade) and
+    * q191's effective spread (midpoint benchmark): this one benchmarks
+    * the whole day's flow against one decision price.
+    * One tape pass: arrival via a (user_id, day)-keyed min_by window,
+    * sums via the same clustered agg — the q191 subset-distribution
+    * shape (hash(user_id) satisfies the (user_id, day) clustering), so
+    * the whole query is ONE exchange. Prices lattice to 6dp decimals
+    * before the k-weighted sums, so both engines aggregate identical
+    * operands; size k stays integral.
+    */
+  def q203ImplShortfall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts", $"event_id")
+    val tape = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        $"ts", $"event_id", $"event_type", $"value",
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .withColumn("arrival",
+        first($"value").over(wDay))
+    val m = tape
+      .filter($"event_type" === "purchase" && $"k" > 0L)
+      .select($"user_id", $"day",
+        decRound($"arrival", 6).cast(DecimalType(18, 6)).as("arr6"),
+        decRound($"value", 6).cast(DecimalType(18, 6)).as("px6"), $"k")
+      .groupBy($"user_id", $"day", $"arr6")
+      .agg(count(lit(1)).as("n_trades"), sum($"k").as("qty"),
+        sum($"px6" * $"k".cast(DecimalType(18, 0))).as("notional"))
+    m.select($"user_id", $"day", $"n_trades", $"qty",
+        decRound($"arr6".cast("double"), 6).as("arrival_px"),
+        decRound(lit(10000.0) *
+          ($"notional".cast("double") -
+            $"arr6".cast("double") * $"qty".cast("double")) /
+          ($"arr6".cast("double") * $"qty".cast("double")), 4)
+          .as("is_bps"))
+  }
+
+  val q203Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, ts, event_id,
+      |    event_type, value,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |    first_value(value) OVER (
+      |      PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts, event_id) AS arrival
+      |  FROM events WHERE value > 0.0),
+      |m AS (
+      |  SELECT user_id, day,
+      |    CAST(round(CAST(arrival AS DECIMAL(28,12)), 6)
+      |      AS DECIMAL(18,6)) AS arr6,
+      |    CAST(count(*) AS BIGINT) AS n_trades,
+      |    CAST(sum(k) AS BIGINT) AS qty,
+      |    sum(CAST(round(CAST(value AS DECIMAL(28,12)), 6)
+      |      AS DECIMAL(18,6)) * CAST(k AS DECIMAL(18,0))) AS notional
+      |  FROM t WHERE event_type = 'purchase' AND k > 0
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, day, n_trades, qty,
+      |  CAST(round(CAST(CAST(arr6 AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS arrival_px,
+      |  CAST(round(CAST(10000.0 * (CAST(notional AS DOUBLE)
+      |      - CAST(arr6 AS DOUBLE) * CAST(qty AS DOUBLE))
+      |    / (CAST(arr6 AS DOUBLE) * CAST(qty AS DOUBLE))
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS is_bps
+      |FROM m""".stripMargin
 }

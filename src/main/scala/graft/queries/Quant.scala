@@ -1112,4 +1112,235 @@ object Quant {
       |    AS DOUBLE) AS abn_car
       |FROM c WHERE event_type = 'signup' AND car3 IS NOT NULL
       |GROUP BY 1""".stripMargin
+
+  /** q201_ar1_halflife — mean-reversion half-life per instrument:
+    * OLS AR(1) on the 12dp-latticed log-price tape, b = slope of
+    * x_t on x_{t−1}, half-life = −ln2 / ln b prints for 0 < b < 1
+    * (the Ornstein–Uhlenbeck discretization — the pre-trade screen
+    * behind every mean-reversion strategy and the holding-period
+    * calibration for q202's pair residuals). One keyed sort-window
+    * pass pairs each print with its predecessor; moments are EXACT
+    * decimal sums (the q178 determinism discipline — a (18,12)² product
+    * is (37,24), inside the 38-digit cap), so both engines run the
+    * identical slope arithmetic on identical operands and the only FP
+    * surface is the final guarded log, absorbed at the output round.
+    * Scales: one tape exchange, one agg; no driver state.
+    */
+  def q201Ar1Halflife(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val x = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"user_id", $"ts", $"event_id",
+        decRound(log($"value"), 12).cast(DecimalType(18, 12)).as("x"))
+      .withColumn("xp", lag($"x", 1).over(wOrd))
+      .filter($"xp".isNotNull)
+    val m = x.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"xp").as("sx"), sum($"x").as("sy"),
+        sum($"xp" * $"x").as("sxy"), sum($"xp" * $"xp").as("sxx"))
+    val nD = $"n_pairs".cast("double")
+    val (sx, sy, sxy, sxx) = ($"sx".cast("double"), $"sy".cast("double"),
+      $"sxy".cast("double"), $"sxx".cast("double"))
+    val den = nD * sxx - sx * sx
+    val b = (nD * sxy - sx * sy) / den
+    m.filter($"n_pairs" >= 10L && den > 0.0)
+      .select($"user_id", $"n_pairs",
+        decRound(b, 6).as("ar1_b"),
+        decRound(when(b > 0.0 && b < 1.0,
+          -log(lit(2.0)) / log(b)), 4).as("halflife_prints"))
+  }
+
+  val q201Sql: String =
+    """WITH x0 AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(CAST(ln(value) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS x
+      |  FROM events WHERE value > 0.0),
+      |p AS (
+      |  SELECT user_id, x,
+      |    lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS xp
+      |  FROM x0),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    sum(xp) AS sx, sum(x) AS sy,
+      |    sum(xp * x) AS sxy, sum(xp * xp) AS sxx
+      |  FROM p WHERE xp IS NOT NULL GROUP BY 1),
+      |f AS (
+      |  SELECT user_id, n_pairs,
+      |    CAST(n_pairs AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+      |    CAST(sxx AS DOUBLE) AS sxxd
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, n_pairs,
+      |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b,
+      |    nd * sxxd - sxd * sxd AS den
+      |  FROM f)
+      |SELECT user_id, n_pairs,
+      |  CAST(round(CAST(b AS DECIMAL(28,12)), 6) AS DOUBLE) AS ar1_b,
+      |  CAST(round(CAST(CASE WHEN b > 0.0 AND b < 1.0
+      |    THEN -ln(2.0) / ln(b) END AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS halflife_prints
+      |FROM g WHERE n_pairs >= 10 AND den > 0.0""".stripMargin
+
+  /** q202_pairs_cointegration — Engle–Granger-style pair scan over the
+    * top-50 most-active universe: per instrument pair (a < b) with
+    * ≥ 20 shared trading days, the OLS hedge ratio β of a's latticed
+    * log-close on b's, the log-close correlation, and the residual
+    * variance ratio var(Δe)/var(e) of e = x_a − β·x_b — the
+    * mean-reversion strength screen (VR → 2 ≈ white-noise residual =
+    * tradeable pair; VR → 0 = random-walk residual = spurious).
+    * Scale contract: the pair scan is quadratic in the UNIVERSE, never
+    * the tape — ticks collapse to (instrument, day) closes first
+    * (one tape pass), the universe is capped at 50 by activity rank
+    * (the q44-nCentroids bound class), so pair volume is ≤ C(50,2)
+    * regardless of sf. β is assembled from exact decimal moments
+    * (identical in both engines), and the residual is RE-LATTICED to
+    * 12dp before the second moment pass, so Δe/e variances are exact
+    * decimal sums too — the two-pass formulation never sums raw
+    * doubles.
+    */
+  def q202PairsCointegration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val closes = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(wDay))
+      .filter($"rn" === 1)
+      .select($"user_id", $"day",
+        decRound(log($"value"), 12).cast(DecimalType(18, 12)).as("x"))
+    val universe = closes.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"))
+      .orderBy($"n_days".desc, $"user_id".asc)
+      .limit(50)
+      .select($"user_id")
+    val u = broadcast(universe)
+    val c = closes.join(u, "user_id")
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
+        col("a.day").as("day"), col("a.x").as("xa"), col("b.x").as("xb"))
+    val m1 = pairs.groupBy($"ua", $"ub")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"xa").as("sa"), sum($"xb").as("sb"),
+        sum($"xa" * $"xb").as("sab"),
+        sum($"xa" * $"xa").as("saa"), sum($"xb" * $"xb").as("sbb"))
+      .filter($"n_days" >= 20L)
+    val nD = $"n_days".cast("double")
+    val (sa, sb, sab, saa, sbb) = ($"sa".cast("double"), $"sb".cast("double"),
+      $"sab".cast("double"), $"saa".cast("double"), $"sbb".cast("double"))
+    val vb = nD * sbb - sb * sb
+    val va = nD * saa - sa * sa
+    val beta = m1.filter(vb > 0.0 && va > 0.0)
+      .select($"ua", $"ub", $"n_days",
+        ((nD * sab - sa * sb) / vb).as("beta"),
+        ((nD * sab - sa * sb) / (sqrt(va) * sqrt(vb))).as("rho"))
+    // second pass: residual e = xa − β·xb, re-latticed so the Δe/e
+    // moment sums are exact decimals in both engines
+    val wPair = Window.partitionBy($"ua", $"ub").orderBy($"day")
+    val resid = pairs.join(beta, Seq("ua", "ub"))
+      .select($"ua", $"ub", $"day", $"n_days", $"beta", $"rho",
+        decRound($"xa".cast("double") - $"beta" * $"xb".cast("double"), 12)
+          .cast(DecimalType(18, 12)).as("e"))
+      .withColumn("ep", lag($"e", 1).over(wPair))
+      // Δe re-narrows to (18,12): the raw (19,12) difference squared
+      // would pass the 38-digit cap (q193's lesson); |Δe| < 2 so the
+      // narrowing is exact
+      .withColumn("d", ($"e" - $"ep").cast(DecimalType(18, 12)))
+    val m2 = resid.groupBy($"ua", $"ub", $"n_days", $"beta", $"rho")
+      .agg(sum($"e").as("se"), sum($"e" * $"e").as("see"),
+        count($"ep").as("nd"),
+        sum($"d").as("sd"),
+        sum($"d" * $"d").as("sdd"))
+    val n2 = $"n_days".cast("double")
+    val ndD = $"nd".cast("double")
+    val varE = $"see".cast("double") / n2 -
+      ($"se".cast("double") / n2) * ($"se".cast("double") / n2)
+    val varD = $"sdd".cast("double") / ndD -
+      ($"sd".cast("double") / ndD) * ($"sd".cast("double") / ndD)
+    m2.filter($"nd" >= 10L && varE > 0.0)
+      .select($"ua", $"ub", $"n_days",
+        decRound($"beta", 6).as("beta"),
+        decRound($"rho", 6).as("rho"),
+        decRound(varD / varE, 6).as("resid_vr"))
+  }
+
+  val q202Sql: String =
+    """WITH c0 AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE value > 0.0),
+      |c AS (
+      |  SELECT user_id, day,
+      |    CAST(round(CAST(ln(value) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS x
+      |  FROM c0 WHERE rn = 1),
+      |uni AS (
+      |  SELECT user_id FROM c GROUP BY 1
+      |  ORDER BY count(*) DESC, user_id ASC LIMIT 50),
+      |cu AS (SELECT c.* FROM c JOIN uni USING (user_id)),
+      |p AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub, a.day,
+      |    a.x AS xa, b.x AS xb
+      |  FROM cu a JOIN cu b ON a.day = b.day AND a.user_id < b.user_id),
+      |m1 AS (
+      |  SELECT ua, ub, CAST(count(*) AS BIGINT) AS n_days,
+      |    sum(xa) AS sa, sum(xb) AS sb, sum(xa * xb) AS sab,
+      |    sum(xa * xa) AS saa, sum(xb * xb) AS sbb
+      |  FROM p GROUP BY 1, 2 HAVING count(*) >= 20),
+      |b1 AS (
+      |  SELECT ua, ub, n_days,
+      |    CAST(n_days AS DOUBLE) AS nd, CAST(sa AS DOUBLE) AS sad,
+      |    CAST(sb AS DOUBLE) AS sbd, CAST(sab AS DOUBLE) AS sabd,
+      |    CAST(saa AS DOUBLE) AS saad, CAST(sbb AS DOUBLE) AS sbbd
+      |  FROM m1),
+      |beta AS (
+      |  SELECT ua, ub, n_days,
+      |    (nd * sabd - sad * sbd) / (nd * sbbd - sbd * sbd) AS beta,
+      |    (nd * sabd - sad * sbd)
+      |      / (sqrt(nd * saad - sad * sad) * sqrt(nd * sbbd - sbd * sbd))
+      |      AS rho
+      |  FROM b1
+      |  WHERE nd * sbbd - sbd * sbd > 0.0
+      |    AND nd * saad - sad * sad > 0.0),
+      |r AS (
+      |  SELECT p.ua, p.ub, p.day, beta.n_days, beta.beta, beta.rho,
+      |    CAST(round(CAST(CAST(p.xa AS DOUBLE)
+      |      - beta.beta * CAST(p.xb AS DOUBLE) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS e
+      |  FROM p JOIN beta ON p.ua = beta.ua AND p.ub = beta.ub),
+      |r2 AS (
+      |  SELECT ua, ub, n_days, beta, rho, e,
+      |    CAST(e - lag(e) OVER (PARTITION BY ua, ub ORDER BY day)
+      |      AS DECIMAL(18,12)) AS d
+      |  FROM r),
+      |m2 AS (
+      |  SELECT ua, ub, n_days, beta, rho,
+      |    sum(e) AS se, sum(e * e) AS see,
+      |    CAST(count(d) AS BIGINT) AS nd2,
+      |    sum(d) AS sd, sum(d * d) AS sdd
+      |  FROM r2 GROUP BY 1, 2, 3, 4, 5),
+      |f AS (
+      |  SELECT ua, ub, n_days, beta, rho, nd2,
+      |    CAST(see AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |      - (CAST(se AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |        * (CAST(se AS DOUBLE) / CAST(n_days AS DOUBLE)) AS var_e,
+      |    CAST(sdd AS DOUBLE) / CAST(nd2 AS DOUBLE)
+      |      - (CAST(sd AS DOUBLE) / CAST(nd2 AS DOUBLE))
+      |        * (CAST(sd AS DOUBLE) / CAST(nd2 AS DOUBLE)) AS var_d
+      |  FROM m2)
+      |SELECT ua, ub, n_days,
+      |  CAST(round(CAST(beta AS DECIMAL(28,12)), 6) AS DOUBLE) AS beta,
+      |  CAST(round(CAST(rho AS DECIMAL(28,12)), 6) AS DOUBLE) AS rho,
+      |  CAST(round(CAST(var_d / var_e AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS resid_vr
+      |FROM f WHERE nd2 >= 10 AND var_e > 0.0""".stripMargin
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation text operators (SURVEY §2 round 5b, q92–q96):
@@ -748,4 +749,127 @@ object TextOps {
       |SELECT doc_id, n_bigrams, ppl,
       |  ppl > 10000.0 OR ppl < 10.0 AS flag_outlier
       |FROM d""".stripMargin
+
+  /** q206_mixture_epochs — token-budget allocation with epoch caps
+    * (two-pass water-filling): given per-source whitespace-token
+    * counts T_i, target weights w_i ∝ √T_i (the α=0.5 flattening of
+    * q159's temperature family), a budget B = 2 × ΣT_i and a TIGHT
+    * 2.1-epoch repetition cap (the "never repeat a source much past
+    * twice" rule — small sources hit it first since √T upweights them
+    * per-token), allocate epochs e_i = min(cap, B·w_i/T_i), then
+    * redistribute the leftover budget over the UNCAPPED sources
+    * proportionally to their weights (one redistribution round — the
+    * closed-form core of iterative water-filling). This is the
+    * training-mixture planner that q140 (proportional counts) and
+    * q159 (temperature) stop short of: it answers "how many epochs of
+    * each source fit the budget without over-repeating any source".
+    * Determinism: token counts are exact longs; √T lattices to 6dp
+    * decimal and every cross-source sum runs on decimals (the 5-term
+    * double sums an `over ()` window would otherwise accumulate in
+    * engine-dependent order); the remaining arithmetic is identical
+    * double ops on identical operands. Scale shape: one tokenization
+    * pass (the one-pass discipline), then all logic on ≤|sources| rows.
+    */
+  def q206MixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"source",
+        size(graft.functions.Text.tokens($"text")).cast("long").as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("t"))
+    waterFill(tok, capEpochs = 2.1)
+  }
+
+  /** The allocation core of q206 over any (source, t: long) frame —
+    * extracted so the cap/redistribute/re-cap branches can be pinned
+    * on synthetic skew the organic corpus doesn't exhibit.
+    */
+  def waterFill(tok: DataFrame, capEpochs: Double): DataFrame = {
+    import tok.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cap = lit(capEpochs)
+    val wAll = Window.partitionBy()
+    val base = tok
+      .withColumn("s6", decRound(sqrt($"t".cast("double")), 6)
+        .cast(DecimalType(18, 6)))
+      .withColumn("sw", sum($"s6").over(wAll))
+      .withColumn("btot", sum($"t").over(wAll) * lit(2L))
+      .withColumn("w", $"s6".cast("double") / $"sw".cast("double"))
+      .withColumn("w12", decRound($"w", 12).cast(DecimalType(14, 12)))
+      .withColumn("ideal",
+        $"btot".cast("double") * $"w" / $"t".cast("double"))
+      .withColumn("e1", least(cap, $"ideal"))
+      .withColumn("a6", decRound($"e1" * $"t".cast("double"), 6)
+        .cast(DecimalType(28, 6)))
+    val redist = base
+      .withColumn("leftover",
+        $"btot".cast("double") - sum($"a6").over(wAll).cast("double"))
+      .withColumn("uw",
+        sum(when($"e1" < cap, $"w12")).over(wAll).cast("double"))
+      .withColumn("e2",
+        when($"e1" < cap && $"uw" > 0.0 && $"leftover" > 0.0,
+          least(cap, $"e1" +
+            $"leftover" * ($"w12".cast("double") / $"uw") /
+              $"t".cast("double")))
+          .otherwise($"e1"))
+    redist.select($"source", $"t".as("tokens"),
+      decRound($"w", 6).as("weight"),
+      decRound($"e1", 6).as("epochs_pass1"),
+      decRound($"e2", 6).as("epochs_final"),
+      decRound($"e2" * $"t".cast("double"), 2).as("alloc_tokens"))
+  }
+
+  val q206Sql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+      |      AS BIGINT) AS t
+      |  FROM documents GROUP BY 1),
+      |b AS (
+      |  SELECT source, t,
+      |    CAST(round(CAST(sqrt(CAST(t AS DOUBLE)) AS DECIMAL(28,12)), 6)
+      |      AS DECIMAL(18,6)) AS s6
+      |  FROM tok),
+      |b2 AS (
+      |  SELECT source, t, s6,
+      |    sum(s6) OVER () AS sw,
+      |    (sum(t) OVER ()) * 2 AS btot
+      |  FROM b),
+      |b3 AS (
+      |  SELECT source, t, btot,
+      |    CAST(s6 AS DOUBLE) / CAST(sw AS DOUBLE) AS w
+      |  FROM b2),
+      |b4 AS (
+      |  SELECT source, t, btot, w,
+      |    CAST(round(CAST(w AS DECIMAL(28,12)), 12) AS DECIMAL(14,12))
+      |      AS w12,
+      |    least(2.1, CAST(btot AS DOUBLE) * w / CAST(t AS DOUBLE)) AS e1
+      |  FROM b3),
+      |b5 AS (
+      |  SELECT source, t, btot, w, w12, e1,
+      |    CAST(round(CAST(e1 * CAST(t AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |      AS DECIMAL(28,6)) AS a6
+      |  FROM b4),
+      |b6 AS (
+      |  SELECT source, t, w, w12, e1,
+      |    CAST(btot AS DOUBLE) - CAST(sum(a6) OVER () AS DOUBLE)
+      |      AS leftover,
+      |    CAST(sum(CASE WHEN e1 < 2.1 THEN w12 END) OVER () AS DOUBLE)
+      |      AS uw
+      |  FROM b5),
+      |b7 AS (
+      |  SELECT source, t, w, e1,
+      |    CASE WHEN e1 < 2.1 AND uw > 0.0 AND leftover > 0.0
+      |      THEN least(2.1, e1 + leftover * (CAST(w12 AS DOUBLE) / uw)
+      |        / CAST(t AS DOUBLE))
+      |      ELSE e1 END AS e2
+      |  FROM b6)
+      |SELECT source, t AS tokens,
+      |  CAST(round(CAST(w AS DECIMAL(28,12)), 6) AS DOUBLE) AS weight,
+      |  CAST(round(CAST(e1 AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS epochs_pass1,
+      |  CAST(round(CAST(e2 AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS epochs_final,
+      |  CAST(round(CAST(e2 * CAST(t AS DOUBLE) AS DECIMAL(28,12)), 2)
+      |    AS DOUBLE) AS alloc_tokens
+      |FROM b7""".stripMargin
 }

@@ -4,12 +4,16 @@ import graft.Tables
 import graft.functions.{Text, Vectors}
 import graft.operators.{Ann, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline queries (SURVEY §2, q31–q42) over the
   * `documents` and `embeddings` tables.
   */
 object TrainingData {
+
+  private def decRound(c: org.apache.spark.sql.Column, scale: Int) =
+    graft.functions.Num.decRound(c, scale)
 
   /** q31_dedup_exact — content-hash dedup with multiplicity. */
   def q31DedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -1247,4 +1251,55 @@ object TrainingData {
       |  FROM embeddings q, embeddings n
       |  WHERE q.vec_id < 50 AND n.label <> q.label)
       |WHERE rnk = 1""".stripMargin
+
+  /** q205_weighted_sample — Efraimidis–Spirakis weighted sampling
+    * WITHOUT replacement, deterministic: per source, the top-10
+    * documents by the A-ES priority key ln(u)/w with weight
+    * w = n_chars and u a Knuth-hash pseudo-uniform of doc_id (the
+    * q121 sampling lattice — reproducible across engines AND across
+    * partitionings, unlike rand()). Selecting the k largest keys
+    * draws each doc with probability proportional to its weight
+    * without replacement — the length-weighted corpus subsample used
+    * for eval carve-outs where long docs must not be under-drawn.
+    * Scale shape: key assignment is embarrassingly parallel; per-group
+    * top-k is ONE window pass (the q78 pattern — a bounded-state TopK
+    * aggregator would shuffle ≤k rows per source if the group count
+    * ever explodes). Ranking uses the 8dp-latticed key with doc_id
+    * tiebreak so a 1-ulp cross-engine ln() divergence cannot flip an
+    * order.
+    */
+  def q205WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .filter($"n_chars" > 0L)
+      .select($"doc_id", $"source", $"n_chars",
+        ((($"doc_id" * lit(2654435761L)) % lit(4294967296L)).cast("double") +
+          lit(0.5)).as("h"))
+      .withColumn("u", $"h" / lit(4294967296.0))
+      .withColumn("es_key", log($"u") / $"n_chars".cast("double"))
+      .withColumn("key8", decRound($"es_key", 8))
+    val wTop = Window.partitionBy($"source")
+      .orderBy($"key8".desc, $"doc_id".asc)
+    keyed.withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter($"rk" <= 10)
+      .select($"source", $"rk", $"doc_id", $"n_chars",
+        decRound($"es_key", 6).as("es_key"))
+  }
+
+  val q205Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+      |        / 4294967296.0)
+      |      / CAST(n_chars AS DOUBLE) AS es_key
+      |  FROM documents WHERE n_chars > 0),
+      |r AS (
+      |  SELECT source, doc_id, n_chars, es_key,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY CAST(round(CAST(es_key AS DECIMAL(28,12)), 8)
+      |        AS DOUBLE) DESC, doc_id ASC) AS BIGINT) AS rk
+      |  FROM k)
+      |SELECT source, rk, doc_id, n_chars,
+      |  CAST(round(CAST(es_key AS DECIMAL(28,12)), 6) AS DOUBLE) AS es_key
+      |FROM r WHERE rk <= 10""".stripMargin
 }

@@ -375,7 +375,11 @@ class PlanSpec extends SparkTestBase {
         // partitioning on user_id alone satisfies the rollup's
         // ClusteredDistribution (same (u, d) ⇒ same u ⇒ co-located);
         // q196's (user, grp) run agg and user rollup likewise
-        "q191_effective_spread", "q196_underwater")) {
+        "q191_effective_spread", "q196_underwater",
+        // q201's lag-pair window + moment rollup both key on user_id;
+        // q203's (user, day) arrival window + (user, day, arr6) rollup
+        // and q207's (user, minute) bin + user rollup ride hash subsets
+        "q201_ar1_halflife", "q203_impl_shortfall", "q207_burstiness")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
     }

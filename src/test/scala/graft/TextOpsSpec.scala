@@ -104,6 +104,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(viaKeyed.exceptAll(viaBroadcast).count() == 0)
   }
 
+  test("q206 water-filling: cap, redistribute to uncapped, re-cap") {
+    import spark.implicits._
+    // skew the organic corpus doesn't exhibit: sqrt-upweighted small
+    // sources blow past the cap, the big source absorbs the leftover
+    val tok = Seq(("a", 100L), ("b", 10000L), ("c", 40000L)).toDF("source", "t")
+    // cap 2.0 with budget 2×ΣT: a and b cap at pass 1, c's boost
+    // 1.6161… + leftover/T_c lands above 2.0 and RE-CAPS — full
+    // allocation equals the budget exactly
+    val r2 = graft.queries.TextOps.waterFill(tok, capEpochs = 2.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("epochs_final"), r.getAs[Double]("alloc_tokens"))).toMap
+    assert(r2.values.forall(_._1 == 2.0), r2.toString)
+    assert(math.abs(r2.values.map(_._2).sum - 2.0 * 50100) < 0.01)
+    // cap 3.0: a and b cap, c stays under after its boost — the
+    // redistributed allocation recovers the budget to rounding noise
+    val r3 = graft.queries.TextOps.waterFill(tok, capEpochs = 3.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("epochs_pass1"), r.getAs[Double]("epochs_final"),
+          r.getAs[Double]("alloc_tokens"))).toMap
+    assert(r3("a")._1 == 3.0 && r3("b")._1 == 3.0)
+    assert(r3("c")._1 < 2.0 && r3("c")._2 > r3("c")._1 && r3("c")._2 < 3.0,
+      r3.toString)
+    assert(math.abs(r3.values.map(_._3).sum - 2.0 * 50100) < 1.0)
+  }
+
   test("CharProfile counts code points, not UTF-16 units (non-BMP text)") {
     import spark.implicits._
     // "😀😀a": 3 code points (5 UTF-16 units). Per-SYMBOL semantics:
