@@ -2585,4 +2585,123 @@ object Streams {
           out.iterator
       }
   }
+
+  /** s55 — streaming AR(1) regression ledger via
+    * flatMapGroupsWithState: the incremental twin of batch q201.
+    * State per instrument is ONE value — the last positive print's
+    * 12dp log-price lattice in integer picounits (non-positive prints
+    * are absent from batch q201's tape, so they neither pair nor break
+    * the chain). Each batch folds its prints in (ts, event_id) order
+    * and emits per-instrument increments of the five regression
+    * moments (n, Σx_prev, Σx, Σx_prev·x, Σx_prev²) — every sum as a
+    * plain-string exact decimal (a picounit product overflows a long,
+    * and a picounit LINEAR sum can pass 2⁵³ on a long tape; the
+    * strings round-trip the exact lattice values into DECIMAL(38,24),
+    * which carries bit-for-bit the batch's decimal sum values).
+    * Increments therefore reduce EXACTLY under any micro-batch split,
+    * and the consumer runs batch q201's own slope/half-life tail on
+    * identical operands. Same in-order-per-key delivery caveat as
+    * [[ewmaState]].
+    */
+  def ar1Stream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, String, String, String, String)] = {
+    import spark.implicits._
+    events.filter(col("value") > 0)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long,
+        (Long, Long, String, String, String, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[Long]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var prev = state.getOption.getOrElse(Long.MinValue)
+          var n = 0L; var sx = 0L; var sy = 0L
+          var sxy = java.math.BigInteger.ZERO
+          var sxx = java.math.BigInteger.ZERO
+          sorted.foreach { e =>
+            // 12dp HALF_UP lattice in integer picounits — exactly
+            // Num.decRound(log(value), 12) scaled by 10^12
+            val x = BigDecimal(math.log(e.value))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(1000000000000L)).toLongExact
+            if (prev != Long.MinValue) {
+              // addExact: a picounit linear sum overflows a long only
+              // past ~10⁵ prints/key/batch of |ln px| ≈ 10 — loud, not
+              // silent, if a deployment ever gets there
+              n += 1L
+              sx = Math.addExact(sx, prev); sy = Math.addExact(sy, x)
+              val p = java.math.BigInteger.valueOf(prev)
+              sxy = sxy.add(p.multiply(java.math.BigInteger.valueOf(x)))
+              sxx = sxx.add(p.multiply(p))
+            }
+            prev = x
+          }
+          if (prev != Long.MinValue) state.update(prev)
+          if (n == 0L) Iterator.empty
+          else Iterator((user, n,
+            java.math.BigDecimal.valueOf(sx, 12).toPlainString,
+            java.math.BigDecimal.valueOf(sy, 12).toPlainString,
+            new java.math.BigDecimal(sxy, 24).toPlainString,
+            new java.math.BigDecimal(sxx, 24).toPlainString))
+      }
+  }
+
+  /** s56 — streaming implementation-shortfall ledger via
+    * flatMapGroupsWithState: the incremental twin of batch q203.
+    * State per instrument is (current day µs, that day's ARRIVAL
+    * price) — the first positive print of the day, carried so a
+    * purchase in a later micro-batch benchmarks against the arrival
+    * its day opened with. Each batch emits per-(instrument, day)
+    * increments of (arrival 6dp-lattice micro-units, n_trades, Σk,
+    * Σ px6·k in micro-units) — ALL integer, so increments reduce
+    * bit-exactly and the consumer's 10⁴·(notional−arr·qty)/(arr·qty)
+    * equals batch q203 before its round. Same in-order-per-key
+    * delivery caveat as [[ewmaState]].
+    */
+  def shortfallStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, java.sql.Timestamp, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events.filter(col("value") > 0)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .as[ShortfallEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long),
+        (Long, java.sql.Timestamp, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[ShortfallEvent],
+         state: GroupState[(Long, Long)]) =>
+          def micro6(v: Double): Long =
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(1000000L)).toLongExact
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          // state: (day µs, arrival price in 6dp micro-units)
+          var (day, arr6) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Long, Long, Long)]
+          sorted.foreach { e =>
+            val d = micros(e.ts) - Math.floorMod(micros(e.ts), dayUs)
+            if (d != day) { day = d; arr6 = micro6(e.value) }
+            if (e.event_type == "purchase" && e.size.exists(_ > 0L)) {
+              val k = e.size.get
+              val (n, q, nt, a) = acc.getOrElse(day, (0L, 0L, 0L, arr6))
+              acc(day) = (n + 1L, q + k,
+                Math.addExact(nt, Math.multiplyExact(micro6(e.value), k)),
+                arr6)
+            }
+          }
+          if (day != Long.MinValue) state.update((day, arr6))
+          acc.iterator.map { case (d, (n, q, nt, a)) =>
+            (user, tsFromMicros(d), a, n, q, nt)
+          }
+      }
+  }
+
+  case class ShortfallEvent(user_id: Long, ts: java.sql.Timestamp,
+                            value: Double, event_id: Long,
+                            event_type: String, size: Option[Long])
 }

@@ -1864,6 +1864,89 @@ class StreamingSpec extends SparkTestBase {
       "compacted ledgers must score identically")
   }
 
+  test("streaming AR(1) ledger increments reduce to the batch q201 result (s55)") {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ar1").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.ar1Stream(spark, stream)
+      .toDF("user_id", "n", "sx", "sy", "sxy", "sxx")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ar1_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // the string-decimal increments reduce EXACTLY (decimal sums are
+    // associative); the consumer then runs batch q201's own tail on
+    // identical operands — equality is bit-for-bit, not approximate
+    val m = spark.table("ar1_out")
+      .groupBy($"user_id")
+      .agg(sum($"n").as("n_pairs"),
+        sum($"sx".cast(DecimalType(38, 24))).as("sx"),
+        sum($"sy".cast(DecimalType(38, 24))).as("sy"),
+        sum($"sxy".cast(DecimalType(38, 24))).as("sxy"),
+        sum($"sxx".cast(DecimalType(38, 24))).as("sxx"))
+    val nD = $"n_pairs".cast("double")
+    val (sx, sy, sxy, sxx) = ($"sx".cast("double"), $"sy".cast("double"),
+      $"sxy".cast("double"), $"sxx".cast("double"))
+    val den = nD * sxx - sx * sx
+    val b = (nD * sxy - sx * sy) / den
+    val streamed = m.filter($"n_pairs" >= 10L && den > 0.0)
+      .select($"user_id", $"n_pairs",
+        graft.functions.Num.decRound(b, 6).as("ar1_b"),
+        graft.functions.Num.decRound(when(b > 0.0 && b < 1.0,
+          -log(lit(2.0)) / log(b)), 4).as("halflife_prints"))
+    val batch = SparkEntry.queries("q201_ar1_halflife")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming shortfall ledger increments reduce to the batch q203 result (s56)") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf56").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.shortfallStream(spark, stream)
+      .toDF("user_id", "day", "arr6u", "n", "q", "nt")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sf56_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // integer increments reduce exactly; at spec scale every count is
+    // far below 2^53, so the /1e6 de-lattice lands on the same nearest
+    // double as batch q203's decimal→double cast
+    val m = spark.table("sf56_out")
+      .groupBy($"user_id", $"day")
+      .agg(max($"arr6u").as("a6"), sum($"n").as("n_trades"),
+        sum($"q").as("qty"), sum($"nt").as("ntu"))
+    val arrD = $"a6".cast("double") / 1e6
+    val ntD = $"ntu".cast("double") / 1e6
+    val qtyD = $"qty".cast("double")
+    val streamed = m.select($"user_id", $"day", $"n_trades", $"qty",
+      graft.functions.Num.decRound(arrD, 6).as("arrival_px"),
+      graft.functions.Num.decRound(
+        lit(10000.0) * (ntD - arrD * qtyD) / (arrD * qtyD), 4).as("is_bps"))
+    val batch = SparkEntry.queries("q203_impl_shortfall")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("conversionStream counts a purchase tied to the first view's microsecond") {
     // batch q180 qualifies purchases by TIMESTAMP only (t >= first
     // view ts); a purchase sharing the first view's exact µs but with
