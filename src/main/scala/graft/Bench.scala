@@ -165,11 +165,35 @@ object Bench {
           "p_name")
           .write.format("noop").mode("overwrite").save()
       }
+      // the RangeJoinBinning rewrite vs the nested-loop plan Spark
+      // otherwise picks for a keyless point-in-interval join — the
+      // pair pricing the optimizer rule every round. Interval side is
+      // 1%-sampled so the NESTED comparator stays feasible; both
+      // plans run the identical task.
+      graft.plans.GraftExtensions.install(spark)
+      val clicks = evAsof.filter(col("event_type") === "click")
+        .select(col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      val ivals = evAsof.filter(col("event_type") === "purchase" &&
+          col("event_id") % 100 === 0)
+        .select(unix_timestamp(col("ts")).as("hi"))
+        .withColumn("lo", col("hi") - 3600L)
+      val rangeCond = col("sec") >= col("lo") && col("sec") < col("hi")
+      val rangeRule = time {
+        spark.conf.set(graft.plans.RangeJoinBinning.ConfKey, "3600")
+        try clicks.join(ivals, rangeCond)
+          .write.format("noop").mode("overwrite").save()
+        finally spark.conf.unset(graft.plans.RangeJoinBinning.ConfKey)
+      }
+      val rangeNested = time {
+        clicks.join(ivals, rangeCond)
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
         "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm,
         "x_fx_window" -> fx, "x_topk_agg" -> topkAgg,
         "x_topk_window" -> topkWin, "x_asof_exec" -> asofExec,
-        "x_namelink_winnow" -> nlWinnow)
+        "x_namelink_winnow" -> nlWinnow, "x_range_rule" -> rangeRule,
+        "x_range_nested" -> rangeNested)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     val ok = results.filter(_._3.isEmpty)

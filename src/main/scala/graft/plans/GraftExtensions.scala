@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    ext.injectOptimizerRule(_ => RangeJoinBinning)
   }
 }
 
@@ -91,6 +92,12 @@ object GraftExtensions {
     functions.foreach { case (id, inf, b) =>
       org.apache.spark.sql.GraftRegistryBridge.registerFunction(spark, id, inf, b)
     }
+    // the optimizer rules ride the experimental hook on live sessions
+    // (the extension-config path injects them at session build instead);
+    // dedupe so repeated installs don't stack copies
+    val rules = Seq(LevenshteinPrefilter, RangeJoinBinning)
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations ++ rules).distinct
     // typed Aggregators go through the session UDF registry (they wrap
     // an encoder pair, not a Catalyst Expression builder, so the
     // injectFunction path above doesn't apply)
