@@ -535,6 +535,112 @@ object Metrics {
       decRound((sqrt(varC) - mu) / (sqrt(varC) + mu), 6).as("burstiness"))
   }
 
+  /** q211_seasonal_strength — how much of an instrument's print-return
+    * variance is hour-of-day seasonality: the ANOVA decomposition
+    * SS_between / SS_total over 24 hour-of-day cells, plus the peak
+    * cell. Complements q112 (which PROFILES the seasonal shape): this
+    * one scores how much the shape explains, the de-seasonalization
+    * go/no-go. The hour key is pure integer µs arithmetic
+    * ((us ÷ 3600s) mod 24 — no timezone/dow-convention drift between
+    * engines).
+    * Scale shape: the decomposition needs NO join-back of cell means
+    * to the tape (the naive de-seasonalize-then-var plan): within-cell
+    * moments reduce per (instrument, cell), and SS_between assembles
+    * from Σ s_h²/n_h — every cross-cell sum runs on 12dp-latticed
+    * decimals, every window rides hash(user_id), ONE tape exchange.
+    */
+  def q211SeasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val rets = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"user_id", $"ts", $"event_id", unix_micros($"ts").as("us"),
+        decRound(log($"value"), 12).cast(DecimalType(18, 12)).as("x"))
+      .withColumn("r", ($"x" - lag($"x", 1).over(wOrd))
+        .cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .withColumn("h", expr("(us div 3600000000) % 24"))
+    val cells = rets.groupBy($"user_id", $"h")
+      .agg(count(lit(1)).as("n_h"),
+        sum($"r").as("s_h"), sum($"r" * $"r").as("q_h"))
+      .withColumn("mean12",
+        decRound($"s_h".cast("double") / $"n_h".cast("double"), 12))
+      .withColumn("c_h",
+        decRound($"s_h".cast("double") * $"s_h".cast("double") /
+          $"n_h".cast("double"), 12).cast(DecimalType(18, 12)))
+    val wU = Window.partitionBy($"user_id")
+    val wRank = Window.partitionBy($"user_id")
+      .orderBy($"mean12".desc, $"h".asc)
+    val g = cells
+      .withColumn("n", sum($"n_h").over(wU))
+      .withColumn("s", sum($"s_h").over(wU))
+      .withColumn("q", sum($"q_h").over(wU))
+      .withColumn("c", sum($"c_h").over(wU))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" === 1 && $"n" >= 50L)
+    val nD = $"n".cast("double")
+    val grand = $"s".cast("double") * $"s".cast("double") / nD
+    val sst = $"q".cast("double") - grand
+    val ssb = $"c".cast("double") - grand
+    g.select($"user_id", $"n".as("n_rets"),
+      decRound(when(sst > 0.0, ssb / sst), 6).as("seasonal_strength"),
+      $"h".cast("long").as("peak_hour"),
+      decRound($"mean12", 6).as("peak_mean_ret"))
+  }
+
+  val q211Sql: String =
+    """WITH x0 AS (
+      |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+      |    CAST(round(CAST(ln(value) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS x
+      |  FROM events WHERE value > 0.0),
+      |r0 AS (
+      |  SELECT user_id, us,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM x0),
+      |r AS (
+      |  SELECT user_id, (us // 3600000000) % 24 AS h, r
+      |  FROM r0 WHERE r IS NOT NULL),
+      |cells AS (
+      |  SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_h,
+      |    sum(r) AS s_h, sum(r * r) AS q_h
+      |  FROM r GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT user_id, h, n_h, s_h, q_h,
+      |    CAST(round(CAST(CAST(s_h AS DOUBLE) / CAST(n_h AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS mean12,
+      |    CAST(round(CAST(CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+      |      / CAST(n_h AS DOUBLE) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS c_h
+      |  FROM cells),
+      |g AS (
+      |  SELECT user_id, h, mean12,
+      |    sum(n_h) OVER (PARTITION BY user_id) AS n,
+      |    sum(s_h) OVER (PARTITION BY user_id) AS s,
+      |    sum(q_h) OVER (PARTITION BY user_id) AS q,
+      |    sum(c_h) OVER (PARTITION BY user_id) AS c,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY mean12 DESC, h ASC) AS rk
+      |  FROM c2),
+      |f AS (
+      |  SELECT user_id, CAST(n AS BIGINT) AS n_rets, h, mean12,
+      |    CAST(q AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS sst,
+      |    CAST(c AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS ssb
+      |  FROM g WHERE rk = 1 AND n >= 50)
+      |SELECT user_id, n_rets,
+      |  CAST(round(CAST(CASE WHEN sst > 0.0 THEN ssb / sst END
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS seasonal_strength,
+      |  CAST(h AS BIGINT) AS peak_hour,
+      |  CAST(round(CAST(mean12 AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS peak_mean_ret
+      |FROM f""".stripMargin
+
   val q207Sql: String =
     """WITH pm AS (
       |  SELECT user_id, epoch_us(ts) // 60000000 AS minute,

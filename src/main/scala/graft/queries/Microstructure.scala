@@ -1069,4 +1069,71 @@ object Microstructure {
       |    / (CAST(arr6 AS DOUBLE) * CAST(qty AS DOUBLE))
       |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS is_bps
       |FROM m""".stripMargin
+
+  /** q212_adv_participation — each trading day's size as a fraction
+    * of the instrument's trailing 20-day average daily volume (ADV):
+    * the pre-trade capacity number every execution schedule is quoted
+    * in ("x% of ADV"), and the surveillance flag for volume spikes.
+    * Needs ≥ 5 prior trading days; flags days whose ROUNDED
+    * participation exceeds 1.5 (the boundary discipline — both
+    * engines compare the same latticed value). Daily sums are exact
+    * longs; the trailing mean divides two exact integers, so the
+    * ratio's operands are identical in any engine. One (user, day)
+    * agg + one user-keyed window — rides a single hash(user_id)
+    * exchange.
+    */
+  def q212AdvParticipation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val vol = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .filter($"k" > 0L)
+      .repartition($"user_id")
+      .groupBy($"user_id", $"day").agg(sum($"k").as("vol"))
+    val wTrail = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(-20, -1)
+    val p = vol
+      .withColumn("hist_days", count(lit(1)).over(wTrail))
+      .withColumn("hist_vol", sum($"vol").over(wTrail))
+      .filter($"hist_days" >= 5L)
+      .withColumn("adv",
+        $"hist_vol".cast("double") / $"hist_days".cast("double"))
+      .withColumn("participation",
+        decRound($"vol".cast("double") / $"adv", 6))
+    p.select($"user_id", $"day", $"vol", $"hist_days",
+      decRound($"adv", 4).as("adv"),
+      $"participation",
+      ($"participation" > 1.5).as("flag_spike"))
+  }
+
+  val q212Sql: String =
+    """WITH vol AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |      AS vol
+      |  FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 0
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT user_id, day, vol,
+      |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT)
+      |      AS hist_days,
+      |    CAST(sum(vol) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT)
+      |      AS hist_vol
+      |  FROM vol),
+      |p AS (
+      |  SELECT user_id, day, vol, hist_days,
+      |    CAST(hist_vol AS DOUBLE) / CAST(hist_days AS DOUBLE) AS adv,
+      |    CAST(round(CAST(CAST(vol AS DOUBLE)
+      |      / (CAST(hist_vol AS DOUBLE) / CAST(hist_days AS DOUBLE))
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS participation
+      |  FROM t WHERE hist_days >= 5)
+      |SELECT user_id, day, vol, hist_days,
+      |  CAST(round(CAST(adv AS DECIMAL(28,12)), 4) AS DOUBLE) AS adv,
+      |  participation,
+      |  participation > 1.5 AS flag_spike
+      |FROM p""".stripMargin
 }

@@ -1343,4 +1343,236 @@ object Quant {
       |  CAST(round(CAST(var_d / var_e AS DECIMAL(28,12)), 6) AS DOUBLE)
       |    AS resid_vr
       |FROM f WHERE nd2 >= 10 AND var_e > 0.0""".stripMargin
+
+  /** q208_lead_lag — pairwise lead-lag discovery over the top-50
+    * universe's daily log-returns: for each pair (a < b), the
+    * same-day correlation AND both one-day cross-correlations
+    * corr(r_a(t), r_b(t−1)) (b leads a) vs corr(r_b(t), r_a(t−1))
+    * (a leads b); their difference is the lead-lag score whose sign
+    * names the leader — the price-discovery screen run next to q202's
+    * cointegration scan. Trading-day alignment comes from a dense rank
+    * over the (calendar-bounded) distinct day list, broadcast back —
+    * never a global window over the tape. Each instrument's frame
+    * carries (r, r_prev) from ONE keyed lag pass, so a single
+    * rank-equi pair join feeds all three moment sets; moments are
+    * exact decimal sums with per-pair conditional counts (the first
+    * day's null lag drops per-moment, not per-row).
+    */
+  def q208LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val closes = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(wDay))
+      .filter($"rn" === 1)
+      .select($"user_id", $"day",
+        decRound(log($"value"), 12).cast(DecimalType(18, 12)).as("x"))
+    val universe = closes.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"))
+      .orderBy($"n_days".desc, $"user_id".asc).limit(50)
+      .select($"user_id")
+    // calendar-bounded day rank (distinct days only — never a global
+    // window over instrument×day rows)
+    val days = closes.select($"day").distinct()
+      .withColumn("rk", row_number().over(Window.orderBy($"day")).cast("long"))
+    val c = closes.join(broadcast(universe), "user_id")
+      .join(broadcast(days), "day")
+    val wOrd = Window.partitionBy($"user_id").orderBy($"rk")
+    val rets = c
+      .withColumn("r", ($"x" - lag($"x", 1).over(wOrd))
+        .cast(DecimalType(18, 12)))
+      .withColumn("rp", lag($"r", 1).over(wOrd))
+      .filter($"r".isNotNull)
+      .select($"user_id", $"rk", $"r", $"rp")
+    val pairs = rets.as("a").join(rets.as("b"),
+        col("a.rk") === col("b.rk") && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
+        col("a.r").as("ra"), col("b.r").as("rb"),
+        col("a.rp").as("rap"), col("b.rp").as("rbp"))
+    def moments(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                tag: String) = Seq(
+      count(when(x.isNotNull && y.isNotNull, 1)).as(s"n_$tag"),
+      sum(when(y.isNotNull, x)).as(s"sx_$tag"),
+      sum(when(x.isNotNull, y)).as(s"sy_$tag"),
+      sum(x * y).as(s"sxy_$tag"),
+      sum(when(y.isNotNull, x * x)).as(s"sxx_$tag"),
+      sum(when(x.isNotNull, y * y)).as(s"syy_$tag"))
+    val aggs = moments($"ra", $"rb", "c0") ++
+      moments($"ra", $"rbp", "ab") ++ moments($"rb", $"rap", "ba")
+    val m = pairs.groupBy($"ua", $"ub").agg(aggs.head, aggs.tail: _*)
+    def corrOf(tag: String) = {
+      val nD = col(s"n_$tag").cast("double")
+      val (sx, sy, sxy, sxx, syy) = (col(s"sx_$tag").cast("double"),
+        col(s"sy_$tag").cast("double"), col(s"sxy_$tag").cast("double"),
+        col(s"sxx_$tag").cast("double"), col(s"syy_$tag").cast("double"))
+      val vx = nD * sxx - sx * sx
+      val vy = nD * syy - sy * sy
+      when(col(s"n_$tag") >= 10L && vx > 0.0 && vy > 0.0,
+        (nD * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)))
+    }
+    m.select($"ua", $"ub", $"n_c0".as("n_days"),
+        decRound(corrOf("c0"), 6).as("corr0"),
+        decRound(corrOf("ab"), 6).as("lead_b"),
+        decRound(corrOf("ba"), 6).as("lead_a"),
+        decRound(corrOf("ab") - corrOf("ba"), 6).as("leadlag_score"))
+      .filter($"corr0".isNotNull)
+  }
+
+  val q208Sql: String =
+    """WITH c0 AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE value > 0.0),
+      |c AS (
+      |  SELECT user_id, day,
+      |    CAST(round(CAST(ln(value) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS x
+      |  FROM c0 WHERE rn = 1),
+      |uni AS (
+      |  SELECT user_id FROM c GROUP BY 1
+      |  ORDER BY count(*) DESC, user_id ASC LIMIT 50),
+      |days AS (
+      |  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+      |  FROM (SELECT DISTINCT day FROM c)),
+      |cu AS (
+      |  SELECT c.user_id, days.rk, c.x
+      |  FROM c JOIN uni USING (user_id) JOIN days USING (day)),
+      |r AS (
+      |  SELECT user_id, rk,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY rk)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM cu),
+      |r2 AS (
+      |  SELECT user_id, rk, r,
+      |    lag(r) OVER (PARTITION BY user_id ORDER BY rk) AS rp
+      |  FROM r WHERE r IS NOT NULL),
+      |p AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub,
+      |    a.r AS ra, b.r AS rb, a.rp AS rap, b.rp AS rbp
+      |  FROM r2 a JOIN r2 b ON a.rk = b.rk AND a.user_id < b.user_id),
+      |m AS (
+      |  SELECT ua, ub,
+      |    CAST(count(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 END) AS BIGINT) AS n_c0,
+      |    sum(CASE WHEN rb IS NOT NULL THEN ra END) AS sx_c0,
+      |    sum(CASE WHEN ra IS NOT NULL THEN rb END) AS sy_c0,
+      |    sum(ra * rb) AS sxy_c0,
+      |    sum(CASE WHEN rb IS NOT NULL THEN ra * ra END) AS sxx_c0,
+      |    sum(CASE WHEN ra IS NOT NULL THEN rb * rb END) AS syy_c0,
+      |    CAST(count(CASE WHEN ra IS NOT NULL AND rbp IS NOT NULL THEN 1 END) AS BIGINT) AS n_ab,
+      |    sum(CASE WHEN rbp IS NOT NULL THEN ra END) AS sx_ab,
+      |    sum(CASE WHEN ra IS NOT NULL THEN rbp END) AS sy_ab,
+      |    sum(ra * rbp) AS sxy_ab,
+      |    sum(CASE WHEN rbp IS NOT NULL THEN ra * ra END) AS sxx_ab,
+      |    sum(CASE WHEN ra IS NOT NULL THEN rbp * rbp END) AS syy_ab,
+      |    CAST(count(CASE WHEN rb IS NOT NULL AND rap IS NOT NULL THEN 1 END) AS BIGINT) AS n_ba,
+      |    sum(CASE WHEN rap IS NOT NULL THEN rb END) AS sx_ba,
+      |    sum(CASE WHEN rb IS NOT NULL THEN rap END) AS sy_ba,
+      |    sum(rb * rap) AS sxy_ba,
+      |    sum(CASE WHEN rap IS NOT NULL THEN rb * rb END) AS sxx_ba,
+      |    sum(CASE WHEN rb IS NOT NULL THEN rap * rap END) AS syy_ba
+      |  FROM p GROUP BY 1, 2),
+      |f AS (
+      |  SELECT ua, ub, n_c0,
+      |    CASE WHEN n_c0 >= 10
+      |        AND CAST(n_c0 AS DOUBLE) * CAST(sxx_c0 AS DOUBLE) - CAST(sx_c0 AS DOUBLE) * CAST(sx_c0 AS DOUBLE) > 0.0
+      |        AND CAST(n_c0 AS DOUBLE) * CAST(syy_c0 AS DOUBLE) - CAST(sy_c0 AS DOUBLE) * CAST(sy_c0 AS DOUBLE) > 0.0
+      |      THEN (CAST(n_c0 AS DOUBLE) * CAST(sxy_c0 AS DOUBLE) - CAST(sx_c0 AS DOUBLE) * CAST(sy_c0 AS DOUBLE))
+      |        / (sqrt(CAST(n_c0 AS DOUBLE) * CAST(sxx_c0 AS DOUBLE) - CAST(sx_c0 AS DOUBLE) * CAST(sx_c0 AS DOUBLE))
+      |          * sqrt(CAST(n_c0 AS DOUBLE) * CAST(syy_c0 AS DOUBLE) - CAST(sy_c0 AS DOUBLE) * CAST(sy_c0 AS DOUBLE))) END AS c0,
+      |    CASE WHEN n_ab >= 10
+      |        AND CAST(n_ab AS DOUBLE) * CAST(sxx_ab AS DOUBLE) - CAST(sx_ab AS DOUBLE) * CAST(sx_ab AS DOUBLE) > 0.0
+      |        AND CAST(n_ab AS DOUBLE) * CAST(syy_ab AS DOUBLE) - CAST(sy_ab AS DOUBLE) * CAST(sy_ab AS DOUBLE) > 0.0
+      |      THEN (CAST(n_ab AS DOUBLE) * CAST(sxy_ab AS DOUBLE) - CAST(sx_ab AS DOUBLE) * CAST(sy_ab AS DOUBLE))
+      |        / (sqrt(CAST(n_ab AS DOUBLE) * CAST(sxx_ab AS DOUBLE) - CAST(sx_ab AS DOUBLE) * CAST(sx_ab AS DOUBLE))
+      |          * sqrt(CAST(n_ab AS DOUBLE) * CAST(syy_ab AS DOUBLE) - CAST(sy_ab AS DOUBLE) * CAST(sy_ab AS DOUBLE))) END AS ab,
+      |    CASE WHEN n_ba >= 10
+      |        AND CAST(n_ba AS DOUBLE) * CAST(sxx_ba AS DOUBLE) - CAST(sx_ba AS DOUBLE) * CAST(sx_ba AS DOUBLE) > 0.0
+      |        AND CAST(n_ba AS DOUBLE) * CAST(syy_ba AS DOUBLE) - CAST(sy_ba AS DOUBLE) * CAST(sy_ba AS DOUBLE) > 0.0
+      |      THEN (CAST(n_ba AS DOUBLE) * CAST(sxy_ba AS DOUBLE) - CAST(sx_ba AS DOUBLE) * CAST(sy_ba AS DOUBLE))
+      |        / (sqrt(CAST(n_ba AS DOUBLE) * CAST(sxx_ba AS DOUBLE) - CAST(sx_ba AS DOUBLE) * CAST(sx_ba AS DOUBLE))
+      |          * sqrt(CAST(n_ba AS DOUBLE) * CAST(syy_ba AS DOUBLE) - CAST(sy_ba AS DOUBLE) * CAST(sy_ba AS DOUBLE))) END AS ba
+      |  FROM m)
+      |SELECT ua, ub, n_c0 AS n_days,
+      |  CAST(round(CAST(c0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS corr0,
+      |  CAST(round(CAST(ab AS DECIMAL(28,12)), 6) AS DOUBLE) AS lead_b,
+      |  CAST(round(CAST(ba AS DECIMAL(28,12)), 6) AS DOUBLE) AS lead_a,
+      |  CAST(round(CAST(ab - ba AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS leadlag_score
+      |FROM f WHERE c0 IS NOT NULL""".stripMargin
+
+  /** q209_turnover — daily portfolio turnover of the volume-weighted
+    * market portfolio: weight w(i,t) = instrument i's share of day t's
+    * total traded size; turnover(t) = ½ Σᵢ |w(i,t) − w(i,t−1)| over
+    * consecutive TRADING days (instruments absent one side carry
+    * weight 0 — the full-outer union, not a gap-fill explosion). The
+    * rebalance-cost / regime-shift diagnostic a PIT-universe backtest
+    * (q142) prices its rebalances with. Weights lattice to 12dp
+    * decimals so the cross-instrument |Δw| sum is exact in both
+    * engines; day ranks come from the calendar-bounded distinct-day
+    * list, never a global window over the tape.
+    */
+  def q209Turnover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    val vol = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .filter($"k" > 0L)
+      .groupBy($"user_id", $"day").agg(sum($"k").as("v"))
+    val days = vol.select($"day").distinct()
+      .withColumn("rk", row_number().over(Window.orderBy($"day")).cast("long"))
+    val w = vol.join(broadcast(days), "day")
+      .withColumn("tot", sum($"v").over(Window.partitionBy($"rk")))
+      .select($"user_id", $"rk", $"day",
+        decRound($"v".cast("double") / $"tot".cast("double"), 12)
+          .cast(DecimalType(14, 12)).as("w"))
+    val prev = w.select($"user_id", ($"rk" + 1L).as("rk"), $"w".as("wp"))
+    val j = w.select($"user_id", $"rk", $"day", $"w")
+      .join(prev, Seq("user_id", "rk"), "full_outer")
+      .filter($"rk" >= 2L)
+    val dayOf = j.groupBy($"rk")
+      .agg(max($"day").as("day"),
+        sum(abs(coalesce($"w", lit(BigDecimal(0)).cast(DecimalType(14, 12))) -
+          coalesce($"wp", lit(BigDecimal(0)).cast(DecimalType(14, 12)))))
+          .as("sad"),
+        count(when($"w".isNotNull, 1)).as("n_inst"))
+    val maxRk = days.agg(max($"rk")).first().getLong(0)
+    dayOf.filter($"rk" <= maxRk)
+      .select($"day", $"n_inst",
+        decRound($"sad".cast("double") / 2.0, 6).as("turnover"))
+  }
+
+  val q209Sql: String =
+    """WITH vol AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 0
+      |  GROUP BY 1, 2),
+      |days AS (
+      |  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+      |  FROM (SELECT DISTINCT day FROM vol)),
+      |w AS (
+      |  SELECT user_id, rk, vol.day,
+      |    CAST(round(CAST(CAST(v AS DOUBLE)
+      |      / CAST(sum(v) OVER (PARTITION BY rk) AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(14,12)) AS w
+      |  FROM vol JOIN days USING (day)),
+      |j AS (
+      |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |    coalesce(a.rk, b.rk + 1) AS rk, a.day, a.w, b.w AS wp
+      |  FROM w a FULL OUTER JOIN (SELECT user_id, rk, w FROM w) b
+      |    ON a.user_id = b.user_id AND a.rk = b.rk + 1)
+      |SELECT max(day) AS day,
+      |  CAST(count(CASE WHEN w IS NOT NULL THEN 1 END) AS BIGINT) AS n_inst,
+      |  CAST(round(CAST(CAST(sum(abs(coalesce(w, 0) - coalesce(wp, 0)))
+      |    AS DOUBLE) / 2.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS turnover
+      |FROM j
+      |WHERE rk >= 2 AND rk <= (SELECT max(rk) FROM days)
+      |GROUP BY rk""".stripMargin
 }

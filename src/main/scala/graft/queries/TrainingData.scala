@@ -1302,4 +1302,63 @@ object TrainingData {
       |SELECT source, rk, doc_id, n_chars,
       |  CAST(round(CAST(es_key AS DECIMAL(28,12)), 6) AS DOUBLE) AS es_key
       |FROM r WHERE rk <= 10""".stripMargin
+
+  /** q210_skyline — per-source Pareto front of the corpus on
+    * (lexical diversity ↑, token count ↓): a document survives iff no
+    * other document of the same source has type-token ratio ≥ its AND
+    * tokens ≤ its with one strict — the skyline operator, here as the
+    * "maximally diverse at every length budget" curation shortlist
+    * (the 2-D skyline every per-length quality cutoff is a point of).
+    * Computed WITHOUT a self-join: sort each source by token count,
+    * then (a) the running max TTR over STRICTLY-SHORTER docs (a RANGE
+    * frame ending 1 before the current token count) dominates on the
+    * strict-length side, and (b) the per-token-count group max
+    * dominates on the strict-TTR side — two window passes over one
+    * sort, O(n log n) per source vs the self-join's O(n²). TTR
+    * lattices to 6dp BEFORE every comparison so both engines make
+    * identical dominance decisions (the boundary discipline).
+    */
+  def q210Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", Text.tokens($"text").as("toks"))
+      .select($"doc_id", $"source",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_types"))
+      .filter($"n_tokens" > 0L)
+      .withColumn("ttr",
+        decRound($"n_types".cast("double") / $"n_tokens".cast("double"), 6))
+    val wLt = Window.partitionBy($"source").orderBy($"n_tokens")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy($"source", $"n_tokens")
+    val sky = d
+      .withColumn("max_lt", max($"ttr").over(wLt))
+      .withColumn("max_eq", max($"ttr").over(wEq))
+      .filter(($"max_lt".isNull || $"ttr" > $"max_lt") &&
+        $"ttr" === $"max_eq")
+    sky.select($"source", $"doc_id", $"n_tokens", $"n_types", $"ttr")
+  }
+
+  val q210Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+      |      AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)),
+      |      '\s+'))) AS BIGINT) AS n_types
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, source, n_tokens, n_types,
+      |    CAST(round(CAST(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS ttr
+      |  FROM d WHERE n_tokens > 0),
+      |w AS (
+      |  SELECT doc_id, source, n_tokens, n_types, ttr,
+      |    max(ttr) OVER (PARTITION BY source ORDER BY n_tokens
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_lt,
+      |    max(ttr) OVER (PARTITION BY source, n_tokens) AS max_eq
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens, n_types, ttr
+      |FROM w
+      |WHERE (max_lt IS NULL OR ttr > max_lt) AND ttr = max_eq""".stripMargin
 }
