@@ -2704,4 +2704,77 @@ object Streams {
   case class ShortfallEvent(user_id: Long, ts: java.sql.Timestamp,
                             value: Double, event_id: Long,
                             event_type: String, size: Option[Long])
+
+  /** s57 — streaming minute-bin census via NATIVE streaming
+    * aggregation (the s53 convention): per (instrument, minute), the
+    * running print count, plus the per-row exact squares the batch
+    * q207 tail needs. Counts are pure integer sums, so update-mode
+    * rows converge to the batch bins under any split — a minute
+    * straddling two micro-batches re-emits its corrected total — and
+    * the consumer's Fano/burstiness formula runs on the reduced bins
+    * exactly as batch q207 does. State is one long per open
+    * (instrument, minute) cell, naturally bounded by the tape span
+    * (add a watermark to close cells in production).
+    */
+  def minuteBinStream(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy(col("user_id"), col("minute"))
+      .agg(count(lit(1)).as("c"))
+
+  /** s58 — streaming Pareto front via flatMapGroupsWithState: the
+    * incremental twin of batch q210's skyline. State per source is the
+    * CURRENT front — (ttr-micro6, n_tokens, n_types, doc_id) tuples,
+    * bounded by the front's own size (≤ distinct token counts), the
+    * quintessential bounded-state streaming operator: each arriving
+    * document is dropped if dominated, otherwise inserted and the
+    * incumbents it dominates are evicted. Skyline membership is
+    * ORDER-INDEPENDENT, so any micro-batch slicing converges to the
+    * batch front; equal (ttr, tokens) pairs coexist (no strict
+    * dominance), matching batch semantics exactly. TTR lattices to
+    * 6dp integer micro-units — the same boundary lattice batch q210
+    * compares on. Emits the full front each batch (update mode —
+    * consumers read the latest emission per source).
+    */
+  def skylineStream(docs: DataFrame)
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        size(array_distinct(graft.functions.Text.tokens(col("text"))))
+          .cast("long").as("n_types"))
+      .filter(col("n_tokens") > 0L)
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long, Long)],
+        (String, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, docs: Iterator[(String, Long, Long, Long)],
+         state: GroupState[Seq[(Long, Long, Long, Long)]]) =>
+          // front entries: (ttr6 micro-units, n_tokens, n_types, doc_id)
+          var front = state.getOption.getOrElse(Seq.empty)
+          def dominates(a: (Long, Long, Long, Long),
+                        b: (Long, Long, Long, Long)): Boolean =
+            a._1 >= b._1 && a._2 <= b._2 && (a._1 > b._1 || a._2 < b._2)
+          docs.foreach { case (_, docId, nTok, nTyp) =>
+            // 12dp-then-6dp, replicating Num.decRound's cast(28,12)
+            // → round(6) two-step exactly (direct 6dp rounding can
+            // double-round differently on a ...5-at-12dp boundary)
+            val ttr6 = BigDecimal(nTyp.toDouble / nTok.toDouble)
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(1000000L)).toLongExact
+            val cand = (ttr6, nTok, nTyp, docId)
+            if (!front.exists(inc => dominates(inc, cand)))
+              front = front.filterNot(inc => dominates(cand, inc)) :+ cand
+          }
+          state.update(front)
+          front.iterator.map { case (t6, nTok, nTyp, id) =>
+            (source, id, nTok, nTyp, t6)
+          }
+      }
+  }
 }

@@ -1947,6 +1947,90 @@ class StreamingSpec extends SparkTestBase {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming minute bins reduce to the batch q207 result (s57)") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.minuteBinStream(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("mb_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // update mode re-emits a corrected row per (user, minute) — take
+    // the LATEST (= max, counts only grow) per cell, then run batch
+    // q207's closed-form tail on the reduced bins
+    val bins = spark.table("mb_out")
+      .groupBy($"user_id", $"minute").agg(max($"c").as("c"))
+    val m = bins.groupBy($"user_id")
+      .agg(sum($"c").as("n_prints"), sum($"c" * $"c").as("sc2"),
+        min($"minute").as("m0"), max($"minute").as("m1"))
+      .withColumn("n_mins", $"m1" - $"m0" + lit(1L))
+      .filter($"n_mins" >= 2L)
+    val nM = $"n_mins".cast("double")
+    val mu = $"n_prints".cast("double") / nM
+    val varC = $"sc2".cast("double") / nM - mu * mu
+    val streamed = m.select($"user_id", $"n_prints", $"n_mins",
+      graft.functions.Num.decRound(varC / mu, 6).as("fano"),
+      graft.functions.Num.decRound(
+        (sqrt(varC) - mu) / (sqrt(varC) + mu), 6).as("burstiness"))
+    val batch = SparkEntry.queries("q207_burstiness")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming skyline state converges to the batch q210 front (s58)") {
+    val docs = Tables.documents(spark, sf)
+    val nd = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    // split by doc_id parity — the front must be order-independent
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    // the LAST emission per source is the converged front (a later
+    // batch may evict earlier members, and a source absent from the
+    // last batch keeps its earlier front) — capture per-batch frames
+    // so "latest emission per source" is exact, not inferred
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, Long)]
+    val q = Streams.skylineStream(stream)
+      .toDF("source", "doc_id", "n_tokens", "n_types", "ttr6")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        emitted.synchronized {
+          df.collect().foreach(r => emitted += ((id, r.getString(0),
+            r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        }
+        ()
+      }.start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    assert(nd > 0)
+    val lastBatch = emitted.groupBy(_._2).map { case (s, rows) =>
+      s -> rows.map(_._1).max }
+    val streamed = emitted
+      .filter { case (id, s, _, _, _, _) => lastBatch(s) == id }
+      .map { case (_, s, id, nTok, nTyp, t6) => (s, id, nTok, nTyp, t6) }
+      .toSeq.toDF("source", "doc_id", "n_tokens", "n_types", "ttr6")
+      .select($"source", $"doc_id", $"n_tokens", $"n_types",
+        graft.functions.Num.decRound($"ttr6".cast("double") / 1e6, 6)
+          .as("ttr"))
+    val batch = SparkEntry.queries("q210_skyline")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "converged streaming front must equal the batch skyline")
+  }
+
   test("conversionStream counts a purchase tied to the first view's microsecond") {
     // batch q180 qualifies purchases by TIMESTAMP only (t >= first
     // view ts); a purchase sharing the first view's exact µs but with
