@@ -114,6 +114,11 @@ object GraftExtensions {
     spark.udf.register("graft_freq10",
       org.apache.spark.sql.functions.udaf(new graft.functions.FreqItemsAgg(10),
         org.apache.spark.sql.Encoders.STRING))
+    // mergeable quantile sketch at the (p50, p90, p99) SQL spot
+    spark.udf.register("graft_pctl_sketch",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.QuantileSketchAgg(Seq(0.5, 0.9, 0.99)),
+        org.apache.spark.sql.Encoders.scalaDouble))
     ()
   }
 }

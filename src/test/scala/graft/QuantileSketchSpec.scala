@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.{QuantileSketch, QuantileSketchAgg}
+import org.apache.spark.sql.functions._
+
+/** Certification of the mergeable quantile sketch: the measured rank
+  * error must stay inside the deterministic closed-form bound across
+  * partitionings (merge orders) and skews, state must stay bounded,
+  * and the SQL spot must agree with the DSL column — the ANN-style
+  * certified-contract discipline for an approximate operator.
+  */
+class QuantileSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val probs = Seq(0.1, 0.5, 0.9, 0.99)
+
+  private def rankOf(sorted: Array[Double], v: Double): Long =
+    sorted.count(_ <= v).toLong
+
+  test("rank error stays inside the deterministic bound across partitionings and skews") {
+    val n = 60000
+    val uniform = (1 to n).map(_.toDouble)
+    val rnd = new scala.util.Random(7)
+    val skewed = (1 to n).map(_ => math.exp(rnd.nextGaussian() * 4))
+    for ((data, tag) <- Seq((uniform, "uniform"), (skewed, "lognormal"));
+         parts <- Seq(1, 7, 32)) {
+      val sorted = data.toArray.sorted
+      val got = data.toDF("v").repartition(parts)
+        .agg(QuantileSketch.quantiles($"v", probs, k = 256).as("q"))
+        .as[Seq[Double]].head()
+      val bound = QuantileSketch.rankErrorBound(n, 256)
+      probs.zip(got).foreach { case (p, est) =>
+        val err = math.abs(rankOf(sorted, est) - math.ceil(p * n).toLong)
+        assert(err <= bound,
+          s"$tag parts=$parts p=$p: rank error $err > bound $bound")
+      }
+    }
+  }
+
+  test("buffer state is bounded by k x levels regardless of n") {
+    val agg = new QuantileSketchAgg(Seq(0.5), k = 64)
+    var buf = agg.zero
+    (1 to 100000).foreach(i => buf = agg.reduce(buf, i.toDouble))
+    val stored = buf.map(_._2.size).sum
+    val levels = buf.size
+    assert(stored <= 64 * (levels + 1), s"stored $stored across $levels levels")
+    assert(levels <= math.ceil(math.log(100000.0 / 64) / math.log(2.0)) + 2)
+    // merge associativity sanity: (a+b)+c and a+(b+c) summarize the
+    // same multiset — both must satisfy the bound on the union
+    val chunks = (1 to 30000).map(_.toDouble).grouped(10000).toSeq
+    val bufs = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+    val left = agg.merge(agg.merge(bufs(0), bufs(1)), bufs(2))
+    val right = agg.merge(bufs(0), agg.merge(bufs(1), bufs(2)))
+    val sorted = (1 to 30000).map(_.toDouble).toArray
+    for (b <- Seq(left, right); (p, est) <- Seq(0.5).zip(agg.finish(b))) {
+      val err = math.abs(rankOf(sorted, est) - math.ceil(p * 30000).toLong)
+      assert(err <= QuantileSketch.rankErrorBound(30000, 64), s"err $err")
+    }
+  }
+
+  test("per-group sketch quantiles track exact percentiles; SQL spot agrees") {
+    graft.plans.GraftExtensions.install(spark)
+    val ev = Tables.events(spark, sf).filter($"value".isNotNull)
+    val viaDsl = ev.groupBy($"event_type")
+      .agg(QuantileSketch.quantiles($"value", Seq(0.5, 0.9, 0.99)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    ev.createOrReplaceTempView("ev_pctl")
+    val viaSql = spark.sql(
+      """SELECT event_type, graft_pctl_sketch(value) AS q
+        |FROM ev_pctl GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(viaDsl.keySet == viaSql.keySet && viaDsl.keySet.nonEmpty)
+    // each group's n is far below k=256, so the sketch is EXACT here:
+    // both surfaces must hit the true lower-quantile values
+    val groups = ev.groupBy($"event_type")
+      .agg(collect_list($"value").as("vs")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray.sorted).toMap
+    for ((t, sorted) <- groups; (p, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val exact = sorted(math.max(0,
+        math.ceil(p * sorted.length).toInt - 1))
+      assert(viaDsl(t)(i) == exact, s"$t p=$p: ${viaDsl(t)(i)} != $exact")
+      assert(viaSql(t)(i) == exact)
+    }
+  }
+}
