@@ -461,6 +461,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming quantile sketch keeps its rank-error contract over the stream (s59)") {
+    // QuantileSketchAgg drops into a streaming groupBy unchanged (the
+    // s44 mergeable-summaries convention): each micro-batch folds into
+    // the bounded level summary in the state store, and the final
+    // estimate must satisfy the closed-form rank-error bound no matter
+    // how the stream was sliced
+    val ev = Tables.events(spark, sf).filter($"value".isNotNull)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s59").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+      .groupBy($"event_type")
+      .agg(graft.functions.QuantileSketch
+        .quantiles($"value", Seq(0.5, 0.9), k = 64).as("q"))
+    val q = stream.writeStream.format("memory").queryName("s59_pctl")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("s59_pctl")
+      .as[(String, Seq[Double])].collect().toMap
+    val truth = ev.groupBy($"event_type")
+      .agg(collect_list($"value").as("vs")).as[(String, Seq[Double])]
+      .collect().map { case (t, vs) => t -> vs.toArray.sorted }.toMap
+    assert(got.nonEmpty && got.keySet == truth.keySet)
+    truth.foreach { case (t, sorted) =>
+      val n = sorted.length
+      val bound = graft.functions.QuantileSketch.rankErrorBound(n, 64)
+      Seq(0.5, 0.9).zip(got(t)).foreach { case (p, est) =>
+        val err = math.abs(sorted.count(_ <= est).toLong -
+          math.ceil(p * n).toLong)
+        assert(err <= bound, s"$t p=$p: rank error $err > $bound (n=$n)")
+      }
+    }
+  }
+
   test("streaming transition counts sum to the batch q107 matrix across micro-batches") {
     // two files split at the global ts midpoint -> per-user in-order
     // delivery across TWO micro-batches (maxFilesPerTrigger=1), so the
