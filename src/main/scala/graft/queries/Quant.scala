@@ -1575,4 +1575,119 @@ object Quant {
       |FROM j
       |WHERE rk >= 2 AND rk <= (SELECT max(rk) FROM days)
       |GROUP BY rk""".stripMargin
+
+  /** q214_decile_backtest — the engine eating its own cooking: a
+    * daily-rebalanced momentum QUINTILE backtest over daily log
+    * returns. Signal = trailing 5-day return sum ending YESTERDAY
+    * (no lookahead by construction); each day instruments with a full
+    * signal window sort into 5 equal buckets (explicit
+    * floor((rank−1)·5/n) — ntile's remainder convention differs
+    * between engines); the portfolio earns TODAY's equal-weight mean
+    * return per bucket. Output per quintile: days, mean daily return,
+    * annualized-free t-stat mean/σ·√n — monotone mean across
+    * quintiles = the momentum premium, the final integration test of
+    * closes → returns → ranks → portfolio math in one plan.
+    * Determinism: returns and per-(day, quintile) means lattice to
+    * 12dp decimals before every cross-row sum; ranks tie-break on
+    * user_id; all divisions run on identical exact operands.
+    */
+  def q214DecileBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val closes = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(wDay))
+      .filter($"rn" === 1)
+      .select($"user_id", $"day",
+        decRound(log($"value"), 12).cast(DecimalType(18, 12)).as("x"))
+    val wOrd = Window.partitionBy($"user_id").orderBy($"day")
+    val wSig = wOrd.rowsBetween(-5, -1)
+    val rets = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(wOrd))
+        .cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .withColumn("sig", sum($"r").over(wSig))
+      .withColumn("n_sig", count($"r").over(wSig))
+      .filter($"n_sig" === 5L)
+    val wRank = Window.partitionBy($"day")
+      .orderBy($"sig".desc, $"user_id".asc)
+    val wN = Window.partitionBy($"day")
+    val bucketed = rets
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n_day", count(lit(1)).over(wN))
+      // `div`, not `/`: long/long is DOUBLE division in both engines
+      .withColumn("quintile", expr("(rk - 1) * 5 div n_day") + 1L)
+    val dayQ = bucketed.groupBy($"day", $"quintile")
+      .agg(decRound(sum($"r").cast("double") /
+        count(lit(1)).cast("double"), 12)
+        .cast(DecimalType(18, 12)).as("pret"))
+    val m = dayQ.groupBy($"quintile")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"pret").as("s"), sum($"pret" * $"pret").as("s2"))
+    val nD = $"n_days".cast("double")
+    val mean = $"s".cast("double") / nD
+    val varP = $"s2".cast("double") / nD - mean * mean
+    m.select($"quintile", $"n_days",
+        decRound(mean * 10000.0, 4).as("mean_ret_bps"),
+        decRound(when(varP > 0.0, mean / sqrt(varP) * sqrt(nD)), 4)
+          .as("t_stat"))
+      .orderBy($"quintile")
+  }
+
+  val q214Sql: String =
+    """WITH c0 AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE value > 0.0),
+      |closes AS (
+      |  SELECT user_id, day,
+      |    CAST(round(CAST(ln(value) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS x
+      |  FROM c0 WHERE rn = 1),
+      |r0 AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM closes),
+      |sig AS (
+      |  SELECT user_id, day, r,
+      |    sum(r) OVER w5 AS sig, count(r) OVER w5 AS n_sig
+      |  FROM r0 WHERE r IS NOT NULL
+      |  WINDOW w5 AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+      |b AS (
+      |  SELECT day, r,
+      |    (CAST(row_number() OVER (PARTITION BY day
+      |        ORDER BY sig DESC, user_id ASC) AS BIGINT) - 1) * 5
+      |      // CAST(count(*) OVER (PARTITION BY day) AS BIGINT) + 1
+      |      AS quintile
+      |  FROM sig WHERE n_sig = 5),
+      |dq AS (
+      |  SELECT day, quintile,
+      |    CAST(round(CAST(CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(18,12)) AS pret
+      |  FROM b GROUP BY 1, 2),
+      |m AS (
+      |  SELECT quintile, CAST(count(*) AS BIGINT) AS n_days,
+      |    sum(pret) AS s, sum(pret * pret) AS s2
+      |  FROM dq GROUP BY 1),
+      |f AS (
+      |  SELECT quintile, n_days,
+      |    CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |      - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |        * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS varp
+      |  FROM m)
+      |SELECT quintile, n_days,
+      |  CAST(round(CAST(mean * 10000.0 AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS mean_ret_bps,
+      |  CAST(round(CAST(CASE WHEN varp > 0.0
+      |    THEN mean / sqrt(varp) * sqrt(CAST(n_days AS DOUBLE)) END
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS t_stat
+      |FROM f""".stripMargin
 }

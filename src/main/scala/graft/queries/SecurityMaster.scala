@@ -1331,4 +1331,128 @@ object SecurityMaster {
       |    AS gross_notional
       |FROM s JOIN spine p ON p.rk = s.srk
       |GROUP BY 1""".stripMargin
+
+  /** q213_index_level — a divisor-continuous equal-weight price index
+    * with WEEKLY reconstitution: each week's universe is the top-20
+    * most-printed instruments; the raw level is the mean member close;
+    * at each reconstitution the divisor rescales by (new-universe
+    * mean / old-universe mean on the changeover day) so membership
+    * churn never jumps the published level — the S&P-style divisor
+    * mechanism, the missing piece between q142's PIT universe and any
+    * index-relative analytics. Base 100 at the first day.
+    * Determinism/scale: ticks collapse to daily closes once (the q202
+    * shape); universes, boundary ratios and divisors live on
+    * calendar-bounded frames (weeks × 20); the divisor's running
+    * product is the q25 ln-sum idiom over the WEEK frame (a handful of
+    * terms — drift orders below the 4dp output round); member means
+    * are exact decimal sums over 6dp-latticed closes.
+    */
+  def q213IndexLevel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val closes = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(wDay))
+      .filter($"rn" === 1)
+      .select($"user_id", $"day", date_trunc("week", $"day").as("wk"),
+        decRound($"value", 6).cast(DecimalType(18, 6)).as("px"))
+    val wRank = Window.partitionBy($"wk").orderBy($"n".desc, $"user_id".asc)
+    val universe = closes.groupBy($"wk", $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= 20)
+      .select($"wk", $"user_id")
+    val member = closes.join(universe, Seq("wk", "user_id"))
+    val daily = member.groupBy($"wk", $"day")
+      .agg(count(lit(1)).as("n_members"),
+        (sum($"px").cast("double") / count(lit(1)).cast("double"))
+          .as("rbar"))
+    // changeover day = the week's first trading day; the OLD universe's
+    // mean on that same day prices the continuity ratio
+    val firstDay = daily.groupBy($"wk").agg(min($"day").as("d0"))
+    val oldU = universe.select(($"wk" + expr("INTERVAL 7 DAYS")).as("wk"),
+      $"user_id")
+    val oldBar = closes.join(oldU, Seq("wk", "user_id"))
+      .join(firstDay.withColumnRenamed("d0", "day")
+        .select($"wk", $"day"), Seq("wk", "day"))
+      .groupBy($"wk")
+      .agg((sum($"px").cast("double") / count(lit(1)).cast("double"))
+        .as("obar"))
+    val newBar = daily.join(firstDay, Seq("wk"))
+      .filter($"day" === $"d0")
+      .select($"wk", $"rbar".as("nbar"))
+    val wWeeks = Window.orderBy($"wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ratios = newBar.join(oldBar, Seq("wk"), "left_outer")
+      .withColumn("lr", when($"obar".isNotNull && $"obar" > 0.0,
+        decRound(log($"nbar" / $"obar"), 12)).otherwise(lit(0.0)))
+      .withColumn("base", first($"nbar").over(wWeeks))
+      .withColumn("first_lr",
+        when(row_number().over(Window.orderBy($"wk")) === 1, lit(0.0))
+          .otherwise($"lr"))
+      .withColumn("ln_div",
+        sum($"first_lr").over(wWeeks) + log($"base" / lit(100.0)))
+      .select($"wk", $"ln_div")
+    daily.join(ratios, Seq("wk"))
+      .select($"day", $"n_members",
+        decRound($"rbar" / exp($"ln_div"), 4).as("index_level"))
+  }
+
+  val q213Sql: String =
+    """WITH c0 AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE value > 0.0),
+      |closes AS (
+      |  SELECT user_id, day, date_trunc('week', day) AS wk,
+      |    CAST(round(CAST(value AS DECIMAL(28,12)), 6) AS DECIMAL(18,6))
+      |      AS px
+      |  FROM c0 WHERE rn = 1),
+      |uni AS (
+      |  SELECT wk, user_id FROM (
+      |    SELECT wk, user_id,
+      |      row_number() OVER (PARTITION BY wk
+      |        ORDER BY count(*) DESC, user_id ASC) AS rk
+      |    FROM closes GROUP BY wk, user_id)
+      |  WHERE rk <= 20),
+      |daily AS (
+      |  SELECT c.wk, c.day, CAST(count(*) AS BIGINT) AS n_members,
+      |    CAST(sum(c.px) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rbar
+      |  FROM closes c JOIN uni USING (wk, user_id)
+      |  GROUP BY 1, 2),
+      |firstday AS (SELECT wk, min(day) AS d0 FROM daily GROUP BY wk),
+      |oldu AS (SELECT wk + INTERVAL 7 DAY AS wk, user_id FROM uni),
+      |oldbar AS (
+      |  SELECT c.wk,
+      |    CAST(sum(c.px) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS obar
+      |  FROM closes c JOIN oldu USING (wk, user_id)
+      |    JOIN firstday f ON f.wk = c.wk AND c.day = f.d0
+      |  GROUP BY 1),
+      |newbar AS (
+      |  SELECT d.wk, d.rbar AS nbar
+      |  FROM daily d JOIN firstday f ON f.wk = d.wk AND d.day = f.d0),
+      |ratios AS (
+      |  SELECT n.wk, n.nbar,
+      |    CASE WHEN o.obar IS NOT NULL AND o.obar > 0.0
+      |      THEN CAST(round(CAST(ln(n.nbar / o.obar) AS DECIMAL(28,12)),
+      |        12) AS DOUBLE) ELSE 0.0 END AS lr,
+      |    row_number() OVER (ORDER BY n.wk) AS wrk
+      |  FROM newbar n LEFT JOIN oldbar o USING (wk)),
+      |div AS (
+      |  SELECT wk,
+      |    sum(CASE WHEN wrk = 1 THEN 0.0 ELSE lr END)
+      |      OVER (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND CURRENT ROW)
+      |    + ln(first_value(nbar) OVER (ORDER BY wk ROWS BETWEEN
+      |        UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0) AS ln_div
+      |  FROM ratios)
+      |SELECT d.day, d.n_members,
+      |  CAST(round(CAST(d.rbar / exp(v.ln_div) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS index_level
+      |FROM daily d JOIN div v USING (wk)""".stripMargin
 }
