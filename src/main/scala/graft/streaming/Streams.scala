@@ -2723,6 +2723,25 @@ object Streams {
       .groupBy(col("user_id"), col("minute"))
       .agg(count(lit(1)).as("c"))
 
+  /** s60/s61 — ONE streaming ledger, TWO batch twins: the native
+    * update-mode (instrument, day) traded-size census. Sizes are
+    * integer sums, so each update-mode emission is the cell's corrected
+    * running total (monotone — latest = max) and the converged ledger
+    * equals the batch daily-volume frame EXACTLY under any slicing.
+    * Batch q209 (portfolio turnover) and q212 (ADV participation) are
+    * both pure functions of this frame — the s53 convention taken one
+    * step further: one ledger, the batch tails unchanged on top. State
+    * is one long per open (instrument, day) cell (watermark to close
+    * cells in production).
+    */
+  def dailyVolStream(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") > 0L)
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("k")).as("v"))
+
   /** s58 — streaming Pareto front via flatMapGroupsWithState: the
     * incremental twin of batch q210's skyline. State per source is the
     * CURRENT front — (ttr-micro6, n_tokens, n_types, doc_id) tuples,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.Streams
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming smoke: the sf0.001 events parquet replayed through the
@@ -459,6 +460,77 @@ class StreamingSpec extends SparkTestBase {
         assert(c <= tr(i) && tr(i) - c <= n / 4, s"group $g bound broken for $i")
       }
     }
+  }
+
+  test("one streaming volume ledger rebuilds batch q209 AND q212 (s60/s61)") {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvol").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.dailyVolStream(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dvol_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // integer sums are monotone: latest emission per cell = max
+    val vol = spark.table("dvol_out")
+      .groupBy($"user_id", $"day").agg(max($"v").as("v")).cache()
+    assert(vol.count() > 0)
+    // s60: batch q209's turnover tail on the converged ledger
+    // (day spine rebuilt from a calendar-bounded collect — joining a
+    // child of `vol` back onto `vol` through the memory-sink view
+    // trips conflicting-reference resolution)
+    val days = vol.select($"day").distinct().orderBy($"day")
+      .collect().map(_.getTimestamp(0)).zipWithIndex
+      .map { case (d, i) => (d, i + 1L) }.toSeq.toDF("day", "rk")
+    val w = vol.join(broadcast(days), "day")
+      .withColumn("tot", sum($"v").over(Window.partitionBy($"rk")))
+      .select($"user_id", $"rk", $"day",
+        graft.functions.Num.decRound(
+          $"v".cast("double") / $"tot".cast("double"), 12)
+          .cast(DecimalType(14, 12)).as("w"))
+    val wMat = w.localCheckpoint() // self-join below: break the view lineage
+    val prev = wMat.select($"user_id", ($"rk" + 1L).as("rk"), $"w".as("wp"))
+    val maxRk = days.agg(max($"rk")).first().getLong(0)
+    val zero = lit(BigDecimal(0)).cast(DecimalType(14, 12))
+    val turnover = wMat.select($"user_id", $"rk", $"day", $"w")
+      .join(prev, Seq("user_id", "rk"), "full_outer")
+      .filter($"rk" >= 2L && $"rk" <= maxRk)
+      .groupBy($"rk")
+      .agg(max($"day").as("day"),
+        sum(abs(coalesce($"w", zero) - coalesce($"wp", zero))).as("sad"),
+        count(when($"w".isNotNull, 1)).as("n_inst"))
+      .select($"day", $"n_inst",
+        graft.functions.Num.decRound($"sad".cast("double") / 2.0, 6)
+          .as("turnover"))
+    val batch209 = SparkEntry.queries("q209_turnover")(spark, sf)
+    assert(turnover.exceptAll(batch209).isEmpty &&
+      batch209.exceptAll(turnover).isEmpty)
+    // s61: batch q212's participation tail on the same ledger
+    val wTrail = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(-20, -1)
+    val part = vol.withColumnRenamed("v", "vol")
+      .withColumn("hist_days", count(lit(1)).over(wTrail))
+      .withColumn("hist_vol", sum($"vol").over(wTrail))
+      .filter($"hist_days" >= 5L)
+      .withColumn("adv",
+        $"hist_vol".cast("double") / $"hist_days".cast("double"))
+      .withColumn("participation",
+        graft.functions.Num.decRound($"vol".cast("double") / $"adv", 6))
+      .select($"user_id", $"day", $"vol", $"hist_days",
+        graft.functions.Num.decRound($"adv", 4).as("adv"),
+        $"participation", ($"participation" > 1.5).as("flag_spike"))
+    val batch212 = SparkEntry.queries("q212_adv_participation")(spark, sf)
+    assert(part.exceptAll(batch212).isEmpty &&
+      batch212.exceptAll(part).isEmpty)
   }
 
   test("streaming quantile sketch keeps its rank-error contract over the stream (s59)") {
