@@ -1136,4 +1136,99 @@ object Microstructure {
       |  participation,
       |  participation > 1.5 AS flag_spike
       |FROM p""".stripMargin
+
+  /** q215_jump_detect — Barndorff-Nielsen–Shephard jump screen per
+    * instrument: realized variance Σr² against bipower variation
+    * (π/2)·Σ|r_t||r_t−1| over the print tape — BV is robust to jumps
+    * while RV is not, so the relative jump statistic
+    * max(0, 1 − BV/RV) isolates the jump share of variance;
+    * instruments whose ROUNDED jump ratio exceeds 0.5 flag (boundary
+    * discipline). The data-quality / event screen run next to q157's
+    * RV and q188's moments before trusting a continuous-volatility
+    * model. (Whole-tape granularity: this synthetic tape prints ~2×
+    * per instrument-day — a per-day BV would be vacuous; on a dense
+    * real tape the same plan regroups by (user, day) unchanged.)
+    * One tape pass: returns lattice to 12dp decimals, |r_t||r_t−1|
+    * products are exact decimal sums ((18,12)² under the cap), the
+    * adjacent-|r| pair rides the same keyed lag window — one
+    * hash(user_id) exchange end to end.
+    */
+  def q215JumpDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val rets = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"user_id", $"ts", $"event_id",
+        decRound(log($"value"), 12).cast(DecimalType(18, 12)).as("x"))
+      .withColumn("r", ($"x" - lag($"x", 1).over(wOrd))
+        .cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .withColumn("ar", abs($"r"))
+      .withColumn("arp", lag($"ar", 1).over(wOrd))
+    val m = rets.groupBy($"user_id")
+      // the (38,24) product sums RE-NARROW to (28,10) before the
+      // double cast: a 24-scale decimal carries 27 significant digits
+      // and the two engines' decimal→double conversions round those
+      // DIFFERENTLY (measured: 40/15000 rows at sf1); at scale 10 the
+      // unscaled value sits under 2^53, so both conversions are one
+      // exactly-rounded step and agree bitwise (positive values only —
+      // HALF_UP equals round-half-away here)
+      .agg(count(lit(1)).as("n_rets"),
+        sum($"r" * $"r").cast(DecimalType(28, 10)).as("rv"),
+        sum($"ar" * $"arp").cast(DecimalType(28, 10)).as("bp"),
+        count($"arp").as("n_bp"))
+      .filter($"n_rets" >= 20L)
+    val rvD = $"rv".cast("double")
+    val bvD = $"bp".cast("double") * (math.Pi / 2.0)
+    val jump = decRound(
+      when(rvD > 0.0, greatest(lit(0.0), lit(1.0) - bvD / rvD)), 6)
+    // 6dp output round: a 1-ulp cross-engine ln() divergence flips a
+    // 12dp return lattice point on ~0.3% of prints at sf1, perturbing
+    // the variance sums at ~1e-11 — far below 5e-7, fatal at 10dp
+    m.select($"user_id", $"n_rets",
+      decRound(rvD, 6).as("rv"),
+      decRound(bvD, 6).as("bv"),
+      jump.as("jump_ratio"),
+      (jump > 0.5).as("flag_jump"))
+  }
+
+  val q215Sql: String =
+    """WITH x0 AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(CAST(ln(value) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS x
+      |  FROM events WHERE value > 0.0),
+      |r0 AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(x - lag(x) OVER w AS DECIMAL(18,12)) AS r
+      |  FROM x0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r1 AS (
+      |  SELECT user_id, r, abs(r) AS ar,
+      |    lag(abs(r)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS arp
+      |  FROM r0 WHERE r IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rets,
+      |    CAST(round(sum(r * r), 10) AS DECIMAL(28,10)) AS rv,
+      |    CAST(round(sum(ar * arp), 10) AS DECIMAL(28,10)) AS bp,
+      |    CAST(count(arp) AS BIGINT) AS n_bp
+      |  FROM r1 GROUP BY 1),
+      |f AS (
+      |  SELECT user_id, n_rets,
+      |    CAST(rv AS DOUBLE) AS rvd,
+      |    CAST(bp AS DOUBLE) * (pi() / 2.0) AS bvd
+      |  FROM m WHERE n_rets >= 20),
+      |g AS (
+      |  SELECT user_id, n_rets, rvd, bvd,
+      |    CAST(round(CAST(CASE WHEN rvd > 0.0
+      |      THEN greatest(0.0, 1.0 - bvd / rvd) END AS DECIMAL(28,12)),
+      |      6) AS DOUBLE) AS jump_ratio
+      |  FROM f)
+      |SELECT user_id, n_rets,
+      |  CAST(round(CAST(rvd AS DECIMAL(28,12)), 6) AS DOUBLE) AS rv,
+      |  CAST(round(CAST(bvd AS DECIMAL(28,12)), 6) AS DOUBLE) AS bv,
+      |  jump_ratio, jump_ratio > 0.5 AS flag_jump
+      |FROM g""".stripMargin
 }
