@@ -2723,6 +2723,62 @@ object Streams {
       .groupBy(col("user_id"), col("minute"))
       .agg(count(lit(1)).as("c"))
 
+  /** s62 — streaming BNS jump ledger via flatMapGroupsWithState: the
+    * incremental twin of batch q215. State per instrument is TWO
+    * picounit lattices — the last log price and the last \|return\| —
+    * because RV and bipower are both one-lag recurrences over the same
+    * tape. Each batch emits increments of (n, Σr², Σ\|r_t\|\|r_{t−1}\|)
+    * with the product sums as exact plain-string 24dp decimals (the
+    * s55 convention); increments reduce bit-exactly under any split
+    * and the consumer applies batch q215's (28,10) re-narrow + π/2 +
+    * 6dp tail on identical operands. Same in-order-per-key delivery
+    * caveat as [[ewmaState]].
+    */
+  def jumpStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, String, String, Long)] = {
+    import spark.implicits._
+    events.filter(col("value") > 0)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long),
+        (Long, Long, String, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Long, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (prev, prevAr) = state.getOption.getOrElse(
+            (Long.MinValue, Long.MinValue))
+          var n = 0L; var nBp = 0L
+          var rv = java.math.BigInteger.ZERO
+          var bp = java.math.BigInteger.ZERO
+          sorted.foreach { e =>
+            val x = BigDecimal(math.log(e.value))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(1000000000000L)).toLongExact
+            if (prev != Long.MinValue) {
+              val r = x - prev
+              val ar = math.abs(r)
+              n += 1L
+              val rB = java.math.BigInteger.valueOf(r)
+              rv = rv.add(rB.multiply(rB))
+              if (prevAr != Long.MinValue) {
+                nBp += 1L
+                bp = bp.add(java.math.BigInteger.valueOf(ar)
+                  .multiply(java.math.BigInteger.valueOf(prevAr)))
+              }
+              prevAr = ar
+            }
+            prev = x
+          }
+          if (prev != Long.MinValue) state.update((prev, prevAr))
+          if (n == 0L) Iterator.empty
+          else Iterator((user, n,
+            new java.math.BigDecimal(rv, 24).toPlainString,
+            new java.math.BigDecimal(bp, 24).toPlainString, nBp))
+      }
+  }
+
   /** s60/s61 — ONE streaming ledger, TWO batch twins: the native
     * update-mode (instrument, day) traded-size census. Sizes are
     * integer sums, so each update-mode emission is the cell's corrected

@@ -533,6 +533,48 @@ class StreamingSpec extends SparkTestBase {
       batch212.exceptAll(part).isEmpty)
   }
 
+  test("streaming jump ledger increments reduce to the batch q215 result (s62)") {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jmp").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.jumpStream(spark, stream)
+      .toDF("user_id", "n", "rv", "bp", "n_bp")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("jmp_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val m = spark.table("jmp_out")
+      .groupBy($"user_id")
+      .agg(sum($"n").as("n_rets"),
+        sum($"rv".cast(DecimalType(38, 24))).cast(DecimalType(28, 10))
+          .as("rv"),
+        sum($"bp".cast(DecimalType(38, 24))).cast(DecimalType(28, 10))
+          .as("bp"),
+        sum($"n_bp").as("n_bp"))
+      .filter($"n_rets" >= 20L)
+    val rvD = $"rv".cast("double")
+    val bvD = $"bp".cast("double") * (math.Pi / 2.0)
+    val jump = graft.functions.Num.decRound(
+      when(rvD > 0.0, greatest(lit(0.0), lit(1.0) - bvD / rvD)), 6)
+    val streamed = m.select($"user_id", $"n_rets",
+      graft.functions.Num.decRound(rvD, 6).as("rv"),
+      graft.functions.Num.decRound(bvD, 6).as("bv"),
+      jump.as("jump_ratio"), (jump > 0.5).as("flag_jump"))
+    val batch = SparkEntry.queries("q215_jump_detect")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming quantile sketch keeps its rank-error contract over the stream (s59)") {
     // QuantileSketchAgg drops into a streaming groupBy unchanged (the
     // s44 mergeable-summaries convention): each micro-batch folds into
