@@ -1361,4 +1361,87 @@ object TrainingData {
       |SELECT source, doc_id, n_tokens, n_types, ttr
       |FROM w
       |WHERE (max_lt IS NULL OR ttr > max_lt) AND ttr = max_eq""".stripMargin
+
+  /** q216_dedup_sweep — the dedup-threshold TUNING curve: for each
+    * candidate similarity cutoff τ ∈ {0.1 … 0.9}, how many near-dup
+    * pairs fire and how many documents are touched — the
+    * retention-vs-aggressiveness tradeoff read before committing a
+    * corpus-wide dedup pass (pair q198's apply step with this to price
+    * a cutoff). One bounded pair materialization (the q34 df-capped
+    * inverted index at a low 0.05 floor), swept by a 9-row threshold
+    * explode — the sweep multiplies the PAIR frame (already
+    * band-bounded), never the corpus; comparisons run on the pairs'
+    * 4dp-latticed jaccard (boundary discipline).
+    */
+  def q216DedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.05)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val taus = (1 to 9).map(i => i / 10.0)
+    val swept = pairs
+      .select($"doc_a", $"doc_b", $"jaccard",
+        explode(lit(taus.toArray)).as("tau"))
+      .filter($"jaccard" >= $"tau")
+    val perTau = swept.groupBy($"tau")
+      .agg(count(lit(1)).as("n_pairs"))
+    val affected = swept
+      .select($"tau", explode(array($"doc_a", $"doc_b")).as("doc"))
+      .groupBy($"tau")
+      .agg(countDistinct($"doc").as("n_docs_affected"))
+    // every τ row survives even when nothing fires (the curve's tail)
+    val spine = taus.toDF("tau")
+    spine.join(perTau, Seq("tau"), "left_outer")
+      .join(affected, Seq("tau"), "left_outer")
+      .select($"tau",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs_affected", lit(0L)).as("n_docs_affected"),
+        decRound(coalesce($"n_docs_affected", lit(0L)).cast("double") /
+          lit(nDocs.toDouble), 6).as("affected_share"))
+  }
+
+  val q216Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams),
+      |rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+      |f AS (SELECT ex.* FROM ex JOIN rare USING (gram)),
+      |p0 AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+      |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
+      |      AS DECIMAL(28,12)), 4) AS DOUBLE) AS jaccard
+      |  FROM p0),
+      |pf AS (SELECT * FROM pairs WHERE jaccard >= 0.05),
+      |taus AS (SELECT CAST(unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+      |  AS DOUBLE) AS tau),
+      |swept AS (
+      |  SELECT t.tau, p.doc_a, p.doc_b
+      |  FROM pf p JOIN taus t ON p.jaccard >= t.tau),
+      |np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM swept GROUP BY 1),
+      |aff AS (
+      |  SELECT tau, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_affected
+      |  FROM (SELECT tau, doc_a AS doc FROM swept
+      |        UNION ALL SELECT tau, doc_b FROM swept)
+      |  GROUP BY 1)
+      |SELECT t.tau,
+      |  coalesce(np.n_pairs, 0) AS n_pairs,
+      |  coalesce(aff.n_docs_affected, 0) AS n_docs_affected,
+      |  CAST(round(CAST(CAST(coalesce(aff.n_docs_affected, 0) AS DOUBLE)
+      |    / (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS affected_share
+      |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN aff USING (tau)""".stripMargin
 }
