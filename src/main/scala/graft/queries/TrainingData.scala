@@ -1444,4 +1444,39 @@ object TrainingData {
       |    / (SELECT CAST(count(*) AS DOUBLE) FROM documents)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS affected_share
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN aff USING (tau)""".stripMargin
+
+  /** q217_langid_confusion — the model-eval audit of the q37 language
+    * classifier against the labeled corpus: per (true lang, predicted
+    * lang) cell, count, row-conditional recall share, and a correct
+    * flag — the confusion matrix + per-class recall every
+    * heuristic-classifier deployment reads before trusting the q37
+    * column in a filter. COMPOSES the engine's own classifier (the
+    * q200 discipline: Spark calls the q37 builder, the oracle nests
+    * q37's SQL verbatim — one classifier definition). Counts are
+    * integers; shares are one exact division latticed at 6dp; the
+    * matrix is |langs|² rows at any corpus size (map-side combined).
+    */
+  def q217LangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wRow = Window.partitionBy($"lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    q37LangId(spark, dir)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share",
+        decRound($"n".cast("double") / sum($"n").over(wRow), 6))
+      .withColumn("correct", $"lang" === $"pred_lang")
+  }
+
+  val q217Sql: String =
+    s"""WITH q37 AS (${q37Sql.replace("\n", "\n      |")}),
+       |m AS (
+       |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM q37 GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n,
+       |  CAST(round(CAST(CAST(n AS DOUBLE)
+       |    / sum(n) OVER (PARTITION BY lang) AS DECIMAL(28,12)), 6)
+       |    AS DOUBLE) AS row_share,
+       |  lang = pred_lang AS correct
+       |FROM m""".stripMargin
 }
