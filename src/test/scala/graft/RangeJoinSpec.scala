@@ -59,6 +59,24 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == naive)
   }
 
+  test("the rewrite fires from pure SQL (BETWEEN desugars to the bound pair)") {
+    GraftExtensions.install(spark)
+    points.createOrReplaceTempView("rj_points")
+    intervals.createOrReplaceTempView("rj_intervals")
+    val sql = """SELECT i.iid, p.x FROM rj_points p
+                |JOIN rj_intervals i ON p.x BETWEEN i.lo AND i.hi""".stripMargin
+    val naive = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = withBin(10L) {
+      val df = spark.sql(sql)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("NestedLoop") && phys.contains("__graft_bin"),
+        phys)
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == naive && naive.nonEmpty)
+  }
+
   test("rule is idempotent and leaves equi-joins + off-conf plans alone") {
     val cond = $"x" >= $"lo" && $"x" <= $"hi"
     withBin(10L) {
