@@ -1231,4 +1231,121 @@ object Microstructure {
       |  CAST(round(CAST(bvd AS DECIMAL(28,12)), 6) AS DOUBLE) AS bv,
       |  jump_ratio, jump_ratio > 0.5 AS flag_jump
       |FROM g""".stripMargin
+
+  /** q218_sign_autocorr — order-flow sign persistence per instrument:
+    * the autocorrelation of tick-rule trade signs at lags 1–3 — the
+    * order-splitting footprint (Bouchaud/Lillo long memory: parents
+    * sliced into child orders leave ρ₁ ≫ 0), read next to q156's OFI
+    * and q187's predictability before interpreting any impact
+    * regression. Signs reuse q170's carry-forward recurrence; the ACF
+    * moments are EXACT INTEGER sums (signs are ±1 longs — no FP until
+    * the final closed-form ratio), so the output is bit-deterministic
+    * at any scale. Three lag columns ride one keyed sort window — one
+    * tape exchange.
+    */
+  def q218SignAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val signs = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("dp", $"value" - lag($"value", 1).over(wOrd))
+      .withColumn("raw", signum($"dp"))
+      .withColumn("sgn",
+        last(when($"raw" =!= 0.0, $"raw"), ignoreNulls = true).over(wRun)
+          .cast("long"))
+      .filter($"sgn".isNotNull)
+      .withColumn("s1", lag($"sgn", 1).over(wOrd))
+      .withColumn("s2", lag($"sgn", 2).over(wOrd))
+      .withColumn("s3", lag($"sgn", 3).over(wOrd))
+    def acf(lagCol: org.apache.spark.sql.Column, tag: String) = Seq(
+      count(lagCol).as(s"n_$tag"),
+      sum(when(lagCol.isNotNull, $"sgn")).as(s"sx_$tag"),
+      sum(lagCol).as(s"sy_$tag"),
+      sum($"sgn" * lagCol).as(s"sxy_$tag"),
+      sum(when(lagCol.isNotNull, $"sgn" * $"sgn")).as(s"sxx_$tag"),
+      sum(lagCol * lagCol).as(s"syy_$tag"))
+    val aggs = acf($"s1", "l1") ++ acf($"s2", "l2") ++ acf($"s3", "l3")
+    val m = signs.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_signs"), aggs: _*)
+      .filter($"n_signs" >= 20L)
+    def rho(tag: String) = {
+      val nD = col(s"n_$tag").cast("double")
+      val (sx, sy, sxy, sxx, syy) = (col(s"sx_$tag").cast("double"),
+        col(s"sy_$tag").cast("double"), col(s"sxy_$tag").cast("double"),
+        col(s"sxx_$tag").cast("double"), col(s"syy_$tag").cast("double"))
+      val vx = nD * sxx - sx * sx
+      val vy = nD * syy - sy * sy
+      when(col(s"n_$tag") >= 10L && vx > 0.0 && vy > 0.0,
+        decRound((nD * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)), 6))
+    }
+    m.select($"user_id", $"n_signs",
+      rho("l1").as("rho1"), rho("l2").as("rho2"), rho("l3").as("rho3"))
+  }
+
+  val q218Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id,
+      |    value - lag(value) OVER w AS dp
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s0 AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(last_value(CASE WHEN sign(dp) <> 0.0 THEN sign(dp) END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS sgn
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, sgn,
+      |    lag(sgn, 1) OVER w AS s1,
+      |    lag(sgn, 2) OVER w AS s2,
+      |    lag(sgn, 3) OVER w AS s3
+      |  FROM s0 WHERE sgn IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_signs,
+      |    CAST(count(s1) AS BIGINT) AS n_l1,
+      |    CAST(sum(CASE WHEN s1 IS NOT NULL THEN sgn END) AS BIGINT) AS sx_l1,
+      |    CAST(sum(s1) AS BIGINT) AS sy_l1,
+      |    CAST(sum(sgn * s1) AS BIGINT) AS sxy_l1,
+      |    CAST(sum(CASE WHEN s1 IS NOT NULL THEN sgn * sgn END) AS BIGINT) AS sxx_l1,
+      |    CAST(sum(s1 * s1) AS BIGINT) AS syy_l1,
+      |    CAST(count(s2) AS BIGINT) AS n_l2,
+      |    CAST(sum(CASE WHEN s2 IS NOT NULL THEN sgn END) AS BIGINT) AS sx_l2,
+      |    CAST(sum(s2) AS BIGINT) AS sy_l2,
+      |    CAST(sum(sgn * s2) AS BIGINT) AS sxy_l2,
+      |    CAST(sum(CASE WHEN s2 IS NOT NULL THEN sgn * sgn END) AS BIGINT) AS sxx_l2,
+      |    CAST(sum(s2 * s2) AS BIGINT) AS syy_l2,
+      |    CAST(count(s3) AS BIGINT) AS n_l3,
+      |    CAST(sum(CASE WHEN s3 IS NOT NULL THEN sgn END) AS BIGINT) AS sx_l3,
+      |    CAST(sum(s3) AS BIGINT) AS sy_l3,
+      |    CAST(sum(sgn * s3) AS BIGINT) AS sxy_l3,
+      |    CAST(sum(CASE WHEN s3 IS NOT NULL THEN sgn * sgn END) AS BIGINT) AS sxx_l3,
+      |    CAST(sum(s3 * s3) AS BIGINT) AS syy_l3
+      |  FROM s GROUP BY 1)
+      |SELECT user_id, n_signs,
+      |  CASE WHEN n_l1 >= 10
+      |      AND CAST(n_l1 AS DOUBLE) * CAST(sxx_l1 AS DOUBLE) - CAST(sx_l1 AS DOUBLE) * CAST(sx_l1 AS DOUBLE) > 0.0
+      |      AND CAST(n_l1 AS DOUBLE) * CAST(syy_l1 AS DOUBLE) - CAST(sy_l1 AS DOUBLE) * CAST(sy_l1 AS DOUBLE) > 0.0
+      |    THEN CAST(round(CAST((CAST(n_l1 AS DOUBLE) * CAST(sxy_l1 AS DOUBLE) - CAST(sx_l1 AS DOUBLE) * CAST(sy_l1 AS DOUBLE))
+      |      / (sqrt(CAST(n_l1 AS DOUBLE) * CAST(sxx_l1 AS DOUBLE) - CAST(sx_l1 AS DOUBLE) * CAST(sx_l1 AS DOUBLE))
+      |        * sqrt(CAST(n_l1 AS DOUBLE) * CAST(syy_l1 AS DOUBLE) - CAST(sy_l1 AS DOUBLE) * CAST(sy_l1 AS DOUBLE)))
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) END AS rho1,
+      |  CASE WHEN n_l2 >= 10
+      |      AND CAST(n_l2 AS DOUBLE) * CAST(sxx_l2 AS DOUBLE) - CAST(sx_l2 AS DOUBLE) * CAST(sx_l2 AS DOUBLE) > 0.0
+      |      AND CAST(n_l2 AS DOUBLE) * CAST(syy_l2 AS DOUBLE) - CAST(sy_l2 AS DOUBLE) * CAST(sy_l2 AS DOUBLE) > 0.0
+      |    THEN CAST(round(CAST((CAST(n_l2 AS DOUBLE) * CAST(sxy_l2 AS DOUBLE) - CAST(sx_l2 AS DOUBLE) * CAST(sy_l2 AS DOUBLE))
+      |      / (sqrt(CAST(n_l2 AS DOUBLE) * CAST(sxx_l2 AS DOUBLE) - CAST(sx_l2 AS DOUBLE) * CAST(sx_l2 AS DOUBLE))
+      |        * sqrt(CAST(n_l2 AS DOUBLE) * CAST(syy_l2 AS DOUBLE) - CAST(sy_l2 AS DOUBLE) * CAST(sy_l2 AS DOUBLE)))
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) END AS rho2,
+      |  CASE WHEN n_l3 >= 10
+      |      AND CAST(n_l3 AS DOUBLE) * CAST(sxx_l3 AS DOUBLE) - CAST(sx_l3 AS DOUBLE) * CAST(sx_l3 AS DOUBLE) > 0.0
+      |      AND CAST(n_l3 AS DOUBLE) * CAST(syy_l3 AS DOUBLE) - CAST(sy_l3 AS DOUBLE) * CAST(sy_l3 AS DOUBLE) > 0.0
+      |    THEN CAST(round(CAST((CAST(n_l3 AS DOUBLE) * CAST(sxy_l3 AS DOUBLE) - CAST(sx_l3 AS DOUBLE) * CAST(sy_l3 AS DOUBLE))
+      |      / (sqrt(CAST(n_l3 AS DOUBLE) * CAST(sxx_l3 AS DOUBLE) - CAST(sx_l3 AS DOUBLE) * CAST(sx_l3 AS DOUBLE))
+      |        * sqrt(CAST(n_l3 AS DOUBLE) * CAST(syy_l3 AS DOUBLE) - CAST(sy_l3 AS DOUBLE) * CAST(sy_l3 AS DOUBLE)))
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) END AS rho3
+      |FROM m WHERE n_signs >= 20""".stripMargin
 }
