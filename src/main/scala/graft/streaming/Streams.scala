@@ -2779,6 +2779,60 @@ object Streams {
       }
   }
 
+  /** s63 — streaming trade-sign ACF ledger via flatMapGroupsWithState:
+    * the incremental twin of batch q218. State per instrument is the
+    * last price, the carried tick-rule sign, and the last THREE signs
+    * (so lag-1/2/3 pairs straddle micro-batch boundaries); every
+    * emitted increment is an INTEGER (signs are ±1 longs — counts and
+    * moment sums per lag), so increments reduce bit-exactly and the
+    * consumer runs batch q218's closed-form ρ on identical operands.
+    * Same in-order-per-key delivery caveat as [[ewmaState]].
+    */
+  def signAcfStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Seq[Long])] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Long, Seq[Long]),
+        (Long, Long, Seq[Long])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: GroupState[(Double, Long, Seq[Long])]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          // state: (last price, carried sign or 0, last <=3 signs)
+          var (lastPx, carried, recent) = state.getOption.getOrElse(
+            (Double.NaN, 0L, Seq.empty[Long]))
+          var n = 0L
+          // per lag: (n, sx, sy, sxy, sxx, syy) — syy = n and sxx = n
+          // on ±1 signs, but the GENERAL sums are emitted so the
+          // consumer mirrors the batch formula untouched
+          val mo = Array.fill(18)(0L)
+          sorted.foreach { e =>
+            if (!lastPx.isNaN) {
+              val d = e.value - lastPx
+              if (d != 0.0) carried = if (d > 0.0) 1L else -1L
+            }
+            lastPx = e.value
+            if (carried != 0L) {
+              val s = carried
+              n += 1L
+              for (k <- 1 to 3; if recent.size >= k) {
+                val sl = recent(recent.size - k)
+                val o = (k - 1) * 6
+                mo(o) += 1L; mo(o + 1) += s; mo(o + 2) += sl
+                mo(o + 3) += s * sl; mo(o + 4) += s * s; mo(o + 5) += sl * sl
+              }
+              recent = (recent :+ s).takeRight(3)
+            }
+          }
+          state.update((lastPx, carried, recent))
+          if (n == 0L) Iterator.empty
+          else Iterator((user, n, mo.toSeq))
+      }
+  }
+
   /** s60/s61 — ONE streaming ledger, TWO batch twins: the native
     * update-mode (instrument, day) traded-size census. Sizes are
     * integer sums, so each update-mode emission is the cell's corrected

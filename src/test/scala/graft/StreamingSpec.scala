@@ -533,6 +533,57 @@ class StreamingSpec extends SparkTestBase {
       batch212.exceptAll(part).isEmpty)
   }
 
+  test("streaming sign-ACF ledger increments reduce to the batch q218 result (s63)") {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sacf").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val q = Streams.signAcfStream(spark, stream)
+      .toDF("user_id", "n", "mo")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sacf_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // integer increments reduce exactly — fold them driver-side (the
+    // reduced frame is one row per instrument) and run batch q218's
+    // closed-form rho on identical operands
+    val folded = spark.table("sacf_out")
+      .as[(Long, Long, Seq[Long])].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        val n = rows.map(_._2).sum
+        val mo = rows.map(_._3).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+        (u, n, mo)
+      }.toSeq
+    def rho(mo: Seq[Long], k: Int): Option[Double] = {
+      val o = (k - 1) * 6
+      val (n, sx, sy, sxy, sxx, syy) =
+        (mo(o), mo(o + 1), mo(o + 2), mo(o + 3), mo(o + 4), mo(o + 5))
+      val nD = n.toDouble
+      val vx = nD * sxx - sx.toDouble * sx
+      val vy = nD * syy - sy.toDouble * sy
+      if (n >= 10 && vx > 0.0 && vy > 0.0)
+        Some(BigDecimal((nD * sxy - sx.toDouble * sy) /
+            (math.sqrt(vx) * math.sqrt(vy)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    val streamed = folded.filter(_._2 >= 20L).map { case (u, n, mo) =>
+      (u, n, rho(mo, 1), rho(mo, 2), rho(mo, 3))
+    }.toDF("user_id", "n_signs", "rho1", "rho2", "rho3")
+    val batch = SparkEntry.queries("q218_sign_autocorr")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming jump ledger increments reduce to the batch q215 result (s62)") {
     import org.apache.spark.sql.types.DecimalType
     val ev = Tables.events(spark, sf)
