@@ -188,12 +188,34 @@ object Bench {
         clicks.join(ivals, rangeCond)
           .write.format("noop").mode("overwrite").save()
       }
+      // the mergeable quantile sketch vs Spark's approx_percentile on
+      // the same high-cardinality-group task (per-partkey price
+      // percentiles over lineitem) — pricing the bounded-buffer
+      // map-side-combine claim every round
+      val pctlSketch = time {
+        li.groupBy(col("l_partkey"))
+          .agg(graft.functions.QuantileSketch.quantiles(
+            col("l_extendedprice"), Seq(0.5, 0.9, 0.99)).as("q"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val pctlApprox = time {
+        li.groupBy(col("l_partkey"))
+          .agg(org.apache.spark.sql.functions.percentile_approx(
+            col("l_extendedprice"),
+            org.apache.spark.sql.functions.array(
+              org.apache.spark.sql.functions.lit(0.5),
+              org.apache.spark.sql.functions.lit(0.9),
+              org.apache.spark.sql.functions.lit(0.99)),
+            org.apache.spark.sql.functions.lit(10000)).as("q"))
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
         "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm,
         "x_fx_window" -> fx, "x_topk_agg" -> topkAgg,
         "x_topk_window" -> topkWin, "x_asof_exec" -> asofExec,
         "x_namelink_winnow" -> nlWinnow, "x_range_rule" -> rangeRule,
-        "x_range_nested" -> rangeNested)
+        "x_range_nested" -> rangeNested, "x_pctl_sketch" -> pctlSketch,
+        "x_pctl_approx" -> pctlApprox)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     val ok = results.filter(_._3.isEmpty)

@@ -533,6 +533,43 @@ class StreamingSpec extends SparkTestBase {
       batch212.exceptAll(part).isEmpty)
   }
 
+  test("streaming ES weighted sample via bounded TopK state equals batch q205 (s64)") {
+    // the A-ES key is a stateless per-row function (deterministic hash
+    // uniform), so weighted-sampling-without-replacement streams as a
+    // bounded top-k: TopKAgg in a streaming groupBy holds <= k entries
+    // per source and converges to the batch sample under any slicing
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s64").toString
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/batch_b")
+    val keyed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+      .filter($"n_chars" > 0L)
+      .select($"doc_id", $"source", $"n_chars",
+        ((($"doc_id" * lit(2654435761L)) % lit(4294967296L)).cast("double") +
+          lit(0.5)).as("h"))
+      .withColumn("es_key",
+        log($"h" / lit(4294967296.0)) / $"n_chars".cast("double"))
+      .withColumn("key8", graft.functions.Num.decRound($"es_key", 8))
+      .groupBy($"source")
+      // rank on (key8 DESC, doc_id ASC) == TopKAgg's (metric DESC,
+      // id ASC) contract — the batch q205 ordering exactly
+      .agg(graft.functions.TopK.topK($"key8", $"doc_id", 10).as("top"))
+    val q = keyed.writeStream.outputMode("complete").format("memory")
+      .queryName("s64_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("s64_out")
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast("long").as("rk"),
+        $"col._2".as("doc_id"))
+    val batch = SparkEntry.queries("q205_weighted_sample")(spark, sf)
+      .select($"source", $"rk", $"doc_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming sign-ACF ledger increments reduce to the batch q218 result (s63)") {
     val ev = Tables.events(spark, sf)
     val mid = ev.agg(
