@@ -110,6 +110,32 @@ object QuantileSketch {
       org.apache.spark.sql.Encoders.scalaDouble)
       .apply(metric.cast("double"))
 
+  /** SQL-surface wrapper: boxed input so SQL NULLs are SKIPPED rather
+    * than deserialized to 0.0 (the primitive-Double encoder's silent
+    * coercion would drag sparse columns' quantiles toward zero). The
+    * DSL Aggregator keeps its documented caller-filters-NULLs
+    * primitive contract; this shell is what `graft_pctl_sketch` in
+    * SQL registers against.
+    */
+  def nullSafe(probs: Seq[Double], k: Int = 256)
+      : Aggregator[java.lang.Double, Seq[(Int, Seq[Double])], Seq[Double]] = {
+    val inner = new QuantileSketchAgg(probs, k)
+    new Aggregator[java.lang.Double, Seq[(Int, Seq[Double])], Seq[Double]] {
+      override def zero: Seq[(Int, Seq[Double])] = inner.zero
+      override def reduce(b: Seq[(Int, Seq[Double])], x: java.lang.Double)
+          : Seq[(Int, Seq[Double])] =
+        if (x == null) b else inner.reduce(b, x.doubleValue)
+      override def merge(a: Seq[(Int, Seq[Double])],
+                         b: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] =
+        inner.merge(a, b)
+      override def finish(b: Seq[(Int, Seq[Double])]): Seq[Double] =
+        inner.finish(b)
+      override def bufferEncoder: Encoder[Seq[(Int, Seq[Double])]] =
+        inner.bufferEncoder
+      override def outputEncoder: Encoder[Seq[Double]] = inner.outputEncoder
+    }
+  }
+
   /** The deterministic worst-case RANK error of a k-capacity sketch
     * over n rows: n·(log₂(n/k)+2)/k — every compaction at level l
     * displaces a rank by ≤ 2^l and at most ⌈n/(k·2^l)⌉ happen there.

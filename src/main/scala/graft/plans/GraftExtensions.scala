@@ -114,11 +114,12 @@ object GraftExtensions {
     spark.udf.register("graft_freq10",
       org.apache.spark.sql.functions.udaf(new graft.functions.FreqItemsAgg(10),
         org.apache.spark.sql.Encoders.STRING))
-    // mergeable quantile sketch at the (p50, p90, p99) SQL spot
+    // mergeable quantile sketch at the (p50, p90, p99) SQL spot —
+    // boxed-input shell so SQL NULLs are dropped, not coerced to 0.0
     spark.udf.register("graft_pctl_sketch",
       org.apache.spark.sql.functions.udaf(
-        new graft.functions.QuantileSketchAgg(Seq(0.5, 0.9, 0.99)),
-        org.apache.spark.sql.Encoders.scalaDouble))
+        graft.functions.QuantileSketch.nullSafe(Seq(0.5, 0.9, 0.99)),
+        org.apache.spark.sql.Encoders.DOUBLE))
     ()
   }
 }

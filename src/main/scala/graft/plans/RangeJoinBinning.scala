@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -120,15 +120,26 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
           if (pointOnLeft) (left, right) else (right, left)
         // interval side: explode sequence(bin(lo), bin(hi)). Sequence
         // is TimeZoneAware — an optimizer-injected instance must carry
-        // the session zone itself (ResolveTimeZone ran long ago)
-        val seq = Sequence(binOf(lo, width), binOf(hi, width),
+        // the session zone itself (ResolveTimeZone ran long ago).
+        // Inverted/dirty intervals (lo > hi) match NOTHING in the
+        // original nested-loop plan, but would make Sequence throw
+        // "Illegal sequence boundaries" here — drop them up front.
+        // (NULL bounds fall out the same way: the <= filter is
+        // null-rejecting, matching the original predicate's behavior.)
+        // Intervals wider than ~128M bins would still exceed Spark's
+        // max array length: the conf width is a layout decision and
+        // must be sized to the data's interval span (PLANS.md).
+        val loBin = binOf(lo, width)
+        val hiBin = binOf(hi, width)
+        val cleaned = Filter(LessThanOrEqual(loBin, hiBin), intervalPlan)
+        val seq = Sequence(loBin, hiBin,
           Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
         val gen = Explode(seq)
         val binI = AttributeReference("__graft_bin_i", LongType,
           nullable = false)()
         val generated = Generate(gen, unrequiredChildIndex = Nil,
           outer = false, qualifier = None,
-          generatorOutput = Seq(binI), child = intervalPlan)
+          generatorOutput = Seq(binI), child = cleaned)
         // point side: project bin(x) alongside
         val binP = Alias(binOf(x, width), "__graft_bin_p")()
         val projected = Project(pointPlan.output :+ binP, pointPlan)

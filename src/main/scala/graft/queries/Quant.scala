@@ -1542,8 +1542,13 @@ object Quant {
           coalesce($"wp", lit(BigDecimal(0)).cast(DecimalType(14, 12)))))
           .as("sad"),
         count(when($"w".isNotNull, 1)).as("n_inst"))
-    val maxRk = days.agg(max($"rk")).first().getLong(0)
-    dayOf.filter($"rk" <= maxRk)
+    // lazy scalar bound (drops the phantom rk = max+1 row the
+    // full-outer shift manufactures): broadcast-cross-join the max
+    // instead of an eager first() — an empty events table then yields
+    // an empty frame rather than an NPE at construction time, and no
+    // job runs unless the returned frame is executed
+    val maxRk = days.agg(max($"rk").as("max_rk"))
+    dayOf.join(broadcast(maxRk)).filter($"rk" <= $"max_rk")
       .select($"day", $"n_inst",
         decRound($"sad".cast("double") / 2.0, 6).as("turnover"))
   }

@@ -95,11 +95,14 @@ object ScaleUp {
         // always in [1, width-1], so the shift is NEVER the identity
         // (copy % width == 0 would reproduce the source vector
         // verbatim at large factors)
+        // width-1 vectors have no non-identity rotation AND would make
+        // `% (sz-1)` a NULL-producing mod-zero — pass them through
         val sz = size(col("embedding"))
         val k = (lit(copy - 1) % (sz - 1)) + 1
-        Some(when(col("embedding").isNull, col("embedding")).otherwise(
-          concat(slice(col("embedding"), k + 1, sz - k),
-            slice(col("embedding"), lit(1), k))))
+        Some(when(col("embedding").isNull || sz <= 1, col("embedding"))
+          .otherwise(
+            concat(slice(col("embedding"), k + 1, sz - k),
+              slice(col("embedding"), lit(1), k))))
       case _ => None
     }
 

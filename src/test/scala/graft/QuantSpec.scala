@@ -32,6 +32,15 @@ class QuantSpec extends SparkTestBase {
 
   private val day = 86400L * 1000000L
 
+  test("q209 turnover stays lazy and yields 0 rows on an empty tape (no eager NPE)") {
+    // constructing the frame must run NO job (the max-rk bound is a
+    // broadcast scalar join, not a driver-side first()), so an empty
+    // events table is an empty result, not an NPE at build time
+    val dir = writeEvents(Seq.empty)
+    val df = graft.queries.Quant.q209Turnover(spark, dir)
+    assert(df.count() == 0L)
+  }
+
   test("containmentPairs: short doc embedded in long doc scores 1.0 where jaccard dilutes") {
     val short = "alpha beta gamma delta epsilon zeta"
     val long_ = short + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")

@@ -82,4 +82,21 @@ class QuantileSketchSpec extends SparkTestBase {
       assert(viaSql(t)(i) == exact)
     }
   }
+
+  test("SQL surface skips NULLs instead of coercing them to 0.0") {
+    graft.plans.GraftExtensions.install(spark)
+    // a sparse column: 10 real values among 990 NULLs. The primitive
+    // encoder would read each NULL as 0.0 and drag p50 to 0; the
+    // boxed shell must return the quantiles of the 10 real values.
+    val vals = (1 to 10).map(i => i * 100.0)
+    val rows = vals.map(Option(_)) ++ Seq.fill(990)(Option.empty[Double])
+    rows.toDF("v").createOrReplaceTempView("sparse_pctl")
+    val got = spark.sql("SELECT graft_pctl_sketch(v) AS q FROM sparse_pctl")
+      .collect()(0).getSeq[Double](0)
+    // n=10 < k: exact lower quantiles of {100..1000}
+    assert(got == Seq(500.0, 900.0, 1000.0), got.toString)
+    // all-NULL group: NaNs (empty sketch), not zeros
+    spark.sql("SELECT graft_pctl_sketch(v) AS q FROM sparse_pctl WHERE v IS NULL")
+      .collect()(0).getSeq[Double](0).foreach(v => assert(v.isNaN))
+  }
 }

@@ -77,6 +77,25 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == naive && naive.nonEmpty)
   }
 
+  test("inverted intervals (lo > hi) are dropped, not a Sequence crash") {
+    GraftExtensions.install(spark)
+    val dirty = intervals.union(Seq(
+      (7L, Some(30L), Some(-30L)), // inverted: legal data, matches nothing
+      (8L, Some(5L), Some(5L))     // degenerate single-point interval
+    ).toDF("iid", "lo", "hi"))
+    val cond = $"x" >= $"lo" && $"x" <= $"hi"
+    val naive = points.join(dirty, cond)
+      .select($"iid", $"x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.contains((8L, 5L)) && !naive.exists(_._1 == 7L))
+    val got = withBin(10L) {
+      val df = points.join(dirty, cond)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("NestedLoop") && phys.contains("__graft_bin"), phys)
+      df.select($"iid", $"x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == naive, s"got ${got.diff(naive)} extra / ${naive.diff(got)} missing")
+  }
+
   test("rule is idempotent and leaves equi-joins + off-conf plans alone") {
     val cond = $"x" >= $"lo" && $"x" <= $"hi"
     withBin(10L) {

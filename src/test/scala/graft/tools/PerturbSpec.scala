@@ -54,4 +54,19 @@ class PerturbSpec extends graft.SparkTestBase {
         s"copy $c (width $width) degenerated to the identity shift")
     }
   }
+
+  test("width-1 embeddings pass through unchanged (no mod-zero NULL)") {
+    // a 1-wide vector has no non-identity rotation; the shift formula's
+    // `% (width - 1)` would be a NULL-producing mod-zero — the guard
+    // must return the vector verbatim, never null it out
+    val base = Seq(Tuple1(Seq(42.0)), Tuple1(null.asInstanceOf[Seq[Double]]))
+      .toDF("embedding")
+    for (c <- Seq(1, 2, 10)) {
+      val out = base
+        .select(ScaleUp.perturbed("embeddings", "embedding", c).get.as("e"))
+        .as[Seq[Double]].collect()
+      assert(out(0) == Seq(42.0), s"copy $c corrupted a width-1 vector: ${out(0)}")
+      assert(out(1) == null, s"copy $c must keep NULL embeddings NULL")
+    }
+  }
 }
