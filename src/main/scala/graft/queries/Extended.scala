@@ -924,4 +924,47 @@ object Extended {
       |  last_value(close IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff
       |FROM joined""".stripMargin
+
+  /** q224_group_mode — deterministic per-group MODE: the most frequent
+    * event_type per user with a total tie order (count DESC, then
+    * type ASC), plus its count and share — the categorical-imputation
+    * primitive (fill a missing category with the group's modal value)
+    * that `mode()` aggregates can't give portably because engines
+    * break frequency ties arbitrarily. Scale: one map-side-combined
+    * (user, type) count, then a user-keyed window over ≤ |types| rows
+    * per user — the heavy reduction happens before the window, so the
+    * second exchange carries groups, not events.
+    */
+  def q224GroupMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"n".desc, $"event_type".asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_total",
+        sum($"n").over(Window.partitionBy($"user_id")))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_type".as("modal_type"),
+        $"n".as("n_modal"), $"n_total",
+        graft.functions.Num.decRound(
+          $"n".cast("double") / $"n_total".cast("double"), 6).as("share"))
+  }
+
+  val q224Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, event_type, n,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY n DESC, event_type ASC) AS rk,
+      |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+      |  FROM c)
+      |SELECT user_id, event_type AS modal_type, n AS n_modal, n_total,
+      |  CAST(round(CAST(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS share
+      |FROM r WHERE rk = 1""".stripMargin
 }

@@ -1348,4 +1348,115 @@ object Microstructure {
       |        * sqrt(CAST(n_l3 AS DOUBLE) * CAST(syy_l3 AS DOUBLE) - CAST(sy_l3 AS DOUBLE) * CAST(sy_l3 AS DOUBLE)))
       |      AS DECIMAL(28,12)), 6) AS DOUBLE) END AS rho3
       |FROM m WHERE n_signs >= 20""".stripMargin
+
+  /** q219_corwin_schultz — the Corwin–Schultz (2012) high–low spread
+    * estimator per instrument: consecutive-trading-day (H, L) pairs
+    * give β = Σ ln²(Hₜ/Lₜ) over the 2-day window, γ = ln²(H₂/L₂) over
+    * the joint range, α = (√(2β)−√β)/(3−2√2) − √(γ/(3−2√2)), and
+    * S = 2(eᵅ−1)/(1+eᵅ) — the standard daily-data proxy for the
+    * effective spread when no quote tape exists (complements q167's
+    * Roll autocovariance estimator with the range-based member).
+    * Adjacency is OBSERVED-day adjacency (lead over the instrument's
+    * own trading calendar), the estimator's trading-day convention.
+    * Scale: one tape pass collapses ticks to (instrument, day) H/L —
+    * all later frames are calendar-bounded; one hash(user) exchange.
+    * Determinism: per-day ln ranges lattice to 12dp decimals, so β/γ
+    * means reduce as exact decimal sums ((28,10) re-narrow before the
+    * double cast, the q215 rule); α/S run in pure double arithmetic on
+    * exactly-converted (18,12) operands — exp()'s 1-ulp surface is
+    * absorbed by the 12dp per-pair lattice + 6dp output round.
+    */
+  def q219CorwinSchultz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wDay = Window.partitionBy($"user_id").orderBy($"day")
+    val hl = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(max($"value").as("h"), min($"value").as("l"))
+      .withColumn("b1",
+        decRound(log($"h" / $"l"), 12).cast(DecimalType(18, 12)))
+    val pairs = hl
+      .withColumn("hn", lead($"h", 1).over(wDay))
+      .withColumn("lnx", lead($"l", 1).over(wDay))
+      .withColumn("b1n", lead($"b1", 1).over(wDay))
+      .filter($"b1n".isNotNull)
+      .withColumn("g1",
+        decRound(log(greatest($"h", $"hn") / least($"l", $"lnx")), 12)
+          .cast(DecimalType(18, 12)))
+    // α and S in pure double arithmetic on the latticed operands —
+    // identical IEEE ops in both engines (sqrt is correctly rounded)
+    val k = lit(3.0) - lit(2.0) * sqrt(lit(2.0))
+    val bd = $"b1".cast("double")
+    val bnd = $"b1n".cast("double")
+    val gd = $"g1".cast("double")
+    val betaD = bd * bd + bnd * bnd
+    val alpha = (sqrt(lit(2.0) * betaD) - sqrt(betaD)) / k - sqrt(gd * gd / k)
+    val s = lit(2.0) * (exp(alpha) - lit(1.0)) / (lit(1.0) + exp(alpha))
+    val scored = pairs.withColumn("s12",
+      decRound(greatest(s, lit(0.0)), 12).cast(DecimalType(18, 12)))
+    val m = scored.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"b1" * $"b1" + $"b1n" * $"b1n").cast(DecimalType(28, 10))
+          .as("sb"),
+        sum($"g1" * $"g1").cast(DecimalType(28, 10)).as("sg"),
+        sum($"s12").as("ss"))
+      .filter($"n_pairs" >= 10L)
+    val nD = $"n_pairs".cast("double")
+    m.select($"user_id", $"n_pairs",
+      decRound($"sb".cast("double") / nD, 6).as("avg_beta"),
+      decRound($"sg".cast("double") / nD, 6).as("avg_gamma"),
+      decRound($"ss".cast("double") / nD, 6).as("cs_spread"))
+  }
+
+  val q219Sql: String =
+    """WITH hl AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    max(value) AS h, min(value) AS l
+      |  FROM events WHERE value > 0.0 GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, day, h, l,
+      |    CAST(round(CAST(ln(h / l) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS b1
+      |  FROM hl),
+      |p AS (
+      |  SELECT user_id, h, l, b1,
+      |    lead(h) OVER w AS hn, lead(l) OVER w AS lnx,
+      |    lead(b1) OVER w AS b1n
+      |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |g AS (
+      |  SELECT user_id, b1, b1n,
+      |    CAST(round(CAST(ln(greatest(h, hn) / least(l, lnx))
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(18,12)) AS g1
+      |  FROM p WHERE b1n IS NOT NULL),
+      |a AS (
+      |  SELECT user_id, b1, b1n, g1,
+      |    (sqrt(2.0 * (CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+      |        + CAST(b1n AS DOUBLE) * CAST(b1n AS DOUBLE)))
+      |      - sqrt(CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+      |        + CAST(b1n AS DOUBLE) * CAST(b1n AS DOUBLE)))
+      |      / (3.0 - 2.0 * sqrt(2.0))
+      |      - sqrt(CAST(g1 AS DOUBLE) * CAST(g1 AS DOUBLE)
+      |        / (3.0 - 2.0 * sqrt(2.0))) AS alpha
+      |  FROM g),
+      |sc AS (
+      |  SELECT user_id, b1, b1n, g1,
+      |    CAST(round(CAST(greatest(
+      |      2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)), 0.0)
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(18,12)) AS s12
+      |  FROM a),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(round(sum(b1 * b1 + b1n * b1n), 10) AS DECIMAL(28,10)) AS sb,
+      |    CAST(round(sum(g1 * g1), 10) AS DECIMAL(28,10)) AS sg,
+      |    sum(s12) AS ss
+      |  FROM sc GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_pairs,
+      |  CAST(round(CAST(CAST(sb AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_beta,
+      |  CAST(round(CAST(CAST(sg AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_gamma,
+      |  CAST(round(CAST(CAST(ss AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS cs_spread
+      |FROM m""".stripMargin
 }

@@ -1695,4 +1695,67 @@ object Quant {
       |    THEN mean / sqrt(varp) * sqrt(CAST(n_days AS DOUBLE)) END
       |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS t_stat
       |FROM f""".stripMargin
+
+  /** q222_hhi — daily market-concentration census: the Herfindahl–
+    * Hirschman index of traded-size share per day, its effective
+    * instrument count 1/HHI (the "how many names really trade" number
+    * desks watch), and the top-instrument share — the concentration
+    * companion to q209's turnover on the SAME daily-volume frame (a
+    * streaming ledger rebuilds both: s60/s66). Scale: one tape pass to
+    * (instrument, day) integer volumes, one day-keyed window for the
+    * denominators, one day agg — no self-joins. Determinism: shares
+    * lattice to 12dp decimals (exact integer-ratio inputs), so the
+    * Σw² reduction is an exact decimal sum in both engines.
+    */
+  def q222Hhi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    val vol = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        from_json($"props", StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .filter($"k" > 0L)
+      .groupBy($"user_id", $"day").agg(sum($"k").as("v"))
+    val w = vol
+      .withColumn("tot", sum($"v").over(Window.partitionBy($"day")))
+      .withColumn("w",
+        decRound($"v".cast("double") / $"tot".cast("double"), 12)
+          .cast(DecimalType(14, 12)))
+    val m = w.groupBy($"day")
+      .agg(count(lit(1)).as("n_inst"),
+        sum($"w" * $"w").cast(DecimalType(28, 10)).as("sww"),
+        max($"w").as("wmax"))
+    val hhi = $"sww".cast("double")
+    m.select($"day", $"n_inst",
+      decRound(hhi, 6).as("hhi"),
+      decRound(when(hhi > 0.0, lit(1.0) / hhi), 4).as("eff_n"),
+      decRound($"wmax".cast("double"), 6).as("top_share"))
+  }
+
+  val q222Sql: String =
+    """WITH vol AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 0
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT day,
+      |    CAST(round(CAST(CAST(v AS DOUBLE)
+      |      / CAST(sum(v) OVER (PARTITION BY day) AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(14,12)) AS w
+      |  FROM vol),
+      |m AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_inst,
+      |    CAST(round(sum(w * w), 10) AS DECIMAL(28,10)) AS sww,
+      |    max(w) AS wmax
+      |  FROM w GROUP BY 1)
+      |SELECT day, n_inst,
+      |  CAST(round(CAST(CAST(sww AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS hhi,
+      |  CAST(round(CAST(CASE WHEN CAST(sww AS DOUBLE) > 0.0
+      |    THEN 1.0 / CAST(sww AS DOUBLE) END AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS eff_n,
+      |  CAST(round(CAST(CAST(wmax AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS top_share
+      |FROM m""".stripMargin
 }
