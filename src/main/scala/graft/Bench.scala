@@ -165,6 +165,17 @@ object Bench {
           "p_name")
           .write.format("noop").mode("overwrite").save()
       }
+      // the BLOCK-RESTRICTED winnow tier — q189's actual high-density
+      // alternative since the r14 stats guard (same output contract as
+      // the exact blocked plan, candidate volume bounded by
+      // fingerprint-bucket density instead of block size²)
+      val nlWinnowBlk = time {
+        graft.operators.EditDistance.jwPairsWinnowBlocked(
+          part.select(col("p_partkey"), col("p_name"), col("p_brand"),
+            split(col("p_name"), " ").getItem(0).as("tok")),
+          "p_partkey", "p_name", Seq("p_brand", "tok"))
+          .write.format("noop").mode("overwrite").save()
+      }
       // the RangeJoinBinning rewrite vs the nested-loop plan Spark
       // otherwise picks for a keyless point-in-interval join — the
       // pair pricing the optimizer rule every round. Interval side is
@@ -213,7 +224,9 @@ object Bench {
         "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm,
         "x_fx_window" -> fx, "x_topk_agg" -> topkAgg,
         "x_topk_window" -> topkWin, "x_asof_exec" -> asofExec,
-        "x_namelink_winnow" -> nlWinnow, "x_range_rule" -> rangeRule,
+        "x_namelink_winnow" -> nlWinnow,
+        "x_namelink_winnow_blocked" -> nlWinnowBlk,
+        "x_range_rule" -> rangeRule,
         "x_range_nested" -> rangeNested, "x_pctl_sketch" -> pctlSketch,
         "x_pctl_approx" -> pctlApprox)
     }

@@ -322,19 +322,109 @@ object EditDistance {
     */
   def jwPairsWinnow(df: DataFrame, keyCol: String, nameCol: String,
                     threshold: Double = 0.92, k: Int = 3, window: Int = 4,
-                    maxDf: Int = 1000): DataFrame = {
-    val names = df.select(col(keyCol).as("__key"), col(nameCol).as("__name"))
-    val fp = names.select(col("__key"), col("__name"),
+                    maxDf: Int = 1000): DataFrame =
+    jwWinnowImpl(df, keyCol, nameCol, Nil, threshold, k, window, maxDf)
+
+  /** Per-block row cap for the exact blocked JW self-join behind q189.
+    * One hot block above the cap pays >= cap²/2 O(|a|·|b|) JW
+    * evaluations inside a single join task-set — the quadratic
+    * candidate term that made q189 the #2 sf1 query (46.8s, r12) when
+    * derived-scale block densities rose 10×. 512 keeps organic sf0.1
+    * maxima (~128/block, measured) on the exact plan while a ×10
+    * fixture (~1.3k/block) flips to the winnow prefilter. Same
+    * convention as [[BlockRowLimit]] for the Levenshtein family.
+    */
+  val JwBlockRowLimit: Long = 512L
+
+  /** Exact blocked JW linkage: equi-join on the composite block key,
+    * key_a < key_b, one native [[graft.functions.StringSim]] scoring
+    * per surviving pair. Pair volume is Σ|block|²/2 — the right plan
+    * while block groups stay small (see [[JwBlockRowLimit]]).
+    */
+  def jwPairsBlocked(df: DataFrame, keyCol: String, nameCol: String,
+                     blockCols: Seq[String],
+                     threshold: Double = 0.92): DataFrame = {
+    val cond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$keyCol") < col(s"b.$keyCol")
+    df.as("a").join(df.as("b"), cond)
+      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
+        graft.functions.StringSim.jw(col(s"a.$nameCol"), col(s"b.$nameCol"))
+          .as("sim_raw"))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("key_a"), col("key_b"),
+        graft.functions.Num.decRound(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** Winnow-prefiltered JW linkage RESTRICTED to the block domain —
+    * the high-density alternative behind [[jwPairs]]'s guard. Same
+    * candidate mechanics as [[jwPairsWinnow]] but the candidate join
+    * requires block equality, and the df cap is computed PER
+    * (fingerprint, block) bucket: a blocked pair sharing a fingerprint
+    * has per-block df >= 2 by construction, so per-block df-capping
+    * keeps at least every fingerprint the global cap keeps for
+    * in-block pairs — recall on the blocked domain is >= the global
+    * tier's (spec-measured 100% on organic and derived fixtures).
+    * Candidate volume is bounded by fingerprint-bucket density (df
+    * cap), not block size² — sub-quadratic where the exact plan
+    * explodes.
+    */
+  def jwPairsWinnowBlocked(df: DataFrame, keyCol: String, nameCol: String,
+                           blockCols: Seq[String],
+                           threshold: Double = 0.92, k: Int = 3,
+                           window: Int = 4, maxDf: Int = 1000): DataFrame =
+    jwWinnowImpl(df, keyCol, nameCol, blockCols, threshold, k, window, maxDf)
+
+  /** Stats-guarded dispatcher for blocked JW linkage (q189), the
+    * [[pairs]] discipline applied to the Jaro–Winkler family: small
+    * inputs take the exact blocked plan with no inspection; above the
+    * byte limit a light one-column stats job measures the LARGEST
+    * block group, and any block over [[JwBlockRowLimit]] flips the
+    * plan to the winnow prefilter. Both paths stay priced in the
+    * bench (q189 vs x_namelink_winnow); `winnow` forces a path for
+    * tests and pricing.
+    */
+  def jwPairs(df: DataFrame, keyCol: String, nameCol: String,
+              blockCols: Seq[String], threshold: Double = 0.92,
+              winnow: Option[Boolean] = None): DataFrame =
+    winnow match {
+      case Some(true) =>
+        jwPairsWinnowBlocked(df, keyCol, nameCol, blockCols, threshold)
+      case Some(false) =>
+        jwPairsBlocked(df, keyCol, nameCol, blockCols, threshold)
+      case None =>
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= BlockedByteLimit)
+          jwPairsBlocked(df, keyCol, nameCol, blockCols, threshold)
+        else {
+          // light stats job: block columns only, map-side agg
+          val maxBlock = df.groupBy(blockCols.map(col): _*).count()
+            .agg(max(col("count"))).collect()(0).getLong(0)
+          if (maxBlock > JwBlockRowLimit)
+            jwPairsWinnowBlocked(df, keyCol, nameCol, blockCols, threshold)
+          else jwPairsBlocked(df, keyCol, nameCol, blockCols, threshold)
+        }
+    }
+
+  private def jwWinnowImpl(df: DataFrame, keyCol: String, nameCol: String,
+                           blockCols: Seq[String], threshold: Double,
+                           k: Int, window: Int, maxDf: Int): DataFrame = {
+    val blks = blockCols.map(col)
+    val names = df.select(col(keyCol).as("__key") +:
+      col(nameCol).as("__name") +: blks: _*)
+    val fp = names.select(col("__key") +: col("__name") +:
         explode(graft.functions.TextExpressions
-          .winnowFp(col("__name"), k, window)).as("__fp"))
+          .winnowFp(col("__name"), k, window)).as("__fp") +: blks: _*)
       .distinct()
-    val kept = fp.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+    val kept = fp.groupBy(col("__fp") +: blks: _*)
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df").between(2L, maxDf.toLong))
-      .select(col("__fp"))
-    val f2 = fp.join(kept, Seq("__fp"))
-    f2.as("a").join(f2.as("b"),
-        col("a.__fp") === col("b.__fp") &&
-          col("a.__key") < col("b.__key"))
+      .select(col("__fp") +: blks: _*)
+    val f2 = fp.join(kept, "__fp" +: blockCols)
+    val cond = ("__fp" +: blockCols)
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.__key") < col("b.__key")
+    f2.as("a").join(f2.as("b"), cond)
       .select(col("a.__key").as("key_a"), col("b.__key").as("key_b"),
         col("a.__name").as("name_a"), col("b.__name").as("name_b"))
       .distinct()

@@ -99,28 +99,26 @@ object Extended {
     * tag band (~0.86 for 6-char-suffixed twins) so derived-scale
     * outputs stay linear in the factor.
     *
-    * Scale shape: one equi-join on the block key (both sides hash on
-    * (p_brand, tok) — co-located), pair volume bounded by block
-    * density exactly like q70's blocked plan; the similarity is
-    * row-local post-join arithmetic. Part is a dimension table — the
-    * fact-side never touches this plan.
+    * Scale shape: STATS-GUARDED dual plan, the q70 discipline
+    * ([[graft.operators.EditDistance.jwPairs]]). Small inputs take the
+    * exact blocked equi-join (both sides hash on (p_brand, tok) —
+    * co-located, pair volume Σ|block|²/2); when a measured block group
+    * exceeds [[graft.operators.EditDistance.JwBlockRowLimit]] the
+    * plan flips to the winnow-fingerprint prefilter restricted to the
+    * same block domain — candidate volume bounded by fingerprint
+    * bucket density, not block size², so a hot (brand, token) block
+    * at 100× can't go quadratic. Both paths priced in the bench
+    * (q189 vs x_namelink_winnow / x_namelink_winnow_blocked). Part is
+    * a dimension table — the fact-side never touches this plan.
     */
   def q189NameLink(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = Tables.part(spark, dir)
       .select($"p_partkey", $"p_name", $"p_brand",
         split($"p_name", " ").getItem(0).as("tok"))
-    p.as("a").join(p.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-          col("a.tok") === col("b.tok") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-      .select(col("a.p_partkey").as("key_a"),
-        col("b.p_partkey").as("key_b"),
-        graft.functions.StringSim.jw(col("a.p_name"), col("b.p_name"))
-          .as("sim_raw"))
-      .filter($"sim_raw" >= 0.92)
-      .select($"key_a", $"key_b",
-        graft.functions.Num.decRound($"sim_raw", 6).as("sim"))
+    graft.operators.EditDistance.jwPairs(
+      p, keyCol = "p_partkey", nameCol = "p_name",
+      blockCols = Seq("p_brand", "tok"), threshold = 0.92)
   }
 
   val q189Sql: String =
@@ -940,8 +938,12 @@ object Extended {
     val counts = Tables.events(spark, dir)
       .groupBy($"user_id", $"event_type")
       .agg(count(lit(1)).as("n"))
+    // Tie-break null position is EXPLICIT (asc_nulls_first ↔ NULLS FIRST
+    // in the SQL twin): Spark defaults ASC to NULLS FIRST while DuckDB
+    // defaults to NULLS LAST — a NULL event_type tying for the modal
+    // count would otherwise pick a different modal_type per engine.
     val w = Window.partitionBy($"user_id")
-      .orderBy($"n".desc, $"event_type".asc)
+      .orderBy($"n".desc, $"event_type".asc_nulls_first)
     counts
       .withColumn("rk", row_number().over(w))
       .withColumn("n_total",
@@ -960,7 +962,7 @@ object Extended {
       |r AS (
       |  SELECT user_id, event_type, n,
       |    row_number() OVER (PARTITION BY user_id
-      |      ORDER BY n DESC, event_type ASC) AS rk,
+      |      ORDER BY n DESC, event_type ASC NULLS FIRST) AS rk,
       |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
       |  FROM c)
       |SELECT user_id, event_type AS modal_type, n AS n_modal, n_total,

@@ -105,6 +105,57 @@ class EditDistanceSpec extends SparkTestBase {
       s"winnow tier lost ${exact.diff(win).size}/${exact.size} exact pairs")
   }
 
+  test("block-restricted winnow JW path equals the exact blocked path (q189 dual plan)") {
+    // the q70 discipline applied to q189: both forced paths of the
+    // jwPairs dispatcher must agree EXACTLY on the blocked domain —
+    // same pairs, same 6dp sims. Per-(fp, block) df-capping keeps at
+    // least every fingerprint the global cap keeps for in-block pairs,
+    // so recall here is >= the global tier's spec-measured 100%.
+    val p = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_name", $"p_brand",
+        split($"p_name", " ").getItem(0).as("tok"))
+    def run(winnow: Boolean) = EditDistance.jwPairs(
+        p, "p_partkey", "p_name", Seq("p_brand", "tok"),
+        threshold = 0.92, winnow = Some(winnow))
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = run(winnow = false)
+    val win = run(winnow = true)
+    assert(exact.nonEmpty)
+    assert(win == exact,
+      s"winnow-blocked diverges: missing ${exact.diff(win).size}, " +
+        s"extra ${win.diff(exact).size} of ${exact.size}")
+  }
+
+  test("jw guard: small inputs take the exact blocked plan, a hot block flips to winnow") {
+    // plan-shape pin for the q189 stats guard. Distinguish paths by
+    // the winnow fingerprint generator (explode) only the prefilter
+    // plan has — same convention as the lev-family auto-mode pin.
+    val p = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_name", $"p_brand",
+        split($"p_name", " ").getItem(0).as("tok"))
+    val autoPlan = EditDistance.jwPairs(
+        p, "p_partkey", "p_name", Seq("p_brand", "tok"))
+      .queryExecution.executedPlan.toString
+    assert(!autoPlan.contains("Generate"), autoPlan.take(500))
+    // big estimated input with ONE hot block: the byte gate opens, the
+    // max-block stats job measures 3M >> JwBlockRowLimit, and the
+    // dispatcher must pick the winnow prefilter. Plan inspection only
+    // — the scoring job never runs.
+    val hot = spark.range(30000000L).select($"id".as("k"),
+      concat(lit("name"), $"id").as("name"), ($"id" % 10L).as("blk"))
+    assert(hot.queryExecution.optimizedPlan.stats.sizeInBytes >
+      EditDistance.BlockedByteLimit)
+    val hotPlan = EditDistance.jwPairs(hot, "k", "name", Seq("blk"))
+      .queryExecution.executedPlan.toString
+    assert(hotPlan.contains("Generate"), hotPlan.take(500))
+    // same size with tiny blocks stays on the exact blocked plan
+    val cool = spark.range(30000000L).select($"id".as("k"),
+      concat(lit("name"), $"id").as("name"), ($"id" % 1000000L).as("blk"))
+    val coolPlan = EditDistance.jwPairs(cool, "k", "name", Seq("blk"))
+      .queryExecution.executedPlan.toString
+    assert(!coolPlan.contains("Generate"), coolPlan.take(500))
+  }
+
   test("JaroWinkler matches the reference values including both Winkler gates") {
     import graft.functions.StringSim.jaroWinkler
     def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
