@@ -1700,8 +1700,9 @@ object Quant {
     * Hirschman index of traded-size share per day, its effective
     * instrument count 1/HHI (the "how many names really trade" number
     * desks watch), and the top-instrument share — the concentration
-    * companion to q209's turnover on the SAME daily-volume frame (a
-    * streaming ledger rebuilds both: s60/s66). Scale: one tape pass to
+    * companion to q209's turnover on the SAME daily-volume frame (the
+    * s60 daily-volume ledger rebuilds it — see s66's differential
+    * spec). Scale: one tape pass to
     * (instrument, day) integer volumes, one day-keyed window for the
     * denominators, one day agg — no self-joins. Determinism: shares
     * lattice to 12dp decimals (exact integer-ratio inputs), so the

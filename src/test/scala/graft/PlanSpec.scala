@@ -385,6 +385,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("r13 trio pins: q219/q222/q224 each run on exactly two exchanges") {
+    // q219: tape exchange (instrument-keyed day collapse + lead window
+    // + monthly rollup ride one hash) + the final month agg exchange.
+    // q222: tape exchange to (instrument, day) volumes + the day-keyed
+    // share window / day rollup exchange — heavy reduction FIRST, so
+    // the second exchange carries (instrument, day) groups, not ticks.
+    // q224: map-side-combined (user, type) count exchange + the
+    // per-user modal window exchange carrying groups, not events.
+    // A third exchange in any of these means a window or rollup
+    // stopped riding its tape partitioning — the 100-TB regression.
+    for (q <- Seq("q219_corwin_schultz", "q222_hhi", "q224_group_mode")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 2, s"$q: expected 2 exchanges\n$p")
+      assert(count(p, "NestedLoop") == 0, s"$q: nested-loop crept in\n$p")
+    }
+  }
+
   test("embedding covariance reduces in one scan at width 512: no self-join, no explode") {
     import spark.implicits._
     // the q183/q184 moment reduction must never exchange width² rows:
