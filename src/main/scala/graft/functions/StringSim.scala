@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro–Winkler similarity as a native Catalyst expression — the
   * record-linkage scorer Spark ships no built-in for (its stringdist
@@ -74,6 +75,66 @@ object StringSim {
     j + l * 0.1 * (1.0 - j)
   }
 
+  /** UTF8String entry point for codegen: ASCII inputs (the entire name
+    * domain) run byte-level with zero String materialization — one
+    * byte == one UTF-16 code unit, so the walk is bit-identical to the
+    * String version; any non-ASCII input falls back to the String
+    * path (per-code-unit, matching DuckDB). This is the hot call on
+    * the blocked linkage join's post-filter (~10⁸ evaluations at
+    * derived sf1), where the CodegenFallback + toString version cost
+    * 2 allocations + a UTF-8 decode per pair and broke whole-stage
+    * codegen for the enclosing join stage.
+    */
+  def jaroWinklerUtf8(a: UTF8String, b: UTF8String): Double = {
+    val la = a.numBytes
+    val lb = b.numBytes
+    if (la != a.numChars || lb != b.numChars)
+      return jaroWinkler(a.toString, b.toString)
+    val j = jaroAscii(a, la, b, lb)
+    if (j <= 0.7) return j
+    val cap = math.min(4, math.min(la, lb))
+    var l = 0
+    while (l < cap && a.getByte(l) == b.getByte(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  private def jaroAscii(a: UTF8String, la: Int, b: UTF8String, lb: Int): Double = {
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      val ca = a.getByte(i)
+      while (j <= hi && !found) {
+        if (!bM(j) && b.getByte(j) == ca) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.getByte(i) != b.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    (m.toDouble / la + m.toDouble / lb +
+      (m - t / 2).toDouble / m) / 3.0
+  }
+
   /** `jw(a, b)` — Jaro–Winkler similarity Column in [0, 1]. */
   def jw(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaroWinklerExpr(
@@ -81,11 +142,16 @@ object StringSim {
 }
 
 case class JaroWinklerExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    StringSim.jaroWinkler(l.toString, r.toString)
+    StringSim.jaroWinklerUtf8(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.StringSim.jaroWinklerUtf8($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =

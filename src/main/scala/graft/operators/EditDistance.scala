@@ -381,8 +381,23 @@ object EditDistance {
     * byte limit a light one-column stats job measures the LARGEST
     * block group, and any block over [[JwBlockRowLimit]] flips the
     * plan to the winnow prefilter. Both paths stay priced in the
-    * bench (q189 vs x_namelink_winnow); `winnow` forces a path for
-    * tests and pricing.
+    * bench (q189 vs x_namelink_winnow / x_namelink_winnow_blocked);
+    * `winnow` forces a path for tests and pricing.
+    *
+    * Calibration (measured on the ×10 derived fixture, local[32]):
+    * dup-dense data is OUTPUT-BOUND — 16.5M true pairs of 101M
+    * candidates — and there the exact blocked plan with the
+    * codegen'd byte-level [[graft.functions.StringSim]] wins (~22s
+    * noop-timed vs ~50s+ for the winnow prefilter, whose per-copy
+    * tag k-grams form dense fingerprint buckets). The byte gate
+    * keeps such small-catalog/dense-block inputs exact; the winnow
+    * flip targets the organic regime (large catalog AND a hot block)
+    * where candidates are quadratic but true pairs are sparse — the
+    * only regime where blocked goes quadratic-dead at 100×. The
+    * winnow tier's recall is a measured contract (100% at organic
+    * sfs; its miss mode is borderline-sim pairs whose shared
+    * fingerprints are all df-capped), spec-pinned by the forced-path
+    * equality test.
     */
   def jwPairs(df: DataFrame, keyCol: String, nameCol: String,
               blockCols: Seq[String], threshold: Double = 0.92,
