@@ -1,10 +1,28 @@
 package graft.plans
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Plan-embedded trigger for [[RangeJoinBinning]]: a no-op marker
+  * carrying the bin width, attached to the INTERVAL side of a join via
+  * [[RangeJoinBinning.withBinWidth]]. Unlike the session conf (which
+  * can't scope to one lazily-executed query on a shared session), the
+  * marker travels WITH the plan, so a library query can opt into the
+  * rewrite without leaking the setting to every other join on the
+  * session. A hint-triggered join may also carry ordinary equi keys
+  * (the common production shape: per-key point-in-window); the bin
+  * equality then joins the key list and the range stays a residual.
+  * The rule strips every marker it sees, matched or not.
+  */
+case class RangeBinHint(width: Long, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): RangeBinHint =
+    copy(child = newChild)
+}
 
 /** Optimizer rule: rewrite a pure point-in-interval join into a
   * binned equi-join.
@@ -102,22 +120,53 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
   private def binOf(e: Expression, w: Long): Expression =
     IntegralDivide(Cast(e, LongType), Literal(w))
 
+  /** Attach a [[RangeBinHint]] to the INTERVAL side of an upcoming
+    * join and make sure the rule is installed on the frame's session
+    * (the AsOf `ensureStrategy` convention — works on sessions built
+    * without the extension config). The hint scopes to the nearest
+    * enclosing inner join of the wrapped frame.
+    */
+  def withBinWidth(df: DataFrame, width: Long): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    val spark = df.sparkSession
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations :+ RangeJoinBinning).distinct
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      RangeBinHint(width, org.apache.spark.sql.GraftPlanBridge.analyzed(df)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width =
+    val confWidth =
       try conf.getConfString(ConfKey, "0").toLong
       catch { case _: NumberFormatException => 0L }
-    if (width <= 0L) plan
-    else plan.transform {
+    def hintOf(p: LogicalPlan): Option[Long] =
+      p.collectFirst { case RangeBinHint(w, _) => w }
+    val rewritten = plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && {
             val cj = splitConjuncts(cond)
-            !hasEquiKey(cj, left, right) &&
+            val hinted = hintOf(left).orElse(hintOf(right))
+            val width = hinted.getOrElse(confWidth)
+            // conf trigger keeps the original no-equi-key scope (those
+            // joins already shuffle fine without help); an explicit
+            // hint is the author declaring the range is the scale
+            // hazard even alongside equi keys
+            width > 0L && (hinted.isDefined || !hasEquiKey(cj, left, right)) &&
               rangePattern(cj, left, right).isDefined
           } =>
+        val width = hintOf(left).orElse(hintOf(right)).getOrElse(confWidth)
         val Some((x, lo, hi, pointOnLeft)) =
           rangePattern(splitConjuncts(cond), left, right)
+        // strip markers from BOTH children here, not only in the final
+        // global pass: transformDown descends into the rewritten join,
+        // and a still-present hint would re-fire the rewrite forever
+        // (the bin-equality idempotence guard only protects the conf
+        // path)
+        def strip(p: LogicalPlan): LogicalPlan =
+          p.transformUp { case RangeBinHint(_, c) => c }
         val (pointPlan, intervalPlan) =
-          if (pointOnLeft) (left, right) else (right, left)
+          if (pointOnLeft) (strip(left), strip(right))
+          else (strip(right), strip(left))
         // interval side: explode sequence(bin(lo), bin(hi)). Sequence
         // is TimeZoneAware — an optimizer-injected instance must carry
         // the session zone itself (ResolveTimeZone ran long ago).
@@ -148,5 +197,9 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
         val newCond = And(EqualTo(binP.toAttribute, binI), cond)
         Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
     }
+    // strip every marker — matched joins carry it inside their rewritten
+    // interval subtree, unmatched frames must not reach physical
+    // planning with an unknown node
+    rewritten.transformUp { case RangeBinHint(_, child) => child }
   }
 }

@@ -196,11 +196,15 @@ object Extended {
   /** q47_range_join — for each purchase, the count of clicks by the
     * same user in the preceding hour.
     *
-    * Spark plan: equi-join on (user, hour-bucket) with the purchase
-    * side exploded to its two covering buckets, then an exact range
-    * filter — a linear bucketed range join instead of the
-    * broadcast-nested-loop Catalyst would pick for a raw theta join.
-    * Purchases with zero clicks are restored by a final left join.
+    * Spark plan: the DECLARATIVE range join — purchases carry a
+    * [[graft.plans.RangeJoinBinning.withBinWidth]] hint (3600 s bins)
+    * and the optimizer rule performs the binned rewrite the first
+    * twelve rounds hand-wrote here: interval side exploded to its two
+    * covering hour bins, equi-join on (user, bin), exact range bounds
+    * as the residual. Same physical shape, now owned by the rule (and
+    * priced against the nested alternative as x_range_rule /
+    * x_range_nested every round). Purchases with zero clicks are
+    * restored by a final left join.
     */
   def q47RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -208,12 +212,11 @@ object Extended {
     val p = ev.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", unix_timestamp($"ts").as("p_sec"))
     val c = ev.filter($"event_type" === "click")
-      .select($"user_id", unix_timestamp($"ts").as("c_sec"))
-    val pB = p.withColumn("bucket",
-      explode(array(floor($"p_sec" / 3600) - 1, floor($"p_sec" / 3600))))
-    val cB = c.withColumn("bucket", floor($"c_sec" / 3600))
-    val counts = pB.join(cB, Seq("user_id", "bucket"))
-      .filter($"c_sec" >= $"p_sec" - 3600 && $"c_sec" < $"p_sec")
+      .select($"user_id".as("c_user"), unix_timestamp($"ts").as("c_sec"))
+    val pH = graft.plans.RangeJoinBinning.withBinWidth(p, 3600L)
+    val counts = pH.join(c,
+        pH("user_id") === c("c_user") &&
+          c("c_sec") >= pH("p_sec") - 3600L && c("c_sec") < pH("p_sec"))
       .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
     p.join(counts, Seq("event_id"), "left_outer")
       .select($"event_id", coalesce($"n_clicks", lit(0L)).as("n_clicks"))

@@ -115,4 +115,32 @@ class RangeJoinSpec extends SparkTestBase {
       points.join(intervals, cond).queryExecution.analyzed)
     assert(!off.toString.contains("__graft_bin"))
   }
+
+  test("withBinWidth hint scopes the rewrite to one join, equi keys allowed") {
+    // the plan-embedded trigger: no session conf, an equi key present
+    // (the production shape the conf path deliberately skips) — the
+    // hinted join must still come out binned, row-identical to the
+    // naive join, and the marker must never reach physical planning
+    val keyedIntervals = intervals.withColumn("k", $"iid" % 2)
+    val keyedPoints = points.withColumn("pk", $"x" % 2)
+    val naive = keyedPoints.join(keyedIntervals,
+        $"pk" === $"k" && $"x" >= $"lo" && $"x" <= $"hi")
+      .select($"x", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    val hinted = RangeJoinBinning.withBinWidth(keyedIntervals, 10L)
+    val df = keyedPoints.join(hinted,
+      $"pk" === hinted("k") && $"x" >= hinted("lo") && $"x" <= hinted("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bin"), plan)
+    assert(!plan.contains("RangeBinHint"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+    val got = df.select($"x", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive)
+    // an un-joined hinted frame still executes (marker stripped)
+    assert(RangeJoinBinning.withBinWidth(intervals, 5L).count() == 6)
+    // q47 is the production adopter: its executed plan shows the
+    // rule's generator and bin keys with no conf set
+    val q47 = SparkEntry.queries("q47_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q47.contains("__graft_bin") && !q47.contains("NestedLoop"), q47)
+  }
 }
