@@ -65,10 +65,22 @@ class QuantileSketchAgg(probs: Seq[Double], k: Int = 256)
   }
 
   override def reduce(b: Buf, x: Double): Buf = {
+    // level 0 accumulates as a Vector — effectively O(1) append where
+    // the default Seq's `:+` copied the whole level per row (the r12
+    // perf nit: O(k) per input row). A freshly-deserialized level 0
+    // (post-shuffle ArraySeq) converts once and stays a Vector. Levels
+    // > 0 only grow in compact/merge, which bound themselves, so only
+    // level 0 is size-checked per row.
     val idx = b.indexWhere(_._1 == 0)
-    val withX = if (idx >= 0) b.updated(idx, (0, b(idx)._2 :+ x))
-                else b :+ (0, Seq(x))
-    if (withX.exists(e => e._2.size > k)) compact(withX) else withX
+    if (idx < 0) b :+ ((0, Vector(x): Seq[Double]))
+    else {
+      val v = (b(idx)._2 match {
+        case v: Vector[Double @unchecked] => v
+        case o => o.toVector
+      }) :+ x
+      val withX = b.updated(idx, (0, v: Seq[Double]))
+      if (v.size > k) compact(withX) else withX
+    }
   }
 
   override def merge(a: Buf, b: Buf): Buf = {

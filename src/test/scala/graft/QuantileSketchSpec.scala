@@ -58,6 +58,39 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("Percentiles dispatcher: both physical paths agree within the certified rank bound") {
+    // the settled plan choice (operators/Percentiles): auto = native
+    // GK, sketch = the opt-in mergeable tier. Both paths must land
+    // inside the SKETCH's closed-form rank bound of the same exact
+    // quantile (GK at accuracy 1e4 is far tighter, so one shared bound
+    // gates both), or the dispatcher is choosing between two plans
+    // that disagree.
+    val n = 50000
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to n).map(i => (i % 4, math.exp(rnd.nextGaussian() * 2)))
+    val df = rows.toDF("g", "v").repartition(13)
+    val ps = Seq(0.5, 0.9)
+    def got(sk: Boolean): Map[Int, Seq[Double]] =
+      operators.Percentiles.approxQuantiles(df, Seq("g"), "v", ps,
+          sketch = Some(sk))
+        .as[(Int, Seq[Double])].collect().toMap
+    val native = got(false)
+    val sketch = got(true)
+    // auto takes the native plan (the measured constant)
+    val autoPlan = operators.Percentiles
+      .approxQuantiles(df, Seq("g"), "v", ps)
+      .queryExecution.executedPlan.toString
+    assert(autoPlan.contains("percentile_approx"), autoPlan.take(400))
+    for (g <- 0 until 4) {
+      val vals = rows.collect { case (gg, v) if gg == g => v }.toArray.sorted
+      val bound = QuantileSketch.rankErrorBound(vals.length, 256)
+      for ((p, i) <- ps.zipWithIndex; est <- Seq(native(g)(i), sketch(g)(i))) {
+        val err = math.abs(rankOf(vals, est) - math.ceil(p * vals.length).toLong)
+        assert(err <= bound, s"g=$g p=$p est=$est rank err $err > $bound")
+      }
+    }
+  }
+
   test("per-group sketch quantiles track exact percentiles; SQL spot agrees") {
     graft.plans.GraftExtensions.install(spark)
     val ev = Tables.events(spark, sf).filter($"value".isNotNull)
