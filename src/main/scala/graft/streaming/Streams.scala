@@ -23,26 +23,27 @@ object Streams {
                      session_value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
+  /** THE source entry for every streaming twin: resolve an
+    * [[EventSource]] transport to the canonical normalized events
+    * frame. Twins compose on the result and never see the transport —
+    * swapping the file replay source for the Kafka-shaped bus source
+    * changes one constructor at the call site and nothing downstream
+    * (differential-spec-proven per transport).
+    */
+  def normalize(spark: SparkSession, src: EventSource): DataFrame =
+    src.normalized(spark)
+
   /** File-source stream over an events parquet directory, normalized by
     * the same footer-branched read plan as the batch loader
     * ([[Tables.eventsReadPlan]]) — so a unit change in the source encoding
     * (TIMESTAMP(NANOS) vs TIMESTAMP_MICROS) is handled identically on the
     * batch and streaming paths. The plan is sniffed once from the files
     * present at stream construction; a file source directory is
-    * single-schema by contract.
+    * single-schema by contract. (Compatibility veneer over
+    * `normalize(spark, FileEvents(path))`.)
     */
-  def eventsStream(spark: SparkSession, path: String): DataFrame = {
-    val (schema, normalize) =
-      try Tables.eventsReadPlan(spark, path)
-      catch {
-        // empty or not-yet-created landing dir: nothing to sniff at
-        // stream construction (the kappa start-then-produce pattern) —
-        // fall back to the current-era micros plan instead of failing
-        case _: org.apache.spark.sql.AnalysisException =>
-          Tables.eventsMicrosPlan
-      }
-    normalize(spark.readStream.schema(schema).parquet(path))
-  }
+  def eventsStream(spark: SparkSession, path: String): DataFrame =
+    normalize(spark, FileEvents(path))
 
   /** Sliding-window counts with a watermark: late data beyond 1 hour is
     * dropped, so state is bounded regardless of stream length.

@@ -20,6 +20,56 @@ class StreamingSpec extends SparkTestBase {
     dir.toString
   }
 
+  test("kafka-shaped envelope source: s60 ledger converges to the batch frame through the bus transport") {
+    import graft.streaming.KafkaShapedEvents
+    // producer side: wrap the batch events in the Kafka connector's
+    // envelope (3 user-keyed partitions, per-partition offsets), land
+    // it as two time-sliced files, and replay file-by-file — the same
+    // micro-batch discipline as every file-source twin, but the twin
+    // consumes the NON-FILE transport: envelope stream → normalize →
+    // dailyVolStream, no twin-side changes.
+    val ev = Tables.events(spark, sf)
+    val env = KafkaShapedEvents.envelopeFrom(ev, "events", nPartitions = 3)
+    assert(env.schema.fieldNames.toSet ==
+      KafkaShapedEvents.EnvelopeSchema.fieldNames.toSet)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka").toString
+    val envTs = env.withColumn("__us", unix_micros($"timestamp"))
+    envTs.filter($"__us" <= mid).drop("__us")
+      .coalesce(1).write.parquet(s"$dir/slice_a")
+    Thread.sleep(1100)
+    envTs.filter($"__us" > mid).drop("__us")
+      .coalesce(1).write.parquet(s"$dir/slice_b")
+    val envStream = spark.readStream
+      .schema(KafkaShapedEvents.EnvelopeSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/slice_*")
+    val events = Streams.normalize(spark, KafkaShapedEvents(envStream))
+    // the normalized frame must wear the canonical schema exactly
+    assert(events.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = Streams.dailyVolStream(events)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kafka_dvol").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val vol = spark.table("kafka_dvol")
+      .groupBy($"user_id", $"day").agg(max($"v").as("v"))
+    val batchVol = ev
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .filter($"k" > 0L)
+      .groupBy($"user_id", $"day").agg(sum($"k").as("v"))
+    assert(vol.count() > 0)
+    assert(vol.exceptAll(batchVol).isEmpty && batchVol.exceptAll(vol).isEmpty)
+    // malformed payloads drop instead of poisoning the stream
+    val bad = Seq(("junk".getBytes, "junk{".getBytes, "events", 0,
+        99L, new java.sql.Timestamp(1700000000000L), 0))
+      .toDF("key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType")
+    assert(KafkaShapedEvents(bad).normalized(spark).count() == 0)
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     val stream = Streams.eventsStream(spark, streamDir)
     val q = Streams.windowedCounts(stream).writeStream
