@@ -1366,14 +1366,26 @@ object Microstructure {
     * exactly-converted (18,12) operands — exp()'s 1-ulp surface is
     * absorbed by the 12dp per-pair lattice + 6dp output round.
     */
-  def q219CorwinSchultz(spark: SparkSession, dir: String): DataFrame = {
+  def q219CorwinSchultz(spark: SparkSession, dir: String): DataFrame =
+    csSpreadFromDaily(Tables.events(spark, dir)
+      .filter(col("value") > 0.0)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(max(col("value")).as("h"), min(col("value")).as("l")))
+
+  /** q219's estimator tail as a pure function of the (instrument, day)
+    * H/L frame — shared verbatim by the batch query and the s65
+    * streaming ledger's differential spec (the q200 composition
+    * discipline: the spec proves the STREAM converges to the same
+    * frame, then runs THIS tail, not a copy of it). Input contract:
+    * one row per (user_id, day) with day-high `h` and day-low `l`,
+    * both > 0.
+    */
+  def csSpreadFromDaily(hlDaily: DataFrame): DataFrame = {
+    val spark = hlDaily.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val wDay = Window.partitionBy($"user_id").orderBy($"day")
-    val hl = Tables.events(spark, dir)
-      .filter($"value" > 0.0)
-      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
-      .agg(max($"value").as("h"), min($"value").as("l"))
+    val hl = hlDaily
       .withColumn("b1",
         decRound(log($"h" / $"l"), 12).cast(DecimalType(18, 12)))
     val pairs = hl

@@ -1202,12 +1202,19 @@ object Quant {
     * decimal sums too — the two-pass formulation never sums raw
     * doubles.
     */
-  def q202PairsCointegration(spark: SparkSession, dir: String): DataFrame = {
+  /** The pair family's shared spine: one row per (instrument, day)
+    * with the 12dp-latticed ln of the LAST event value that day
+    * (ties broken by event_id — a total close order). Both q202 and
+    * q208 are pure functions of this frame, and the s67 streaming
+    * close ledger converges to it exactly (last = max (ts, event_id)
+    * struct, monotone under accumulation).
+    */
+  def dailyCloses(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val wDay = Window.partitionBy($"user_id", $"day")
       .orderBy($"ts".desc, $"event_id".desc)
-    val closes = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .filter($"value" > 0.0)
       .select($"user_id", date_trunc("day", $"ts").as("day"),
         $"ts", $"event_id", $"value")
@@ -1215,6 +1222,19 @@ object Quant {
       .filter($"rn" === 1)
       .select($"user_id", $"day",
         decRound(log($"value"), 12).cast(DecimalType(18, 12)).as("x"))
+  }
+
+  def q202PairsCointegration(spark: SparkSession, dir: String): DataFrame =
+    cointFromCloses(dailyCloses(spark, dir))
+
+  /** q202's cointegration tail as a pure function of the closes spine
+    * (user_id, day, x) — shared verbatim by the batch query and the
+    * s67 ledger's differential spec.
+    */
+  def cointFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
     val universe = closes.groupBy($"user_id")
       .agg(count(lit(1)).as("n_days"))
       .orderBy($"n_days".desc, $"user_id".asc)
@@ -1358,19 +1378,17 @@ object Quant {
     * exact decimal sums with per-pair conditional counts (the first
     * day's null lag drops per-moment, not per-row).
     */
-  def q208LeadLag(spark: SparkSession, dir: String): DataFrame = {
+  def q208LeadLag(spark: SparkSession, dir: String): DataFrame =
+    leadLagFromCloses(dailyCloses(spark, dir))
+
+  /** q208's lead-lag tail as a pure function of the closes spine —
+    * shared verbatim by the batch query and the s67 differential spec
+    * (one ledger, two pair-family twins).
+    */
+  def leadLagFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val wDay = Window.partitionBy($"user_id", $"day")
-      .orderBy($"ts".desc, $"event_id".desc)
-    val closes = Tables.events(spark, dir)
-      .filter($"value" > 0.0)
-      .select($"user_id", date_trunc("day", $"ts").as("day"),
-        $"ts", $"event_id", $"value")
-      .withColumn("rn", row_number().over(wDay))
-      .filter($"rn" === 1)
-      .select($"user_id", $"day",
-        decRound(log($"value"), 12).cast(DecimalType(18, 12)).as("x"))
     val universe = closes.groupBy($"user_id")
       .agg(count(lit(1)).as("n_days"))
       .orderBy($"n_days".desc, $"user_id".asc).limit(50)
@@ -1710,13 +1728,25 @@ object Quant {
     */
   def q222Hhi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
-    val vol = Tables.events(spark, dir)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    hhiFromDailyVol(Tables.events(spark, dir)
       .select($"user_id", date_trunc("day", $"ts").as("day"),
         from_json($"props", StructType(Seq(StructField("k", LongType))))
           .getField("k").as("k"))
       .filter($"k" > 0L)
-      .groupBy($"user_id", $"day").agg(sum($"k").as("v"))
+      .groupBy($"user_id", $"day").agg(sum($"k").as("v")))
+  }
+
+  /** q222's concentration tail as a pure function of the daily-volume
+    * frame (user_id, day, v) — shared verbatim by the batch query and
+    * the s66 differential spec, which feeds it the CONVERGED s60
+    * streaming volume ledger (one ledger, three batch twins: q209,
+    * q212, q222).
+    */
+  def hhiFromDailyVol(vol: DataFrame): DataFrame = {
+    val spark = vol.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
     val w = vol
       .withColumn("tot", sum($"v").over(Window.partitionBy($"day")))
       .withColumn("w",

@@ -2853,6 +2853,41 @@ object Streams {
       .groupBy(col("user_id"), col("day"))
       .agg(sum(col("k")).as("v"))
 
+  /** s65 — the (instrument, day) HIGH/LOW census ledger: day-high is a
+    * running max, day-low a running min, so every update-mode emission
+    * is monotone per cell (h only rises, l only falls) and the
+    * converged ledger (max h, min l per cell) equals the batch H/L
+    * frame EXACTLY under any micro-batch slicing. Batch q219's
+    * Corwin–Schultz estimator is a pure function of this frame
+    * ([[graft.queries.Microstructure.csSpreadFromDaily]]) — the s60
+    * one-ledger convention for the range-spread family. State is two
+    * doubles per open (instrument, day) cell.
+    */
+  def dailyHlStream(events: DataFrame): DataFrame =
+    events
+      .filter(col("value") > 0.0)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(max(col("value")).as("h"), min(col("value")).as("l"))
+
+  /** s67 — the (instrument, day) CLOSE ledger: the day's last event as
+    * a running max over the (ts, event_id, value) struct —
+    * lexicographic struct max is monotone under accumulation and ties
+    * break on event_id, the same total order as the batch closes
+    * spine, so the converged ledger (max struct per cell) equals
+    * [[graft.queries.Quant.dailyCloses]] exactly under any slicing.
+    * BOTH pair-family batch twins (q202 cointegration, q208 lead-lag)
+    * are pure functions of this frame — one ledger, two tails. State
+    * is one struct per open (instrument, day) cell.
+    */
+  def dailyCloseStream(events: DataFrame): DataFrame =
+    events
+      .filter(col("value") > 0.0)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .as("last"))
+      .select(col("user_id"), col("day"), col("last.ts").as("ts"),
+        col("last.event_id").as("event_id"), col("last.value").as("close"))
+
   /** s58 — streaming Pareto front via flatMapGroupsWithState: the
     * incremental twin of batch q210's skyline. State per source is the
     * CURRENT front — (ttr-micro6, n_tokens, n_types, doc_id) tuples,

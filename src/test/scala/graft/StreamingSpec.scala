@@ -583,6 +583,95 @@ class StreamingSpec extends SparkTestBase {
       batch212.exceptAll(part).isEmpty)
   }
 
+  /** Slice the sf events tape into two time-halves under `tag` and
+    * return a file stream replaying them one file per micro-batch —
+    * the shared harness for the ledger twins below.
+    */
+  private def slicedEventsStream(tag: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    Thread.sleep(1100)
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+  }
+
+  test("streaming H/L ledger rebuilds batch q219 Corwin-Schultz (s65)") {
+    val q = Streams.dailyHlStream(slicedEventsStream("hl"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hl_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // h is a running max, l a running min: converged = extremes of the
+    // emissions per cell
+    val hl = spark.table("hl_out")
+      .groupBy($"user_id", $"day")
+      .agg(max($"h").as("h"), min($"l").as("l"))
+    assert(hl.count() > 0)
+    // the ledger must equal the batch H/L frame exactly...
+    val ev = Tables.events(spark, sf)
+    val batchHl = ev.filter($"value" > 0.0)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(max($"value").as("h"), min($"value").as("l"))
+    assert(hl.exceptAll(batchHl).isEmpty && batchHl.exceptAll(hl).isEmpty)
+    // ...and q219 is ITS OWN batch tail on the converged ledger (the
+    // shared csSpreadFromDaily, not a spec-local copy)
+    val streamed = queries.Microstructure.csSpreadFromDaily(
+      hl.localCheckpoint())
+    val batch = SparkEntry.queries("q219_corwin_schultz")(spark, sf)
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("s60 volume ledger also rebuilds batch q222 HHI (s66)") {
+    val q = Streams.dailyVolStream(slicedEventsStream("hhi"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hhi_vol_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val vol = spark.table("hhi_vol_out")
+      .groupBy($"user_id", $"day").agg(max($"v").as("v"))
+    assert(vol.count() > 0)
+    val streamed = queries.Quant.hhiFromDailyVol(vol.localCheckpoint())
+    val batch = SparkEntry.queries("q222_hhi")(spark, sf)
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("one streaming close ledger rebuilds BOTH pair-family twins q202 and q208 (s67)") {
+    val q = Streams.dailyCloseStream(slicedEventsStream("close"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("close_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // lexicographic struct max is monotone: converged = max emission
+    val closes = spark.table("close_out")
+      .groupBy($"user_id", $"day")
+      .agg(max(struct($"ts", $"event_id", $"close")).as("last"))
+      .select($"user_id", $"day",
+        graft.functions.Num.decRound(log($"last.close"), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 12)).as("x"))
+      .localCheckpoint()
+    assert(closes.count() > 0)
+    val batchCloses = queries.Quant.dailyCloses(spark, sf)
+    assert(closes.exceptAll(batchCloses).isEmpty &&
+      batchCloses.exceptAll(closes).isEmpty)
+    val coint = queries.Quant.cointFromCloses(closes)
+    val batch202 = SparkEntry.queries("q202_pairs_coint")(spark, sf)
+    assert(batch202.count() > 0)
+    assert(coint.exceptAll(batch202).isEmpty &&
+      batch202.exceptAll(coint).isEmpty)
+    val ll = queries.Quant.leadLagFromCloses(closes)
+    val batch208 = SparkEntry.queries("q208_lead_lag")(spark, sf)
+    assert(batch208.count() > 0)
+    assert(ll.exceptAll(batch208).isEmpty && batch208.exceptAll(ll).isEmpty)
+  }
+
   test("streaming ES weighted sample via bounded TopK state equals batch q205 (s64)") {
     // the A-ES key is a stateless per-row function (deterministic hash
     // uniform), so weighted-sampling-without-replacement streams as a
