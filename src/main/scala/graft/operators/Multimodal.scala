@@ -23,24 +23,40 @@ object Multimodal {
     */
   case class Payload(doc_id: Long, payload: Array[Byte])
 
-  /** STUB codec: deterministic fake decode. A real implementation
-    * would hand the batch to an image/audio library; everything the
-    * engine depends on (batching, schema, determinism) is preserved.
+  /** Codec: REAL container-header decode where the payload is a real
+    * image container ([[graft.functions.ImageHeaders]] — PNG/JPEG/
+    * GIF/BMP dimensions, bit depth, channels parsed from the actual
+    * byte layout), deterministic fake features otherwise (this
+    * corpus's payloads are text bytes; full PIXEL decode still needs
+    * a codec library this container doesn't ship, and would slot in
+    * exactly here). Batching, schema, and determinism are identical
+    * on both branches.
     */
   object MediaCodec {
     val batchSize = 64
     def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
       batch.map { case (id, bytes) =>
         val magic = bytes.take(4).map(b => f"$b%02X").mkString
-        // fake dimensions/features derived only from the payload → stable.
-        // Long arithmetic: Int math would overflow-wrap for doc ids above
-        // 2^31 or ~69 MB payloads and diverge from the BIGINT oracle
-        val width = (64 + math.abs(bytes.length.toLong * 31 + id) % 512).toInt
-        val height = (64 + math.abs(bytes.length.toLong * 17 + id) % 512).toInt
-        val feats = Array.tabulate(8)(i =>
-          (if (bytes.isEmpty) 0f
-           else bytes(i % bytes.length).toFloat / 128f))
-        MediaFeatures(id, bytes.length, magic, width, height, feats)
+        graft.functions.ImageHeaders.parse(bytes) match {
+          case Some(m) =>
+            // real container: real dimensions; features carry the
+            // parsed header fields until a pixel codec lands
+            MediaFeatures(id, bytes.length, magic, m.width, m.height,
+              Array(m.bitDepth.toFloat, m.channels.toFloat,
+                m.width.toFloat, m.height.toFloat,
+                m.width.toFloat * m.height, 0f, 0f, 0f))
+          case None =>
+            // fake dimensions/features derived only from the payload →
+            // stable. Long arithmetic: Int math would overflow-wrap for
+            // doc ids above 2^31 or ~69 MB payloads and diverge from
+            // the BIGINT oracle
+            val width = (64 + math.abs(bytes.length.toLong * 31 + id) % 512).toInt
+            val height = (64 + math.abs(bytes.length.toLong * 17 + id) % 512).toInt
+            val feats = Array.tabulate(8)(i =>
+              (if (bytes.isEmpty) 0f
+               else bytes(i % bytes.length).toFloat / 128f))
+            MediaFeatures(id, bytes.length, magic, width, height, feats)
+        }
       }
   }
 

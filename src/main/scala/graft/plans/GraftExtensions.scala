@@ -83,7 +83,14 @@ object GraftExtensions {
       info("graft_jaro_winkler",
         "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
       (children: Seq[Expression]) =>
-        graft.functions.JaroWinklerExpr(children(0), children(1))))
+        graft.functions.JaroWinklerExpr(children(0), children(1))),
+    (FunctionIdentifier("graft_image_meta"),
+      info("graft_image_meta",
+        "graft_image_meta(payload) - struct(format, width, height, " +
+          "bit_depth, channels) parsed from a PNG/JPEG/GIF/BMP " +
+          "container header; NULL for non-image payloads"),
+      (children: Seq[Expression]) =>
+        graft.functions.ImageMetaExpr(children.head)))
 
   /** Register the functions on a live session (for sessions created
     * without the extension config — notebooks, REPLs, test harnesses).
