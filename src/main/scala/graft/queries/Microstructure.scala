@@ -1471,4 +1471,160 @@ object Microstructure {
       |  CAST(round(CAST(CAST(ss AS DOUBLE) / CAST(n_pairs AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS cs_spread
       |FROM m""".stripMargin
+
+  /** The (instrument, day) OHLC frame: H/L as plain extremes, O/C via
+    * LEXICOGRAPHIC struct extremes over (ts, event_id, value) — one
+    * aggregation, no window, ties broken by event_id (the q202/s67
+    * total order). This is exactly the s68 streaming OHLC ledger's
+    * shape: every component is monotone under accumulation (struct
+    * min/max, max, min), so the converged ledger equals this frame
+    * under any micro-batch slicing.
+    */
+  def dailyOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(min(struct($"ts", $"event_id", $"value")).as("of"),
+        max(struct($"ts", $"event_id", $"value")).as("cf"),
+        max($"value").as("h"), min($"value").as("l"))
+      .select($"user_id", $"day", $"of.value".as("o"), $"h", $"l",
+        $"cf.value".as("c"))
+  }
+
+  /** q220_garman_klass — the Garman–Klass (1980) OHLC variance
+    * estimator per instrument: σ²_GK = mean(0.5·ln²(H/L) −
+    * (2ln2−1)·ln²(C/O)) — ~7.4× more efficient than close-to-close
+    * variance on the same tape, the estimator a daily-bar shop runs
+    * next to q219's Corwin–Schultz spread (same H/L frame) and q223's
+    * Parkinson (adds the open/close drift correction). One
+    * aggregation to OHLC, one instrument rollup — two exchanges.
+    * Determinism: ln ranges lattice to 12dp; Σln²(H/L) and Σln²(C/O)
+    * reduce as exact decimal sums ((28,10) re-narrow before the
+    * double cast, the q215 rule); the irrational coefficients apply
+    * in pure IEEE double on the converged sums only.
+    */
+  def q220GarmanKlass(spark: SparkSession, dir: String): DataFrame =
+    gkFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q220's estimator tail as a pure function of the OHLC frame —
+    * shared verbatim by the batch query and the s68 ledger's
+    * differential spec.
+    */
+  def gkFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val latticed = ohlc
+      .withColumn("hl",
+        decRound(log($"h" / $"l"), 12).cast(DecimalType(18, 12)))
+      .withColumn("co",
+        decRound(log($"c" / $"o"), 12).cast(DecimalType(18, 12)))
+    val m = latticed.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"hl" * $"hl").cast(DecimalType(28, 10)).as("shl"),
+        sum($"co" * $"co").cast(DecimalType(28, 10)).as("sco"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    val gkVar = (lit(0.5) * $"shl".cast("double") -
+      (lit(2.0) * log(lit(2.0)) - lit(1.0)) * $"sco".cast("double")) / nD
+    m.select($"user_id", $"n_days",
+      decRound(gkVar, 6).as("gk_var"),
+      decRound(sqrt(greatest(gkVar, lit(0.0))), 6).as("gk_vol"))
+  }
+
+  val q220Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts, event_id) AS rn_o,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn_c
+      |  FROM events WHERE value > 0.0),
+      |ohlc AS (
+      |  SELECT user_id, day,
+      |    max(CASE WHEN rn_o = 1 THEN value END) AS o,
+      |    max(value) AS h, min(value) AS l,
+      |    max(CASE WHEN rn_c = 1 THEN value END) AS c
+      |  FROM r GROUP BY 1, 2),
+      |lat AS (
+      |  SELECT user_id,
+      |    CAST(round(CAST(ln(h / l) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS hl,
+      |    CAST(round(CAST(ln(c / o) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS co
+      |  FROM ohlc),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(hl * hl), 10) AS DECIMAL(28,10)) AS shl,
+      |    CAST(round(sum(co * co), 10) AS DECIMAL(28,10)) AS sco
+      |  FROM lat GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST((0.5 * CAST(shl AS DOUBLE)
+      |    - (2.0 * ln(2.0) - 1.0) * CAST(sco AS DOUBLE))
+      |    / CAST(n_days AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS gk_var,
+      |  CAST(round(CAST(sqrt(greatest((0.5 * CAST(shl AS DOUBLE)
+      |    - (2.0 * ln(2.0) - 1.0) * CAST(sco AS DOUBLE))
+      |    / CAST(n_days AS DOUBLE), 0.0)) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS gk_vol
+      |FROM m""".stripMargin
+
+  /** q223_parkinson — the Parkinson (1980) range variance estimator
+    * per instrument: σ²_P = Σln²(H/L) / (4ln2·n) — the pure-range
+    * member of the OHLC volatility family (q220 adds the drift
+    * correction; q219 turns the same ranges into a spread). Pure
+    * function of the s65 H/L ledger frame. Same lattice discipline
+    * as q220; the 1/(4ln2) coefficient applies in IEEE double on the
+    * converged sum.
+    */
+  def q223Parkinson(spark: SparkSession, dir: String): DataFrame =
+    parkFromDailyHl(Tables.events(spark, dir)
+      .filter(col("value") > 0.0)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(max(col("value")).as("h"), min(col("value")).as("l")))
+
+  /** q223's tail over the (user_id, day, h, l) frame — shared by the
+    * batch query and the s65/s68 ledger specs.
+    */
+  def parkFromDailyHl(hl: DataFrame): DataFrame = {
+    val spark = hl.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val m = hl
+      .withColumn("hlr",
+        decRound(log($"h" / $"l"), 12).cast(DecimalType(18, 12)))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"hlr" * $"hlr").cast(DecimalType(28, 10)).as("shl"))
+      .filter($"n_days" >= 10L)
+    val pVar = $"shl".cast("double") /
+      (lit(4.0) * log(lit(2.0)) * $"n_days".cast("double"))
+    m.select($"user_id", $"n_days",
+      decRound(pVar, 6).as("park_var"),
+      decRound(sqrt(greatest(pVar, lit(0.0))), 6).as("park_vol"))
+  }
+
+  val q223Sql: String =
+    """WITH hl AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    max(value) AS h, min(value) AS l
+      |  FROM events WHERE value > 0.0 GROUP BY 1, 2),
+      |lat AS (
+      |  SELECT user_id,
+      |    CAST(round(CAST(ln(h / l) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS hlr
+      |  FROM hl),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(hlr * hlr), 10) AS DECIMAL(28,10)) AS shl
+      |  FROM lat GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(shl AS DOUBLE)
+      |    / (4.0 * ln(2.0) * CAST(n_days AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS park_var,
+      |  CAST(round(CAST(sqrt(greatest(CAST(shl AS DOUBLE)
+      |    / (4.0 * ln(2.0) * CAST(n_days AS DOUBLE)), 0.0))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS park_vol
+      |FROM m""".stripMargin
 }

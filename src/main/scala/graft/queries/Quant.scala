@@ -1726,16 +1726,23 @@ object Quant {
     * lattice to 12dp decimals (exact integer-ratio inputs), so the
     * Σw² reduction is an exact decimal sum in both engines.
     */
-  def q222Hhi(spark: SparkSession, dir: String): DataFrame = {
+  /** The (instrument, day) integer traded-size frame — the s60
+    * streaming ledger's exact shape, shared by q222 (HHI) and q221
+    * (OBV).
+    */
+  def dailyVolume(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    hhiFromDailyVol(Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select($"user_id", date_trunc("day", $"ts").as("day"),
         from_json($"props", StructType(Seq(StructField("k", LongType))))
           .getField("k").as("k"))
       .filter($"k" > 0L)
-      .groupBy($"user_id", $"day").agg(sum($"k").as("v")))
+      .groupBy($"user_id", $"day").agg(sum($"k").as("v"))
   }
+
+  def q222Hhi(spark: SparkSession, dir: String): DataFrame =
+    hhiFromDailyVol(dailyVolume(spark, dir))
 
   /** q222's concentration tail as a pure function of the daily-volume
     * frame (user_id, day, v) — shared verbatim by the batch query and
@@ -1789,4 +1796,68 @@ object Quant {
       |  CAST(round(CAST(CAST(wmax AS DOUBLE) AS DECIMAL(28,12)), 6)
       |    AS DOUBLE) AS top_share
       |FROM m""".stripMargin
+
+  /** q221_obv — on-balance volume per instrument over its trading
+    * days: flow_t = sign(close_t − close_{t−1}) · volume_t, OBV the
+    * running sum — the classic accumulation/distribution read, and
+    * the first query COMPOSING two of the streaming ledgers (s67
+    * closes × s60 volumes; the differential spec rebuilds it from
+    * both). Sign compares the 12dp ln-close LATTICE (ln is monotone,
+    * so the sign is the close-change sign; decimal compare = exact,
+    * no FP tie hazard); flows and OBV are pure integers —
+    * bit-deterministic at any scale. Day domain: days carrying BOTH a
+    * positive print and positive traded size (inner join of the two
+    * ledgers). First trading day has no prior close → flow 0.
+    */
+  def q221Obv(spark: SparkSession, dir: String): DataFrame =
+    obvFromLedgers(dailyCloses(spark, dir), dailyVolume(spark, dir))
+
+  /** q221's tail over the two ledger frames — shared by the batch
+    * query and the s67×s60 composition spec.
+    */
+  def obvFromLedgers(closes: DataFrame, vol: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    closes.join(vol, Seq("user_id", "day"))
+      .withColumn("xp", lag($"x", 1).over(w))
+      .withColumn("flow",
+        when($"xp".isNull || $"x" === $"xp", lit(0L))
+          .when($"x" > $"xp", $"v")
+          .otherwise(-$"v"))
+      .withColumn("obv", sum($"flow").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"day", $"v".as("volume"), $"flow", $"obv")
+  }
+
+  val q221Sql: String =
+    """WITH c0 AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE value > 0.0),
+      |c AS (
+      |  SELECT user_id, day,
+      |    CAST(round(CAST(ln(value) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS x
+      |  FROM c0 WHERE rn = 1),
+      |vol AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 0
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT c.user_id, c.day, c.x, vol.v,
+      |    lag(c.x) OVER (PARTITION BY c.user_id ORDER BY c.day) AS xp
+      |  FROM c JOIN vol ON c.user_id = vol.user_id AND c.day = vol.day),
+      |f AS (
+      |  SELECT user_id, day, v,
+      |    CAST(CASE WHEN xp IS NULL OR x = xp THEN 0
+      |      WHEN x > xp THEN v ELSE -v END AS BIGINT) AS flow
+      |  FROM j)
+      |SELECT user_id, day, v AS volume, flow,
+      |  CAST(sum(flow) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS obv
+      |FROM f""".stripMargin
 }

@@ -2888,6 +2888,29 @@ object Streams {
       .select(col("user_id"), col("day"), col("last.ts").as("ts"),
         col("last.event_id").as("event_id"), col("last.value").as("close"))
 
+  /** s68 — the full (instrument, day) OHLC ledger: open/close as
+    * lexicographic struct extremes (the s67 order), high/low as plain
+    * extremes — all four components monotone under accumulation, so
+    * the converged ledger equals
+    * [[graft.queries.Microstructure.dailyOhlc]] exactly under any
+    * slicing. The OHLC volatility family runs as shared batch tails
+    * on top (q220 Garman–Klass via gkFromDailyOhlc, q223 Parkinson
+    * via parkFromDailyHl on the H/L projection); state is two structs
+    * + two doubles per open cell.
+    */
+  def dailyOhlcStream(events: DataFrame): DataFrame =
+    events
+      .filter(col("value") > 0.0)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("of"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("cf"),
+        max(col("value")).as("h"), min(col("value")).as("l"))
+      .select(col("user_id"), col("day"),
+        col("of.ts").as("o_ts"), col("of.event_id").as("o_eid"),
+        col("of.value").as("o"), col("h"), col("l"),
+        col("cf.ts").as("c_ts"), col("cf.event_id").as("c_eid"),
+        col("cf.value").as("c"))
+
   /** s58 — streaming Pareto front via flatMapGroupsWithState: the
     * incremental twin of batch q210's skyline. State per source is the
     * CURRENT front — (ttr-micro6, n_tokens, n_types, doc_id) tuples,

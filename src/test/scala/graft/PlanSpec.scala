@@ -402,6 +402,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("r14 volatility family pins: q220/q223 two exchanges; q221 ledger join stays windowed-pruned") {
+    // q220/q223: one tape-collapsing aggregation exchange + one
+    // instrument rollup exchange — the q219 shape.
+    for (q <- Seq("q220_garman_klass", "q223_parkinson")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 2, s"$q: expected 2 exchanges\n$p")
+      assert(count(p, "NestedLoop") == 0, s"$q: nested-loop crept in\n$p")
+    }
+    // q221 joins TWO ledgers: closes window + volume agg (both keyed
+    // (user, day)) + one group-sized hash(user) exchange for the
+    // OBV windows; at dim scale the join side broadcasts (4th
+    // exchange). The load-bearing pins: the closes row_number is
+    // pre-pruned by WindowGroupLimit (the tape never carries more
+    // than one candidate row per cell to the sort), and no
+    // nested-loop anywhere.
+    val p = plan("q221_obv")
+    assert(count(p, "Exchange") <= 4, s"q221: expected <= 4 exchanges\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(count(p, "NestedLoop") == 0, p)
+  }
+
   test("embedding covariance reduces in one scan at width 512: no self-join, no explode") {
     import spark.implicits._
     // the q183/q184 moment reduction must never exchange width² rows:

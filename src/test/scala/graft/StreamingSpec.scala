@@ -672,6 +672,63 @@ class StreamingSpec extends SparkTestBase {
     assert(ll.exceptAll(batch208).isEmpty && batch208.exceptAll(ll).isEmpty)
   }
 
+  test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
+    val q = Streams.dailyOhlcStream(slicedEventsStream("ohlcled"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ohlc_led").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // all four components monotone: open = min struct, close = max
+    // struct, high = max, low = min of the emissions per cell
+    val ohlc = spark.table("ohlc_led")
+      .groupBy($"user_id", $"day")
+      .agg(min(struct($"o_ts", $"o_eid", $"o")).as("of"),
+        max(struct($"c_ts", $"c_eid", $"c")).as("cf"),
+        max($"h").as("h"), min($"l").as("l"))
+      .select($"user_id", $"day", $"of.o".as("o"), $"h", $"l",
+        $"cf.c".as("c"))
+      .localCheckpoint()
+    assert(ohlc.count() > 0)
+    val batchOhlc = queries.Microstructure.dailyOhlc(spark, sf)
+    assert(ohlc.exceptAll(batchOhlc).isEmpty &&
+      batchOhlc.exceptAll(ohlc).isEmpty)
+    val gk = queries.Microstructure.gkFromDailyOhlc(ohlc)
+    val batch220 = SparkEntry.queries("q220_garman_klass")(spark, sf)
+    assert(batch220.count() > 0)
+    assert(gk.exceptAll(batch220).isEmpty && batch220.exceptAll(gk).isEmpty)
+    val park = queries.Microstructure.parkFromDailyHl(
+      ohlc.select($"user_id", $"day", $"h", $"l"))
+    val batch223 = SparkEntry.queries("q223_parkinson")(spark, sf)
+    assert(batch223.count() > 0)
+    assert(park.exceptAll(batch223).isEmpty &&
+      batch223.exceptAll(park).isEmpty)
+  }
+
+  test("OBV composes TWO ledgers: s67 closes x s60 volumes rebuild batch q221") {
+    val stream = slicedEventsStream("obv")
+    val qc = Streams.dailyCloseStream(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("obv_closes").start()
+    try { qc.processAllAvailable() } finally { qc.stop() }
+    val qv = Streams.dailyVolStream(slicedEventsStream("obvvol"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("obv_vol").start()
+    try { qv.processAllAvailable() } finally { qv.stop() }
+    val closes = spark.table("obv_closes")
+      .groupBy($"user_id", $"day")
+      .agg(max(struct($"ts", $"event_id", $"close")).as("last"))
+      .select($"user_id", $"day",
+        graft.functions.Num.decRound(log($"last.close"), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 12)).as("x"))
+      .localCheckpoint()
+    val vol = spark.table("obv_vol")
+      .groupBy($"user_id", $"day").agg(max($"v").as("v"))
+      .localCheckpoint()
+    val obv = queries.Quant.obvFromLedgers(closes, vol)
+    val batch = SparkEntry.queries("q221_obv")(spark, sf)
+    assert(batch.count() > 0)
+    assert(obv.exceptAll(batch).isEmpty && batch.exceptAll(obv).isEmpty)
+  }
+
   test("streaming ES weighted sample via bounded TopK state equals batch q205 (s64)") {
     // the A-ES key is a stateless per-row function (deterministic hash
     // uniform), so weighted-sampling-without-replacement streams as a
