@@ -394,10 +394,12 @@ object EditDistance {
     * flip targets the organic regime (large catalog AND a hot block)
     * where candidates are quadratic but true pairs are sparse — the
     * only regime where blocked goes quadratic-dead at 100×. The
-    * winnow tier's recall is a measured contract (100% at organic
-    * sfs; its miss mode is borderline-sim pairs whose shared
-    * fingerprints are all df-capped), spec-pinned by the forced-path
-    * equality test.
+    * winnow tier's recall is a MEASURED contract: 100% (exact output
+    * equality, 124,806/124,806 pairs at sf0.1) on every organic sf,
+    * 371/16.5M missing on the ×10 tag-derived fixture — the miss mode
+    * is borderline-sim cross-source pairs whose shared fingerprints
+    * are all df-capped, a fixture artifact of the shared per-copy
+    * tags. Spec-pinned by the forced-path equality test.
     */
   def jwPairs(df: DataFrame, keyCol: String, nameCol: String,
               blockCols: Seq[String], threshold: Double = 0.92,
