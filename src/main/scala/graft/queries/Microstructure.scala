@@ -1627,4 +1627,471 @@ object Microstructure {
       |    / (4.0 * ln(2.0) * CAST(n_days AS DOUBLE)), 0.0))
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS park_vol
       |FROM m""".stripMargin
+
+  /** The shared OHLC oracle prelude: the tape collapsed to the
+    * (instrument, day) OHLC frame with the q220 total order (O/C via
+    * row_number over (ts, event_id)). Prepended to every round-14b
+    * volatility oracle so the SQL frame is byte-identical across the
+    * family.
+    */
+  private val ohlcSqlPrelude: String =
+    """WITH r AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts, event_id) AS rn_o,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn_c
+      |  FROM events WHERE value > 0.0),
+      |ohlc AS (
+      |  SELECT user_id, day,
+      |    max(CASE WHEN rn_o = 1 THEN value END) AS o,
+      |    max(value) AS h, min(value) AS l,
+      |    max(CASE WHEN rn_c = 1 THEN value END) AS c
+      |  FROM r GROUP BY 1, 2),""".stripMargin
+
+  /** q225_rogers_satchell — the Rogers–Satchell (1991) drift-independent
+    * OHLC variance estimator per instrument: σ²_RS = mean over trading
+    * days of u(u−c) + d(d−c), with u = ln(H/O), d = ln(L/O),
+    * c = ln(C/O). The member of the q219/q220/q223 family that stays
+    * unbiased under nonzero drift (GK and Parkinson both assume a
+    * driftless day) — the estimator a daily-bar shop reads next to GK
+    * when instruments trend. Pure function of the s68 OHLC ledger
+    * frame (shared rsFromDailyOhlc tail): one tape-collapsing
+    * aggregation + one instrument rollup — two exchanges, the q220
+    * shape. Determinism: the three ln ratios lattice to 12dp decimals;
+    * u−c and d−c are exact decimal differences and the per-day term an
+    * exact decimal product, so Σ reduces as an exact decimal sum
+    * ((28,10) re-narrow before the double cast, the q215 rule);
+    * per-day terms are mathematically ≥ 0 (H ≥ C ⇒ u ≥ c; L ≤ C ⇒
+    * d ≤ c with d ≤ 0).
+    */
+  def q225RogersSatchell(spark: SparkSession, dir: String): DataFrame =
+    rsFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q225's estimator tail over the OHLC frame — shared by the batch
+    * query and the s68 ledger's differential spec.
+    */
+  def rsFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val lat = ohlc
+      .withColumn("u",
+        decRound(log($"h" / $"o"), 12).cast(DecimalType(18, 12)))
+      .withColumn("d",
+        decRound(log($"l" / $"o"), 12).cast(DecimalType(18, 12)))
+      .withColumn("cc",
+        decRound(log($"c" / $"o"), 12).cast(DecimalType(18, 12)))
+    val m = lat.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"u" * ($"u" - $"cc").cast(DecimalType(18, 12)) +
+            $"d" * ($"d" - $"cc").cast(DecimalType(18, 12)))
+          .cast(DecimalType(28, 10)).as("srs"))
+      .filter($"n_days" >= 10L)
+    val rsVar = $"srs".cast("double") / $"n_days".cast("double")
+    m.select($"user_id", $"n_days",
+      decRound(rsVar, 6).as("rs_var"),
+      decRound(sqrt(greatest(rsVar, lit(0.0))), 6).as("rs_vol"))
+  }
+
+  val q225Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """lat AS (
+      |  SELECT user_id,
+      |    CAST(round(CAST(ln(h / o) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS u,
+      |    CAST(round(CAST(ln(l / o) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS d,
+      |    CAST(round(CAST(ln(c / o) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS cc
+      |  FROM ohlc),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(u * CAST(u - cc AS DECIMAL(18,12))
+      |      + d * CAST(d - cc AS DECIMAL(18,12))), 10)
+      |      AS DECIMAL(28,10)) AS srs
+      |  FROM lat GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(srs AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS rs_var,
+      |  CAST(round(CAST(sqrt(greatest(CAST(srs AS DOUBLE)
+      |    / CAST(n_days AS DOUBLE), 0.0)) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS rs_vol
+      |FROM m""".stripMargin
+
+  /** q226_yang_zhang — the Yang–Zhang (2000) minimum-variance OHLC
+    * estimator per instrument: σ²_YZ = σ²_overnight + k·σ²_open-close
+    * + (1−k)·σ²_RS with k = 0.34/(1.34 + (n+1)/(n−1)) — the estimator
+    * that handles BOTH drift and overnight jumps, i.e. the one a
+    * 24h-gapped equity tape actually needs; completes the q219/q220/
+    * q223/q225 volatility family. Day domain: days with a previous
+    * trading day on the instrument's own calendar (the overnight
+    * return needs lag(lnC)), identical n across all three components.
+    * Pure function of the s68 OHLC ledger frame (shared
+    * yzFromDailyOhlc tail): the lag window and the instrument rollup
+    * ride ONE hash(user) exchange after the tape collapse — two
+    * exchanges total. Determinism: lnO/lnC and the three ln ratios
+    * lattice to 12dp; the overnight return is an exact decimal
+    * difference of lattice points; all five moment sums are exact
+    * decimal reductions ((28,10) re-narrow); the variance formulas,
+    * k, and the YZ combination run in pure IEEE double on the
+    * converged sums with the operation order mirrored in the oracle.
+    */
+  def q226YangZhang(spark: SparkSession, dir: String): DataFrame =
+    yzFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q226's estimator tail over the OHLC frame — shared by the batch
+    * query and the s68 ledger's differential spec.
+    */
+  def yzFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wDay = Window.partitionBy($"user_id").orderBy($"day")
+    val lat = ohlc
+      .withColumn("lno", decRound(log($"o"), 12).cast(DecimalType(18, 12)))
+      .withColumn("lnc", decRound(log($"c"), 12).cast(DecimalType(18, 12)))
+      .withColumn("u",
+        decRound(log($"h" / $"o"), 12).cast(DecimalType(18, 12)))
+      .withColumn("d",
+        decRound(log($"l" / $"o"), 12).cast(DecimalType(18, 12)))
+      .withColumn("cc",
+        decRound(log($"c" / $"o"), 12).cast(DecimalType(18, 12)))
+    val pairs = lat
+      .withColumn("lncp", lag($"lnc", 1).over(wDay))
+      .filter($"lncp".isNotNull)
+      .withColumn("onr", ($"lno" - $"lncp").cast(DecimalType(18, 12)))
+    val m = pairs.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"onr").cast(DecimalType(28, 10)).as("son"),
+        sum($"onr" * $"onr").cast(DecimalType(28, 10)).as("son2"),
+        sum($"cc").cast(DecimalType(28, 10)).as("scc"),
+        sum($"cc" * $"cc").cast(DecimalType(28, 10)).as("scc2"),
+        sum($"u" * ($"u" - $"cc").cast(DecimalType(18, 12)) +
+            $"d" * ($"d" - $"cc").cast(DecimalType(18, 12)))
+          .cast(DecimalType(28, 10)).as("srs"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    val vO = ($"son2".cast("double") -
+      $"son".cast("double") * $"son".cast("double") / nD) / (nD - lit(1.0))
+    val vC = ($"scc2".cast("double") -
+      $"scc".cast("double") * $"scc".cast("double") / nD) / (nD - lit(1.0))
+    val vRs = $"srs".cast("double") / nD
+    val kC = lit(0.34) / (lit(1.34) + (nD + lit(1.0)) / (nD - lit(1.0)))
+    val yz = vO + kC * vC + (lit(1.0) - kC) * vRs
+    m.select($"user_id", $"n_days",
+      decRound(kC, 6).as("k_shift"),
+      decRound(yz, 6).as("yz_var"),
+      decRound(sqrt(greatest(yz, lit(0.0))), 6).as("yz_vol"))
+  }
+
+  val q226Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """lat AS (
+      |  SELECT user_id, day,
+      |    CAST(round(CAST(ln(o) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS lno,
+      |    CAST(round(CAST(ln(c) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS lnc,
+      |    CAST(round(CAST(ln(h / o) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS u,
+      |    CAST(round(CAST(ln(l / o) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS d,
+      |    CAST(round(CAST(ln(c / o) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS cc
+      |  FROM ohlc),
+      |p AS (
+      |  SELECT user_id, lno, u, d, cc,
+      |    lag(lnc) OVER (PARTITION BY user_id ORDER BY day) AS lncp
+      |  FROM lat),
+      |q AS (
+      |  SELECT user_id, u, d, cc,
+      |    CAST(lno - lncp AS DECIMAL(18,12)) AS onr
+      |  FROM p WHERE lncp IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(onr), 10) AS DECIMAL(28,10)) AS son,
+      |    CAST(round(sum(onr * onr), 10) AS DECIMAL(28,10)) AS son2,
+      |    CAST(round(sum(cc), 10) AS DECIMAL(28,10)) AS scc,
+      |    CAST(round(sum(cc * cc), 10) AS DECIMAL(28,10)) AS scc2,
+      |    CAST(round(sum(u * CAST(u - cc AS DECIMAL(18,12))
+      |      + d * CAST(d - cc AS DECIMAL(18,12))), 10)
+      |      AS DECIMAL(28,10)) AS srs
+      |  FROM q GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(0.34 / (1.34 + (CAST(n_days AS DOUBLE) + 1.0)
+      |    / (CAST(n_days AS DOUBLE) - 1.0)) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS k_shift,
+      |  CAST(round(CAST(
+      |    (CAST(son2 AS DOUBLE) - CAST(son AS DOUBLE) * CAST(son AS DOUBLE)
+      |      / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)
+      |    + 0.34 / (1.34 + (CAST(n_days AS DOUBLE) + 1.0)
+      |      / (CAST(n_days AS DOUBLE) - 1.0))
+      |      * ((CAST(scc2 AS DOUBLE) - CAST(scc AS DOUBLE)
+      |        * CAST(scc AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |        / (CAST(n_days AS DOUBLE) - 1.0))
+      |    + (1.0 - 0.34 / (1.34 + (CAST(n_days AS DOUBLE) + 1.0)
+      |      / (CAST(n_days AS DOUBLE) - 1.0)))
+      |      * (CAST(srs AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS yz_var,
+      |  CAST(round(CAST(sqrt(greatest(
+      |    (CAST(son2 AS DOUBLE) - CAST(son AS DOUBLE) * CAST(son AS DOUBLE)
+      |      / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)
+      |    + 0.34 / (1.34 + (CAST(n_days AS DOUBLE) + 1.0)
+      |      / (CAST(n_days AS DOUBLE) - 1.0))
+      |      * ((CAST(scc2 AS DOUBLE) - CAST(scc AS DOUBLE)
+      |        * CAST(scc AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |        / (CAST(n_days AS DOUBLE) - 1.0))
+      |    + (1.0 - 0.34 / (1.34 + (CAST(n_days AS DOUBLE) + 1.0)
+      |      / (CAST(n_days AS DOUBLE) - 1.0)))
+      |      * (CAST(srs AS DOUBLE) / CAST(n_days AS DOUBLE)), 0.0))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS yz_vol
+      |FROM m""".stripMargin
+
+  /** q227_stochastic — the stochastic oscillator (Lane %K/%D) summary
+    * per instrument: %K = 100·(C − L14)/(H14 − L14) over the rolling
+    * 14-trading-day high/low, %D the 3-day SMA of %K; reported as the
+    * per-instrument regime profile (mean %K, mean %D, share of days
+    * overbought %K>80 / oversold %K<20) — the bounded momentum read a
+    * signal desk runs next to q106's RSI (same tape, range-normalized
+    * instead of gain-normalized). Day domain: days with a FULL 14-day
+    * frame (warm-up excluded, so the profile is frame-homogeneous);
+    * %D only where 3 consecutive %K days exist. Pure function of the
+    * s68 OHLC ledger frame (shared stochFromDailyOhlc tail): both
+    * rolling frames and the instrument rollup ride ONE hash(user)
+    * exchange after the tape collapse — two exchanges. Determinism:
+    * H14/L14/C are STORED doubles (window max/min pick, never derive),
+    * so %K is pure IEEE on exact operands; %K lattices to 12dp
+    * (≤ 15 sig digits ⇒ exact double round-trip), the 3-day %D sum
+    * and all moment sums reduce as exact decimals; the over/under
+    * flags compare the decimal lattice (exact, no FP tie hazard).
+    */
+  def q227Stochastic(spark: SparkSession, dir: String): DataFrame =
+    stochFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q227's oscillator tail over the OHLC frame — shared by the batch
+    * query and the s68 ledger's differential spec.
+    */
+  def stochFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w14 = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(-13, Window.currentRow)
+    val w3 = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(-2, Window.currentRow)
+    val k = ohlc
+      .withColumn("h14", max($"h").over(w14))
+      .withColumn("l14", min($"l").over(w14))
+      .withColumn("n_in", count(lit(1)).over(w14))
+      .filter($"n_in" === 14L && $"h14" > $"l14")
+      .withColumn("k",
+        decRound(lit(100.0) * ($"c" - $"l14") / ($"h14" - $"l14"), 12)
+          .cast(DecimalType(18, 12)))
+    val withD = k
+      .withColumn("dv", when(count(lit(1)).over(w3) === 3L,
+        sum($"k").over(w3)))
+    val m = withD.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"k").cast(DecimalType(28, 10)).as("sk"),
+        count($"dv").as("n_d"),
+        sum($"dv").cast(DecimalType(28, 10)).as("sd"),
+        sum(when($"k" > lit(80), 1L).otherwise(0L)).as("n_over"),
+        sum(when($"k" < lit(20), 1L).otherwise(0L)).as("n_under"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days",
+      decRound($"sk".cast("double") / nD, 6).as("avg_k"),
+      decRound($"sd".cast("double") /
+        (lit(3.0) * $"n_d".cast("double")), 6).as("avg_d"),
+      decRound($"n_over".cast("double") / nD, 6).as("over_share"),
+      decRound($"n_under".cast("double") / nD, 6).as("under_share"))
+  }
+
+  val q227Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """f AS (
+      |  SELECT user_id, day, c,
+      |    max(h) OVER w14 AS h14, min(l) OVER w14 AS l14,
+      |    count(*) OVER w14 AS n_in
+      |  FROM ohlc WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |k AS (
+      |  SELECT user_id, day,
+      |    CAST(round(CAST(100.0 * (c - l14) / (h14 - l14)
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(18,12)) AS k
+      |  FROM f WHERE n_in = 14 AND h14 > l14),
+      |d AS (
+      |  SELECT user_id, k,
+      |    CASE WHEN count(*) OVER w3 = 3 THEN sum(k) OVER w3 END AS dv
+      |  FROM k WINDOW w3 AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(k), 10) AS DECIMAL(28,10)) AS sk,
+      |    CAST(count(dv) AS BIGINT) AS n_d,
+      |    CAST(round(sum(dv), 10) AS DECIMAL(28,10)) AS sd,
+      |    CAST(sum(CASE WHEN k > 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+      |    CAST(sum(CASE WHEN k < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_under
+      |  FROM d GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(sk AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_k,
+      |  CAST(round(CAST(CAST(sd AS DOUBLE)
+      |    / (3.0 * CAST(n_d AS DOUBLE)) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS avg_d,
+      |  CAST(round(CAST(CAST(n_over AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS over_share,
+      |  CAST(round(CAST(CAST(n_under AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS under_share
+      |FROM m""".stripMargin
+
+  /** q228_cmf — Chaikin money flow per instrument over its trading
+    * history: the money-flow multiplier MFM = ((C−L)−(H−C))/(H−L)
+    * locates the close inside the day's range, MFV = MFM·V weights it
+    * by traded size, CMF = ΣMFV/ΣV — the volume-confirmed
+    * accumulation/distribution read next to q221's OBV (OBV signs the
+    * WHOLE day's volume by close direction; CMF grades it by range
+    * position). The second two-ledger composition: s68 OHLC × s60
+    * integer volumes (the q221 discipline — inner join on days
+    * carrying both a positive print and positive traded size). Scale:
+    * both ledger frames arrive hash-partitioned on (user, day) from
+    * their collapses, so the join adds no exchange; the instrument
+    * rollup is the only extra shuffle. Determinism: MFM is pure IEEE
+    * on stored doubles, latticed to 12dp ∈ [−1,1]; MFV = lattice ×
+    * integer volume is an exact decimal product, so ΣMFV reduces
+    * exactly ((28,10) re-narrow) and ΣV is an integer sum; the
+    * positive-flow flag compares the decimal lattice.
+    */
+  def q228Cmf(spark: SparkSession, dir: String): DataFrame =
+    cmfFromLedgers(dailyOhlc(spark, dir),
+      graft.queries.Quant.dailyVolume(spark, dir))
+
+  /** q228's tail over the two ledger frames — shared by the batch
+    * query and the s68×s60 composition spec.
+    */
+  def cmfFromLedgers(ohlc: DataFrame, vol: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val j = ohlc.join(vol, Seq("user_id", "day"))
+      .withColumn("mfm",
+        decRound(when($"h" > $"l",
+          (lit(2.0) * $"c" - $"h" - $"l") / ($"h" - $"l"))
+          .otherwise(lit(0.0)), 12).cast(DecimalType(14, 12)))
+    val m = j.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"mfm" * $"v").cast(DecimalType(28, 10)).as("smfv"),
+        sum($"v").as("sv"),
+        sum(when($"mfm" > lit(0), 1L).otherwise(0L)).as("n_pos"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days",
+      decRound($"smfv".cast("double") / $"sv".cast("double"), 6).as("cmf"),
+      decRound($"n_pos".cast("double") / nD, 6).as("pos_share"))
+  }
+
+  val q228Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """vol AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 0
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT o.user_id,
+      |    CAST(round(CAST(CASE WHEN o.h > o.l
+      |      THEN (2.0 * o.c - o.h - o.l) / (o.h - o.l) ELSE 0.0 END
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(14,12)) AS mfm,
+      |    v.v
+      |  FROM ohlc o JOIN vol v ON o.user_id = v.user_id AND o.day = v.day),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(mfm * CAST(v AS DECIMAL(20,0))), 10)
+      |      AS DECIMAL(28,10)) AS smfv,
+      |    CAST(sum(v) AS BIGINT) AS sv,
+      |    CAST(sum(CASE WHEN mfm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      |  FROM j GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(smfv AS DOUBLE) / CAST(sv AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS cmf,
+      |  CAST(round(CAST(CAST(n_pos AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pos_share
+      |FROM m""".stripMargin
+
+  /** q229_atr — Wilder's average true range per instrument:
+    * TR = max(H−L, |H−C_prev|, |L−C_prev|) folds the overnight gap
+    * into the day's range, ATR the per-day mean (SMA flavor — the
+    * deterministic cousin of Wilder's recursive smoothing), NATR the
+    * close-normalized version ΣTR/ΣC — the position-sizing /
+    * stop-width primitive next to the variance family (q220/q225/q226
+    * estimate σ²; ATR estimates the DOLLAR range a desk actually
+    * budgets). Day domain: days with a previous trading day (TR needs
+    * the prior close). Pure function of the s68 OHLC ledger frame
+    * (shared atrFromDailyOhlc tail): lag window + instrument rollup
+    * on one hash(user) exchange after the tape collapse — two
+    * exchanges. Determinism: H−L, H−Cp, L−Cp are exact IEEE
+    * differences of STORED doubles and greatest/abs are exact picks,
+    * so TR is bit-identical cross-engine; TR and C lattice at 8dp
+    * (price magnitude ⇒ ≤ 14 sig digits, exact double round-trip —
+    * the 12dp ln-lattice convention shifted to price scale), sums
+    * reduce exactly, ratios in IEEE double on converged sums.
+    */
+  def q229Atr(spark: SparkSession, dir: String): DataFrame =
+    atrFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q229's tail over the OHLC frame — shared by the batch query and
+    * the s68 ledger's differential spec.
+    */
+  def atrFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wDay = Window.partitionBy($"user_id").orderBy($"day")
+    val t = ohlc
+      .withColumn("cp", lag($"c", 1).over(wDay))
+      .filter($"cp".isNotNull)
+      .withColumn("tr",
+        decRound(greatest($"h" - $"l", abs($"h" - $"cp"),
+          abs($"l" - $"cp")), 8).cast(DecimalType(18, 8)))
+      .withColumn("c8", decRound($"c", 8).cast(DecimalType(18, 8)))
+    val m = t.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"tr").cast(DecimalType(28, 8)).as("str"),
+        max($"tr").as("trmax"),
+        sum($"c8").cast(DecimalType(28, 8)).as("sc"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days",
+      decRound($"str".cast("double") / nD, 6).as("atr"),
+      decRound($"trmax".cast("double"), 6).as("tr_max"),
+      decRound($"str".cast("double") / $"sc".cast("double"), 6).as("natr"))
+  }
+
+  val q229Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """p AS (
+      |  SELECT user_id, day, h, l, c,
+      |    lag(c) OVER (PARTITION BY user_id ORDER BY day) AS cp
+      |  FROM ohlc),
+      |t AS (
+      |  SELECT user_id,
+      |    CAST(round(CAST(greatest(h - l, abs(h - cp), abs(l - cp))
+      |      AS DECIMAL(28,12)), 8) AS DECIMAL(18,8)) AS tr,
+      |    CAST(round(CAST(c AS DECIMAL(28,12)), 8) AS DECIMAL(18,8)) AS c8
+      |  FROM p WHERE cp IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(tr), 8) AS DECIMAL(28,8)) AS str,
+      |    max(tr) AS trmax,
+      |    CAST(round(sum(c8), 8) AS DECIMAL(28,8)) AS sc
+      |  FROM t GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(str AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS atr,
+      |  CAST(round(CAST(CAST(trmax AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS tr_max,
+      |  CAST(round(CAST(CAST(str AS DOUBLE) / CAST(sc AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS natr
+      |FROM m""".stripMargin
 }

@@ -423,6 +423,31 @@ class PlanSpec extends SparkTestBase {
     assert(count(p, "NestedLoop") == 0, p)
   }
 
+  test("r14b volatility family pins: q225/q226/q227/q229 two exchanges; q228 ledger join adds only the rollup") {
+    // q225: the q220 shape — one tape-collapsing OHLC aggregation
+    // exchange + one instrument rollup exchange. q226/q229: the lag
+    // window AND the rollup both ride one hash(user) exchange after
+    // the tape collapse (hash on a subset of the collapse keys — the
+    // q191 discipline). q227: BOTH rolling frames (14-day and 3-day)
+    // plus the rollup on that same hash(user) exchange. A third
+    // exchange means a window stopped riding the tape partitioning —
+    // the 100-TB regression.
+    for (q <- Seq("q225_rogers_satchell", "q226_yang_zhang",
+        "q227_stochastic", "q229_atr")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 2, s"$q: expected 2 exchanges\n$p")
+      assert(count(p, "NestedLoop") == 0, s"$q: nested-loop crept in\n$p")
+    }
+    // q228 composes TWO ledgers (OHLC x volume), both collapsing on
+    // (user, day): the join rides the collapse exchanges (or AQE
+    // broadcasts the volume side at dim scale), leaving only the
+    // instrument rollup as the extra shuffle — never a 5th exchange,
+    // never a nested loop.
+    val p = plan("q228_cmf")
+    assert(count(p, "Exchange") <= 4, s"q228: expected <= 4 exchanges\n$p")
+    assert(count(p, "NestedLoop") == 0, p)
+  }
+
   test("embedding covariance reduces in one scan at width 512: no self-join, no explode") {
     import spark.implicits._
     // the q183/q184 moment reduction must never exchange width² rows:

@@ -703,6 +703,52 @@ class StreamingSpec extends SparkTestBase {
       batch223.exceptAll(park).isEmpty)
   }
 
+  test("s68 OHLC ledger serves the whole r14b volatility family: q225/q226/q227/q229 tails + the s68 x s60 CMF composition") {
+    // one streaming OHLC ledger, five more batch tails: the converged
+    // ledger (all four components monotone under accumulation) must
+    // rebuild Rogers-Satchell, Yang-Zhang, the stochastic oscillator
+    // and ATR exactly — and, joined with the converged s60 volume
+    // ledger, Chaikin money flow (the second two-ledger composition
+    // after q221). Every tail is the SHARED production function, not
+    // a spec-local copy.
+    val q = Streams.dailyOhlcStream(slicedEventsStream("ohlcfam"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ohlc_fam").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val ohlc = spark.table("ohlc_fam")
+      .groupBy($"user_id", $"day")
+      .agg(min(struct($"o_ts", $"o_eid", $"o")).as("of"),
+        max(struct($"c_ts", $"c_eid", $"c")).as("cf"),
+        max($"h").as("h"), min($"l").as("l"))
+      .select($"user_id", $"day", $"of.o".as("o"), $"h", $"l",
+        $"cf.c".as("c"))
+      .localCheckpoint()
+    assert(ohlc.count() > 0)
+    val tails = Seq[(String, org.apache.spark.sql.DataFrame)](
+      "q225_rogers_satchell" -> queries.Microstructure.rsFromDailyOhlc(ohlc),
+      "q226_yang_zhang" -> queries.Microstructure.yzFromDailyOhlc(ohlc),
+      "q227_stochastic" -> queries.Microstructure.stochFromDailyOhlc(ohlc),
+      "q229_atr" -> queries.Microstructure.atrFromDailyOhlc(ohlc))
+    for ((name, streamed) <- tails) {
+      val batch = SparkEntry.queries(name)(spark, sf)
+      assert(batch.count() > 0, name)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty, name)
+    }
+    val qv = Streams.dailyVolStream(slicedEventsStream("ohlcfamvol"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ohlc_fam_vol").start()
+    try { qv.processAllAvailable() } finally { qv.stop() }
+    val vol = spark.table("ohlc_fam_vol")
+      .groupBy($"user_id", $"day").agg(max($"v").as("v"))
+      .localCheckpoint()
+    val cmf = queries.Microstructure.cmfFromLedgers(ohlc, vol)
+    val batch228 = SparkEntry.queries("q228_cmf")(spark, sf)
+    assert(batch228.count() > 0)
+    assert(cmf.exceptAll(batch228).isEmpty &&
+      batch228.exceptAll(cmf).isEmpty)
+  }
+
   test("OBV composes TWO ledgers: s67 closes x s60 volumes rebuild batch q221") {
     val stream = slicedEventsStream("obv")
     val qc = Streams.dailyCloseStream(stream)
