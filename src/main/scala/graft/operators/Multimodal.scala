@@ -45,17 +45,27 @@ object Multimodal {
               Array(m.bitDepth.toFloat, m.channels.toFloat,
                 m.width.toFloat, m.height.toFloat,
                 m.width.toFloat * m.height, 0f, 0f, 0f))
-          case None =>
-            // fake dimensions/features derived only from the payload →
-            // stable. Long arithmetic: Int math would overflow-wrap for
-            // doc ids above 2^31 or ~69 MB payloads and diverge from
-            // the BIGINT oracle
-            val width = (64 + math.abs(bytes.length.toLong * 31 + id) % 512).toInt
-            val height = (64 + math.abs(bytes.length.toLong * 17 + id) % 512).toInt
-            val feats = Array.tabulate(8)(i =>
-              (if (bytes.isEmpty) 0f
-               else bytes(i % bytes.length).toFloat / 128f))
-            MediaFeatures(id, bytes.length, magic, width, height, feats)
+          case None => graft.functions.AudioHeaders.parse(bytes) match {
+            case Some(a) =>
+              // real audio container: width/height are meaningless —
+              // report 0×0; features carry the parsed header fields
+              // until a sample codec lands
+              MediaFeatures(id, bytes.length, magic, 0, 0,
+                Array(a.channels.toFloat, a.sampleRate.toFloat,
+                  a.bitsPerSample.toFloat, a.durationMs.toFloat,
+                  0f, 0f, 0f, 0f))
+            case None =>
+              // fake dimensions/features derived only from the payload →
+              // stable. Long arithmetic: Int math would overflow-wrap for
+              // doc ids above 2^31 or ~69 MB payloads and diverge from
+              // the BIGINT oracle
+              val width = (64 + math.abs(bytes.length.toLong * 31 + id) % 512).toInt
+              val height = (64 + math.abs(bytes.length.toLong * 17 + id) % 512).toInt
+              val feats = Array.tabulate(8)(i =>
+                (if (bytes.isEmpty) 0f
+                 else bytes(i % bytes.length).toFloat / 128f))
+              MediaFeatures(id, bytes.length, magic, width, height, feats)
+          }
         }
       }
   }

@@ -90,7 +90,16 @@ object GraftExtensions {
           "bit_depth, channels) parsed from a PNG/JPEG/GIF/BMP " +
           "container header; NULL for non-image payloads"),
       (children: Seq[Expression]) =>
-        graft.functions.ImageMetaExpr(children.head)))
+        graft.functions.ImageMetaExpr(children.head)),
+    (FunctionIdentifier("graft_audio_meta"),
+      info("graft_audio_meta",
+        "graft_audio_meta(payload) - struct(format, channels, " +
+          "sample_rate, bits_per_sample, duration_ms) parsed from a " +
+          "WAV/FLAC/MP3 container header; NULL for non-audio " +
+          "payloads; duration_ms -1 when the header alone can't " +
+          "derive it"),
+      (children: Seq[Expression]) =>
+        graft.functions.AudioMetaExpr(children.head)))
 
   /** Register the functions on a live session (for sessions created
     * without the extension config — notebooks, REPLs, test harnesses).

@@ -2094,4 +2094,219 @@ object Microstructure {
       |  CAST(round(CAST(CAST(str AS DOUBLE) / CAST(sc AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS natr
       |FROM m""".stripMargin
+
+  /** q230_ulcer — the ulcer index per instrument (Martin 1987):
+    * dd_t = 100·(C_t/runmax(C) − 1) is the percent drawdown from the
+    * running close peak, UI = √(Σdd²/n) — the RMS-drawdown risk
+    * measure that, unlike σ, punishes DEPTH × DURATION of underwater
+    * stretches (the denominator of the Martin ratio); reported with
+    * the max drawdown and the mean drawdown ("pain index"). The
+    * daily-bar relative cousin of tick-level q73 (absolute peak gap)
+    * and q196 (underwater episode segmentation). Pure function of the
+    * s68 OHLC ledger frame: running-max window + instrument rollup on
+    * ONE hash(user) exchange after the tape collapse — two exchanges.
+    * Determinism: runmax is an exact window pick of stored doubles,
+    * dd pure IEEE on exact operands latticed at 12dp (|dd| ≤ 100 ⇒
+    * 15 sig digits, exact round-trip), dd² exact decimal products,
+    * sums exact ((28,10) re-narrow), √ and ratios in IEEE double on
+    * converged sums.
+    */
+  def q230Ulcer(spark: SparkSession, dir: String): DataFrame =
+    ulcerFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q230's tail over the OHLC frame — shared by the batch query and
+    * the s68 ledger's differential spec.
+    */
+  def ulcerFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wRun = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = ohlc
+      .withColumn("peak", max($"c").over(wRun))
+      .withColumn("dd",
+        decRound(lit(100.0) * ($"c" / $"peak" - lit(1.0)), 12)
+          .cast(DecimalType(18, 12)))
+    val m = dd.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"dd" * $"dd").cast(DecimalType(28, 10)).as("sdd2"),
+        sum($"dd").cast(DecimalType(28, 10)).as("sdd"),
+        min($"dd").as("ddmin"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days",
+      decRound(sqrt($"sdd2".cast("double") / nD), 6).as("ulcer"),
+      decRound($"sdd".cast("double") / nD, 6).as("pain"),
+      decRound($"ddmin".cast("double"), 6).as("max_dd_pct"))
+  }
+
+  val q230Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """dd AS (
+      |  SELECT user_id,
+      |    CAST(round(CAST(100.0 * (c / max(c) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - 1.0) AS DECIMAL(28,12)), 12) AS DECIMAL(18,12)) AS dd
+      |  FROM ohlc),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(dd * dd), 10) AS DECIMAL(28,10)) AS sdd2,
+      |    CAST(round(sum(dd), 10) AS DECIMAL(28,10)) AS sdd,
+      |    min(dd) AS ddmin
+      |  FROM dd GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(sqrt(CAST(sdd2 AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS ulcer,
+      |  CAST(round(CAST(CAST(sdd AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pain,
+      |  CAST(round(CAST(CAST(ddmin AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS max_dd_pct
+      |FROM m""".stripMargin
+
+  /** q231_donchian — Donchian channel breakout census per instrument:
+    * the 10-day channel is [min(L), max(H)] over the PRIOR 10 trading
+    * days (frame ends 1 BEFORE the current row — today's print can't
+    * define its own breakout level, the turtle-rule convention); a
+    * day is an up-break when C > channel high, a down-break when
+    * C < channel low; reported with the mean relative channel width
+    * (H20−L20)/C — the breakout-frequency / range-regime read next to
+    * q227's %K (which normalizes INSIDE the channel; Donchian counts
+    * EXITS from it). Full-frame days only. Pure function of the s68
+    * OHLC ledger frame: both prior-frame extremes and the rollup ride
+    * ONE hash(user) exchange — two exchanges. Determinism: channel
+    * bounds are exact window picks, breakout flags exact double
+    * compares (stored vs picked), width pure IEEE latticed at 12dp
+    * with exact Σ.
+    */
+  def q231Donchian(spark: SparkSession, dir: String): DataFrame =
+    donchianFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q231's tail over the OHLC frame — shared by the batch query and
+    * the s68 ledger's differential spec.
+    */
+  def donchianFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wPrior = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(-10, -1)
+    val f = ohlc
+      .withColumn("h20", max($"h").over(wPrior))
+      .withColumn("l20", min($"l").over(wPrior))
+      .withColumn("n_in", count(lit(1)).over(wPrior))
+      .filter($"n_in" === 10L)
+      .withColumn("w12",
+        decRound(($"h20" - $"l20") / $"c", 12).cast(DecimalType(18, 12)))
+    val m = f.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"c" > $"h20", 1L).otherwise(0L)).as("up_breaks"),
+        sum(when($"c" < $"l20", 1L).otherwise(0L)).as("down_breaks"),
+        sum($"w12").cast(DecimalType(28, 10)).as("sw"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days", $"up_breaks", $"down_breaks",
+      decRound(($"up_breaks" + $"down_breaks").cast("double") / nD, 6)
+        .as("break_share"),
+      decRound($"sw".cast("double") / nD, 6).as("avg_width"))
+  }
+
+  val q231Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """f AS (
+      |  SELECT user_id, day, c,
+      |    max(h) OVER wp AS h20, min(l) OVER wp AS l20,
+      |    count(*) OVER wp AS n_in
+      |  FROM ohlc WINDOW wp AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+      |k AS (
+      |  SELECT user_id, c, h20, l20,
+      |    CAST(round(CAST((h20 - l20) / c AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS w12
+      |  FROM f WHERE n_in = 10),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(CASE WHEN c > h20 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS up_breaks,
+      |    CAST(sum(CASE WHEN c < l20 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS down_breaks,
+      |    CAST(round(sum(w12), 10) AS DECIMAL(28,10)) AS sw
+      |  FROM k GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days, up_breaks, down_breaks,
+      |  CAST(round(CAST(CAST(up_breaks + down_breaks AS DOUBLE)
+      |    / CAST(n_days AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS break_share,
+      |  CAST(round(CAST(CAST(sw AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_width
+      |FROM m""".stripMargin
+
+  /** q232_overnight_gap — the overnight gap census per instrument:
+    * gap_t = O_t/C_{t−1} − 1 (the return the session NEVER trades —
+    * q226's σ²_overnight measures its variance; this profiles its
+    * shape); days beyond ±1% count as gap-ups/downs, with the mean
+    * and max |gap| — the risk read that decides whether overnight
+    * exposure needs its own limit. Day domain: days with a prior
+    * trading day. Pure function of the s68 OHLC ledger frame: lag
+    * window + rollup on ONE hash(user) exchange — two exchanges.
+    * Determinism: gap is pure IEEE on stored doubles latticed at
+    * 12dp, the ±1% flags compare the decimal lattice against exact
+    * decimal literals, |gap| sums reduce exactly.
+    */
+  def q232OvernightGap(spark: SparkSession, dir: String): DataFrame =
+    gapFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q232's tail over the OHLC frame — shared by the batch query and
+    * the s68 ledger's differential spec.
+    */
+  def gapFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wDay = Window.partitionBy($"user_id").orderBy($"day")
+    val g = ohlc
+      .withColumn("cp", lag($"c", 1).over(wDay))
+      .filter($"cp".isNotNull)
+      .withColumn("gap",
+        decRound($"o" / $"cp" - lit(1.0), 12).cast(DecimalType(18, 12)))
+    val m = g.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"gap" > lit(new java.math.BigDecimal("0.01")), 1L)
+          .otherwise(0L)).as("n_gap_up"),
+        sum(when($"gap" < lit(new java.math.BigDecimal("-0.01")), 1L)
+          .otherwise(0L)).as("n_gap_down"),
+        sum(abs($"gap")).cast(DecimalType(28, 10)).as("sabs"),
+        max(abs($"gap")).as("gmax"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days", $"n_gap_up", $"n_gap_down",
+      decRound($"sabs".cast("double") / nD, 6).as("avg_abs_gap"),
+      decRound($"gmax".cast("double"), 6).as("max_abs_gap"))
+  }
+
+  val q232Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """p AS (
+      |  SELECT user_id, day, o,
+      |    lag(c) OVER (PARTITION BY user_id ORDER BY day) AS cp
+      |  FROM ohlc),
+      |g AS (
+      |  SELECT user_id,
+      |    CAST(round(CAST(o / cp - 1.0 AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS gap
+      |  FROM p WHERE cp IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(CASE WHEN gap > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_gap_up,
+      |    CAST(sum(CASE WHEN gap < -0.01 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_gap_down,
+      |    CAST(round(sum(abs(gap)), 10) AS DECIMAL(28,10)) AS sabs,
+      |    max(abs(gap)) AS gmax
+      |  FROM g GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days, n_gap_up, n_gap_down,
+      |  CAST(round(CAST(CAST(sabs AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_abs_gap,
+      |  CAST(round(CAST(CAST(gmax AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS max_abs_gap
+      |FROM m""".stripMargin
 }

@@ -423,7 +423,7 @@ class PlanSpec extends SparkTestBase {
     assert(count(p, "NestedLoop") == 0, p)
   }
 
-  test("r14b volatility family pins: q225/q226/q227/q229 two exchanges; q228 ledger join adds only the rollup") {
+  test("r14b volatility family pins: q225-q227/q229-q232 two exchanges; q228 ledger join adds only the rollup") {
     // q225: the q220 shape — one tape-collapsing OHLC aggregation
     // exchange + one instrument rollup exchange. q226/q229: the lag
     // window AND the rollup both ride one hash(user) exchange after
@@ -433,7 +433,8 @@ class PlanSpec extends SparkTestBase {
     // exchange means a window stopped riding the tape partitioning —
     // the 100-TB regression.
     for (q <- Seq("q225_rogers_satchell", "q226_yang_zhang",
-        "q227_stochastic", "q229_atr")) {
+        "q227_stochastic", "q229_atr", "q230_ulcer", "q231_donchian",
+        "q232_overnight_gap")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 2, s"$q: expected 2 exchanges\n$p")
       assert(count(p, "NestedLoop") == 0, s"$q: nested-loop crept in\n$p")
@@ -446,6 +447,23 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q228_cmf")
     assert(count(p, "Exchange") <= 4, s"q228: expected <= 4 exchanges\n$p")
     assert(count(p, "NestedLoop") == 0, p)
+  }
+
+  ignore("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
+    // q233: the only quadratic stage is the capped-slice distance
+    // join — it must BROADCAST the 1000-row side (a shuffled
+    // non-equi join over the pair space would be the 100-TB
+    // regression); every post-kNN stage joins k-sized frames.
+    val p233 = plan("q233_lof")
+    assert(p233.contains("BroadcastNestedLoopJoin"), p233)
+    assert(count(p233, "SortMergeJoin") <= 3, p233)
+    // q234: the gram stream is window-flagged (df via one
+    // (source, gram) exchange) then rolled up — never joined against
+    // itself; the source-cardinality dim join broadcasts.
+    val p234 = plan("q234_boilerplate")
+    assert(count(p234, "NestedLoop") == 0, p234)
+    assert(p234.contains("BroadcastHashJoin"), p234)
+    assert(count(p234, "SortMergeJoin") <= 1, p234)
   }
 
   test("embedding covariance reduces in one scan at width 512: no self-join, no explode") {

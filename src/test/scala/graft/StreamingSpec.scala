@@ -70,6 +70,52 @@ class StreamingSpec extends SparkTestBase {
     assert(KafkaShapedEvents(bad).normalized(spark).count() == 0)
   }
 
+  test("kafka-shaped envelope source: the s68 OHLC ledger converges through the bus and serves batch q220") {
+    import graft.streaming.KafkaShapedEvents
+    // second twin through the NON-FILE transport, structurally
+    // different state: s60 proves integer-sum ledger convergence over
+    // the bus; this proves the struct-extreme (lexicographic min/max)
+    // ledger converges too, and that a production batch tail
+    // (gkFromDailyOhlc = q220) is served from the bus-fed ledger with
+    // zero twin-side changes.
+    val ev = Tables.events(spark, sf)
+    val env = KafkaShapedEvents.envelopeFrom(ev, "events", nPartitions = 3)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka_ohlc").toString
+    val envTs = env.withColumn("__us", unix_micros($"timestamp"))
+    envTs.filter($"__us" <= mid).drop("__us")
+      .coalesce(1).write.parquet(s"$dir/slice_a")
+    Thread.sleep(1100)
+    envTs.filter($"__us" > mid).drop("__us")
+      .coalesce(1).write.parquet(s"$dir/slice_b")
+    val envStream = spark.readStream
+      .schema(KafkaShapedEvents.EnvelopeSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/slice_*")
+    val events = Streams.normalize(spark, KafkaShapedEvents(envStream))
+    val q = Streams.dailyOhlcStream(events)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kafka_ohlc").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val ohlc = spark.table("kafka_ohlc")
+      .groupBy($"user_id", $"day")
+      .agg(min(struct($"o_ts", $"o_eid", $"o")).as("of"),
+        max(struct($"c_ts", $"c_eid", $"c")).as("cf"),
+        max($"h").as("h"), min($"l").as("l"))
+      .select($"user_id", $"day", $"of.o".as("o"), $"h", $"l",
+        $"cf.c".as("c"))
+      .localCheckpoint()
+    assert(ohlc.count() > 0)
+    val batchOhlc = queries.Microstructure.dailyOhlc(spark, sf)
+    assert(ohlc.exceptAll(batchOhlc).isEmpty &&
+      batchOhlc.exceptAll(ohlc).isEmpty)
+    val gk = queries.Microstructure.gkFromDailyOhlc(ohlc)
+    val batch220 = SparkEntry.queries("q220_garman_klass")(spark, sf)
+    assert(batch220.count() > 0)
+    assert(gk.exceptAll(batch220).isEmpty && batch220.exceptAll(gk).isEmpty)
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     val stream = Streams.eventsStream(spark, streamDir)
     val q = Streams.windowedCounts(stream).writeStream
@@ -703,11 +749,12 @@ class StreamingSpec extends SparkTestBase {
       batch223.exceptAll(park).isEmpty)
   }
 
-  test("s68 OHLC ledger serves the whole r14b volatility family: q225/q226/q227/q229 tails + the s68 x s60 CMF composition") {
-    // one streaming OHLC ledger, five more batch tails: the converged
+  test("s68 OHLC ledger serves the whole r14b volatility family: q225-q227/q229-q232 tails + the s68 x s60 CMF composition") {
+    // one streaming OHLC ledger, eight more batch tails: the converged
     // ledger (all four components monotone under accumulation) must
-    // rebuild Rogers-Satchell, Yang-Zhang, the stochastic oscillator
-    // and ATR exactly — and, joined with the converged s60 volume
+    // rebuild Rogers-Satchell, Yang-Zhang, the stochastic oscillator,
+    // ATR, the ulcer index, Donchian breakouts and the overnight-gap
+    // census exactly — and, joined with the converged s60 volume
     // ledger, Chaikin money flow (the second two-ledger composition
     // after q221). Every tail is the SHARED production function, not
     // a spec-local copy.
@@ -728,7 +775,10 @@ class StreamingSpec extends SparkTestBase {
       "q225_rogers_satchell" -> queries.Microstructure.rsFromDailyOhlc(ohlc),
       "q226_yang_zhang" -> queries.Microstructure.yzFromDailyOhlc(ohlc),
       "q227_stochastic" -> queries.Microstructure.stochFromDailyOhlc(ohlc),
-      "q229_atr" -> queries.Microstructure.atrFromDailyOhlc(ohlc))
+      "q229_atr" -> queries.Microstructure.atrFromDailyOhlc(ohlc),
+      "q230_ulcer" -> queries.Microstructure.ulcerFromDailyOhlc(ohlc),
+      "q231_donchian" -> queries.Microstructure.donchianFromDailyOhlc(ohlc),
+      "q232_overnight_gap" -> queries.Microstructure.gapFromDailyOhlc(ohlc))
     for ((name, streamed) <- tails) {
       val batch = SparkEntry.queries(name)(spark, sf)
       assert(batch.count() > 0, name)
