@@ -54,17 +54,27 @@ object Multimodal {
                 Array(a.channels.toFloat, a.sampleRate.toFloat,
                   a.bitsPerSample.toFloat, a.durationMs.toFloat,
                   0f, 0f, 0f, 0f))
-            case None =>
-              // fake dimensions/features derived only from the payload →
-              // stable. Long arithmetic: Int math would overflow-wrap for
-              // doc ids above 2^31 or ~69 MB payloads and diverge from
-              // the BIGINT oracle
-              val width = (64 + math.abs(bytes.length.toLong * 31 + id) % 512).toInt
-              val height = (64 + math.abs(bytes.length.toLong * 17 + id) % 512).toInt
-              val feats = Array.tabulate(8)(i =>
-                (if (bytes.isEmpty) 0f
-                 else bytes(i % bytes.length).toFloat / 128f))
-              MediaFeatures(id, bytes.length, magic, width, height, feats)
+            case None => graft.functions.VideoHeaders.parse(bytes) match {
+              case Some(v) =>
+                // real video container: real display dimensions;
+                // features carry the parsed header fields until a
+                // frame codec lands
+                MediaFeatures(id, bytes.length, magic, v.width, v.height,
+                  Array(v.width.toFloat, v.height.toFloat,
+                    v.durationMs.toFloat, v.nTracks.toFloat,
+                    0f, 0f, 0f, 0f))
+              case None =>
+                // fake dimensions/features derived only from the payload →
+                // stable. Long arithmetic: Int math would overflow-wrap for
+                // doc ids above 2^31 or ~69 MB payloads and diverge from
+                // the BIGINT oracle
+                val width = (64 + math.abs(bytes.length.toLong * 31 + id) % 512).toInt
+                val height = (64 + math.abs(bytes.length.toLong * 17 + id) % 512).toInt
+                val feats = Array.tabulate(8)(i =>
+                  (if (bytes.isEmpty) 0f
+                   else bytes(i % bytes.length).toFloat / 128f))
+                MediaFeatures(id, bytes.length, magic, width, height, feats)
+            }
           }
         }
       }

@@ -99,7 +99,15 @@ object GraftExtensions {
           "payloads; duration_ms -1 when the header alone can't " +
           "derive it"),
       (children: Seq[Expression]) =>
-        graft.functions.AudioMetaExpr(children.head)))
+        graft.functions.AudioMetaExpr(children.head)),
+    (FunctionIdentifier("graft_video_meta"),
+      info("graft_video_meta",
+        "graft_video_meta(payload) - struct(format, width, height, " +
+          "duration_ms, n_tracks) parsed from an MP4 (ISO-BMFF) or " +
+          "AVI container header; NULL for non-video payloads; " +
+          "duration_ms -1 when the header alone can't derive it"),
+      (children: Seq[Expression]) =>
+        graft.functions.VideoMetaExpr(children.head)))
 
   /** Register the functions on a live session (for sessions created
     * without the extension config — notebooks, REPLs, test harnesses).

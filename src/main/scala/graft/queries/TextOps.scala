@@ -872,4 +872,108 @@ object TextOps {
       |  CAST(round(CAST(e2 * CAST(t AS DOUBLE) AS DECIMAL(28,12)), 2)
       |    AS DOUBLE) AS alloc_tokens
       |FROM b7""".stripMargin
+
+  /** q234_boilerplate — template/boilerplate detection per source: a
+    * word-bigram shingle is BOILERPLATE within its source when its
+    * document frequency reaches 16% of the source's docs (and ≥ 2
+    * absolute) — navigation chrome, license headers, footer templates
+    * repeat across a crawl source while body text doesn't; each doc's
+    * boilerplate ratio is the boilerplate share of its DISTINCT
+    * shingles, rolled up per source with the high-boilerplate doc
+    * share (ratio > 0.3) — the crawl-curation signal that decides
+    * which sources need template-stripping before training (df-based
+    * boilerplate is the C4/CCNet-family heuristic; q161 measures
+    * cross-corpus novelty, q94 eval contamination — this measures
+    * WITHIN-source repetition structure). One tokenization pass;
+    * the df count rides a (source, gram) window and the per-doc
+    * rollup a (source, doc) aggregation — the token stream is
+    * exchanged twice and never joined against itself; the df table is
+    * vocabulary-bounded at any corpus size. Determinism: counts and
+    * the 16% threshold are pure integer arithmetic, ratios are one
+    * exact division latticed at 6dp (DECIMAL(18,6)), the >0.3 flag
+    * compares the lattice against an exact decimal literal, means
+    * are exact decimal sums divided once in IEEE double.
+    */
+  def q234Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select($"doc_id", $"source",
+        graft.functions.TextExpressions.shingleSet($"text", 2).as("g"))
+      .select($"doc_id", $"source", size($"g").as("n_g"),
+        explode($"g").as("gram"))
+    val nDocs = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val wG = Window.partitionBy($"source", $"gram")
+    val flagged = grams
+      .join(broadcast(nDocs), Seq("source"))
+      .withColumn("df", count(lit(1)).over(wG))
+      .withColumn("is_bp", $"df" * 100 >= $"n_docs" * 16 && $"df" >= 2)
+    val perDoc = flagged
+      .groupBy($"source", $"doc_id", $"n_g")
+      .agg(sum(when($"is_bp", 1L).otherwise(0L)).as("n_bp"))
+      .withColumn("ratio6",
+        decRound($"n_bp".cast("double") / $"n_g".cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+    val bpGrams = flagged.groupBy($"source")
+      .agg(countDistinct(when($"is_bp", $"gram")).as("n_bp_grams"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"ratio6" > lit(new java.math.BigDecimal("0.3")), 1L)
+          .otherwise(0L)).as("n_hi"),
+        sum($"ratio6").as("sratio"))
+      .join(bpGrams, Seq("source"))
+      .select($"source", $"n_docs", $"n_bp_grams",
+        decRound($"sratio".cast("double") / $"n_docs".cast("double"), 6)
+          .as("mean_bp_ratio"),
+        decRound($"n_hi".cast("double") / $"n_docs".cast("double"), 6)
+          .as("hi_share"))
+  }
+
+  val q234Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |ex AS (
+      |  SELECT doc_id, source, len(g) AS n_g, unnest(g) AS gram
+      |  FROM grams),
+      |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |f AS (
+      |  SELECT ex.doc_id, ex.source, ex.n_g, ex.gram, nd.n_docs,
+      |    count(*) OVER (PARTITION BY ex.source, ex.gram) AS df
+      |  FROM ex JOIN nd ON nd.source = ex.source),
+      |fb AS (
+      |  SELECT *, (df * 100 >= n_docs * 16 AND df >= 2) AS is_bp FROM f),
+      |pd AS (
+      |  SELECT source, doc_id, n_g,
+      |    sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_bp
+      |  FROM fb GROUP BY 1, 2, 3),
+      |pr AS (
+      |  SELECT source, doc_id,
+      |    CAST(round(CAST(CAST(n_bp AS DOUBLE) / CAST(n_g AS DOUBLE)
+      |      AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS ratio6
+      |  FROM pd),
+      |bg AS (
+      |  SELECT source,
+      |    CAST(count(DISTINCT CASE WHEN is_bp THEN gram END) AS BIGINT)
+      |      AS n_bp_grams
+      |  FROM fb GROUP BY 1),
+      |r AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN ratio6 > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hi,
+      |    sum(ratio6) AS sratio
+      |  FROM pr GROUP BY 1)
+      |SELECT r.source, r.n_docs, bg.n_bp_grams,
+      |  CAST(round(CAST(CAST(sratio AS DOUBLE) / CAST(r.n_docs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_bp_ratio,
+      |  CAST(round(CAST(CAST(n_hi AS DOUBLE) / CAST(r.n_docs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS hi_share
+      |FROM r JOIN bg ON bg.source = r.source""".stripMargin
 }

@@ -1479,4 +1479,104 @@ object TrainingData {
        |    AS DOUBLE) AS row_share,
        |  lang = pred_lang AS correct
        |FROM m""".stripMargin
+
+  /** q233_lof — local outlier factor (Breunig et al. 2000) over the
+    * embedding collection: for each vector, LOF = mean(lrd of its k
+    * nearest neighbors) / own lrd, where lrd = k / Σ reach-dist and
+    * reach(p→o) = max(kdist(o), d(p,o)) — the density-RELATIVE
+    * outlier score that flags points sparse relative to their own
+    * neighborhood (a global distance cutoff can't: cluster densities
+    * differ). Distance is cosine distance 1−cos. The curation read:
+    * LOF ≳ 1.5 marks embedding-space outliers — mislabeled, corrupt,
+    * or out-of-distribution rows — BEFORE they poison an ANN index or
+    * a contrastive batch. Runs on the deterministic `vec_id < 1000`
+    * slice: LOF is all-pairs within the analysis set by definition,
+    * so the set is capped (the exact-baseline discipline of q35); the
+    * 100-TB path swaps the brute-force kNN for [[graft.operators
+    * .AnnIndex]] IVF candidates and keeps every stage after the kNN
+    * unchanged (they are pure functions of the (p, o, d) frame).
+    * Determinism: d latticed at 9dp (1-ulp cosine divergence flips a
+    * 9dp lattice point with p ≈ 1e−6 — below the board's accepted
+    * hazard), kNN picked on the total (d9, o) order, reach/Σ exact
+    * decimal picks and sums, lrd re-latticed at 9dp after one IEEE
+    * division on converged operands, LOF one IEEE expression on
+    * exact operands rounded at 6dp.
+    */
+  def q233Lof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val k = 10
+    val emb = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 1000L).select($"vec_id", $"embedding")
+    val a = emb.select($"vec_id".as("p"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("o"), $"embedding".as("vb"))
+    val d = b.join(broadcast(a), $"p" =!= $"o")
+      .withColumn("d9",
+        decRound(lit(1.0) - Vectors.cosine($"va", $"vb"), 9)
+          .cast(DecimalType(18, 9)))
+      .select($"p", $"o", $"d9")
+    val w = Window.partitionBy($"p").orderBy($"d9".asc, $"o".asc)
+    val knn = d.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k).select($"p", $"o", $"d9")
+    val kd = knn.groupBy($"p").agg(max($"d9").as("kdist"))
+    val reach = knn
+      .join(kd.select($"p".as("o"), $"kdist".as("kdist_o")), Seq("o"))
+      .withColumn("reach", greatest($"kdist_o", $"d9"))
+    val lrd = reach.groupBy($"p")
+      .agg(sum($"reach").as("sreach"), count(lit(1)).as("nk"))
+      .filter($"sreach" > 0) // ≥k exact duplicates ⇒ lrd undefined
+      .select($"p",
+        decRound(lit(k.toDouble) / $"sreach".cast("double"), 9)
+          .cast(DecimalType(18, 9)).as("lrd9"))
+    val lof = knn
+      .join(lrd.select($"p".as("o"), $"lrd9".as("lrd_o")), Seq("o"))
+      .groupBy($"p")
+      .agg(sum($"lrd_o").as("slrd"), count(lit(1)).as("nn"))
+      .join(lrd, Seq("p"))
+      .join(kd, Seq("p"))
+    lof.select($"p".as("vec_id"),
+      decRound($"kdist".cast("double"), 6).as("kdist"),
+      decRound($"lrd9".cast("double"), 6).as("lrd"),
+      decRound($"slrd".cast("double") /
+        ($"nn".cast("double") * $"lrd9".cast("double")), 6).as("lof"))
+      .withColumn("is_outlier",
+        $"lof" >= lit(1.5))
+  }
+
+  val q233Sql: String =
+    """WITH d AS (
+      |  SELECT a.vec_id AS p, b.vec_id AS o,
+      |    CAST(round(CAST(1.0 - list_cosine_similarity(
+      |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |      AS DECIMAL(28,12)), 9) AS DECIMAL(18,9)) AS d9
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id <> b.vec_id),
+      |knn AS (
+      |  SELECT p, o, d9 FROM (
+      |    SELECT p, o, d9,
+      |      row_number() OVER (PARTITION BY p ORDER BY d9, o) AS rnk
+      |    FROM d)
+      |  WHERE rnk <= 10),
+      |kd AS (SELECT p, max(d9) AS kdist FROM knn GROUP BY 1),
+      |lrd AS (
+      |  SELECT knn.p,
+      |    CAST(round(CAST(10.0 / CAST(sum(greatest(kdo.kdist, knn.d9))
+      |      AS DOUBLE) AS DECIMAL(28,12)), 9) AS DECIMAL(18,9)) AS lrd9
+      |  FROM knn JOIN kd kdo ON kdo.p = knn.o
+      |  GROUP BY 1 HAVING sum(greatest(kdo.kdist, knn.d9)) > 0),
+      |s AS (
+      |  SELECT knn.p, sum(lo.lrd9) AS slrd, count(*) AS nn
+      |  FROM knn JOIN lrd lo ON lo.p = knn.o GROUP BY 1)
+      |SELECT s.p AS vec_id,
+      |  CAST(round(CAST(CAST(kd.kdist AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS kdist,
+      |  CAST(round(CAST(CAST(l.lrd9 AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS lrd,
+      |  CAST(round(CAST(CAST(slrd AS DOUBLE)
+      |    / (CAST(nn AS DOUBLE) * CAST(l.lrd9 AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS lof,
+      |  CAST(round(CAST(CAST(slrd AS DOUBLE)
+      |    / (CAST(nn AS DOUBLE) * CAST(l.lrd9 AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) >= 1.5 AS is_outlier
+      |FROM s JOIN lrd l ON l.p = s.p JOIN kd ON kd.p = s.p""".stripMargin
 }

@@ -449,14 +449,24 @@ class PlanSpec extends SparkTestBase {
     assert(count(p, "NestedLoop") == 0, p)
   }
 
-  ignore("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
+  test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
     // q233: the only quadratic stage is the capped-slice distance
     // join — it must BROADCAST the 1000-row side (a shuffled
     // non-equi join over the pair space would be the 100-TB
-    // regression); every post-kNN stage joins k-sized frames.
-    val p233 = plan("q233_lof")
+    // regression), every nested-loop instance in the plan must BE
+    // that broadcast join (the kNN frame fans out to the kdist/
+    // reach/lrd consumers, so the subtree prints once per consumer),
+    // and at runtime the distance+window exchange must materialize
+    // ONCE and be reused — not recomputed per consumer.
+    val df233 = SparkEntry.queries("q233_lof")(spark, sf)
+    df233.collect() // AQE finalizes stage reuse only on execution
+    val p233 = df233.queryExecution.executedPlan.toString
+    assert(count(p233, "CartesianProduct") == 0, p233)
     assert(p233.contains("BroadcastNestedLoopJoin"), p233)
-    assert(count(p233, "SortMergeJoin") <= 3, p233)
+    assert(count(p233, "NestedLoop") == count(p233, "BroadcastNestedLoopJoin"),
+      p233)
+    assert(p233.contains("ReusedExchange") || p233.contains("ReusedQueryStage"),
+      p233)
     // q234: the gram stream is window-flagged (df via one
     // (source, gram) exchange) then rolled up — never joined against
     // itself; the source-cardinality dim join broadcasts.
