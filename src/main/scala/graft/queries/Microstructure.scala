@@ -2309,4 +2309,158 @@ object Microstructure {
       |  CAST(round(CAST(CAST(gmax AS DOUBLE) AS DECIMAL(28,12)), 6)
       |    AS DOUBLE) AS max_abs_gap
       |FROM m""".stripMargin
+
+  /** q235_realized_kernel — the flat-top Parzen realized kernel
+    * (Barndorff-Nielsen–Hansen–Lunde–Shephard 2008) per (instrument,
+    * day): RK = γ₀ + 2·Σ_{h=1..5} k((h−1)/5)·γ_h with γ_h =
+    * Σ r_t·r_{t−h} — the noise-robust realized variance that q157's
+    * plain RV is not (microstructure noise biases RV upward at tick
+    * frequency; the kernel's autocovariance terms cancel the iid-noise
+    * component). Reported next to rv = γ₀ so the noise correction
+    * ratio is one subtraction away. The Parzen weights at x = 0, .2,
+    * .4, .6, .8 are EXACT decimals (1, 0.808, 0.424, 0.128, 0.016) —
+    * no irrational coefficient enters before the final sum. Per
+    * INSTRUMENT over its full tick series (this tape carries a
+    * handful of prints per day — a day-keyed kernel would filter
+    * itself empty; at intraday densities the same shape re-keys on
+    * (user, day) untouched); zero prices excluded on both engines
+    * (the q157 guard); all six lag windows and the rollup ride ONE
+    * user_id tape exchange (the keyed-window + same-key-agg plan
+    * family). Determinism: returns and products are raw IEEE (the
+    * q157 precedent), sums rounded at 6dp output where ulp-order
+    * noise is far below the lattice.
+    */
+  def q235RealizedKernel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val r = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("ret", when($"value" > 0.0,
+        log($"value" / nullif(lag($"value", 1).over(w), lit(0.0)))))
+    val g = r
+      .withColumn("r1", lag($"ret", 1).over(w))
+      .withColumn("r2", lag($"ret", 2).over(w))
+      .withColumn("r3", lag($"ret", 3).over(w))
+      .withColumn("r4", lag($"ret", 4).over(w))
+      .withColumn("r5", lag($"ret", 5).over(w))
+      .groupBy($"user_id")
+      .agg(count($"ret").as("n_rets"),
+        sum($"ret" * $"ret").as("g0"),
+        sum($"ret" * $"r1").as("g1"),
+        sum($"ret" * $"r2").as("g2"),
+        sum($"ret" * $"r3").as("g3"),
+        sum($"ret" * $"r4").as("g4"),
+        sum($"ret" * $"r5").as("g5"))
+      .filter($"n_rets" >= 30L)
+    g.select($"user_id", $"n_rets",
+      decRound($"g0", 6).as("rv"),
+      decRound($"g0"
+        + lit(2.0) * (lit(1.0) * $"g1" + lit(0.808) * $"g2"
+          + lit(0.424) * $"g3" + lit(0.128) * $"g4"
+          + lit(0.016) * $"g5"), 6).as("rk"))
+  }
+
+  val q235Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN value > 0.0 THEN
+      |      ln(value / nullif(lag(value) OVER w, 0.0)) END AS ret
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |l AS (
+      |  SELECT user_id, ret,
+      |    lag(ret, 1) OVER w AS r1, lag(ret, 2) OVER w AS r2,
+      |    lag(ret, 3) OVER w AS r3, lag(ret, 4) OVER w AS r4,
+      |    lag(ret, 5) OVER w AS r5
+      |  FROM r
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, count(ret) AS n_rets,
+      |    sum(ret * ret) AS g0, sum(ret * r1) AS g1,
+      |    sum(ret * r2) AS g2, sum(ret * r3) AS g3,
+      |    sum(ret * r4) AS g4, sum(ret * r5) AS g5
+      |  FROM l GROUP BY 1 HAVING count(ret) >= 30)
+      |SELECT user_id, n_rets,
+      |  CAST(round(CAST(g0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS rv,
+      |  CAST(round(CAST(g0 + 2.0 * (1.0 * g1 + 0.808 * g2 + 0.424 * g3
+      |    + 0.128 * g4 + 0.016 * g5) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS rk
+      |FROM g""".stripMargin
+
+  /** q236_calmar — the Calmar ratio per instrument from the daily
+    * close ledger: annualized LOG return (252-day convention) over
+    * the maximum percent drawdown — THE drawdown-adjusted
+    * performance read next to q118's Sharpe (σ-adjusted) and q230's
+    * ulcer (RMS-drawdown); reported with both legs so the ratio is
+    * auditable. The log-return flavor: this synthetic tape's
+    * close ratios are arbitrary, so exp-compounding overflows any
+    * fixed-precision lattice — ln keeps the numerator linear in the
+    * ratio's magnitude (|ln| < 25 at any plausible ratio) and the
+    * exp flavor is one expression away on a real price tape.
+    * Instruments with no drawdown are excluded (the ratio is
+    * undefined — mirrored HAVING). Pure function of the s68 OHLC
+    * ledger frame: running-max window + min_by/max_by rollup on ONE
+    * hash(user) exchange — two exchanges. Determinism: first/last
+    * closes are exact arg-extreme picks on the unique day order, dd
+    * reuses the q230 12dp lattice, max-dd is an exact decimal pick;
+    * ln runs in IEEE double on exactly-stored operands with the
+    * operation order mirrored token-for-token, output at 6dp.
+    */
+  def q236Calmar(spark: SparkSession, dir: String): DataFrame =
+    calmarFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q236's tail over the OHLC frame — shared by the batch query and
+    * the s68 ledger's differential spec.
+    */
+  def calmarFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wRun = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = ohlc
+      .withColumn("peak", max($"c").over(wRun))
+      .withColumn("dd",
+        decRound(lit(100.0) * ($"c" / $"peak" - lit(1.0)), 12)
+          .cast(DecimalType(18, 12)))
+    val m = dd.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        min_by($"c", $"day").as("c_first"),
+        max_by($"c", $"day").as("c_last"),
+        min($"dd").as("ddmin"))
+      .filter($"n_days" >= 10L && $"ddmin" < 0)
+    val nD = $"n_days".cast("double")
+    val annLogRet = log($"c_last" / $"c_first") * (lit(252.0) / nD)
+    m.select($"user_id", $"n_days",
+      decRound(annLogRet, 6).as("ann_log_return"),
+      decRound($"ddmin".cast("double"), 6).as("max_dd_pct"),
+      decRound(annLogRet / (-$"ddmin".cast("double") / lit(100.0)), 6)
+        .as("calmar"))
+  }
+
+  val q236Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """dd AS (
+      |  SELECT user_id, day, c,
+      |    CAST(round(CAST(100.0 * (c / max(c) OVER (PARTITION BY user_id
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - 1.0) AS DECIMAL(28,12)), 12) AS DECIMAL(18,12)) AS dd
+      |  FROM ohlc),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    arg_min(c, day) AS c_first, arg_max(c, day) AS c_last,
+      |    min(dd) AS ddmin
+      |  FROM dd GROUP BY 1
+      |  HAVING count(*) >= 10 AND min(dd) < 0)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(ln(c_last / c_first)
+      |    * (252.0 / CAST(n_days AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS ann_log_return,
+      |  CAST(round(CAST(CAST(ddmin AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS max_dd_pct,
+      |  CAST(round(CAST((ln(c_last / c_first)
+      |    * (252.0 / CAST(n_days AS DOUBLE)))
+      |    / (-CAST(ddmin AS DOUBLE) / 100.0)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS calmar
+      |FROM m""".stripMargin
 }

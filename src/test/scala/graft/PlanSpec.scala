@@ -379,7 +379,10 @@ class PlanSpec extends SparkTestBase {
         // q201's lag-pair window + moment rollup both key on user_id;
         // q203's (user, day) arrival window + (user, day, arr6) rollup
         // and q207's (user, minute) bin + user rollup ride hash subsets
-        "q201_ar1_halflife", "q203_impl_shortfall", "q207_burstiness")) {
+        "q201_ar1_halflife", "q203_impl_shortfall", "q207_burstiness",
+        // q235's six lag windows + the (user, day) kernel rollup all
+        // cluster on the same tape keys
+        "q235_realized_kernel")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 1, s"$q: expected 1 exchange\n$p")
     }
@@ -434,7 +437,7 @@ class PlanSpec extends SparkTestBase {
     // the 100-TB regression.
     for (q <- Seq("q225_rogers_satchell", "q226_yang_zhang",
         "q227_stochastic", "q229_atr", "q230_ulcer", "q231_donchian",
-        "q232_overnight_gap")) {
+        "q232_overnight_gap", "q236_calmar")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 2, s"$q: expected 2 exchanges\n$p")
       assert(count(p, "NestedLoop") == 0, s"$q: nested-loop crept in\n$p")

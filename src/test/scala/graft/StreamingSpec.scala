@@ -778,7 +778,8 @@ class StreamingSpec extends SparkTestBase {
       "q229_atr" -> queries.Microstructure.atrFromDailyOhlc(ohlc),
       "q230_ulcer" -> queries.Microstructure.ulcerFromDailyOhlc(ohlc),
       "q231_donchian" -> queries.Microstructure.donchianFromDailyOhlc(ohlc),
-      "q232_overnight_gap" -> queries.Microstructure.gapFromDailyOhlc(ohlc))
+      "q232_overnight_gap" -> queries.Microstructure.gapFromDailyOhlc(ohlc),
+      "q236_calmar" -> queries.Microstructure.calmarFromDailyOhlc(ohlc))
     for ((name, streamed) <- tails) {
       val batch = SparkEntry.queries(name)(spark, sf)
       assert(batch.count() > 0, name)
