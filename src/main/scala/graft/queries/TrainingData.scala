@@ -1579,4 +1579,104 @@ object TrainingData {
       |    / (CAST(nn AS DOUBLE) * CAST(l.lrd9 AS DOUBLE))
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) >= 1.5 AS is_outlier
       |FROM s JOIN lrd l ON l.p = s.p JOIN kd ON kd.p = s.p""".stripMargin
+
+  /** q237_silhouette — per-label silhouette audit over the labeled
+    * embedding collection: for each point, a = mean cosine distance
+    * to its OWN label's other members, b = min over other labels of
+    * the mean distance to that label's members, s = (b−a)/max(a,b) ∈
+    * [−1, 1] — the label-quality read that says whether the label
+    * structure is real in embedding space (mean s per label) and
+    * which labels bleed into which (share of s < 0 = points sitting
+    * closer to a foreign label than their own — the mislabeling/
+    * class-overlap census run before the labels are trusted for
+    * eval splits or contrastive sampling; q122 checks label BALANCE,
+    * q110 predicts labels — this audits their geometry). Same capped
+    * exact-slice discipline as q233 (silhouette is all-pairs within
+    * its analysis set); the per-(point, label) mean collapses the
+    * pair space to |labels| rows per point before any comparison, so
+    * the post-distance stages are label-cardinality-bounded.
+    * Singleton-label points are excluded (a undefined — mirrored).
+    * Determinism: d latticed at 9dp, per-label means are exact
+    * decimal sums divided once in IEEE and re-latticed at 9dp, b an
+    * exact decimal pick, s one IEEE expression on exact operands
+    * rounded at 6dp, negative-share flags compare the 6dp lattice.
+    */
+  def q237Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 1000L)
+      .select($"vec_id", $"embedding", $"label")
+    val a = emb.select($"vec_id".as("p"), $"embedding".as("va"),
+      $"label".as("lp"))
+    val b = emb.select($"vec_id".as("o"), $"embedding".as("vb"),
+      $"label".as("lo"))
+    val d = b.join(broadcast(a), $"p" =!= $"o")
+      .withColumn("d9",
+        decRound(lit(1.0) - Vectors.cosine($"va", $"vb"), 9)
+          .cast(DecimalType(18, 9)))
+      .select($"p", $"lp", $"lo", $"d9")
+    // collapse the pair space: mean distance from p to each label
+    val m = d.groupBy($"p", $"lp", $"lo")
+      .agg(sum($"d9").as("sd"), count(lit(1)).as("nd"))
+      .withColumn("md9",
+        decRound($"sd".cast("double") / $"nd".cast("double"), 9)
+          .cast(DecimalType(18, 9)))
+    val ab = m.groupBy($"p", $"lp")
+      .agg(max(when($"lo" === $"lp", $"md9")).as("a"),
+        min(when($"lo" =!= $"lp", $"md9")).as("b"))
+      .filter($"a".isNotNull && $"b".isNotNull &&
+        greatest($"a", $"b") > 0) // all-zero distances ⇒ s undefined
+      .withColumn("s",
+        decRound(($"b" - $"a").cast("double") /
+          greatest($"a", $"b").cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+    ab.groupBy($"lp".as("label"))
+      .agg(count(lit(1)).as("n_points"),
+        sum($"s").as("ss"),
+        sum(when($"s" < 0, 1L).otherwise(0L)).as("n_neg"))
+      .select($"label", $"n_points",
+        decRound($"ss".cast("double") / $"n_points".cast("double"), 6)
+          .as("mean_silhouette"),
+        decRound($"n_neg".cast("double") / $"n_points".cast("double"), 6)
+          .as("neg_share"))
+  }
+
+  val q237Sql: String =
+    """WITH d AS (
+      |  SELECT a.vec_id AS p, a.label AS lp, b.label AS lo,
+      |    CAST(round(CAST(1.0 - list_cosine_similarity(
+      |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |      AS DECIMAL(28,12)), 9) AS DECIMAL(18,9)) AS d9
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id <> b.vec_id),
+      |m AS (
+      |  SELECT p, lp, lo,
+      |    CAST(round(CAST(CAST(sum(d9) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 9)
+      |      AS DECIMAL(18,9)) AS md9
+      |  FROM d GROUP BY 1, 2, 3),
+      |ab AS (
+      |  SELECT p, lp,
+      |    max(CASE WHEN lo = lp THEN md9 END) AS a,
+      |    min(CASE WHEN lo <> lp THEN md9 END) AS b
+      |  FROM m GROUP BY 1, 2
+      |  HAVING max(CASE WHEN lo = lp THEN md9 END) IS NOT NULL
+      |     AND min(CASE WHEN lo <> lp THEN md9 END) IS NOT NULL
+      |     AND greatest(max(CASE WHEN lo = lp THEN md9 END),
+      |                  min(CASE WHEN lo <> lp THEN md9 END)) > 0),
+      |s AS (
+      |  SELECT p, lp,
+      |    CAST(round(CAST(CAST(b - a AS DOUBLE)
+      |      / CAST(greatest(a, b) AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |      AS DECIMAL(18,6)) AS s
+      |  FROM ab)
+      |SELECT lp AS label, CAST(count(*) AS BIGINT) AS n_points,
+      |  CAST(round(CAST(CAST(sum(s) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS mean_silhouette,
+      |  CAST(round(CAST(CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS neg_share
+      |FROM s GROUP BY 1""".stripMargin
 }

@@ -470,6 +470,13 @@ class PlanSpec extends SparkTestBase {
       p233)
     assert(p233.contains("ReusedExchange") || p233.contains("ReusedQueryStage"),
       p233)
+    // q237 shares q233's discipline: broadcast pair join as the only
+    // nested loop, label-mean collapse before any comparison
+    val p237 = plan("q237_silhouette")
+    assert(count(p237, "CartesianProduct") == 0, p237)
+    assert(p237.contains("BroadcastNestedLoopJoin"), p237)
+    assert(count(p237, "NestedLoop") == count(p237, "BroadcastNestedLoopJoin"),
+      p237)
     // q234: the gram stream is window-flagged (df via one
     // (source, gram) exchange) then rolled up — never joined against
     // itself; the source-cardinality dim join broadcasts.
