@@ -976,4 +976,92 @@ object TextOps {
       |  CAST(round(CAST(CAST(n_hi AS DOUBLE) / CAST(r.n_docs AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS hi_share
       |FROM r JOIN bg ON bg.source = r.source""".stripMargin
+
+  /** q238_gopher_rules — the Gopher/MassiveText document-quality rule
+    * census per source (Rae et al. 2021 §A.1.1, the filter battery
+    * most LLM corpus pipelines start from), restricted to the rules
+    * this token-level corpus can express: word count ∈ [50, 100k],
+    * mean word length ∈ [3, 10], ≥ 80% of words contain an alphabetic
+    * character, ≥ 2 stopwords from the 8-marker set (the same
+    * markers q37/q38/q92 share — one definition engine-wide). Emits
+    * the per-source pass share plus the per-rule failure counts — the
+    * tuning view that says WHICH rule is doing the filtering before
+    * anyone ships a threshold change (q38 scores documents; this
+    * turns the scores into the curation DECISION census). One
+    * tokenization pass, one map-side-combined rollup: the shuffle
+    * carries one row per source. Determinism: every rule compares
+    * INTEGERS (mean word length as 3·n ≤ Σlen ≤ 10·n, the alpha share
+    * as 10·n_alpha ≥ 8·n — no FP division anywhere near a threshold);
+    * the pass share is one exact division latticed at 6dp.
+    */
+  def q238GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val markers = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+    val toks = split(lower(trim($"text")), "\\s+")
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(toks, t => t.isin(markers: _*))).cast("long")
+    val d = Tables.documents(spark, dir)
+      .select($"source",
+        (n >= 50L && n <= 100000L).as("r_wordcount"),
+        (sumLen >= lit(3L) * n && sumLen <= lit(10L) * n)
+          .as("r_wordlen"),
+        (lit(10L) * nAlpha >= lit(8L) * n).as("r_alpha"),
+        (nStop >= 2L).as("r_stopwords"))
+      .withColumn("pass",
+        $"r_wordcount" && $"r_wordlen" && $"r_alpha" && $"r_stopwords")
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!$"r_wordcount", 1L).otherwise(0L)).as("fail_wordcount"),
+        sum(when(!$"r_wordlen", 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!$"r_alpha", 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!$"r_stopwords", 1L).otherwise(0L)).as("fail_stopwords"))
+      .withColumn("pass_share",
+        decRound($"n_pass".cast("double") / $"n_docs".cast("double"), 6))
+  }
+
+  val q238Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    CAST(len(toks) AS BIGINT) AS n,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+      |      AS sumlen,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and',
+      |      'to','in','is','that'))) AS BIGINT) AS n_stop
+      |  FROM t),
+      |r AS (
+      |  SELECT source,
+      |    (n >= 50 AND n <= 100000) AS r_wordcount,
+      |    (sumlen >= 3 * n AND sumlen <= 10 * n) AS r_wordlen,
+      |    (10 * n_alpha >= 8 * n) AS r_alpha,
+      |    (n_stop >= 2) AS r_stopwords
+      |  FROM m),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN r_wordcount AND r_wordlen AND r_alpha
+      |      AND r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |    CAST(sum(CASE WHEN NOT r_wordcount THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fail_wordcount,
+      |    CAST(sum(CASE WHEN NOT r_wordlen THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fail_wordlen,
+      |    CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fail_alpha,
+      |    CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fail_stopwords
+      |  FROM r GROUP BY 1)
+      |SELECT source, n_docs, n_pass, fail_wordcount, fail_wordlen,
+      |  fail_alpha, fail_stopwords,
+      |  CAST(round(CAST(CAST(n_pass AS DOUBLE)
+      |    / CAST(n_docs AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS pass_share
+      |FROM g""".stripMargin
 }

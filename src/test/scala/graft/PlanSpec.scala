@@ -484,6 +484,13 @@ class PlanSpec extends SparkTestBase {
     assert(count(p234, "NestedLoop") == 0, p234)
     assert(p234.contains("BroadcastHashJoin"), p234)
     assert(count(p234, "SortMergeJoin") <= 1, p234)
+    // q238: the rule census is one map-side-combined rollup — the
+    // shuffle carries one partial row per (partition, source), no
+    // join anywhere
+    val p238 = plan("q238_gopher_rules")
+    assert(count(p238, "Join") == 0, p238)
+    assert(count(p238, "Exchange") == 1, p238)
+    assert(p238.contains("partial"), p238)
   }
 
   test("embedding covariance reduces in one scan at width 512: no self-join, no explode") {
