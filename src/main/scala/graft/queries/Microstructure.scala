@@ -2438,6 +2438,326 @@ object Microstructure {
         .as("calmar"))
   }
 
+  /** q241_aroon — the 20-bar Aroon trend census per instrument:
+    * aroon-up = 100·(20 − bars since 20-bar HIGH)/20, aroon-down the
+    * same off the 20-bar LOW — the "how fresh is the extreme" trend
+    * read a desk runs next to q231's Donchian breakout census (which
+    * counts TOUCHES; Aroon measures the AGE of the extreme). 20-bar
+    * window because the synthetic tape carries 22–30 trading days per
+    * instrument, and because 100/20 = 5 keeps every Aroon value a
+    * pure INTEGER (age ∈ [0,19] ⇒ aroon = 100 − 5·age) — zero FP
+    * anywhere before the final share/mean division. Ties on the
+    * extreme take the most RECENT bar (max(struct(price, rn)) — the
+    * lexicographic struct max both engines share). s68 OHLC ledger
+    * tail: row_number, both extreme-arg windows, and the instrument
+    * rollup all ride one hash(user) exchange after the tape collapse
+    * (plan-pinned 2). Reported per instrument: mean up/down, the
+    * share of days in up-dominance (up > down), and the fresh-high
+    * share (aroon-up = 100: the bar IS the 20-bar high — the q231
+    * breakout read, re-derived from age).
+    *
+    * Ref: Chande (1995), standard TA definition.
+    */
+  def q241Aroon(spark: SparkSession, dir: String): DataFrame =
+    aroonFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q241's tail over the OHLC ledger frame — shared by the batch
+    * query and the s68 ledger spec.
+    */
+  def aroonFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"day")
+    val w20 = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(-19, Window.currentRow)
+    val a = ohlc
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("hiRn", max(struct($"h", $"rn")).over(w20)("rn"))
+      .withColumn("loRn", max(struct(-$"l", $"rn")).over(w20)("rn"))
+      .withColumn("n_in", count(lit(1)).over(w20))
+      .filter($"n_in" === 20L)
+      .withColumn("up", lit(100) - lit(5) * ($"rn" - $"hiRn"))
+      .withColumn("down", lit(100) - lit(5) * ($"rn" - $"loRn"))
+    val m = a.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"up").as("sup"), sum($"down").as("sdown"),
+        sum(when($"up" > $"down", 1L).otherwise(0L)).as("n_updom"),
+        sum(when($"up" === 100, 1L).otherwise(0L)).as("n_fresh_high"))
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days",
+      decRound($"sup".cast("double") / nD, 6).as("avg_aroon_up"),
+      decRound($"sdown".cast("double") / nD, 6).as("avg_aroon_down"),
+      decRound($"n_updom".cast("double") / nD, 6).as("updom_share"),
+      $"n_fresh_high")
+  }
+
+  val q241Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """sq AS (
+      |  SELECT user_id, day, h, l,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM ohlc),
+      |a0 AS (
+      |  SELECT user_id, rn,
+      |    (max(struct_pack(v := h, rn := rn)) OVER w20).rn AS hi_rn,
+      |    (max(struct_pack(v := -l, rn := rn)) OVER w20).rn AS lo_rn,
+      |    count(*) OVER w20 AS n_in
+      |  FROM sq WINDOW w20 AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |a AS (
+      |  SELECT user_id, 100 - 5 * (rn - hi_rn) AS up,
+      |    100 - 5 * (rn - lo_rn) AS down
+      |  FROM a0 WHERE n_in = 20),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(up) AS BIGINT) AS sup,
+      |    CAST(sum(down) AS BIGINT) AS sdown,
+      |    CAST(sum(CASE WHEN up > down THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_updom,
+      |    CAST(sum(CASE WHEN up = 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_fresh_high
+      |  FROM a GROUP BY 1)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(sup AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_aroon_up,
+      |  CAST(round(CAST(CAST(sdown AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_aroon_down,
+      |  CAST(round(CAST(CAST(n_updom AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS updom_share,
+      |  n_fresh_high
+      |FROM m""".stripMargin
+
+  /** q242_mfi — the 14-day Money Flow Index per instrument: typical
+    * price (H+L+C)/3 × day volume = raw money flow, split by the
+    * typical-price direction, MFI = 100·posflow/(posflow+negflow)
+    * over the trailing 14 full days — volume-weighted RSI, the
+    * overbought/oversold read that sees FLOW where q106's RSI sees
+    * only price. FOURTH two-ledger composition (s68 OHLC × s60
+    * volumes, the q221/q228/q239 discipline). Scale: both ledgers
+    * arrive keyed (user, day); the join rides the collapse exchanges
+    * (or AQE broadcasts the volume side), and the direction lag, the
+    * 14-day flow windows, and the instrument rollup share one
+    * hash(user) exchange — plan-pinned ≤ 4. Determinism: tp lattices
+    * to 8dp at price scale; flow = tp × v is an EXACT decimal
+    * product rounded half-up to integer units (flow ≤ 560·699 ≈
+    * 3.9e5, so integer units lose <1.3e-6 relative and the window
+    * sums reduce as LONGS — associative, exact in both engines);
+    * equal-tp days carry no flow (the standard MFI convention,
+    * mirrored); the single ratio runs once in IEEE double on
+    * converged longs (≤ 5.5e6 < 2^53 — exactly convertible).
+    *
+    * Ref: Quong & Soudack (1989), standard TA definition.
+    */
+  def q242Mfi(spark: SparkSession, dir: String): DataFrame =
+    mfiFromLedgers(dailyOhlc(spark, dir),
+      graft.queries.Quant.dailyVolume(spark, dir))
+
+  /** q242's tail over the two ledger frames — shared by the batch
+    * query and the s68×s60 composition spec.
+    */
+  def mfiFromLedgers(ohlc: DataFrame, vol: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wSeq = Window.partitionBy($"user_id").orderBy($"day")
+    val w14 = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(-13, Window.currentRow)
+    val f = ohlc.join(vol, Seq("user_id", "day"))
+      .withColumn("tp",
+        decRound(($"h" + $"l" + $"c") / lit(3.0), 8)
+          .cast(DecimalType(18, 8)))
+      .withColumn("tpp", lag($"tp", 1).over(wSeq))
+      .filter($"tpp".isNotNull)
+      // v stays a NARROW decimal: tp(18,8) × bigint would exceed
+      // Spark's precision cap (39 > 38) and silently drop the 8th
+      // fraction digit (precision-loss mode trims SCALE — a 447.49999995
+      // flow became 447.5 and rounded the other way; measured at sf0.01)
+      .withColumn("flow",
+        round($"tp" * $"v".cast(DecimalType(10, 0)), 0).cast("long"))
+      .withColumn("pos", when($"tp" > $"tpp", $"flow").otherwise(0L))
+      .withColumn("neg", when($"tp" < $"tpp", $"flow").otherwise(0L))
+    val k = f
+      .withColumn("p14", sum($"pos").over(w14))
+      .withColumn("n14", sum($"neg").over(w14))
+      .withColumn("n_in", count(lit(1)).over(w14))
+      .filter($"n_in" === 14L && ($"p14" + $"n14") > 0L)
+      .withColumn("mfi",
+        decRound(lit(100.0) * $"p14".cast("double")
+          / ($"p14" + $"n14").cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+    val m = k.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"mfi").cast(DecimalType(28, 6)).as("sm"),
+        sum(when($"mfi" > lit(80), 1L).otherwise(0L)).as("n_over"),
+        sum(when($"mfi" < lit(20), 1L).otherwise(0L)).as("n_under"))
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days",
+      decRound($"sm".cast("double") / nD, 6).as("avg_mfi"),
+      decRound($"n_over".cast("double") / nD, 6).as("over_share"),
+      decRound($"n_under".cast("double") / nD, 6).as("under_share"))
+  }
+
+  val q242Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """vol AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |      AS v
+      |  FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 0
+      |  GROUP BY 1, 2),
+      |tp0 AS (
+      |  SELECT o.user_id, o.day,
+      |    CAST(round(CAST((o.h + o.l + o.c) / 3.0 AS DECIMAL(28,12)), 8)
+      |      AS DECIMAL(18,8)) AS tp, vol.v
+      |  FROM ohlc o JOIN vol ON o.user_id = vol.user_id
+      |    AND o.day = vol.day),
+      |f AS (
+      |  SELECT user_id, day, tp, v,
+      |    lag(tp) OVER (PARTITION BY user_id ORDER BY day) AS tpp
+      |  FROM tp0),
+      |g AS (
+      |  SELECT user_id, day, tp, tpp,
+      |    CAST(round(CAST(tp AS DECIMAL(28,8)) * v, 0) AS BIGINT) AS flow
+      |  FROM f WHERE tpp IS NOT NULL),
+      |k0 AS (
+      |  SELECT user_id, day,
+      |    sum(CASE WHEN tp > tpp THEN flow ELSE 0 END) OVER w14 AS p14,
+      |    sum(CASE WHEN tp < tpp THEN flow ELSE 0 END) OVER w14 AS n14,
+      |    count(*) OVER w14 AS n_in
+      |  FROM g WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |k AS (
+      |  SELECT user_id,
+      |    CAST(CAST(round(CAST(100.0 * CAST(p14 AS DOUBLE)
+      |      / CAST(p14 + n14 AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |      AS DECIMAL(18,6)) AS mfi
+      |  FROM k0 WHERE n_in = 14 AND (p14 + n14) > 0),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(mfi) AS DECIMAL(28,6)) AS sm,
+      |    CAST(sum(CASE WHEN mfi > 80 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_over,
+      |    CAST(sum(CASE WHEN mfi < 20 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_under
+      |  FROM k GROUP BY 1)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_mfi,
+      |  CAST(round(CAST(CAST(n_over AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS over_share,
+      |  CAST(round(CAST(CAST(n_under AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS under_share
+      |FROM m""".stripMargin
+
+  /** q243_vortex — the 14-day Vortex indicator per instrument:
+    * VI+ = Σ|H_t − L_{t−1}| / ΣTR, VI− = Σ|L_t − H_{t−1}| / ΣTR over
+    * the trailing 14 full days — the trend-direction read built from
+    * the SAME true-range denominator as q229's ATR (upward vortex
+    * movement reaches from yesterday's low, downward from yesterday's
+    * high). s68 OHLC ledger tail: the lag, both 14-day sums, and the
+    * instrument rollup ride one hash(user) exchange after the tape
+    * collapse (plan-pinned 2). Determinism: VM+ / VM− / TR all
+    * lattice to 8dp at price scale (the q229 rule); the 14-day window
+    * sums reduce exactly as decimals (≤ 14·560 at 8dp — far under
+    * 2^53 unscaled); each per-day VI is one IEEE division of exact
+    * converged operands latticed to 12dp; the rollup re-narrows
+    * (28,10) before the final double pass.
+    *
+    * Ref: Botes & Siepman (2010), standard TA definition.
+    */
+  def q243Vortex(spark: SparkSession, dir: String): DataFrame =
+    vortexFromDailyOhlc(dailyOhlc(spark, dir))
+
+  /** q243's tail over the OHLC ledger frame — shared by the batch
+    * query and the s68 ledger spec.
+    */
+  def vortexFromDailyOhlc(ohlc: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wSeq = Window.partitionBy($"user_id").orderBy($"day")
+    val w14 = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(-13, Window.currentRow)
+    val t = ohlc
+      .withColumn("hp", lag($"h", 1).over(wSeq))
+      .withColumn("lp", lag($"l", 1).over(wSeq))
+      .withColumn("cp", lag($"c", 1).over(wSeq))
+      .filter($"cp".isNotNull)
+      .withColumn("vmp",
+        decRound(abs($"h" - $"lp"), 8).cast(DecimalType(18, 8)))
+      .withColumn("vmm",
+        decRound(abs($"l" - $"hp"), 8).cast(DecimalType(18, 8)))
+      .withColumn("tr",
+        decRound(greatest($"h" - $"l", abs($"h" - $"cp"),
+          abs($"l" - $"cp")), 8).cast(DecimalType(18, 8)))
+    val k = t
+      .withColumn("svmp", sum($"vmp").over(w14))
+      .withColumn("svmm", sum($"vmm").over(w14))
+      .withColumn("str", sum($"tr").over(w14))
+      .withColumn("n_in", count(lit(1)).over(w14))
+      .filter($"n_in" === 14L && $"str" > 0)
+      .withColumn("vip",
+        decRound($"svmp".cast("double") / $"str".cast("double"), 12)
+          .cast(DecimalType(18, 12)))
+      .withColumn("vim",
+        decRound($"svmm".cast("double") / $"str".cast("double"), 12)
+          .cast(DecimalType(18, 12)))
+    val m = k.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"vip").cast(DecimalType(28, 10)).as("svip"),
+        sum($"vim").cast(DecimalType(28, 10)).as("svim"),
+        sum(when($"vip" > $"vim", 1L).otherwise(0L)).as("n_uptrend"))
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days",
+      decRound($"svip".cast("double") / nD, 6).as("avg_vi_plus"),
+      decRound($"svim".cast("double") / nD, 6).as("avg_vi_minus"),
+      decRound($"n_uptrend".cast("double") / nD, 6).as("uptrend_share"))
+  }
+
+  val q243Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """p AS (
+      |  SELECT user_id, day, h, l,
+      |    lag(h) OVER w AS hp, lag(l) OVER w AS lp, lag(c) OVER w AS cp
+      |  FROM ohlc WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |t AS (
+      |  SELECT user_id, day,
+      |    CAST(round(CAST(abs(h - lp) AS DECIMAL(28,12)), 8)
+      |      AS DECIMAL(18,8)) AS vmp,
+      |    CAST(round(CAST(abs(l - hp) AS DECIMAL(28,12)), 8)
+      |      AS DECIMAL(18,8)) AS vmm,
+      |    CAST(round(CAST(greatest(h - l, abs(h - cp), abs(l - cp))
+      |      AS DECIMAL(28,12)), 8) AS DECIMAL(18,8)) AS tr
+      |  FROM p WHERE cp IS NOT NULL),
+      |k0 AS (
+      |  SELECT user_id, day,
+      |    sum(vmp) OVER w14 AS svmp, sum(vmm) OVER w14 AS svmm,
+      |    sum(tr) OVER w14 AS str, count(*) OVER w14 AS n_in
+      |  FROM t WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |k AS (
+      |  SELECT user_id,
+      |    CAST(round(CAST(CAST(svmp AS DOUBLE) / CAST(str AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(18,12)) AS vip,
+      |    CAST(round(CAST(CAST(svmm AS DOUBLE) / CAST(str AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(18,12)) AS vim
+      |  FROM k0 WHERE n_in = 14 AND str > 0),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(vip), 10) AS DECIMAL(28,10)) AS svip,
+      |    CAST(round(sum(vim), 10) AS DECIMAL(28,10)) AS svim,
+      |    CAST(sum(CASE WHEN vip > vim THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_uptrend
+      |  FROM k GROUP BY 1)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(svip AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_vi_plus,
+      |  CAST(round(CAST(CAST(svim AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_vi_minus,
+      |  CAST(round(CAST(CAST(n_uptrend AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS uptrend_share
+      |FROM m""".stripMargin
+
   val q236Sql: String =
     ohlcSqlPrelude + "\n" +
     """dd AS (

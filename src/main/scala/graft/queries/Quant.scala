@@ -1860,4 +1860,266 @@ object Quant {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS obv
       |FROM f""".stripMargin
+
+  /** The shared closes oracle prelude: the tape collapsed to the
+    * (instrument, day) 12dp ln-close spine with the q221 total order
+    * (close via row_number over (ts DESC, event_id DESC)). Prepended
+    * to every round-14c return-statistics oracle so the SQL spine is
+    * byte-identical across the family — and identical to the s67
+    * streaming ledger's converged frame.
+    */
+  private val closesSqlPrelude: String =
+    """WITH c0 AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE value > 0.0),
+      |c AS (
+      |  SELECT user_id, day,
+      |    CAST(round(CAST(ln(value) AS DECIMAL(28,12)), 12)
+      |      AS DECIMAL(18,12)) AS x
+      |  FROM c0 WHERE rn = 1),""".stripMargin
+
+  /** The shared volume-ledger oracle CTE (the s60 frame), for the
+    * two-ledger compositions — matches dailyVolume verbatim.
+    */
+  private val volSqlCte: String =
+    """vol AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 0
+      |  GROUP BY 1, 2),""".stripMargin
+
+  /** q239_amihud — the Amihud (2002) illiquidity ratio per instrument:
+    * mean over trading days of |daily log return| / traded volume,
+    * scaled ×1e6 — the price-impact-per-unit-flow read a desk uses to
+    * rank instruments by how much a marginal order moves them (the
+    * cross-sectional cousin of q241's Kyle lambda, which regresses
+    * WITHIN the tape). Third two-ledger composition (s67 closes × s60
+    * volumes, the q221/q228 discipline): returns are taken over
+    * consecutive days carrying BOTH a positive print and positive
+    * traded size, so the ratio's numerator and denominator describe
+    * the same day domain. Scale: both ledger frames arrive
+    * hash-partitioned on (user, day) from their collapses; the lag
+    * window and the instrument rollup ride one hash(user) exchange.
+    * Determinism: r is an exact decimal difference of the 12dp
+    * ln-close lattice; the per-day ratio is an exact INTEGER half-up
+    * division on the unscaled picounits — |r|/v with small integer v
+    * terminates exactly on 12dp half-boundaries, where the engines'
+    * double→decimal conversions round opposite ways (measured at
+    * sf0.01), so no double quotient exists before the rollup; Σ and
+    * max reduce as longs (associative), and only the final mean
+    * divides in double.
+    */
+  def q239Amihud(spark: SparkSession, dir: String): DataFrame =
+    amihudFromLedgers(dailyCloses(spark, dir), dailyVolume(spark, dir))
+
+  /** q239's tail over the two ledger frames — shared by the batch
+    * query and the s67×s60 composition spec.
+    */
+  def amihudFromLedgers(closes: DataFrame, vol: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val j = closes.join(vol, Seq("user_id", "day"))
+      .withColumn("r",
+        ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      // |r|/v with small integer v lands EXACTLY on 12dp half
+      // boundaries (terminating quotient), where the engines' double
+      // →decimal conversions round opposite ways — so the per-day
+      // ratio is an exact integer half-up division on the unscaled
+      // picounits instead: iu = round(|r|·1e12 / v) at the ×1e6
+      // output scale. No double quotient anywhere before the rollup.
+      .withColumn("tu", (abs($"r") * lit(1000000000000L)).cast("long"))
+      .withColumn("iu", expr("(2 * tu + v) DIV (2 * v)"))
+    val m = j.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"iu").as("su"), max($"iu").as("mu"))
+      .filter($"n_days" >= 10L)
+    m.select($"user_id", $"n_days",
+      decRound($"su".cast("double") / lit(1000000.0)
+        / $"n_days".cast("double"), 6).as("amihud_e6"),
+      ($"mu".cast("double") / lit(1000000.0)).as("max_illiq_e6"))
+  }
+
+  val q239Sql: String =
+    closesSqlPrelude + "\n" + volSqlCte + "\n" +
+    """j AS (
+      |  SELECT c.user_id, c.day, vol.v,
+      |    CAST(c.x - lag(c.x) OVER (PARTITION BY c.user_id
+      |      ORDER BY c.day) AS DECIMAL(18,12)) AS r
+      |  FROM c JOIN vol ON c.user_id = vol.user_id AND c.day = vol.day),
+      |i AS (
+      |  SELECT user_id,
+      |    (2 * CAST(CAST(abs(r) AS DECIMAL(30,12)) * 1000000000000
+      |      AS BIGINT) + v) // (2 * v) AS iu
+      |  FROM j WHERE r IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(iu) AS BIGINT) AS su, max(iu) AS mu
+      |  FROM i GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(su AS DOUBLE) / 1000000.0
+      |    / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS amihud_e6,
+      |  CAST(mu AS DOUBLE) / 1000000.0 AS max_illiq_e6
+      |FROM m""".stripMargin
+
+  /** q240_roll_spread — the Roll (1984) implied effective spread per
+    * instrument: bid–ask bounce makes consecutive price changes
+    * negatively autocovariant, so spread ≈ 2·√(−cov(Δp_t, Δp_{t−1}))
+    * — the spread estimate a daily-bar shop gets from the TAPE ALONE,
+    * read next to q219's Corwin–Schultz (which needs H/L) and q191's
+    * effective spread (which needs a quote midpoint). Log-price
+    * changes (the standard log-Roll variant) ⇒ the spread is in
+    * return space, reported in basis points. Pure tail of the s67
+    * closes ledger: lag window + instrument rollup on one hash(user)
+    * exchange after the tape collapse — two exchanges. Determinism:
+    * Δx and its lag are exact decimal differences of the 12dp
+    * lattice; the three co-moment sums reduce exactly ((28,10)
+    * re-narrow on the product sum); the covariance formula runs once
+    * in IEEE double on the converged sums, mirrored token-for-token.
+    * A positive autocovariance (momentum dominating the bounce) has
+    * no spread interpretation — the √ clamps at 0 and the raw
+    * autocovariance is reported alongside.
+    */
+  def q240RollSpread(spark: SparkSession, dir: String): DataFrame =
+    rollFromCloses(dailyCloses(spark, dir))
+
+  /** q240's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def rollFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val d = closes
+      .withColumn("a", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .withColumn("b", lag($"a", 1).over(w))
+      .filter($"a".isNotNull && $"b".isNotNull)
+    val m = d.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"a").cast(DecimalType(28, 12)).as("sa"),
+        sum($"b").cast(DecimalType(28, 12)).as("sb"),
+        sum($"a" * $"b").cast(DecimalType(28, 10)).as("sab"))
+      .filter($"n_pairs" >= 10L)
+    val nD = $"n_pairs".cast("double")
+    val cov = $"sab".cast("double") / nD -
+      ($"sa".cast("double") / nD) * ($"sb".cast("double") / nD)
+    m.select($"user_id", $"n_pairs",
+      decRound(cov * lit(1000000.0), 6).as("acov_e6"),
+      decRound(lit(20000.0) * sqrt(greatest(-cov, lit(0.0))), 6)
+        .as("roll_spread_bp"))
+  }
+
+  val q240Sql: String =
+    closesSqlPrelude + "\n" +
+    """d0 AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS a
+      |  FROM c),
+      |d1 AS (
+      |  SELECT user_id, a,
+      |    lag(a) OVER (PARTITION BY user_id ORDER BY day) AS b
+      |  FROM d0),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(a) AS DECIMAL(28,12)) AS sa,
+      |    CAST(sum(b) AS DECIMAL(28,12)) AS sb,
+      |    CAST(round(sum(a * b), 10) AS DECIMAL(28,10)) AS sab
+      |  FROM d1 WHERE a IS NOT NULL AND b IS NOT NULL
+      |  GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_pairs,
+      |  CAST(round(CAST((CAST(sab AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+      |    - (CAST(sa AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+      |      * (CAST(sb AS DOUBLE) / CAST(n_pairs AS DOUBLE)))
+      |    * 1000000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS acov_e6,
+      |  CAST(round(CAST(20000.0 * sqrt(greatest(
+      |    -(CAST(sab AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+      |      - (CAST(sa AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+      |        * (CAST(sb AS DOUBLE) / CAST(n_pairs AS DOUBLE))), 0.0))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS roll_spread_bp
+      |FROM m""".stripMargin
+
+  /** q245_weekday_effect — the day-of-week return anomaly census over
+    * the whole tape: per weekday, pooled across instruments, the
+    * count / mean / t-stat / positive share of daily ln returns — the
+    * Monday-effect screen (French 1980) a desk runs before trusting a
+    * calendar-agnostic backtest (q112 profiles ARRIVAL seasonality;
+    * this profiles RETURN seasonality). Pure s67 closes-ledger tail:
+    * the lag window rides hash(user) after the tape collapse, and the
+    * weekday rollup reduces to ≤7 groups via map-side partials — the
+    * second exchange carries seven rows per partition. Weekday is an
+    * epoch-anchored integer (pmod(days since Monday 2020-01-06, 7) —
+    * both engines' native dayofweek() disagree on numbering, an
+    * integer datediff cannot). Determinism: r is an exact decimal
+    * difference of the 12dp lattice; Σr and Σr² reduce exactly with
+    * the (28,10) re-narrow; mean/t run once in IEEE on converged
+    * sums, mirrored token-for-token.
+    */
+  def q245WeekdayEffect(spark: SparkSession, dir: String): DataFrame =
+    weekdayFromCloses(dailyCloses(spark, dir))
+
+  /** q245's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def weekdayFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val d = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .withColumn("dow",
+        pmod(datediff($"day".cast("date"), to_date(lit("2020-01-06"))), lit(7)))
+    val m = d.groupBy($"dow")
+      .agg(count(lit(1)).as("n_obs"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"r" * $"r").cast(DecimalType(28, 10)).as("srr"),
+        sum(when($"r" > 0, 1L).otherwise(0L)).as("n_pos"))
+      .filter($"n_obs" >= 2L)
+    val nD = $"n_obs".cast("double")
+    val mean = $"sr".cast("double") / nD
+    val varPop = ($"srr".cast("double") - $"sr".cast("double")
+      * $"sr".cast("double") / nD) / (nD - lit(1.0))
+    m.select($"dow", $"n_obs",
+      decRound(mean * lit(10000.0), 6).as("mean_ret_bp"),
+      decRound(mean / sqrt(varPop / nD), 6).as("t_stat"),
+      decRound($"n_pos".cast("double") / nD, 6).as("pos_share"))
+  }
+
+  val q245Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |e AS (
+      |  SELECT ((datediff('day', DATE '2020-01-06', CAST(day AS DATE))
+      |      % 7) + 7) % 7 AS dow, r
+      |  FROM d WHERE r IS NOT NULL),
+      |m AS (
+      |  SELECT dow, CAST(count(*) AS BIGINT) AS n_obs,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(r * r), 10) AS DECIMAL(28,10)) AS srr,
+      |    CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_pos
+      |  FROM e GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT dow, n_obs,
+      |  CAST(round(CAST(CAST(sr AS DOUBLE) / CAST(n_obs AS DOUBLE)
+      |    * 10000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_ret_bp,
+      |  CAST(round(CAST((CAST(sr AS DOUBLE) / CAST(n_obs AS DOUBLE))
+      |    / sqrt(((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+      |      * CAST(sr AS DOUBLE) / CAST(n_obs AS DOUBLE))
+      |      / (CAST(n_obs AS DOUBLE) - 1.0)) / CAST(n_obs AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS t_stat,
+      |  CAST(round(CAST(CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pos_share
+      |FROM m""".stripMargin
 }

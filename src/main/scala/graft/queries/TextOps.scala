@@ -1064,4 +1064,102 @@ object TextOps {
       |    / CAST(n_docs AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
       |    AS pass_share
       |FROM g""".stripMargin
+
+  /** q244_flesch — Flesch readability census per source: per doc,
+    * words (the q238 whitespace tokenization), sentences (runs of
+    * [.!?], min 1 — the synthetic corpus carries no terminal
+    * punctuation, so every doc reads as one sentence and the census
+    * degenerates gracefully), syllables (vowel-group heuristic
+    * [aeiouy]+ per word, min 1 — the standard cheap estimator);
+    * Flesch reading ease = 206.835 − 1.015·(w/s) − 84.6·(syll/w) and
+    * Flesch–Kincaid grade = 0.39·(w/s) + 11.8·(syll/w) − 15.59,
+    * averaged per source — the readability tier a curation pipeline
+    * buckets by before mixing (q238 gates on structure, this scores
+    * reading level). Scale: one row-local tokenize pass (higher-order
+    * array ops, NO explode — the corpus never shuffles at token
+    * grain), one map-side-combined source rollup — 1 exchange.
+    * Determinism: w/s/syll are INTEGER sums; each per-doc score is a
+    * fixed IEEE expression over two integer ratios, latticed to 6dp
+    * decimal; source means reduce exact decimal sums and divide once.
+    *
+    * Ref: Flesch (1948); Kincaid et al. (1975).
+    */
+  def q244Flesch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val toks = split(lower(trim($"text")), "\\s+")
+    val w = size(toks).cast("long")
+    val sent = greatest(lit(1L),
+      regexp_count($"text", lit("[.!?]+")).cast("long"))
+    val syll = aggregate(transform(toks,
+        t => greatest(lit(1L), regexp_count(t, lit("[aeiouy]+")).cast("long"))),
+      lit(0L), (acc, x) => acc + x)
+    val d = Tables.documents(spark, dir)
+      .select($"source", w.as("w"), sent.as("s"), syll.as("y"))
+      .withColumn("wps", $"w".cast("double") / $"s".cast("double"))
+      .withColumn("ypw", $"y".cast("double") / $"w".cast("double"))
+      .withColumn("ease",
+        decRound(lit(206.835) - lit(1.015) * $"wps"
+          - lit(84.6) * $"ypw", 6).cast(DecimalType(18, 6)))
+      .withColumn("grade",
+        decRound(lit(0.39) * $"wps" + lit(11.8) * $"ypw"
+          - lit(15.59), 6).cast(DecimalType(18, 6)))
+    val m = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"w").as("sw"), sum($"s").as("ss"), sum($"y").as("sy"),
+        sum($"ease").cast(DecimalType(28, 6)).as("se"),
+        sum($"grade").cast(DecimalType(28, 6)).as("sg"))
+    val nD = $"n_docs".cast("double")
+    m.select($"source", $"n_docs",
+      decRound($"se".cast("double") / nD, 6).as("avg_ease"),
+      decRound($"sg".cast("double") / nD, 6).as("avg_grade"),
+      decRound($"sy".cast("double") / $"sw".cast("double"), 6)
+        .as("syll_per_word"),
+      decRound($"sw".cast("double") / $"ss".cast("double"), 6)
+        .as("words_per_sentence"))
+  }
+
+  val q244Sql: String =
+    """WITH t AS (
+      |  SELECT source, text,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |m0 AS (
+      |  SELECT source,
+      |    CAST(len(toks) AS BIGINT) AS w,
+      |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT)) AS s,
+      |    CAST(list_sum(list_transform(toks, x ->
+      |      greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+      |      AS BIGINT) AS y
+      |  FROM t),
+      |d AS (
+      |  SELECT source, w, s, y,
+      |    CAST(w AS DOUBLE) / CAST(s AS DOUBLE) AS wps,
+      |    CAST(y AS DOUBLE) / CAST(w AS DOUBLE) AS ypw
+      |  FROM m0),
+      |e AS (
+      |  SELECT source, w, s, y,
+      |    CAST(CAST(round(CAST(206.835 - 1.015 * wps - 84.6 * ypw
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS DECIMAL(18,6)) AS ease,
+      |    CAST(CAST(round(CAST(0.39 * wps + 11.8 * ypw - 15.59
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS DECIMAL(18,6)) AS grade
+      |  FROM d),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(s) AS BIGINT) AS ss,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(ease) AS DECIMAL(28,6)) AS se,
+      |    CAST(sum(grade) AS DECIMAL(28,6)) AS sg
+      |  FROM e GROUP BY 1)
+      |SELECT source, n_docs,
+      |  CAST(round(CAST(CAST(se AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_ease,
+      |  CAST(round(CAST(CAST(sg AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_grade,
+      |  CAST(round(CAST(CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS syll_per_word,
+      |  CAST(round(CAST(CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS words_per_sentence
+      |FROM g""".stripMargin
 }

@@ -452,6 +452,52 @@ class PlanSpec extends SparkTestBase {
     assert(count(p, "NestedLoop") == 0, p)
   }
 
+  test("r14c return-statistics pins: q240 rides the tape on two exchanges; q239 ledger join stays bounded and window-pruned") {
+    // q240 (Roll spread): the closes collapse exchange + one
+    // hash(user) exchange shared by the two lag windows AND the
+    // instrument rollup — the q226 discipline.
+    val p240 = plan("q240_roll_spread_daily")
+    assert(count(p240, "Exchange") == 2, s"q240: expected 2 exchanges\n$p240")
+    assert(count(p240, "NestedLoop") == 0, p240)
+    // q239 (Amihud): third two-ledger composition — the q221/q228
+    // contract: both collapses + the join riding them (or an AQE
+    // broadcast) + the instrument rollup, never a 5th exchange; the
+    // closes row_number stays WindowGroupLimit-pruned.
+    val p239 = plan("q239_amihud_daily")
+    assert(count(p239, "Exchange") <= 4, s"q239: expected <= 4 exchanges\n$p239")
+    assert(p239.contains("WindowGroupLimit"), p239)
+    assert(count(p239, "NestedLoop") == 0, p239)
+  }
+
+  test("r14d family pins: q241/q243 two exchanges, q244 one, q245 three, q242 two-ledger bounded") {
+    // q241 Aroon / q243 Vortex: the OHLC tape collapse + one
+    // hash(user) exchange shared by the sequencing/lag windows, the
+    // 20/14-bar rolling frames AND the instrument rollup.
+    for (q <- Seq("q241_aroon", "q243_vortex")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 2, s"$q: expected 2 exchanges\n$p")
+      assert(count(p, "NestedLoop") == 0, s"$q: nested-loop crept in\n$p")
+    }
+    // q244 Flesch: row-local tokenize (no explode — the corpus never
+    // shuffles at token grain) + ONE map-side-combined source rollup.
+    val p244 = plan("q244_flesch")
+    assert(count(p244, "Exchange") == 1, s"q244: expected 1 exchange\n$p244")
+    assert(count(p244, "Generate") == 0, s"q244: explode crept in\n$p244")
+    // q245 weekday effect: closes collapse + hash(user) lag window +
+    // the <=7-group weekday rollup (map-side partials, seven rows per
+    // partition cross the wire). A 4th exchange means a sort or
+    // window stopped riding its partitioning.
+    val p245 = plan("q245_weekday_effect")
+    assert(count(p245, "Exchange") == 3, s"q245: expected 3 exchanges\n$p245")
+    assert(count(p245, "NestedLoop") == 0, p245)
+    // q242 MFI: fourth two-ledger composition — the q221/q228/q239
+    // contract (both collapses + join riding them or AQE-broadcast +
+    // rollup, never a 5th exchange).
+    val p242 = plan("q242_mfi")
+    assert(count(p242, "Exchange") <= 4, s"q242: expected <= 4 exchanges\n$p242")
+    assert(count(p242, "NestedLoop") == 0, p242)
+  }
+
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
     // q233: the only quadratic stage is the capped-slice distance
     // join — it must BROADCAST the 1000-row side (a shuffled

@@ -716,6 +716,11 @@ class StreamingSpec extends SparkTestBase {
     val batch208 = SparkEntry.queries("q208_lead_lag")(spark, sf)
     assert(batch208.count() > 0)
     assert(ll.exceptAll(batch208).isEmpty && batch208.exceptAll(ll).isEmpty)
+    // the weekday-effect census is a third tail of the same ledger
+    val wd = queries.Quant.weekdayFromCloses(closes)
+    val batch245 = SparkEntry.queries("q245_weekday_effect")(spark, sf)
+    assert(batch245.count() > 0)
+    assert(wd.exceptAll(batch245).isEmpty && batch245.exceptAll(wd).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
@@ -779,7 +784,9 @@ class StreamingSpec extends SparkTestBase {
       "q230_ulcer" -> queries.Microstructure.ulcerFromDailyOhlc(ohlc),
       "q231_donchian" -> queries.Microstructure.donchianFromDailyOhlc(ohlc),
       "q232_overnight_gap" -> queries.Microstructure.gapFromDailyOhlc(ohlc),
-      "q236_calmar" -> queries.Microstructure.calmarFromDailyOhlc(ohlc))
+      "q236_calmar" -> queries.Microstructure.calmarFromDailyOhlc(ohlc),
+      "q241_aroon" -> queries.Microstructure.aroonFromDailyOhlc(ohlc),
+      "q243_vortex" -> queries.Microstructure.vortexFromDailyOhlc(ohlc))
     for ((name, streamed) <- tails) {
       val batch = SparkEntry.queries(name)(spark, sf)
       assert(batch.count() > 0, name)
@@ -798,6 +805,13 @@ class StreamingSpec extends SparkTestBase {
     assert(batch228.count() > 0)
     assert(cmf.exceptAll(batch228).isEmpty &&
       batch228.exceptAll(cmf).isEmpty)
+    // the same converged s68×s60 pair also serves MFI (the fourth
+    // two-ledger composition) — shared production tail, no copy
+    val mfi = queries.Microstructure.mfiFromLedgers(ohlc, vol)
+    val batch242 = SparkEntry.queries("q242_mfi")(spark, sf)
+    assert(batch242.count() > 0)
+    assert(mfi.exceptAll(batch242).isEmpty &&
+      batch242.exceptAll(mfi).isEmpty)
   }
 
   test("OBV composes TWO ledgers: s67 closes x s60 volumes rebuild batch q221") {
@@ -824,6 +838,19 @@ class StreamingSpec extends SparkTestBase {
     val batch = SparkEntry.queries("q221_obv")(spark, sf)
     assert(batch.count() > 0)
     assert(obv.exceptAll(batch).isEmpty && batch.exceptAll(obv).isEmpty)
+    // same two converged ledgers serve the Amihud illiquidity tail
+    // (third two-ledger composition) and the Roll implied spread
+    // (closes-only tail) — shared production functions, no copies
+    val amihud = queries.Quant.amihudFromLedgers(closes, vol)
+    val batch239 = SparkEntry.queries("q239_amihud_daily")(spark, sf)
+    assert(batch239.count() > 0)
+    assert(amihud.exceptAll(batch239).isEmpty &&
+      batch239.exceptAll(amihud).isEmpty)
+    val roll = queries.Quant.rollFromCloses(closes)
+    val batch240 = SparkEntry.queries("q240_roll_spread_daily")(spark, sf)
+    assert(batch240.count() > 0)
+    assert(roll.exceptAll(batch240).isEmpty &&
+      batch240.exceptAll(roll).isEmpty)
   }
 
   test("streaming ES weighted sample via bounded TopK state equals batch q205 (s64)") {
