@@ -2122,4 +2122,193 @@ object Quant {
       |  CAST(round(CAST(CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pos_share
       |FROM m""".stripMargin
+
+  /** q246_kendall_ic — Kendall τ-b rank IC per day: yesterday's
+    * cross-sectional return vs today's, over the q202 top-50
+    * universe — the RANK-ROBUST momentum-persistence read next to
+    * q176's Spearman IC (Kendall is the estimator a factor desk
+    * trusts when the cross-section has fat tails: it counts pair
+    * inversions instead of squaring rank gaps). Concordant /
+    * discordant / tie counts are EXACT INTEGERS from comparisons of
+    * exact 12dp decimals — the only FP is the final τ-b formula on
+    * converged longs. Scale: the universe is a 50-row broadcast (the
+    * q202 discipline), so the pair space is day × C(50,2) — bounded
+    * by the UNIVERSE, not the instrument count, and the quadratic
+    * join never grows with SF; the pair generation self-joins on day
+    * after the hash(user) lag window. τ-b = (C−D)/√((P−Tx)(P−Ty)),
+    * P = n(n−1)/2.
+    *
+    * Ref: Kendall (1938); τ-b tie correction per Agresti (2010).
+    */
+  def q246KendallIc(spark: SparkSession, dir: String): DataFrame =
+    kendallFromCloses(dailyCloses(spark, dir))
+
+  /** q246's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def kendallFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val universe = closes.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"))
+      .orderBy($"n_days".desc, $"user_id".asc)
+      .limit(50)
+      .select($"user_id")
+    val r = closes.join(broadcast(universe), "user_id")
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .withColumn("rp", lag($"r", 1).over(w))
+      .filter($"r".isNotNull && $"rp".isNotNull)
+      .select($"user_id", $"day", $"rp".as("fx"), $"r".as("fy"))
+    val pairs = r.as("a").join(r.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.day").as("day"),
+        (col("a.fx") > col("b.fx")).cast("int").minus(
+          (col("a.fx") < col("b.fx")).cast("int")).as("sx"),
+        (col("a.fy") > col("b.fy")).cast("int").minus(
+          (col("a.fy") < col("b.fy")).cast("int")).as("sy"))
+    val m = pairs.groupBy($"day")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"sx" * $"sy" === 1, 1L).otherwise(0L)).as("conc"),
+        sum(when($"sx" * $"sy" === -1, 1L).otherwise(0L)).as("disc"),
+        sum(when($"sx" === 0, 1L).otherwise(0L)).as("tie_x"),
+        sum(when($"sy" === 0, 1L).otherwise(0L)).as("tie_y"))
+      .filter($"n_pairs" >= 10L)
+    val p = $"n_pairs".cast("double")
+    val denom = sqrt((p - $"tie_x".cast("double"))
+      * (p - $"tie_y".cast("double")))
+    m.select($"day", $"n_pairs", $"conc", $"disc",
+      decRound(($"conc" - $"disc").cast("double") / denom, 6)
+        .as("tau_b"))
+  }
+
+  val q246Sql: String =
+    closesSqlPrelude + "\n" +
+    """u AS (
+      |  SELECT user_id FROM c GROUP BY 1
+      |  ORDER BY count(*) DESC, user_id ASC LIMIT 50),
+      |f00 AS (
+      |  SELECT c.user_id, c.day,
+      |    CAST(c.x - lag(c.x) OVER (PARTITION BY c.user_id
+      |      ORDER BY c.day) AS DECIMAL(18,12)) AS r
+      |  FROM c JOIN u ON c.user_id = u.user_id),
+      |f0 AS (
+      |  SELECT user_id, day, r,
+      |    lag(r) OVER (PARTITION BY user_id ORDER BY day) AS rp
+      |  FROM f00),
+      |f AS (
+      |  SELECT user_id, day, rp AS fx, r AS fy
+      |  FROM f0 WHERE r IS NOT NULL AND rp IS NOT NULL),
+      |pr AS (
+      |  SELECT a.day,
+      |    (CASE WHEN a.fx > b.fx THEN 1 WHEN a.fx < b.fx THEN -1
+      |      ELSE 0 END) AS sx,
+      |    (CASE WHEN a.fy > b.fy THEN 1 WHEN a.fy < b.fy THEN -1
+      |      ELSE 0 END) AS sy
+      |  FROM f a JOIN f b ON a.day = b.day AND a.user_id < b.user_id),
+      |m AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS conc,
+      |    CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS disc,
+      |    CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tie_x,
+      |    CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tie_y
+      |  FROM pr GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT day, n_pairs, conc, disc,
+      |  CAST(round(CAST(CAST(conc - disc AS DOUBLE)
+      |    / sqrt((CAST(n_pairs AS DOUBLE) - CAST(tie_x AS DOUBLE))
+      |      * (CAST(n_pairs AS DOUBLE) - CAST(tie_y AS DOUBLE)))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS tau_b
+      |FROM m""".stripMargin
+
+  /** q247_information_ratio — per-instrument information ratio
+    * against the equal-weight tape index: active return = daily ln
+    * return − same-day index mean, IR = mean(active)/sd(active)·√252
+    * — the "did it beat the tape, risk-adjusted" read next to q118's
+    * absolute Sharpe (q213 LEVELS the index; this benchmarks against
+    * it). Scale: the day-pooled index mean is a ≤n_days-row frame
+    * (map-side partials, broadcast back onto the day join — no
+    * instrument-keyed shuffle is repeated); the lag window and the
+    * instrument rollup ride one hash(user) exchange. Determinism: r
+    * is an exact 12dp decimal diff; the index mean is ONE IEEE
+    * division of exact converged sums, re-latticed to 12dp (the q227
+    * per-day discipline — a generic quotient, not a terminating
+    * ratio, so the lattice is cross-engine-stable); active is then an
+    * exact decimal diff, Σ/Σ² reduce exactly with the (28,10)
+    * re-narrow, and the IR formula runs once in IEEE on converged
+    * sums.
+    */
+  def q247InformationRatio(spark: SparkSession, dir: String): DataFrame =
+    infoRatioFromCloses(dailyCloses(spark, dir))
+
+  /** q247's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def infoRatioFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val idx = r.groupBy($"day")
+      .agg(sum($"r").cast(DecimalType(28, 12)).as("sr_day"),
+        count(lit(1)).as("n_day"))
+      .select($"day",
+        decRound($"sr_day".cast("double") / $"n_day".cast("double"), 12)
+          .cast(DecimalType(18, 12)).as("idx_r"))
+    val a = r.join(broadcast(idx), "day")
+      .withColumn("act", ($"r" - $"idx_r").cast(DecimalType(18, 12)))
+    val m = a.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"act").cast(DecimalType(28, 10)).as("sa"),
+        sum($"act" * $"act").cast(DecimalType(28, 10)).as("saa"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    val mean = $"sa".cast("double") / nD
+    val varS = ($"saa".cast("double") - $"sa".cast("double")
+      * $"sa".cast("double") / nD) / (nD - lit(1.0))
+    m.select($"user_id", $"n_days",
+      decRound(mean * lit(10000.0), 6).as("mean_active_bp"),
+      decRound(mean / sqrt(varS) * sqrt(lit(252.0)), 6).as("ir_ann"))
+  }
+
+  val q247Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |idx AS (
+      |  SELECT day,
+      |    CAST(CAST(round(CAST(CAST(CAST(sum(r) AS DECIMAL(28,12))
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 12)
+      |      AS DOUBLE) AS DECIMAL(18,12)) AS idx_r
+      |  FROM r GROUP BY 1),
+      |a AS (
+      |  SELECT r.user_id,
+      |    CAST(r.r - idx.idx_r AS DECIMAL(18,12)) AS act
+      |  FROM r JOIN idx ON r.day = idx.day),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(act), 10) AS DECIMAL(28,10)) AS sa,
+      |    CAST(round(sum(act * act), 10) AS DECIMAL(28,10)) AS saa
+      |  FROM a GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(sa AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    * 10000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_active_bp,
+      |  CAST(round(CAST((CAST(sa AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    / sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)
+      |      * CAST(sa AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |      / (CAST(n_days AS DOUBLE) - 1.0)) * sqrt(252.0)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS ir_ann
+      |FROM m""".stripMargin
 }

@@ -496,6 +496,16 @@ class PlanSpec extends SparkTestBase {
     val p242 = plan("q242_mfi")
     assert(count(p242, "Exchange") <= 4, s"q242: expected <= 4 exchanges\n$p242")
     assert(count(p242, "NestedLoop") == 0, p242)
+    // q246 Kendall IC: the quadratic pair space is bounded by the
+    // 50-row BROADCAST universe (the q202 discipline) — a shuffled
+    // pair join over the full instrument count would be the 100-TB
+    // regression; q247: the day-pooled index mean broadcasts back
+    // onto the return frame, never re-shuffling the instrument key.
+    for (q <- Seq("q246_kendall_ic", "q247_information_ratio")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: broadcast lost\n$p")
+      assert(count(p, "NestedLoop") == 0, s"$q: nested-loop crept in\n$p")
+    }
   }
 
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {

@@ -721,6 +721,15 @@ class StreamingSpec extends SparkTestBase {
     val batch245 = SparkEntry.queries("q245_weekday_effect")(spark, sf)
     assert(batch245.count() > 0)
     assert(wd.exceptAll(batch245).isEmpty && batch245.exceptAll(wd).isEmpty)
+    // ...and the Kendall IC + information-ratio tails make five
+    val kt = queries.Quant.kendallFromCloses(closes)
+    val batch246 = SparkEntry.queries("q246_kendall_ic")(spark, sf)
+    assert(batch246.count() > 0)
+    assert(kt.exceptAll(batch246).isEmpty && batch246.exceptAll(kt).isEmpty)
+    val ir = queries.Quant.infoRatioFromCloses(closes)
+    val batch247 = SparkEntry.queries("q247_information_ratio")(spark, sf)
+    assert(batch247.count() > 0)
+    assert(ir.exceptAll(batch247).isEmpty && batch247.exceptAll(ir).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
