@@ -2783,4 +2783,83 @@ object Microstructure {
       |    / (-CAST(ddmin AS DOUBLE) / 100.0)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS calmar
       |FROM m""".stripMargin
+
+  /** q254_price_clustering — round-number affinity census of the
+    * tape (Harris 1991): prints cluster on round prices when traders
+    * negotiate on coarse grids; the census reports, per final cent
+    * digit (price in integer cents mod 10), the print count and
+    * share, plus each digit's round-dollar and nickel sub-shares,
+    * and the pooled χ² against the uniform-digit null — the
+    * forensic cousin of q164's Benford first-digit test (that one
+    * audits magnitudes, this audits the PRICE GRID). Scale:
+    * row-local digit projection, ONE map-side-combined ≤10-group
+    * rollup, then the pooled total is an all-rows window over the
+    * ALREADY-REDUCED ≤10-row frame (Exchange SinglePartition carries
+    * ten rows — the broadcast-scalar alternative re-SCANNED the tape
+    * for the total because column pruning defeats exchange reuse,
+    * measured: two FileScans in the static plan). One tape scan
+    * total (plan-pinned). Determinism: cents =
+    * round(decimal(28,12)(value)·100) — the ×100 runs IN exact
+    * decimal against a (3,0) literal (lesson-3: a (10,0) literal
+    * would push precision past 38 and silently drop scale), and the
+    * 12dp lattice of a ~1e2 price is 15 significant digits, inside
+    * the engines' double→decimal agreement zone (lesson-1); all
+    * counts and digit classes are then PURE INTEGERS; shares and χ²
+    * run once in IEEE on converged longs, latticed 6dp.
+    */
+  def q254PriceClustering(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cents = round($"value".cast(DecimalType(28, 12))
+      * lit(100).cast(DecimalType(3, 0)), 0).cast("long")
+    val d = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select((cents % 10L).as("digit"),
+        (cents % 100L === 0L).cast("long").as("is_dollar"),
+        (cents % 5L === 0L).cast("long").as("is_nickel"))
+    val g = d.groupBy($"digit")
+      .agg(count(lit(1)).as("n"),
+        sum($"is_dollar").as("n_dollar"),
+        sum($"is_nickel").as("n_nickel"))
+    val j = g.withColumn("n_total",
+      sum($"n").over(Window.partitionBy()))
+    val nD = $"n".cast("double")
+    val expect = $"n_total".cast("double") / lit(10.0)
+    j.select($"digit", $"n",
+        decRound(nD / $"n_total".cast("double"), 6).as("share"),
+        decRound($"n_dollar".cast("double") / nD, 6).as("dollar_share"),
+        decRound($"n_nickel".cast("double") / nD, 6).as("nickel_share"),
+        decRound((nD - expect) * (nD - expect) / expect, 6)
+          .as("chi2_term"))
+  }
+
+  val q254Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(round(CAST(value AS DECIMAL(28,12))
+      |      * CAST(100 AS DECIMAL(3,0)), 0) AS BIGINT) AS cents
+      |  FROM events WHERE value > 0.0),
+      |g AS (
+      |  SELECT cents % 10 AS digit, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dollar,
+      |    CAST(sum(CASE WHEN cents % 5 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_nickel
+      |  FROM d GROUP BY 1),
+      |t AS (
+      |  SELECT digit, n, n_dollar, n_nickel,
+      |    CAST(sum(n) OVER () AS BIGINT) AS n_total
+      |  FROM g)
+      |SELECT digit, n,
+      |  CAST(round(CAST(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS share,
+      |  CAST(round(CAST(CAST(n_dollar AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS dollar_share,
+      |  CAST(round(CAST(CAST(n_nickel AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS nickel_share,
+      |  CAST(round(CAST((CAST(n AS DOUBLE)
+      |      - CAST(n_total AS DOUBLE) / 10.0)
+      |    * (CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) / 10.0)
+      |    / (CAST(n_total AS DOUBLE) / 10.0)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS chi2_term
+      |FROM t""".stripMargin
 }

@@ -2311,4 +2311,378 @@ object Quant {
       |      / (CAST(n_days AS DOUBLE) - 1.0)) * sqrt(252.0)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS ir_ann
       |FROM m""".stripMargin
+
+  /** q248_sortino — per-instrument Sortino ratio (Sortino & Price
+    * 1994): mean daily ln return / downside deviation · √252, where
+    * the downside deviation is the RMS of returns clipped above at 0
+    * (√(Σ min(r,0)²/n), the full-n convention) — the "penalize only
+    * losses" read next to q118's symmetric Sharpe and q230's
+    * drawdown-shaped ulcer. s67 closes-ledger tail. Scale: one tape
+    * collapse, then the lag window AND the instrument rollup ride one
+    * hash(user) exchange (plan-pinned 2, the q240 shape).
+    * Determinism: r is an exact 12dp decimal diff; the clip compares
+    * a decimal to the exact literal 0 (no FP boundary); Σr and
+    * Σmin(r,0)² reduce as exact decimal sums with the (28,10)
+    * re-narrow; the ratio runs once in IEEE on converged sums.
+    * Instruments with no downside day are excluded (denominator 0 —
+    * mirrored HAVING).
+    */
+  def q248Sortino(spark: SparkSession, dir: String): DataFrame =
+    sortinoFromCloses(dailyCloses(spark, dir))
+
+  /** q248's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def sortinoFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .withColumn("d",
+        when($"r" < lit(0).cast(DecimalType(18, 12)), $"r")
+          .otherwise(lit(0).cast(DecimalType(18, 12))))
+    val m = r.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"r" < lit(0).cast(DecimalType(18, 12)), 1L)
+          .otherwise(0L)).as("n_down"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"d" * $"d").cast(DecimalType(28, 10)).as("sdd"))
+      .filter($"n_days" >= 10L && $"n_down" >= 1L)
+    val nD = $"n_days".cast("double")
+    val mean = $"sr".cast("double") / nD
+    val dd = sqrt($"sdd".cast("double") / nD)
+    m.select($"user_id", $"n_days", $"n_down",
+      decRound(mean * lit(10000.0), 6).as("mean_r_bp"),
+      decRound(dd * lit(10000.0), 6).as("downside_dev_bp"),
+      decRound(mean / dd * sqrt(lit(252.0)), 6).as("sortino_ann"))
+  }
+
+  val q248Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (
+      |  SELECT user_id, r,
+      |    CASE WHEN r < CAST(0 AS DECIMAL(18,12)) THEN r
+      |      ELSE CAST(0 AS DECIMAL(18,12)) END AS dn
+      |  FROM d WHERE r IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(CASE WHEN r < CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_down,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(dn * dn), 10) AS DECIMAL(28,10)) AS sdd
+      |  FROM r GROUP BY 1
+      |  HAVING count(*) >= 10 AND
+      |    sum(CASE WHEN r < CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) >= 1)
+      |SELECT user_id, n_days, n_down,
+      |  CAST(round(CAST(CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    * 10000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_r_bp,
+      |  CAST(round(CAST(sqrt(CAST(sdd AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    * 10000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS downside_dev_bp,
+      |  CAST(round(CAST((CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    / sqrt(CAST(sdd AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    * sqrt(252.0) AS DECIMAL(28,12)), 6) AS DOUBLE) AS sortino_ann
+      |FROM m""".stripMargin
+
+  /** q249_expected_shortfall — historical 95% VaR and expected
+    * shortfall per instrument from daily ln returns: the worst
+    * k = max(1, ⌊0.05·n⌋) days define the tail, VaR95 = the k-th
+    * worst return, ES95 = −mean of the k worst — the coherent tail
+    * risk read next to q134's tick-level VaR (subadditive where VaR
+    * is not; the Basel FRTB replacement). s67 closes-ledger tail.
+    * Scale: tail selection is a rank window on the SAME hash(user)
+    * exchange as the lag window (different sort, same partitioning —
+    * no second shuffle), rollup rides it too (plan-pinned 2).
+    * Determinism: k is PURE INTEGER (⌊5n/100⌋ exact in double for
+    * any real n); ranks order by the exact decimal r with day as a
+    * total tie-break, so the selected SET is engine-identical; Σ of
+    * the k selected returns reduces exactly; VaR's bp shift runs IN
+    * exact decimal (−rk×10⁴ has 8dp — an IEEE shift landed exactly
+    * on a 6dp half boundary at sf0.01, where the engines'
+    * double→decimal conversions round opposite ways — the r14
+    * lesson-1 hazard, measured); ES = Σ/k is an exact INTEGER
+    * half-away division on unscaled micro-bp units (Σ×10¹⁰ always
+    * fits a long; Σ/k with small integer k terminates exactly on
+    * half boundaries — the q239 lesson-2 rule), so no double
+    * quotient exists anywhere. n ≥ 20 keeps the 5% tail
+    * non-degenerate.
+    */
+  def q249ExpectedShortfall(spark: SparkSession, dir: String): DataFrame =
+    esFromCloses(dailyCloses(spark, dir))
+
+  /** q249's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def esFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val wAsc = Window.partitionBy($"user_id").orderBy($"r".asc, $"day".asc)
+    val wAll = Window.partitionBy($"user_id")
+    val ranked = r
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"n" >= 20L)
+      .withColumn("k",
+        greatest(lit(1L), floor($"n".cast("double") * lit(5.0) / lit(100.0))
+          .cast("long")))
+    val m = ranked.filter($"rn" <= $"k")
+      .groupBy($"user_id")
+      .agg(max($"n").as("n_days"), max($"k").as("k_tail"),
+        sum($"r").cast(DecimalType(18, 10)).as("st"),
+        max(when($"rn" === $"k", $"r")).as("rk"))
+    // Σ tail as exact micro-bp integer units (10dp × 10^10), then
+    // half-away integer division by k — lesson-2: no double quotient.
+    m.withColumn("a",
+        (-$"st" * lit(10000000000L).cast(DecimalType(11, 0))).cast("long"))
+      .withColumn("eu", expr(
+        "CASE WHEN a >= 0 THEN (2*a + k_tail) DIV (2*k_tail) " +
+        "ELSE -((2*(-a) + k_tail) DIV (2*k_tail)) END"))
+      .select($"user_id", $"n_days", $"k_tail",
+        round(-$"rk" * lit(10000), 6).cast("double").as("var95_bp"),
+        ($"eu".cast("double") / lit(1000000.0)).as("es95_bp"))
+  }
+
+  val q249Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |rk AS (
+      |  SELECT user_id, r,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY r ASC, day ASC)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM r),
+      |sel AS (
+      |  SELECT user_id, r, rn, n,
+      |    greatest(1, CAST(floor(CAST(n AS DOUBLE) * 5.0 / 100.0)
+      |      AS BIGINT)) AS k
+      |  FROM rk WHERE n >= 20),
+      |m AS (
+      |  SELECT user_id, CAST(max(n) AS BIGINT) AS n_days,
+      |    CAST(max(k) AS BIGINT) AS k_tail,
+      |    CAST(round(sum(r), 10) AS DECIMAL(18,10)) AS st,
+      |    max(CASE WHEN rn = k THEN r END) AS rk
+      |  FROM sel WHERE rn <= k GROUP BY 1),
+      |u AS (
+      |  SELECT user_id, n_days, k_tail, rk,
+      |    CAST(CAST(-st AS DECIMAL(27,10))
+      |      * CAST(10000000000 AS DECIMAL(11,0)) AS BIGINT) AS a
+      |  FROM m)
+      |SELECT user_id, n_days, k_tail,
+      |  CAST(round(-rk * 10000, 6) AS DOUBLE) AS var95_bp,
+      |  CAST(CASE WHEN a >= 0 THEN (2*a + k_tail) // (2*k_tail)
+      |    ELSE -((2*(-a) + k_tail) // (2*k_tail)) END AS DOUBLE)
+      |    / 1000000.0 AS es95_bp
+      |FROM u""".stripMargin
+
+  /** q250_capture — up/down capture ratios per instrument against
+    * the equal-weight tape index (the q247 benchmark): capture_up =
+    * Σr over index-up days / Σidx over those days (the ratio-of-sums
+    * identity — mean ratios cancel the common n), capture_down
+    * likewise over index-down days — the asymmetry read an allocator
+    * runs next to q247's IR (did it ride rallies or amplify
+    * selloffs?). s67 closes-ledger tail. Scale: the day-pooled index
+    * frame is ≤n_days rows and BROADCASTS back onto the return frame
+    * (plan-pinned — the instrument key never re-shuffles, the q247
+    * discipline). Determinism: idx_r is the q247 12dp-latticed
+    * quotient; up/down branches compare that exact decimal to the
+    * exact literal 0; all four sums reduce exactly with the (28,10)
+    * re-narrow; the two capture quotients run once in IEEE on
+    * converged sums. Instruments need ≥5 days on each side; zero
+    * index legs are excluded (mirrored HAVING).
+    */
+  def q250Capture(spark: SparkSession, dir: String): DataFrame =
+    captureFromCloses(dailyCloses(spark, dir))
+
+  /** q250's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def captureFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val idx = r.groupBy($"day")
+      .agg(sum($"r").cast(DecimalType(28, 12)).as("sr_day"),
+        count(lit(1)).as("n_day"))
+      .select($"day",
+        decRound($"sr_day".cast("double") / $"n_day".cast("double"), 12)
+          .cast(DecimalType(18, 12)).as("idx_r"))
+    val z = lit(0).cast(DecimalType(18, 12))
+    val j = r.join(broadcast(idx), "day")
+    val m = j.groupBy($"user_id")
+      .agg(
+        sum(when($"idx_r" > z, 1L).otherwise(0L)).as("n_up"),
+        sum(when($"idx_r" < z, 1L).otherwise(0L)).as("n_down"),
+        sum(when($"idx_r" > z, $"r").otherwise(z))
+          .cast(DecimalType(28, 10)).as("su"),
+        sum(when($"idx_r" > z, $"idx_r").otherwise(z))
+          .cast(DecimalType(28, 10)).as("siu"),
+        sum(when($"idx_r" < z, $"r").otherwise(z))
+          .cast(DecimalType(28, 10)).as("sd"),
+        sum(when($"idx_r" < z, $"idx_r").otherwise(z))
+          .cast(DecimalType(28, 10)).as("sid"))
+      .filter($"n_up" >= 5L && $"n_down" >= 5L &&
+        $"siu" > lit(0).cast(DecimalType(28, 10)) &&
+        $"sid" < lit(0).cast(DecimalType(28, 10)))
+    val cu = $"su".cast("double") / $"siu".cast("double")
+    val cd = $"sd".cast("double") / $"sid".cast("double")
+    m.select($"user_id", $"n_up", $"n_down",
+      decRound(cu, 6).as("capture_up"),
+      decRound(cd, 6).as("capture_down"),
+      decRound(cu - cd, 6).as("capture_spread"))
+  }
+
+  val q250Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |idx AS (
+      |  SELECT day,
+      |    CAST(CAST(round(CAST(CAST(CAST(sum(r) AS DECIMAL(28,12))
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 12)
+      |      AS DOUBLE) AS DECIMAL(18,12)) AS idx_r
+      |  FROM r GROUP BY 1),
+      |j AS (
+      |  SELECT r.user_id, r.r, idx.idx_r
+      |  FROM r JOIN idx ON r.day = idx.day),
+      |m AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN idx_r > CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_up,
+      |    CAST(sum(CASE WHEN idx_r < CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_down,
+      |    CAST(round(sum(CASE WHEN idx_r > CAST(0 AS DECIMAL(18,12))
+      |      THEN r ELSE CAST(0 AS DECIMAL(18,12)) END), 10)
+      |      AS DECIMAL(28,10)) AS su,
+      |    CAST(round(sum(CASE WHEN idx_r > CAST(0 AS DECIMAL(18,12))
+      |      THEN idx_r ELSE CAST(0 AS DECIMAL(18,12)) END), 10)
+      |      AS DECIMAL(28,10)) AS siu,
+      |    CAST(round(sum(CASE WHEN idx_r < CAST(0 AS DECIMAL(18,12))
+      |      THEN r ELSE CAST(0 AS DECIMAL(18,12)) END), 10)
+      |      AS DECIMAL(28,10)) AS sd,
+      |    CAST(round(sum(CASE WHEN idx_r < CAST(0 AS DECIMAL(18,12))
+      |      THEN idx_r ELSE CAST(0 AS DECIMAL(18,12)) END), 10)
+      |      AS DECIMAL(28,10)) AS sid
+      |  FROM j GROUP BY 1
+      |  HAVING sum(CASE WHEN idx_r > CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) >= 5
+      |    AND sum(CASE WHEN idx_r < CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) >= 5
+      |    AND sum(CASE WHEN idx_r > CAST(0 AS DECIMAL(18,12))
+      |      THEN idx_r ELSE CAST(0 AS DECIMAL(18,12)) END) > 0
+      |    AND sum(CASE WHEN idx_r < CAST(0 AS DECIMAL(18,12))
+      |      THEN idx_r ELSE CAST(0 AS DECIMAL(18,12)) END) < 0)
+      |SELECT user_id, n_up, n_down,
+      |  CAST(round(CAST(CAST(su AS DOUBLE) / CAST(siu AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS capture_up,
+      |  CAST(round(CAST(CAST(sd AS DOUBLE) / CAST(sid AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS capture_down,
+      |  CAST(round(CAST(CAST(su AS DOUBLE) / CAST(siu AS DOUBLE)
+      |    - CAST(sd AS DOUBLE) / CAST(sid AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS capture_spread
+      |FROM m""".stripMargin
+
+  /** q251_omega — Omega ratio per instrument at the zero threshold
+    * (Keating & Shadwick 2002): Σ gains / Σ losses over daily ln
+    * returns — the whole-distribution gain/loss read that needs no
+    * moment assumption (q248 penalizes downside VARIANCE, this
+    * weighs raw mass), plus the win share. s67 closes-ledger tail.
+    * Scale: one tape collapse, lag window + rollup on one hash(user)
+    * exchange (plan-pinned 2). Determinism: the gain/loss split
+    * compares the exact 12dp decimal r to the exact literal 0; both
+    * Σ reduce exactly with the (28,10) re-narrow; bp shifts happen
+    * IN exact decimal (×10000 of a (28,10) is exact); the omega
+    * quotient runs once in IEEE on converged sums. All-gain
+    * instruments are excluded (denominator 0, mirrored HAVING).
+    */
+  def q251Omega(spark: SparkSession, dir: String): DataFrame =
+    omegaFromCloses(dailyCloses(spark, dir))
+
+  /** q251's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def omegaFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val z = lit(0).cast(DecimalType(18, 12))
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val m = r.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"r" > z, 1L).otherwise(0L)).as("n_win"),
+        sum(when($"r" > z, $"r").otherwise(z))
+          .cast(DecimalType(28, 10)).as("gain"),
+        sum(when($"r" < z, -$"r").otherwise(z))
+          .cast(DecimalType(28, 10)).as("loss"))
+      .filter($"n_days" >= 10L &&
+        $"loss" > lit(0).cast(DecimalType(28, 10)))
+    m.select($"user_id", $"n_days", $"n_win",
+      decRound(($"gain" * lit(10000)).cast("double"), 6).as("gain_bp"),
+      decRound(($"loss" * lit(10000)).cast("double"), 6).as("loss_bp"),
+      decRound($"gain".cast("double") / $"loss".cast("double"), 6)
+        .as("omega"),
+      decRound($"n_win".cast("double") / $"n_days".cast("double"), 6)
+        .as("win_share"))
+  }
+
+  val q251Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, r FROM d WHERE r IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(CASE WHEN r > CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_win,
+      |    CAST(round(sum(CASE WHEN r > CAST(0 AS DECIMAL(18,12))
+      |      THEN r ELSE CAST(0 AS DECIMAL(18,12)) END), 10)
+      |      AS DECIMAL(28,10)) AS gain,
+      |    CAST(round(sum(CASE WHEN r < CAST(0 AS DECIMAL(18,12))
+      |      THEN -r ELSE CAST(0 AS DECIMAL(18,12)) END), 10)
+      |      AS DECIMAL(28,10)) AS loss
+      |  FROM r GROUP BY 1
+      |  HAVING count(*) >= 10 AND
+      |    sum(CASE WHEN r < CAST(0 AS DECIMAL(18,12))
+      |      THEN -r ELSE CAST(0 AS DECIMAL(18,12)) END) > 0)
+      |SELECT user_id, n_days, n_win,
+      |  CAST(round(CAST(CAST(gain * 10000 AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS gain_bp,
+      |  CAST(round(CAST(CAST(loss * 10000 AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS loss_bp,
+      |  CAST(round(CAST(CAST(gain AS DOUBLE) / CAST(loss AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS omega,
+      |  CAST(round(CAST(CAST(n_win AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS win_share
+      |FROM m""".stripMargin
 }

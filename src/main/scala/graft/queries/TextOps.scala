@@ -1162,4 +1162,157 @@ object TextOps {
       |  CAST(round(CAST(CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS words_per_sentence
       |FROM g""".stripMargin
+
+  /** q252_ari_cli — Automated Readability Index (Senter & Smith
+    * 1967) + Coleman–Liau (1975) census per source: both estimate a
+    * grade level from CHARACTER counts instead of q244's syllable
+    * heuristic (the reason they exist — characters are
+    * tokenizer-stable): ARI = 4.71·(C/W) + 0.5·(W/S) − 21.43,
+    * CLI = 0.0588·L − 0.296·S₁₀₀ − 15.8 with L = 100·C/W and S₁₀₀ =
+    * 100·S/W, C = alphanumeric chars. Scale: row-local tokenize (the
+    * q244 discipline — NO explode, the corpus never shuffles at token
+    * grain), one map-side-combined source rollup (plan-pinned 1
+    * exchange, Generate-free). Determinism: C/W/S are PURE INTEGERS
+    * (sentences floor at 1, the q244 degenerate-corpus rule); each
+    * per-doc score is a fixed IEEE affine over two integer ratios,
+    * latticed 6dp into DECIMAL(18,6); source means reduce as exact
+    * decimal sums with ONE final IEEE division.
+    */
+  def q252AriCli(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Text.tokens($"text")
+    val w = size(toks).cast("long")
+    val sent = greatest(lit(1L),
+      regexp_count($"text", lit("[.!?]+")).cast("long"))
+    val chars = aggregate(transform(toks,
+        t => length(regexp_replace(t, "[^a-z0-9]", "")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val d = Tables.documents(spark, dir)
+      .select($"source", w.as("w"), sent.as("s"), chars.as("ch"))
+      .filter($"w" > 0L)
+      .withColumn("cpw", $"ch".cast("double") / $"w".cast("double"))
+      .withColumn("wps", $"w".cast("double") / $"s".cast("double"))
+      .withColumn("ari",
+        decRound(lit(4.71) * $"cpw" + lit(0.5) * $"wps" - lit(21.43), 6)
+          .cast(DecimalType(18, 6)))
+      .withColumn("cli",
+        decRound(lit(0.0588) * (lit(100.0) * $"cpw")
+          - lit(0.296) * (lit(100.0) * $"s".cast("double")
+            / $"w".cast("double")) - lit(15.8), 6)
+          .cast(DecimalType(18, 6)))
+    val m = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ch").as("sc"), sum($"w").as("sw"),
+        sum($"ari").cast(DecimalType(28, 6)).as("sa"),
+        sum($"cli").cast(DecimalType(28, 6)).as("sl"))
+    val nD = $"n_docs".cast("double")
+    m.select($"source", $"n_docs",
+      decRound($"sa".cast("double") / nD, 6).as("avg_ari"),
+      decRound($"sl".cast("double") / nD, 6).as("avg_cli"),
+      decRound($"sc".cast("double") / $"sw".cast("double"), 6)
+        .as("chars_per_word"))
+  }
+
+  val q252Sql: String =
+    """WITH t AS (
+      |  SELECT source, text,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |m0 AS (
+      |  SELECT source,
+      |    CAST(len(toks) AS BIGINT) AS w,
+      |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT)) AS s,
+      |    CAST(list_sum(list_transform(toks, x ->
+      |      len(regexp_replace(x, '[^a-z0-9]', '', 'g')))) AS BIGINT)
+      |      AS ch
+      |  FROM t),
+      |d AS (
+      |  SELECT source, w, s, ch,
+      |    CAST(ch AS DOUBLE) / CAST(w AS DOUBLE) AS cpw,
+      |    CAST(w AS DOUBLE) / CAST(s AS DOUBLE) AS wps
+      |  FROM m0 WHERE w > 0),
+      |e AS (
+      |  SELECT source, w, s, ch,
+      |    CAST(CAST(round(CAST(4.71 * cpw + 0.5 * wps - 21.43
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS DECIMAL(18,6)) AS ari,
+      |    CAST(CAST(round(CAST(0.0588 * (100.0 * cpw)
+      |      - 0.296 * (100.0 * CAST(s AS DOUBLE) / CAST(w AS DOUBLE))
+      |      - 15.8 AS DECIMAL(28,12)), 6) AS DOUBLE) AS DECIMAL(18,6))
+      |      AS cli
+      |  FROM d),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(ch) AS BIGINT) AS sc, CAST(sum(w) AS BIGINT) AS sw,
+      |    CAST(sum(ari) AS DECIMAL(28,6)) AS sa,
+      |    CAST(sum(cli) AS DECIMAL(28,6)) AS sl
+      |  FROM e GROUP BY 1)
+      |SELECT source, n_docs,
+      |  CAST(round(CAST(CAST(sa AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_ari,
+      |  CAST(round(CAST(CAST(sl AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_cli,
+      |  CAST(round(CAST(CAST(sc AS DOUBLE) / CAST(sw AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS chars_per_word
+      |FROM g""".stripMargin
+
+  /** q253_ttr — lexical-diversity census per source: type–token
+    * ratio V/N, hapax share (types seen ONCE — the Zipf tail mass
+    * q172 fits a slope through), and mean type frequency N/V — the
+    * vocabulary-health read next to q177's growth curve (repetitive
+    * or templated sources show depressed TTR and hapax share long
+    * before a dedup rule fires; q96 measures WITHIN-doc repetition,
+    * this measures cross-corpus lexical spread). Scale: one
+    * tokenization pass, then the (source, token) count rides ONE
+    * map-side-combined exchange and the per-source rollup a second —
+    * the token stream is never self-joined and never re-shuffled at
+    * doc grain (the q56/q172 discipline). Determinism: N, V, H are
+    * PURE INTEGERS; the three ratios are single IEEE divisions on
+    * converged integers, latticed 6dp.
+    */
+  def q253Ttr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.documents(spark, dir)
+      .select($"source", explode(Text.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"n" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    m.select($"source", $"n_tokens", $"n_types", $"n_hapax",
+      decRound($"n_types".cast("double") / $"n_tokens".cast("double"), 6)
+        .as("ttr"),
+      decRound($"n_hapax".cast("double") / $"n_types".cast("double"), 6)
+        .as("hapax_share"),
+      decRound($"n_tokens".cast("double") / $"n_types".cast("double"), 6)
+        .as("mean_type_freq"))
+  }
+
+  val q253Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, token, count(*) AS n
+      |  FROM t WHERE token <> '' GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hapax
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_tokens, n_types, n_hapax,
+      |  CAST(round(CAST(CAST(n_types AS DOUBLE)
+      |    / CAST(n_tokens AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS ttr,
+      |  CAST(round(CAST(CAST(n_hapax AS DOUBLE)
+      |    / CAST(n_types AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS hapax_share,
+      |  CAST(round(CAST(CAST(n_tokens AS DOUBLE)
+      |    / CAST(n_types AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS mean_type_freq
+      |FROM m""".stripMargin
 }

@@ -508,6 +508,53 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("r14e family pins: risk-ratio closes tails q248/q249/q251 two exchanges, q250 broadcasts the index") {
+    // q248 Sortino / q251 Omega: closes collapse + one hash(user)
+    // exchange shared by the lag window and the instrument rollup —
+    // the q240 shape. q249 ES: the rank window (different sort, SAME
+    // partitioning) and the tail rollup ride that second exchange
+    // too — a 3rd exchange means the rank window stopped reusing the
+    // hash(user) partitioning and the tail selection re-shuffles the
+    // tape at scale.
+    for (q <- Seq("q248_sortino", "q249_expected_shortfall",
+        "q251_omega")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 2, s"$q: expected 2 exchanges\n$p")
+      assert(count(p, "NestedLoop") == 0, s"$q: nested-loop crept in\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: closes row_number lost its group-limit pruning\n$p")
+    }
+    // q250 capture: the day-pooled index frame must BROADCAST back
+    // onto the return frame (the q247 discipline) — a shuffled day
+    // join would re-key the whole tape on day at 100 TB.
+    val p250 = plan("q250_capture")
+    assert(p250.contains("BroadcastHashJoin"), s"q250: broadcast lost\n$p250")
+    assert(count(p250, "NestedLoop") == 0, p250)
+  }
+
+  test("r14f family pins: q252 one exchange no explode, q253 two, q254 one tape scan") {
+    // q252 ARI/CLI: the q244 discipline — row-local tokenize, one
+    // map-side-combined source rollup, the corpus never shuffles at
+    // token grain.
+    val p252 = plan("q252_ari_cli")
+    assert(count(p252, "Exchange") == 1, s"q252: expected 1 exchange\n$p252")
+    assert(count(p252, "Generate") == 0, s"q252: explode crept in\n$p252")
+    // q253 TTR: (source, token) count + source rollup — two
+    // map-side-combined exchanges, token stream never self-joined.
+    val p253 = plan("q253_ttr")
+    assert(count(p253, "Exchange") == 2, s"q253: expected 2 exchanges\n$p253")
+    // q254 price clustering: ONE FileScan — the pooled total rides a
+    // ten-row single-partition window over the reduced digit frame;
+    // a second scan means the broadcast-scalar anti-pattern (column
+    // pruning defeats exchange reuse and the tape is read twice)
+    // crept back in.
+    val p254 = plan("q254_price_clustering")
+    assert(count(p254, "Exchange") == 2, s"q254: expected 2 exchanges\n$p254")
+    assert(count(p254, "FileScan parquet") == 1,
+      s"q254: the tape is scanned more than once\n$p254")
+    assert(count(p254, "NestedLoop") == 0, p254)
+  }
+
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
     // q233: the only quadratic stage is the capped-slice distance
     // join — it must BROADCAST the 1000-row side (a shuffled

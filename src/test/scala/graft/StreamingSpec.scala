@@ -730,6 +730,25 @@ class StreamingSpec extends SparkTestBase {
     val batch247 = SparkEntry.queries("q247_information_ratio")(spark, sf)
     assert(batch247.count() > 0)
     assert(ir.exceptAll(batch247).isEmpty && batch247.exceptAll(ir).isEmpty)
+    // ...and the r14e risk-ratio family makes nine tails of the same
+    // converged ledger: Sortino, expected shortfall, capture, omega
+    val so = queries.Quant.sortinoFromCloses(closes)
+    val batch248 = SparkEntry.queries("q248_sortino")(spark, sf)
+    assert(batch248.count() > 0)
+    assert(so.exceptAll(batch248).isEmpty && batch248.exceptAll(so).isEmpty)
+    val es = queries.Quant.esFromCloses(closes)
+    val batch249 = SparkEntry.queries("q249_expected_shortfall")(spark, sf)
+    assert(batch249.count() > 0)
+    assert(es.exceptAll(batch249).isEmpty && batch249.exceptAll(es).isEmpty)
+    val cap = queries.Quant.captureFromCloses(closes)
+    val batch250 = SparkEntry.queries("q250_capture")(spark, sf)
+    assert(batch250.count() > 0)
+    assert(cap.exceptAll(batch250).isEmpty &&
+      batch250.exceptAll(cap).isEmpty)
+    val om = queries.Quant.omegaFromCloses(closes)
+    val batch251 = SparkEntry.queries("q251_omega")(spark, sf)
+    assert(batch251.count() > 0)
+    assert(om.exceptAll(batch251).isEmpty && batch251.exceptAll(om).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
