@@ -274,4 +274,120 @@ object Graph {
         graft.functions.Num.decRound(lit(3.0) * $"n_triangles" /
           nullif($"n_wedges", lit(0L)).cast("double"), 6).as("global_cc"))
   }
+
+  /** Connected components by hash-min label propagation over a
+    * SYMMETRIC edge list: every vertex starts labeled with its own
+    * id; each round replaces the label with the min over itself and
+    * its neighbors' labels; the fixpoint labels each component by its
+    * minimum vertex id. Fixed-round contract (the q182 oracle
+    * convention — a DuckDB mirror unrolls the same rounds, and
+    * post-convergence rounds are idempotent so early stopping cannot
+    * diverge), with the kCorePeel short-circuit: labels can only
+    * decrease, so a zero-change round IS the fixpoint and later
+    * rounds are skipped. Each round materializes via eager
+    * localCheckpoint (the q125 lineage discipline) and the
+    * per-round change count is the one bounded driver-side stat
+    * (vertex-frame sized aggregate, the kCorePeel precedent).
+    * Returns a one-row census: node/component counts, the largest
+    * component and its share, and the change count of the contract's
+    * final round (0 = converged — diameter exceeded the round budget
+    * otherwise, and BOTH engines report the same partial labeling).
+    */
+  def connectedComponents(edges: DataFrame, rounds: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = edges.repartition(parts, $"src").localCheckpoint(eager = true)
+    var lab = e.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("comp"))
+      .repartition(parts, $"node").localCheckpoint(eager = true)
+    var lastChanged = 0L
+    var converged = false
+    for (_ <- 1 to rounds) if (!converged) {
+      val nbrMin = e.join(lab.select($"node".as("src"), $"comp"), Seq("src"))
+        .groupBy($"dst".as("node")).agg(min($"comp").as("mc"))
+      val next = lab.select($"node", $"comp".as("pc"))
+        .join(nbrMin, Seq("node"), "left")
+        .select($"node", $"pc",
+          least($"pc", coalesce($"mc", $"pc")).as("comp"))
+        .repartition(parts, $"node").localCheckpoint(eager = true)
+      lastChanged = next.filter($"comp" =!= $"pc").count()
+      lab = next.select($"node", $"comp")
+      if (lastChanged == 0L) converged = true
+    }
+    val sizes = lab.groupBy($"comp").agg(count(lit(1)).as("sz"))
+    sizes.agg(sum($"sz").as("n_nodes"),
+        count(lit(1)).as("n_components"),
+        max($"sz").as("largest_size"))
+      .select($"n_nodes", $"n_components", $"largest_size",
+        graft.functions.Num.decRound(
+          $"largest_size".cast("double") / $"n_nodes".cast("double"), 6)
+          .as("largest_share"))
+      .withColumn("n_changed_last", lit(lastChanged))
+  }
+
+  /** Per-vertex local clustering coefficient, bucketed by degree:
+    * the same degree-oriented wedge enumeration as [[triangleStats]]
+    * (each triangle materializes exactly once), but the closing probe
+    * is an INNER join that keeps the wedge center, so the triangle's
+    * three vertices can be exploded and counted per node. cc_v =
+    * 2·T_v/(deg_v·(deg_v−1)) over deg ≥ 2 vertices; the census rolls
+    * up by the pure-integer power-of-two degree bucket
+    * (length of the base-2 digit string — floor(log2)+1 without the
+    * ln(8)/ln(2) = 2.999… FP hazard). T_v and deg are exact longs;
+    * each cc is ONE IEEE division of two exact integers latticed 6dp
+    * into DECIMAL(18,6); bucket means reduce as exact decimal sums.
+    */
+  def localClusteringCensus(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val und = edges.filter($"src" < $"dst")
+    val fwd = ($"sdeg" < $"ddeg") ||
+      ($"sdeg" === $"ddeg" && $"src" < $"dst")
+    val oriented = und
+      .join(deg.select($"node".as("src"), $"deg".as("sdeg")), "src")
+      .join(deg.select($"node".as("dst"), $"deg".as("ddeg")), "dst")
+      .select(
+        when(fwd, $"src").otherwise($"dst").as("a"),
+        when(fwd, $"dst").otherwise($"src").as("b"),
+        when(fwd, $"ddeg").otherwise($"sdeg").as("bdeg"))
+      .repartition(
+        spark.sessionState.conf.numShufflePartitions, $"a")
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.a") === col("e2.a") &&
+          (col("e1.bdeg") < col("e2.bdeg") ||
+            (col("e1.bdeg") === col("e2.bdeg") && col("e1.b") < col("e2.b"))))
+      .select(col("e1.a").as("ctr"),
+        col("e1.b").as("wa"), col("e2.b").as("wb"))
+    val tri = wedges
+      .join(oriented.select($"a".as("wa"), $"b".as("wb")), Seq("wa", "wb"))
+      .select(explode(array($"ctr", $"wa", $"wb")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("t"))
+    val cc = deg.filter($"deg" >= 2L)
+      .join(tri, Seq("node"), "left")
+      .withColumn("t", coalesce($"t", lit(0L)))
+      .withColumn("cc",
+        graft.functions.Num.decRound(
+          lit(2.0) * $"t".cast("double") /
+            ($"deg" * ($"deg" - 1L)).cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+      .withColumn("bucket", length(conv($"deg", 10, 2)).cast("long"))
+    cc.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum($"deg").as("sum_deg"),
+        sum($"t").as("sum_triangles"),
+        sum($"cc").cast(DecimalType(28, 6)).as("scc"),
+        sum(when($"cc" === lit(0).cast(DecimalType(18, 6)), 1L)
+          .otherwise(0L)).as("n_cc_zero"))
+      .select($"bucket", $"n_nodes", $"sum_deg", $"sum_triangles",
+        graft.functions.Num.decRound(
+          $"scc".cast("double") / $"n_nodes".cast("double"), 6)
+          .as("mean_cc"),
+        graft.functions.Num.decRound(
+          $"n_cc_zero".cast("double") / $"n_nodes".cast("double"), 6)
+          .as("cc_zero_share"))
+  }
 }

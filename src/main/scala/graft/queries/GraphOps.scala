@@ -292,4 +292,172 @@ object GraphOps {
        |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
        |    END AS DECIMAL(28,12)), 6) AS DOUBLE) AS assortativity
        |FROM m""".stripMargin
+
+  /** q255_local_cc — per-vertex local clustering coefficient census
+    * of the co-purchase graph, bucketed by power-of-two degree:
+    * cc_v = 2·T_v/(deg·(deg−1)) answers "do my neighbors know each
+    * other" per node where q175's global ratio pools the whole graph
+    * (the standard small-world/hierarchy read: mean cc falling with
+    * degree ⇒ hub neighborhoods are bridges, not cliques). Scale:
+    * the SAME degree-oriented wedge enumeration as q175 (O(m^1.5)
+    * candidate bound, one pinned hash(a) materialization reused by
+    * both wedge sides and the closing probe) — the closing join
+    * keeps the wedge center so each triangle explodes into its three
+    * member counts exactly once. Determinism: T_v/deg are exact
+    * longs; the bucket is the base-2 digit-string length (pure
+    * integer — no ln(8)/ln(2)=2.999… FP hazard); each cc is one IEEE
+    * division of exact integers latticed 6dp; bucket means reduce as
+    * exact decimal sums.
+    */
+  def q255LocalCc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.localClusteringCensus(edges(spark, dir))
+
+  val q255Sql: String =
+    s"""WITH $edgesSql,
+       |und AS (SELECT src, dst FROM edges WHERE src < dst),
+       |dg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.src < u.dst)
+       |         THEN u.src ELSE u.dst END AS a,
+       |    CASE WHEN (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.src < u.dst)
+       |         THEN u.dst ELSE u.src END AS b,
+       |    CASE WHEN (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.src < u.dst)
+       |         THEN dd.deg ELSE ds.deg END AS bdeg
+       |  FROM und u JOIN dg ds ON ds.node = u.src
+       |             JOIN dg dd ON dd.node = u.dst),
+       |w AS (
+       |  SELECT e1.a AS ctr, e1.b AS wa, e2.b AS wb
+       |  FROM o e1 JOIN o e2 ON e1.a = e2.a
+       |    AND ((e1.bdeg < e2.bdeg) OR (e1.bdeg = e2.bdeg AND e1.b < e2.b))),
+       |tri AS (
+       |  SELECT unnest([w.ctr, w.wa, w.wb]) AS node
+       |  FROM w JOIN o ON o.a = w.wa AND o.b = w.wb),
+       |tv AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+       |  FROM tri GROUP BY 1),
+       |cc AS (
+       |  SELECT dg.deg, coalesce(tv.t, 0) AS t,
+       |    CAST(length(bin(dg.deg)) AS BIGINT) AS bucket,
+       |    CAST(CAST(round(CAST(2.0 * CAST(coalesce(tv.t, 0) AS DOUBLE)
+       |      / CAST(dg.deg * (dg.deg - 1) AS DOUBLE)
+       |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS DECIMAL(18,6)) AS cc
+       |  FROM dg LEFT JOIN tv ON tv.node = dg.node
+       |  WHERE dg.deg >= 2)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(deg) AS BIGINT) AS sum_deg,
+       |  CAST(sum(t) AS BIGINT) AS sum_triangles,
+       |  CAST(round(CAST(CAST(CAST(sum(cc) AS DECIMAL(28,6)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+       |    AS mean_cc,
+       |  CAST(round(CAST(CAST(sum(CASE WHEN cc = CAST(0 AS DECIMAL(18,6))
+       |      THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+       |    AS cc_zero_share
+       |FROM cc GROUP BY 1""".stripMargin
+
+  /** q256_degree_tail — Hill (1975) tail-index estimate of the
+    * degree distribution above d_min = 10: α̂ = 1 + n_tail /
+    * Σ c_d·ln(d/10) over distinct degrees d ≥ 10 — is the
+    * co-purchase graph scale-free (α ≈ 2–3), and how heavy is the
+    * hub tail q48's salting and q182's peel must survive? (q204
+    * measures who ATTACHES to hubs; this measures how extreme the
+    * hubs get.) Scale: the estimator runs entirely on the DISTINCT
+    * degree histogram — after the degree count, the frame is
+    * ≤max-degree rows regardless of graph size. Determinism: the ln
+    * runs per DISTINCT integer degree (identical operand doubles in
+    * both engines), each term is latticed 12dp and multiplied by the
+    * exact integer count in DECIMAL (a (10,0) count cast — lesson-3
+    * precision headroom), the sum reduces exactly, and α̂ is one
+    * IEEE division on converged sums. All-at-d_min tails (Σ = 0) are
+    * excluded (mirrored HAVING).
+    */
+  def q256DegreeTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val deg = edges(spark, dir)
+      .groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val hist = deg.filter($"deg" >= 10L)
+      .groupBy($"deg").agg(count(lit(1)).as("c"))
+      .withColumn("lnterm",
+        decRound(log($"deg".cast("double") / lit(10.0)), 12)
+          .cast(DecimalType(18, 12)))
+    val m = hist.agg(
+        sum($"c").as("n_tail"),
+        max($"deg").as("max_deg"),
+        sum($"lnterm" * $"c".cast(DecimalType(10, 0)))
+          .cast(DecimalType(28, 10)).as("s"))
+      .filter($"s" > lit(0).cast(DecimalType(28, 10)))
+    m.select($"n_tail", lit(10L).as("d_min"), $"max_deg",
+      decRound(lit(1.0) + $"n_tail".cast("double") / $"s".cast("double"), 6)
+        .as("alpha_hill"))
+  }
+
+  /** q259_connected_components — hash-min connected components of
+    * the co-purchase graph (10-round contract): node/component
+    * counts, the largest component and its share, and the final
+    * round's change count (0 = converged) — the is-my-graph-one-blob
+    * read run before any global metric (a PageRank or assortativity
+    * number pooled over disconnected islands is meaningless). See
+    * [[graft.operators.Graph.connectedComponents]]: labels only
+    * decrease so a zero-change round is the fixpoint (kCorePeel
+    * short-circuit), per-round eager checkpoints cut the O(rounds²)
+    * lineage, and post-convergence rounds are idempotent so the
+    * fixed-round DuckDB mirror (MATERIALIZED per round, the q182
+    * fd-exhaustion lesson) computes identical labels even when Spark
+    * stops early. All counts are exact longs; the share is one IEEE
+    * division latticed 6dp.
+    */
+  def q259ConnectedComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.connectedComponents(edges(spark, dir), rounds = 10)
+
+  private def ccStep(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT l.node, least(l.comp, coalesce(m.mc, l.comp)) AS comp
+       |  FROM $prev l LEFT JOIN (
+       |    SELECT e.dst AS node, min(x.comp) AS mc
+       |    FROM edges e JOIN $prev x ON e.src = x.node
+       |    GROUP BY 1) m ON m.node = l.node)""".stripMargin
+
+  val q259Sql: String = {
+    val steps = (1 to 10)
+      .map(i => ccStep(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH $edgesSql,
+       |l0 AS MATERIALIZED (SELECT part AS node, part AS comp FROM deg),
+       |$steps,
+       |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+       |  FROM l10 GROUP BY 1),
+       |chg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS ch
+       |  FROM l10 a JOIN l9 b ON a.node = b.node AND a.comp <> b.comp)
+       |SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
+       |  CAST(count(*) AS BIGINT) AS n_components,
+       |  CAST(max(sz) AS BIGINT) AS largest_size,
+       |  CAST(round(CAST(CAST(max(sz) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)
+       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS largest_share,
+       |  (SELECT ch FROM chg) AS n_changed_last
+       |FROM sz""".stripMargin
+  }
+
+  val q256Sql: String =
+    s"""WITH $edgesSql,
+       |h AS (
+       |  SELECT deg, CAST(count(*) AS BIGINT) AS c
+       |  FROM deg WHERE deg >= 10 GROUP BY 1),
+       |t AS (
+       |  SELECT deg, c,
+       |    CAST(CAST(round(CAST(ln(CAST(deg AS DOUBLE) / 10.0)
+       |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12))
+       |      AS lnterm
+       |  FROM h),
+       |m AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n_tail,
+       |    CAST(max(deg) AS BIGINT) AS max_deg,
+       |    CAST(round(sum(lnterm * CAST(c AS DECIMAL(10,0))), 10)
+       |      AS DECIMAL(28,10)) AS s
+       |  FROM t
+       |  HAVING sum(lnterm * CAST(c AS DECIMAL(10,0))) > 0)
+       |SELECT n_tail, CAST(10 AS BIGINT) AS d_min, max_deg,
+       |  CAST(round(CAST(1.0 + CAST(n_tail AS DOUBLE) / CAST(s AS DOUBLE)
+       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS alpha_hill
+       |FROM m""".stripMargin
 }

@@ -2653,6 +2653,120 @@ object Quant {
         .as("win_share"))
   }
 
+  /** q260_index_beta — per-instrument market beta against the
+    * equal-weight tape index, with Jensen's alpha and the Treynor
+    * ratio: β = cov(r, idx)/var(idx), α = mean r − β·mean idx
+    * (annualized, bp), Treynor = mean r·252/β — the systematic- vs
+    * idiosyncratic-return split next to q247's IR (IR divides by
+    * TOTAL active risk; Treynor by systematic exposure only; q141
+    * rolls beta in a window, q76 regresses the tick tape — this is
+    * the daily-bar single-number read). s67 closes-ledger tail.
+    * Scale: the day-pooled index frame BROADCASTS back (the q247
+    * discipline, plan-pinned — the instrument key never re-shuffles).
+    * Determinism: r and idx_r are exact 12dp decimals (the index
+    * mean re-latticed per q247); ALL five moment sums reduce as
+    * exact decimal sums — products of two (18,12)s are (37,24),
+    * summed at (38,24), no FP fold anywhere; the closed-form
+    * β/α/Treynor runs once in IEEE on converged sums. var(idx)=0
+    * and β=0 instruments are excluded (mirrored). Because every
+    * instrument shares the same index leg, Σidx/Σidx² differ only
+    * through each instrument's day coverage — the moments stay
+    * per-group.
+    */
+  def q260IndexBeta(spark: SparkSession, dir: String): DataFrame =
+    indexBetaFromCloses(dailyCloses(spark, dir))
+
+  /** q260's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def indexBetaFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val idx = r.groupBy($"day")
+      .agg(sum($"r").cast(DecimalType(28, 12)).as("sr_day"),
+        count(lit(1)).as("n_day"))
+      .select($"day",
+        decRound($"sr_day".cast("double") / $"n_day".cast("double"), 12)
+          .cast(DecimalType(18, 12)).as("idx_r"))
+    val a = r.join(broadcast(idx), "day")
+    val m = a.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"idx_r").cast(DecimalType(28, 10)).as("si"),
+        sum($"r" * $"idx_r").cast(DecimalType(38, 24)).as("sri"),
+        sum($"idx_r" * $"idx_r").cast(DecimalType(38, 24)).as("sii"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    val cov = $"sri".cast("double") -
+      $"sr".cast("double") * $"si".cast("double") / nD
+    val varI = $"sii".cast("double") -
+      $"si".cast("double") * $"si".cast("double") / nD
+    val beta = cov / varI
+    val meanR = $"sr".cast("double") / nD
+    val meanI = $"si".cast("double") / nD
+    // alpha lattices at DAILY scale (~1e-4 → well inside the
+    // double→decimal agreement zone) and the ×252·10⁴ shift runs IN
+    // exact decimal — an IEEE shift first put the 2.7e5-scale value
+    // at 18 significant digits under the 12dp lattice, where the
+    // engines' conversions diverged (lesson-1, measured at sf0.01).
+    val alphaD = decRound(meanR - beta * meanI, 12)
+      .cast(DecimalType(18, 12))
+    m.filter(varI > lit(0.0)).filter(cov / varI =!= lit(0.0))
+      .select($"user_id", $"n_days",
+        decRound(beta, 6).as("beta"),
+        round(alphaD * lit(2520000).cast(DecimalType(7, 0)), 6)
+          .cast("double").as("alpha_ann_bp"),
+        decRound(meanR * lit(252.0) / beta, 6).as("treynor_ann"))
+  }
+
+  val q260Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |idx AS (
+      |  SELECT day,
+      |    CAST(CAST(round(CAST(CAST(CAST(sum(r) AS DECIMAL(28,12))
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 12)
+      |      AS DOUBLE) AS DECIMAL(18,12)) AS idx_r
+      |  FROM r GROUP BY 1),
+      |a AS (
+      |  SELECT r.user_id, r.r, idx.idx_r
+      |  FROM r JOIN idx ON r.day = idx.day),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(idx_r), 10) AS DECIMAL(28,10)) AS si,
+      |    CAST(sum(r * idx_r) AS DECIMAL(38,24)) AS sri,
+      |    CAST(sum(idx_r * idx_r) AS DECIMAL(38,24)) AS sii
+      |  FROM a GROUP BY 1 HAVING count(*) >= 10),
+      |f AS (
+      |  SELECT user_id, n_days,
+      |    CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_r,
+      |    CAST(si AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_i,
+      |    (CAST(sri AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(si AS DOUBLE)
+      |      / CAST(n_days AS DOUBLE)) AS cov,
+      |    (CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+      |      / CAST(n_days AS DOUBLE)) AS vari
+      |  FROM m)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(cov / vari AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS beta,
+      |  CAST(round(CAST(CAST(round(CAST(mean_r - (cov / vari) * mean_i
+      |    AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(28,12))
+      |    * CAST(2520000 AS DECIMAL(7,0)), 6) AS DOUBLE) AS alpha_ann_bp,
+      |  CAST(round(CAST(mean_r * 252.0 / (cov / vari)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS treynor_ann
+      |FROM f WHERE vari > 0 AND cov / vari <> 0""".stripMargin
+
   val q251Sql: String =
     closesSqlPrelude + "\n" +
     """d AS (

@@ -1679,4 +1679,169 @@ object TrainingData {
       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6)
       |    AS DOUBLE) AS neg_share
       |FROM s GROUP BY 1""".stripMargin
+
+  /** q257_centroid_drift — pairwise cosine similarity between LABEL
+    * centroids: how separated are the class means the kNN (q110),
+    * silhouette (q237) and contrastive-mining (q190) stages all
+    * assume? Two labels whose centroids sit at cos ≈ 1 are
+    * indistinguishable at the mean level — merge or re-label before
+    * training on them. Scale: ONE posexplode pass reduces the corpus
+    * to a (labels × width) centroid frame, which folds per label into
+    * a centroid ARRAY (the q171 bounded-collect shape — width rows
+    * per label, in-plan) so norms and the |labels|² broadcast pair
+    * space all hang off a single corpus scan (the long-form
+    * norms/pairs alternative re-scanned the corpus once per consumer
+    * in the static plan). Determinism: each centroid component is the
+    * per-(label,dim) mean latticed 9dp into DECIMAL(18,9) (the q233
+    * distance lattice — the raw FP mean's partition-order noise
+    * sits ~1e-13, three orders below the lattice); dot products and
+    * norms then reduce as EXACT decimal sums over identical latticed
+    * operands in both engines (Spark's left-to-right array fold and
+    * DuckDB's join-order sum agree because decimal addition is
+    * associative); the final cosine is one IEEE expression on
+    * converged exact sums, latticed 6dp.
+    */
+  def q257CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val zero = lit(0).cast(DecimalType(38, 18))
+    val e = Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding".cast("array<double>")))
+    val cv = e.groupBy($"label", $"pos")
+      .agg(decRound(avg($"col"), 9).cast(DecimalType(18, 9)).as("m"),
+        count(lit(1)).as("cnt"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          x => x.getField("m")).as("vec"),
+        max($"cnt").as("n"))
+      .withColumn("nn",
+        aggregate(transform($"vec", x => x * x), zero,
+          (acc, v) => (acc + v).cast(DecimalType(38, 18))))
+      .filter($"nn" > zero)
+    val pairs = cv.select($"label".as("la"), $"vec".as("va"),
+        $"n".as("n_a"), $"nn".as("nna"))
+      .join(broadcast(cv.select($"label".as("lb"), $"vec".as("vb"),
+        $"n".as("n_b"), $"nn".as("nnb"))), $"la" < $"lb")
+    pairs.select($"la".as("label_a"), $"lb".as("label_b"), $"n_a", $"n_b",
+      decRound(
+        aggregate(zip_with($"va", $"vb", _ * _), zero,
+          (acc, v) => (acc + v).cast(DecimalType(38, 18)))
+          .cast("double") /
+          sqrt($"nna".cast("double") * $"nnb".cast("double")), 6)
+        .as("cos_centroid"))
+  }
+
+  val q257Sql: String =
+    """WITH e AS (
+      |  SELECT label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS pos,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, pos,
+      |    CAST(CAST(round(CAST(avg(x) AS DECIMAL(28,12)), 9) AS DOUBLE)
+      |      AS DECIMAL(18,9)) AS m
+      |  FROM e GROUP BY 1, 2),
+      |norms AS (
+      |  SELECT label, CAST(sum(m * m) AS DECIMAL(38,18)) AS nn
+      |  FROM c GROUP BY 1),
+      |counts AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n
+      |  FROM embeddings GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |    CAST(sum(a.m * b.m) AS DECIMAL(38,18)) AS sab
+      |  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT p.la AS label_a, p.lb AS label_b,
+      |  ca.n AS n_a, cb.n AS n_b,
+      |  CAST(round(CAST(CAST(p.sab AS DOUBLE)
+      |    / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS cos_centroid
+      |FROM pairs p
+      |JOIN norms na ON na.label = p.la
+      |JOIN norms nb ON nb.label = p.lb
+      |JOIN counts ca ON ca.label = p.la
+      |JOIN counts cb ON cb.label = p.lb
+      |WHERE na.nn > 0 AND nb.nn > 0""".stripMargin
+
+  /** q258_two_nn_id — intrinsic dimension of the embedding cloud by
+    * the two-NN estimator (Facco et al. 2017), per label: μ = d₂/d₁
+    * over each point's two nearest neighbors, ID̂ = n/Σln μ — how
+    * many effective degrees of freedom does the space actually use
+    * (q184's effective rank reads the GLOBAL covariance; two-NN
+    * reads the local manifold, and a gap between them flags curved
+    * or clustered structure). Scale: the q233 discipline verbatim —
+    * the deterministic vec_id<1000 slice bounds the all-pairs stage,
+    * the slice BROADCASTS (the plan's only nested-loop is that
+    * broadcast join), and the 100-TB path feeds the same tail from
+    * AnnIndex IVF candidates. Determinism: d9 distances on the 9dp
+    * lattice with the total (d9, o) rank order ⇒ engine-identical
+    * neighbor SETS; μ is one IEEE quotient of two exact decimals,
+    * ln μ latticed 12dp, Σ exact with the (28,10) re-narrow, ID̂
+    * one IEEE division on converged sums. Coincident pairs (d₁ = 0)
+    * and zero-spread labels (Σ = 0) are excluded (mirrored).
+    */
+  def q258TwoNnId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 1000L).select($"vec_id", $"label", $"embedding")
+    val a = emb.select($"vec_id".as("p"), $"label", $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("o"), $"embedding".as("vb"))
+    val d = b.join(broadcast(a), $"p" =!= $"o")
+      .withColumn("d9",
+        decRound(lit(1.0) - Vectors.cosine($"va", $"vb"), 9)
+          .cast(DecimalType(18, 9)))
+      .select($"p", $"label", $"o", $"d9")
+    val w = Window.partitionBy($"p").orderBy($"d9".asc, $"o".asc)
+    val nn = d.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 2)
+      .groupBy($"p", $"label")
+      .agg(max(when($"rnk" === 1, $"d9")).as("d1"),
+        max(when($"rnk" === 2, $"d9")).as("d2"))
+      .filter($"d1" > lit(0).cast(DecimalType(18, 9)))
+      .withColumn("lnmu",
+        decRound(log($"d2".cast("double") / $"d1".cast("double")), 12)
+          .cast(DecimalType(18, 12)))
+    val m = nn.groupBy($"label")
+      .agg(count(lit(1)).as("n_used"),
+        sum($"lnmu").cast(DecimalType(28, 10)).as("s"))
+      .filter($"s" > lit(0).cast(DecimalType(28, 10)))
+    m.select($"label", $"n_used",
+      decRound($"n_used".cast("double") / $"s".cast("double"), 6)
+        .as("id_hat"))
+  }
+
+  val q258Sql: String =
+    """WITH d AS (
+      |  SELECT a.vec_id AS p, a.label, b.vec_id AS o,
+      |    CAST(round(CAST(1.0 - list_cosine_similarity(
+      |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |      AS DECIMAL(28,12)), 9) AS DECIMAL(18,9)) AS d9
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT p, label, o, d9,
+      |    row_number() OVER (PARTITION BY p ORDER BY d9, o) AS rnk
+      |  FROM d),
+      |nn AS (
+      |  SELECT p, label,
+      |    max(CASE WHEN rnk = 1 THEN d9 END) AS d1,
+      |    max(CASE WHEN rnk = 2 THEN d9 END) AS d2
+      |  FROM r WHERE rnk <= 2 GROUP BY 1, 2),
+      |t AS (
+      |  SELECT p, label,
+      |    CAST(CAST(round(CAST(ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE))
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS lnmu
+      |  FROM nn WHERE d1 > 0),
+      |m AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n_used,
+      |    CAST(round(sum(lnmu), 10) AS DECIMAL(28,10)) AS s
+      |  FROM t GROUP BY 1
+      |  HAVING sum(lnmu) > 0)
+      |SELECT label, n_used,
+      |  CAST(round(CAST(CAST(n_used AS DOUBLE) / CAST(s AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS id_hat
+      |FROM m""".stripMargin
 }

@@ -106,4 +106,39 @@ class GraphSpec extends SparkTestBase {
       .exceptAll(e.select($"dst".as("src"), $"src".as("dst")))
     assert(asym.count() == 0)
   }
+
+  test("connectedComponents: two known components + a 12-ring needing 6 propagation rounds") {
+    // component 1: path 1–2–3–4–5 (size 5); component 2: triangle
+    // 10–11–12 (size 3); plus a 12-ring 20..31 (size 12) whose min
+    // label needs ring-diameter/2 = 6 hash-min rounds to reach the
+    // antipode — inside the 10-round contract, so the census must
+    // report full convergence (n_changed_last = 0).
+    def sym(ps: Seq[(Long, Long)]) =
+      ps.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val ring = (0 until 12).map(i => (20L + i, 20L + (i + 1) % 12))
+    val e = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)) ++ ring).toDF("src", "dst")
+    val row = operators.Graph.connectedComponents(e, rounds = 10)
+      .collect()(0)
+    assert(row.getAs[Long]("n_nodes") == 20L, row)
+    assert(row.getAs[Long]("n_components") == 3L, row)
+    assert(row.getAs[Long]("largest_size") == 12L, row)
+    assert(row.getAs[Double]("largest_share") == 0.6, row)
+    assert(row.getAs[Long]("n_changed_last") == 0L, row)
+  }
+
+  test("connectedComponents: an under-budget round count reports honest non-convergence") {
+    // a 16-path's min label needs 15 rounds; with 3 the census must
+    // say so (n_changed_last > 0) rather than pretend convergence —
+    // and the fixed-round labeling is still deterministic.
+    def sym(ps: Seq[(Long, Long)]) =
+      ps.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val path = (0 until 15).map(i => (100L + i, 101L + i))
+    val e = sym(path).toDF("src", "dst")
+    val row = operators.Graph.connectedComponents(e, rounds = 3)
+      .collect()(0)
+    assert(row.getAs[Long]("n_nodes") == 16L, row)
+    assert(row.getAs[Long]("n_components") > 1L, row)
+    assert(row.getAs[Long]("n_changed_last") > 0L, row)
+  }
 }

@@ -555,6 +555,50 @@ class PlanSpec extends SparkTestBase {
     assert(count(p254, "NestedLoop") == 0, p254)
   }
 
+  test("r14g family pins: q255 wedge reuse, q256 histogram-sized tail, q257/q258 broadcast pair spaces") {
+    // q255 local cc: the q175 contract — degree-oriented wedge join,
+    // no nested loop anywhere, and at runtime the pinned hash(a)
+    // oriented materialization must be REUSED by the wedge sides and
+    // the closing probe, not recomputed per consumer.
+    val df255 = SparkEntry.queries("q255_local_cc")(spark, sf)
+    df255.collect()
+    val p255 = df255.queryExecution.executedPlan.toString
+    assert(count(p255, "NestedLoop") == 0, p255)
+    assert(count(p255, "CartesianProduct") == 0, p255)
+    assert(p255.contains("ReusedExchange") || p255.contains("ReusedQueryStage"),
+      s"q255: oriented edge materialization recomputed per consumer\n$p255")
+    // q256 Hill tail: everything after the degree count is
+    // histogram-sized — no joins, no window, no nested loop.
+    val p256 = plan("q256_degree_tail")
+    assert(count(p256, "NestedLoop") == 0, p256)
+    assert(count(p256, "Window") == 0, p256)
+    // q257 centroid drift / q258 two-NN id: the only quadratic stage
+    // must be a BROADCAST pair join (|labels|² resp. capped-slice —
+    // a shuffled non-equi pair join would be the 100-TB regression),
+    // and every nested-loop instance must BE that broadcast join.
+    for (q <- Seq("q257_centroid_drift", "q258_two_nn_id")) {
+      val p = plan(q)
+      assert(count(p, "CartesianProduct") == 0, s"$q\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q: broadcast lost\n$p")
+      assert(count(p, "NestedLoop") == count(p, "BroadcastNestedLoopJoin"),
+        s"$q\n$p")
+    }
+    // q257's centroid collapse must happen before the pair space: the
+    // pair join's inputs are label-cardinality aggregates, and at
+    // runtime the corpus-reducing exchange materializes once.
+    val df257 = SparkEntry.queries("q257_centroid_drift")(spark, sf)
+    df257.collect()
+    val p257r = df257.queryExecution.executedPlan.toString
+    assert(p257r.contains("ReusedExchange") ||
+      p257r.contains("ReusedQueryStage"),
+      s"q257: centroid collapse recomputed per pair side\n$p257r")
+    // q260 index beta: the day-pooled index broadcasts back onto the
+    // return frame (the q247/q250 discipline).
+    val p260 = plan("q260_index_beta")
+    assert(p260.contains("BroadcastHashJoin"), s"q260: broadcast lost\n$p260")
+    assert(count(p260, "NestedLoop") == 0, p260)
+  }
+
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
     // q233: the only quadratic stage is the capped-slice distance
     // join — it must BROADCAST the 1000-row side (a shuffled

@@ -749,6 +749,10 @@ class StreamingSpec extends SparkTestBase {
     val batch251 = SparkEntry.queries("q251_omega")(spark, sf)
     assert(batch251.count() > 0)
     assert(om.exceptAll(batch251).isEmpty && batch251.exceptAll(om).isEmpty)
+    val ib = queries.Quant.indexBetaFromCloses(closes)
+    val batch260 = SparkEntry.queries("q260_index_beta")(spark, sf)
+    assert(batch260.count() > 0)
+    assert(ib.exceptAll(batch260).isEmpty && batch260.exceptAll(ib).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {

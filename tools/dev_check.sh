@@ -5,6 +5,7 @@ set -e
 QS="$1"
 SF="${2:-/root/testdata/sf0.01}"
 OUT=/tmp/verify14
+rm -rf "$OUT/only"   # a failed query must not leave a stale dump behind
 SPARK_GRAFT_ONLY="$QS" sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 \
   | grep -E "\[verify\].*failed|Exception" || true
 python3 - "$QS" <<'EOF'
