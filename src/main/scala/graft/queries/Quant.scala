@@ -2799,4 +2799,324 @@ object Quant {
       |  CAST(round(CAST(CAST(n_win AS DOUBLE) / CAST(n_days AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS win_share
       |FROM m""".stripMargin
+
+  /** q261_runs_test — Wald–Wolfowitz runs test on daily return signs
+    * per instrument: R = observed sign runs, E[R] = 1 + 2n₁n₂/n,
+    * Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)), z = (R−E)/√Var — too FEW
+    * runs = trending, too many = mean-reverting; the
+    * distribution-free cousin of q218's sign autocorrelation (that
+    * one sizes the dependence, this one tests it with no moment
+    * assumption). Zero returns are dropped (the classic dichotomous
+    * convention), comparing the exact decimal r to literal 0. s67
+    * closes-ledger tail. Scale: the sign-lag window rides the SAME
+    * hash(user) exchange as the return lag (filter preserves
+    * partitioning), rollup too — plan-pinned 2 exchanges.
+    * Determinism: R, n₁, n₂ are PURE INTEGERS; z is one fixed IEEE
+    * expression on exact integers, latticed 6dp; the Var>0 guard is
+    * the pure-integer 2n₁n₂>n (mirrored HAVING).
+    */
+  def q261RunsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestFromCloses(dailyCloses(spark, dir))
+
+  /** q261's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def runsTestFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val z12 = lit(0).cast(DecimalType(18, 12))
+    val s = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull && $"r" =!= z12)
+      .withColumn("s", when($"r" > z12, 1L).otherwise(0L))
+      .withColumn("sp", lag($"s", 1).over(w))
+    val m = s.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"s").as("n_pos"),
+        sum(when($"sp".isNull || $"s" =!= $"sp", 1L).otherwise(0L))
+          .as("runs"))
+      .withColumn("n_neg", $"n" - $"n_pos")
+      .filter($"n" >= 20L && $"n_pos" >= 1L && $"n_neg" >= 1L &&
+        lit(2L) * $"n_pos" * $"n_neg" > $"n")
+    val nD = $"n".cast("double")
+    val p2 = lit(2.0) * $"n_pos".cast("double") * $"n_neg".cast("double")
+    val eR = lit(1.0) + p2 / nD
+    val vR = p2 * (p2 - nD) / (nD * nD * (nD - lit(1.0)))
+    m.select($"user_id", $"n".as("n_days"), $"n_pos", $"n_neg",
+      $"runs",
+      decRound(($"runs".cast("double") - eR) / sqrt(vR), 6).as("z_runs"))
+  }
+
+  val q261Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |f AS (
+      |  SELECT user_id, day,
+      |    CASE WHEN r > CAST(0 AS DECIMAL(18,12)) THEN 1 ELSE 0 END AS s
+      |  FROM d WHERE r IS NOT NULL AND r <> CAST(0 AS DECIMAL(18,12))),
+      |g AS (
+      |  SELECT user_id, s,
+      |    lag(s) OVER (PARTITION BY user_id ORDER BY day) AS sp
+      |  FROM f),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(s) AS BIGINT) AS n_pos,
+      |    CAST(sum(CASE WHEN sp IS NULL OR s <> sp THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS runs
+      |  FROM g GROUP BY 1),
+      |k AS (
+      |  SELECT user_id, n, n_pos, n - n_pos AS n_neg, runs
+      |  FROM m
+      |  WHERE n >= 20 AND n_pos >= 1 AND n - n_pos >= 1
+      |    AND 2 * n_pos * (n - n_pos) > n)
+      |SELECT user_id, n AS n_days, n_pos, n_neg, runs,
+      |  CAST(round(CAST((CAST(runs AS DOUBLE)
+      |    - (1.0 + 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |      / CAST(n AS DOUBLE)))
+      |    / sqrt(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |      * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+      |        - CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |        * (CAST(n AS DOUBLE) - 1.0)))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS z_runs
+      |FROM k""".stripMargin
+
+  /** q262_ljung_box — Ljung–Box portmanteau test per instrument on
+    * DEMEANED daily ln returns: Q(5) = n(n+2)·Σ_{k≤5} ρ̂²_k/(n−k),
+    * rejected vs the χ²₅ 95% critical value 11.0705 — "is this tape
+    * white noise at all" pooled across the first five lags, where
+    * q115 reads raw per-lag ACFs and q261 tests signs only. s67
+    * closes-ledger tail. Scale: the demeaning window, the five lag
+    * columns AND the rollup all ride ONE hash(user) exchange (the
+    * q115 one-sort-many-lags discipline; plan-pinned 2).
+    * Determinism: the mean is one IEEE division of exact sums
+    * re-latticed 12dp; e = r − mean is then an exact decimal;
+    * all six moment sums (Σe², five Σe_t·e_{t−k}) reduce exactly at
+    * (38,24); each ρ̂ and Q run once in IEEE on converged sums; the
+    * reject flag compares the LATTICED Q to the exact critical-value
+    * literal (engine-independent branch). n ≥ 30 so n−5 is
+    * comfortable.
+    */
+  def q262LjungBox(spark: SparkSession, dir: String): DataFrame =
+    ljungBoxFromCloses(dailyCloses(spark, dir))
+
+  /** q262's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def ljungBoxFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val wAll = Window.partitionBy($"user_id")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val e = r
+      .withColumn("mean12",
+        decRound(sum($"r").over(wAll).cast("double") /
+          count(lit(1)).over(wAll).cast("double"), 12)
+          .cast(DecimalType(18, 12)))
+      .withColumn("e", ($"r" - $"mean12").cast(DecimalType(18, 12)))
+    val lagged = (1 to 5).foldLeft(e) { (df, k) =>
+      df.withColumn(s"e$k", lag($"e", k).over(w))
+    }
+    val m = lagged.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"e" * $"e").cast(DecimalType(38, 24)).as("s0"),
+        sum($"e" * $"e1").cast(DecimalType(38, 24)).as("s1"),
+        sum($"e" * $"e2").cast(DecimalType(38, 24)).as("s2"),
+        sum($"e" * $"e3").cast(DecimalType(38, 24)).as("s3"),
+        sum($"e" * $"e4").cast(DecimalType(38, 24)).as("s4"),
+        sum($"e" * $"e5").cast(DecimalType(38, 24)).as("s5"))
+      .filter($"n" >= 20L && $"s0" > lit(0).cast(DecimalType(38, 24)))
+    val nD = $"n".cast("double")
+    def rho(k: Int) = col(s"s$k").cast("double") / $"s0".cast("double")
+    val q5 = nD * (nD + lit(2.0)) * (1 to 5)
+      .map(k => rho(k) * rho(k) / (nD - lit(k.toDouble)))
+      .reduce(_ + _)
+    val q5Lat = decRound(q5, 6)
+    m.select($"user_id", $"n".as("n_days"),
+      decRound(rho(1), 6).as("rho1"),
+      q5Lat.as("q5"),
+      (q5Lat > lit(11.0705)).as("reject_white_noise"))
+  }
+
+  val q262Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |e0 AS (
+      |  SELECT user_id, day, r,
+      |    CAST(CAST(round(CAST(
+      |      CAST(sum(r) OVER (PARTITION BY user_id) AS DOUBLE)
+      |      / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12))
+      |      AS mean12
+      |  FROM r),
+      |e AS (
+      |  SELECT user_id, day,
+      |    CAST(r - mean12 AS DECIMAL(18,12)) AS e
+      |  FROM e0),
+      |l AS (
+      |  SELECT user_id, e,
+      |    lag(e, 1) OVER (PARTITION BY user_id ORDER BY day) AS e1,
+      |    lag(e, 2) OVER (PARTITION BY user_id ORDER BY day) AS e2,
+      |    lag(e, 3) OVER (PARTITION BY user_id ORDER BY day) AS e3,
+      |    lag(e, 4) OVER (PARTITION BY user_id ORDER BY day) AS e4,
+      |    lag(e, 5) OVER (PARTITION BY user_id ORDER BY day) AS e5
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(e * e) AS DECIMAL(38,24)) AS s0,
+      |    CAST(sum(e * e1) AS DECIMAL(38,24)) AS s1,
+      |    CAST(sum(e * e2) AS DECIMAL(38,24)) AS s2,
+      |    CAST(sum(e * e3) AS DECIMAL(38,24)) AS s3,
+      |    CAST(sum(e * e4) AS DECIMAL(38,24)) AS s4,
+      |    CAST(sum(e * e5) AS DECIMAL(38,24)) AS s5
+      |  FROM l GROUP BY 1
+      |  HAVING count(*) >= 20 AND sum(e * e) > 0)
+      |SELECT user_id, n AS n_days,
+      |  CAST(round(CAST(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS rho1,
+      |  CAST(round(CAST(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * (
+      |      (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1.0)
+      |      + (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 2.0)
+      |      + (CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 3.0)
+      |      + (CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 4.0)
+      |      + (CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 5.0))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS q5,
+      |  CAST(round(CAST(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * (
+      |      (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1.0)
+      |      + (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 2.0)
+      |      + (CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 3.0)
+      |      + (CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 4.0)
+      |      + (CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        * (CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 5.0))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) > 11.0705
+      |    AS reject_white_noise
+      |FROM m""".stripMargin
+
+  /** q263_turn_of_month — turn-of-month effect census pooled across
+    * the tape (Ariel 1987/Lakonishok–Smidt 1988): classify each
+    * trading day within its (instrument, calendar month) as the
+    * first two days, last two days, or middle (last-two wins the
+    * overlap in degenerate short months — a total, engine-portable
+    * rule), and report per class the pooled n, mean daily ln return
+    * (bp), t-stat, and positive share — the month-boundary cousin of
+    * q245's weekday census. s67 closes-ledger tail. Scale: the
+    * month-rank windows partition by (user, month), which
+    * hash(user) SATISFIES — both ranks, the return lag and the
+    * ≤3-group rollup ride the closes collapse + ONE hash(user)
+    * exchange (plan-pinned 3 like q245). Determinism: ranks are
+    * integers over the unique (user, day) order; moment sums reduce
+    * exactly with the (28,10) re-narrow; mean/t once in IEEE on
+    * converged sums.
+    */
+  def q263TurnOfMonth(spark: SparkSession, dir: String): DataFrame =
+    turnOfMonthFromCloses(dailyCloses(spark, dir))
+
+  /** q263's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def turnOfMonthFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val withMonth = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .withColumn("mon", date_trunc("month", $"day"))
+    val wAsc = Window.partitionBy($"user_id", $"mon").orderBy($"day".asc)
+    val wDesc = Window.partitionBy($"user_id", $"mon").orderBy($"day".desc)
+    val classed = withMonth
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .withColumn("pos_class",
+        when($"rnd" <= 2, lit("last2"))
+          .when($"rna" <= 2, lit("first2"))
+          .otherwise(lit("mid")))
+    val m = classed.groupBy($"pos_class")
+      .agg(count(lit(1)).as("n_obs"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"r" * $"r").cast(DecimalType(28, 10)).as("srr"),
+        sum(when($"r" > lit(0).cast(DecimalType(18, 12)), 1L)
+          .otherwise(0L)).as("n_pos"))
+      .filter($"n_obs" >= 2L)
+    val nD = $"n_obs".cast("double")
+    val mean = $"sr".cast("double") / nD
+    val varS = ($"srr".cast("double") - $"sr".cast("double")
+      * $"sr".cast("double") / nD) / (nD - lit(1.0))
+    m.select($"pos_class", $"n_obs",
+      decRound(mean * lit(10000.0), 6).as("mean_ret_bp"),
+      decRound(mean / sqrt(varS / nD), 6).as("t_stat"),
+      decRound($"n_pos".cast("double") / nD, 6).as("pos_share"))
+  }
+
+  val q263Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (
+      |  SELECT user_id, day, r, date_trunc('month', day) AS mon
+      |  FROM d WHERE r IS NOT NULL),
+      |cl AS (
+      |  SELECT r,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, mon
+      |        ORDER BY day DESC) <= 2 THEN 'last2'
+      |      WHEN row_number() OVER (PARTITION BY user_id, mon
+      |        ORDER BY day ASC) <= 2 THEN 'first2'
+      |      ELSE 'mid' END AS pos_class
+      |  FROM r),
+      |m AS (
+      |  SELECT pos_class, CAST(count(*) AS BIGINT) AS n_obs,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(r * r), 10) AS DECIMAL(28,10)) AS srr,
+      |    CAST(sum(CASE WHEN r > CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_pos
+      |  FROM cl GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT pos_class, n_obs,
+      |  CAST(round(CAST(CAST(sr AS DOUBLE) / CAST(n_obs AS DOUBLE)
+      |    * 10000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_ret_bp,
+      |  CAST(round(CAST((CAST(sr AS DOUBLE) / CAST(n_obs AS DOUBLE))
+      |    / sqrt(((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+      |      * CAST(sr AS DOUBLE) / CAST(n_obs AS DOUBLE))
+      |      / (CAST(n_obs AS DOUBLE) - 1.0)) / CAST(n_obs AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS t_stat,
+      |  CAST(round(CAST(CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pos_share
+      |FROM m""".stripMargin
 }

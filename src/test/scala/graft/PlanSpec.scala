@@ -599,6 +599,26 @@ class PlanSpec extends SparkTestBase {
     assert(count(p260, "NestedLoop") == 0, p260)
   }
 
+  test("r14i family pins: q261/q262 two exchanges, q263 month-ranks ride hash(user)") {
+    // q261 runs test: the sign-lag window rides the SAME hash(user)
+    // exchange as the return lag (the filter preserves partitioning);
+    // q262 Ljung–Box: the demeaning window, all five lag columns and
+    // the rollup share one sort (the q115 discipline).
+    for (q <- Seq("q261_runs_test", "q262_ljung_box")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 2, s"$q: expected 2 exchanges\n$p")
+      assert(count(p, "NestedLoop") == 0, s"$q: nested-loop crept in\n$p")
+      assert(p.contains("WindowGroupLimit"), p)
+    }
+    // q263 turn of month: the (user, month) rank windows are
+    // SATISFIED by hash(user) — a 4th exchange means Spark stopped
+    // recognizing the subset partitioning and re-shuffles the tape
+    // at month grain.
+    val p263 = plan("q263_turn_of_month")
+    assert(count(p263, "Exchange") == 3, s"q263: expected 3 exchanges\n$p263")
+    assert(count(p263, "NestedLoop") == 0, p263)
+  }
+
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
     // q233: the only quadratic stage is the capped-slice distance
     // join — it must BROADCAST the 1000-row side (a shuffled

@@ -753,6 +753,18 @@ class StreamingSpec extends SparkTestBase {
     val batch260 = SparkEntry.queries("q260_index_beta")(spark, sf)
     assert(batch260.count() > 0)
     assert(ib.exceptAll(batch260).isEmpty && batch260.exceptAll(ib).isEmpty)
+    val rt = queries.Quant.runsTestFromCloses(closes)
+    val batch261 = SparkEntry.queries("q261_runs_test")(spark, sf)
+    assert(batch261.count() > 0)
+    assert(rt.exceptAll(batch261).isEmpty && batch261.exceptAll(rt).isEmpty)
+    val lb = queries.Quant.ljungBoxFromCloses(closes)
+    val batch262 = SparkEntry.queries("q262_ljung_box")(spark, sf)
+    assert(batch262.count() > 0)
+    assert(lb.exceptAll(batch262).isEmpty && batch262.exceptAll(lb).isEmpty)
+    val tm = queries.Quant.turnOfMonthFromCloses(closes)
+    val batch263 = SparkEntry.queries("q263_turn_of_month")(spark, sf)
+    assert(batch263.count() > 0)
+    assert(tm.exceptAll(batch263).isEmpty && batch263.exceptAll(tm).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
