@@ -111,6 +111,14 @@ object Bench {
           broadcastState = Some(false))
           .write.format("noop").mode("overwrite").save()
       }
+      // prices the q259 shuffle fallback: label propagation with the
+      // vertex state pinned to the merge path, as it would run past
+      // BroadcastVertexLimit
+      val cc = time {
+        graft.operators.Graph.connectedComponents(e, rounds = 10,
+          broadcastState = Some(false))
+          .write.format("noop").mode("overwrite").save()
+      }
       e.unpersist(blocking = false)
       val part = spark.read.parquet(s"$sfDir/part.parquet")
       val nm = time {
@@ -221,7 +229,8 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
-        "x_bfs_shuffle" -> bfs, "x_namematch_segment" -> nm,
+        "x_bfs_shuffle" -> bfs, "x_cc_shuffle" -> cc,
+        "x_namematch_segment" -> nm,
         "x_fx_window" -> fx, "x_topk_agg" -> topkAgg,
         "x_topk_window" -> topkWin, "x_asof_exec" -> asofExec,
         "x_namelink_winnow" -> nlWinnow,

@@ -293,7 +293,8 @@ object Graph {
     * final round (0 = converged — diameter exceeded the round budget
     * otherwise, and BOTH engines report the same partial labeling).
     */
-  def connectedComponents(edges: DataFrame, rounds: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, rounds: Int = 10,
+      broadcastState: Option[Boolean] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -301,10 +302,16 @@ object Graph {
     var lab = e.select($"src".as("node")).distinct()
       .select($"node", $"node".as("comp"))
       .repartition(parts, $"node").localCheckpoint(eager = true)
+    // the bfsHops/pageRank state discipline: broadcast the
+    // vertex-sized label frame into the edge join while it fits the
+    // vertex limit, pin the shuffle path above it (or when forced)
+    val st = stateHint(broadcastState.getOrElse(
+      lab.count() <= BroadcastVertexLimit))
     var lastChanged = 0L
     var converged = false
     for (_ <- 1 to rounds) if (!converged) {
-      val nbrMin = e.join(lab.select($"node".as("src"), $"comp"), Seq("src"))
+      val nbrMin = e.join(st(lab.select($"node".as("src"), $"comp")),
+          Seq("src"))
         .groupBy($"dst".as("node")).agg(min($"comp").as("mc"))
       val next = lab.select($"node", $"comp".as("pc"))
         .join(nbrMin, Seq("node"), "left")
