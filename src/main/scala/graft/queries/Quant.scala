@@ -3083,6 +3083,232 @@ object Quant {
       decRound($"n_pos".cast("double") / nD, 6).as("pos_share"))
   }
 
+  /** q264_pacf — partial autocorrelation of daily ln returns per
+    * instrument at lags 1–3 by the Durbin–Levinson recursion:
+    * φ₁₁ = ρ₁, φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²), φ₃₃ from the level-2
+    * coefficients — the AR-order identification read (q115 reads raw
+    * ACFs which confound lag effects; PACF isolates each lag's
+    * DIRECT contribution; q262 pools the same moments into one test
+    * stat). s67 closes-ledger tail sharing q262's one-sort machinery
+    * (demeaning window + three lags + rollup on one hash(user)
+    * exchange, plan-pinned 2). Determinism: the ρ̂s are IEEE
+    * quotients of exact (38,24) moment sums, EACH LATTICED 12dp
+    * before entering the recursion, and every Durbin–Levinson level
+    * re-lattices its outputs at 12dp — so both engines walk the
+    * recursion on identical doubles end to end; denominators are
+    * compared to 0 on those identical values (engine-independent
+    * guard).
+    */
+  def q264Pacf(spark: SparkSession, dir: String): DataFrame =
+    pacfFromCloses(dailyCloses(spark, dir))
+
+  /** q264's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def pacfFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val wAll = Window.partitionBy($"user_id")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val e = r
+      .withColumn("mean12",
+        decRound(sum($"r").over(wAll).cast("double") /
+          count(lit(1)).over(wAll).cast("double"), 12)
+          .cast(DecimalType(18, 12)))
+      .withColumn("e", ($"r" - $"mean12").cast(DecimalType(18, 12)))
+    val lagged = (1 to 3).foldLeft(e) { (df, k) =>
+      df.withColumn(s"e$k", lag($"e", k).over(w))
+    }
+    val m = lagged.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"e" * $"e").cast(DecimalType(38, 24)).as("s0"),
+        sum($"e" * $"e1").cast(DecimalType(38, 24)).as("s1"),
+        sum($"e" * $"e2").cast(DecimalType(38, 24)).as("s2"),
+        sum($"e" * $"e3").cast(DecimalType(38, 24)).as("s3"))
+      .filter($"n" >= 20L && $"s0" > lit(0).cast(DecimalType(38, 24)))
+      .withColumn("r1", decRound($"s1".cast("double") / $"s0".cast("double"), 12))
+      .withColumn("r2", decRound($"s2".cast("double") / $"s0".cast("double"), 12))
+      .withColumn("r3", decRound($"s3".cast("double") / $"s0".cast("double"), 12))
+      .filter(lit(1.0) - $"r1" * $"r1" =!= lit(0.0))
+      .withColumn("p22",
+        decRound(($"r2" - $"r1" * $"r1") / (lit(1.0) - $"r1" * $"r1"), 12))
+      .withColumn("p21", decRound($"r1" * (lit(1.0) - $"p22"), 12))
+      .withColumn("den3",
+        lit(1.0) - $"p21" * $"r1" - $"p22" * $"r2")
+      .filter($"den3" =!= lit(0.0))
+    m.select($"user_id", $"n".as("n_days"),
+      decRound($"r1", 6).as("pacf1"),
+      decRound($"p22", 6).as("pacf2"),
+      decRound(($"r3" - $"p21" * $"r2" - $"p22" * $"r1") / $"den3", 6)
+        .as("pacf3"))
+  }
+
+  val q264Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |e0 AS (
+      |  SELECT user_id, day, r,
+      |    CAST(CAST(round(CAST(
+      |      CAST(sum(r) OVER (PARTITION BY user_id) AS DOUBLE)
+      |      / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12))
+      |      AS mean12
+      |  FROM r),
+      |e AS (
+      |  SELECT user_id, day, CAST(r - mean12 AS DECIMAL(18,12)) AS e
+      |  FROM e0),
+      |l AS (
+      |  SELECT user_id, e,
+      |    lag(e, 1) OVER (PARTITION BY user_id ORDER BY day) AS e1,
+      |    lag(e, 2) OVER (PARTITION BY user_id ORDER BY day) AS e2,
+      |    lag(e, 3) OVER (PARTITION BY user_id ORDER BY day) AS e3
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(e * e) AS DECIMAL(38,24)) AS s0,
+      |    CAST(sum(e * e1) AS DECIMAL(38,24)) AS s1,
+      |    CAST(sum(e * e2) AS DECIMAL(38,24)) AS s2,
+      |    CAST(sum(e * e3) AS DECIMAL(38,24)) AS s3
+      |  FROM l GROUP BY 1
+      |  HAVING count(*) >= 20 AND sum(e * e) > 0),
+      |rr AS (
+      |  SELECT user_id, n,
+      |    CAST(round(CAST(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS r1,
+      |    CAST(round(CAST(CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS r2,
+      |    CAST(round(CAST(CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS r3
+      |  FROM m),
+      |l2 AS (
+      |  SELECT user_id, n, r1, r2, r3,
+      |    CAST(round(CAST((r2 - r1 * r1) / (1.0 - r1 * r1)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS p22
+      |  FROM rr WHERE 1.0 - r1 * r1 <> 0.0),
+      |l2b AS (
+      |  SELECT user_id, n, r1, r2, r3, p22,
+      |    CAST(round(CAST(r1 * (1.0 - p22) AS DECIMAL(28,12)), 12)
+      |      AS DOUBLE) AS p21
+      |  FROM l2),
+      |l3 AS (
+      |  SELECT user_id, n, r1, r2, r3, p22, p21,
+      |    1.0 - p21 * r1 - p22 * r2 AS den3
+      |  FROM l2b)
+      |SELECT user_id, n AS n_days,
+      |  CAST(round(CAST(r1 AS DECIMAL(28,12)), 6) AS DOUBLE) AS pacf1,
+      |  CAST(round(CAST(p22 AS DECIMAL(28,12)), 6) AS DOUBLE) AS pacf2,
+      |  CAST(round(CAST((r3 - p21 * r2 - p22 * r1) / den3
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pacf3
+      |FROM l3 WHERE den3 <> 0.0""".stripMargin
+
+  /** q265_tail_dependence — pairwise lower-tail co-movement over the
+    * 50-instrument broadcast universe (the q202/q246 discipline):
+    * λ̂_L = 10·P(both in own bottom decile on the same day) — i.e.
+    * P(B crashes | A crashes) — the crisis-correlation read a linear
+    * β (q260) and rank IC (q246) both miss (diversification that
+    * evaporates exactly when needed): independence gives λ ≈ 0.1,
+    * perfect co-crash gives λ = 1; reported next to each pair's
+    * joint day count so the reader can judge significance.
+    * Scale: per-instrument decile thresholds are INTEGER rank picks
+    * (the q249 order-statistic discipline) on the hash(user)
+    * exchange; the quadratic stage is bounded by the BROADCAST
+    * 50-row universe (plan-pinned BroadcastHashJoin, never
+    * corpus-squared). Determinism: the low flag compares exact 12dp
+    * decimals (r ≤ t, ties included — a total rule); n_both/n_pair
+    * are PURE INTEGERS; λ is one IEEE expression latticed 6dp.
+    */
+  def q265TailDependence(spark: SparkSession, dir: String): DataFrame =
+    tailDepFromCloses(dailyCloses(spark, dir))
+
+  /** q265's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def tailDepFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val universe = closes.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"))
+      .orderBy($"n_days".desc, $"user_id".asc)
+      .limit(50)
+      .select($"user_id")
+    val r = closes.join(broadcast(universe), "user_id")
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val wAsc = Window.partitionBy($"user_id").orderBy($"r".asc, $"day".asc)
+    val wAll = Window.partitionBy($"user_id")
+    val flagged = r
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"n" >= 20L)
+      .withColumn("k", greatest(lit(1L),
+        floor($"n".cast("double") / lit(10.0)).cast("long")))
+      .withColumn("t", max(when($"rn" === $"k", $"r")).over(wAll))
+      .select($"user_id", $"day",
+        ($"r" <= $"t").cast("long").as("low"))
+    val pairs = flagged.as("a").join(flagged.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"),
+        col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("n_pair"),
+        sum(col("a.low") * col("b.low")).as("n_both"))
+      .filter($"n_pair" >= 20L)
+    pairs.select($"user_a", $"user_b", $"n_pair", $"n_both",
+      decRound(lit(10.0) * $"n_both".cast("double")
+        / $"n_pair".cast("double"), 6).as("lambda_lower"))
+  }
+
+  val q265Sql: String =
+    closesSqlPrelude + "\n" +
+    """u AS (
+      |  SELECT user_id FROM c GROUP BY 1
+      |  ORDER BY count(*) DESC, user_id ASC LIMIT 50),
+      |d AS (
+      |  SELECT c.user_id, c.day,
+      |    CAST(c.x - lag(c.x) OVER (PARTITION BY c.user_id
+      |      ORDER BY c.day) AS DECIMAL(18,12)) AS r
+      |  FROM c JOIN u ON c.user_id = u.user_id),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |rk AS (
+      |  SELECT user_id, day, r,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY r ASC, day ASC)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM r),
+      |kk AS (
+      |  SELECT user_id, day, r, rn, n,
+      |    greatest(1, CAST(floor(CAST(n AS DOUBLE) / 10.0) AS BIGINT))
+      |      AS k
+      |  FROM rk WHERE n >= 20),
+      |fl AS (
+      |  SELECT user_id, day,
+      |    CASE WHEN r <= max(CASE WHEN rn = k THEN r END)
+      |      OVER (PARTITION BY user_id) THEN 1 ELSE 0 END AS low
+      |  FROM kk),
+      |p AS (
+      |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |    CAST(count(*) AS BIGINT) AS n_pair,
+      |    CAST(sum(a.low * b.low) AS BIGINT) AS n_both
+      |  FROM fl a JOIN fl b
+      |    ON a.day = b.day AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 20)
+      |SELECT user_a, user_b, n_pair, n_both,
+      |  CAST(round(CAST(10.0 * CAST(n_both AS DOUBLE)
+      |    / CAST(n_pair AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS lambda_lower
+      |FROM p""".stripMargin
+
   val q263Sql: String =
     closesSqlPrelude + "\n" +
     """d AS (

@@ -617,6 +617,17 @@ class PlanSpec extends SparkTestBase {
     val p263 = plan("q263_turn_of_month")
     assert(count(p263, "Exchange") == 3, s"q263: expected 3 exchanges\n$p263")
     assert(count(p263, "NestedLoop") == 0, p263)
+    // q264 PACF shares q262's one-sort machinery.
+    val p264 = plan("q264_pacf")
+    assert(count(p264, "Exchange") == 2, s"q264: expected 2 exchanges\n$p264")
+    assert(count(p264, "NestedLoop") == 0, p264)
+    // q265 tail dependence: the quadratic pair space is bounded by
+    // the 50-row BROADCAST universe (the q202/q246 discipline) — a
+    // shuffled pair join over the full instrument count would be the
+    // 100-TB regression.
+    val p265 = plan("q265_tail_dependence")
+    assert(p265.contains("BroadcastHashJoin"), s"q265: broadcast lost\n$p265")
+    assert(count(p265, "NestedLoop") == 0, p265)
   }
 
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {

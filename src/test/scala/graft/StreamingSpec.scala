@@ -765,6 +765,14 @@ class StreamingSpec extends SparkTestBase {
     val batch263 = SparkEntry.queries("q263_turn_of_month")(spark, sf)
     assert(batch263.count() > 0)
     assert(tm.exceptAll(batch263).isEmpty && batch263.exceptAll(tm).isEmpty)
+    val pf = queries.Quant.pacfFromCloses(closes)
+    val batch264 = SparkEntry.queries("q264_pacf")(spark, sf)
+    assert(batch264.count() > 0)
+    assert(pf.exceptAll(batch264).isEmpty && batch264.exceptAll(pf).isEmpty)
+    val td = queries.Quant.tailDepFromCloses(closes)
+    val batch265 = SparkEntry.queries("q265_tail_dependence")(spark, sf)
+    assert(batch265.count() > 0)
+    assert(td.exceptAll(batch265).isEmpty && batch265.exceptAll(td).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
