@@ -1813,6 +1813,94 @@ object TrainingData {
         .as("id_hat"))
   }
 
+  /** q266_hubness — k-occurrence census of the embedding kNN graph
+    * (Radovanović 2010): in high intrinsic dimension some points
+    * become HUBS that appear in a disproportionate share of other
+    * points' k-NN lists while antihubs appear in none — the
+    * pathology that silently skews every kNN-derived stage (q110
+    * votes, q190 mining, q233's own density reads; q258 measures the
+    * dimension, this measures its symptom). One row: hub count
+    * (in-degree ≥ 2k), antihub count (in-degree 0), max in-degree,
+    * and the share of all kNN slots held by the top-10 hubs. Scale:
+    * the q233 capped-slice + broadcast discipline verbatim; the
+    * census tail is in-degree-histogram-sized. Determinism: the kNN
+    * SET is engine-identical (9dp lattice + total (d9,o) order);
+    * everything after is PURE INTEGER except the final share — one
+    * IEEE division of exact longs latticed 6dp; the top-10 pick uses
+    * the total (indeg desc, o asc) order.
+    */
+  def q266Hubness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val k = 10
+    val emb = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 1000L).select($"vec_id", $"embedding")
+    val a = emb.select($"vec_id".as("p"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("o"), $"embedding".as("vb"))
+    val d = b.join(broadcast(a), $"p" =!= $"o")
+      .withColumn("d9",
+        decRound(lit(1.0) - Vectors.cosine($"va", $"vb"), 9)
+          .cast(DecimalType(18, 9)))
+      .select($"p", $"o", $"d9")
+    val w = Window.partitionBy($"p").orderBy($"d9".asc, $"o".asc)
+    val knn = d.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k).select($"p", $"o")
+    val indeg = emb.select($"vec_id".as("o"))
+      .join(knn.groupBy($"o").agg(count(lit(1)).as("indeg")),
+        Seq("o"), "left")
+      .withColumn("indeg", coalesce($"indeg", lit(0L)))
+    val wTop = Window.orderBy($"indeg".desc, $"o".asc)
+    val ranked = indeg.withColumn("rk", row_number().over(wTop))
+    ranked.agg(
+        count(lit(1)).as("n_points"),
+        sum(when($"indeg" >= 2L * k, 1L).otherwise(0L)).as("hub_count"),
+        sum(when($"indeg" === 0L, 1L).otherwise(0L)).as("antihub_count"),
+        max($"indeg").as("max_indeg"),
+        sum(when($"rk" <= 10, $"indeg").otherwise(0L)).as("top10_indeg"))
+      .select($"n_points", lit(k.toLong).as("k"),
+        $"hub_count", $"antihub_count", $"max_indeg",
+        decRound($"top10_indeg".cast("double") /
+          ($"n_points" * k).cast("double"), 6).as("top10_indeg_share"))
+  }
+
+  val q266Sql: String =
+    """WITH d AS (
+      |  SELECT a.vec_id AS p, b.vec_id AS o,
+      |    CAST(round(CAST(1.0 - list_cosine_similarity(
+      |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |      AS DECIMAL(28,12)), 9) AS DECIMAL(18,9)) AS d9
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id <> b.vec_id),
+      |knn AS (
+      |  SELECT p, o FROM (
+      |    SELECT p, o,
+      |      row_number() OVER (PARTITION BY p ORDER BY d9, o) AS rnk
+      |    FROM d)
+      |  WHERE rnk <= 10),
+      |ind AS (
+      |  SELECT e.vec_id AS o, CAST(coalesce(g.indeg, 0) AS BIGINT)
+      |    AS indeg
+      |  FROM embeddings e LEFT JOIN (
+      |    SELECT o, count(*) AS indeg FROM knn GROUP BY 1) g
+      |    ON g.o = e.vec_id
+      |  WHERE e.vec_id < 1000),
+      |rk AS (
+      |  SELECT o, indeg,
+      |    row_number() OVER (ORDER BY indeg DESC, o ASC) AS rk
+      |  FROM ind)
+      |SELECT CAST(count(*) AS BIGINT) AS n_points,
+      |  CAST(10 AS BIGINT) AS k,
+      |  CAST(sum(CASE WHEN indeg >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hub_count,
+      |  CAST(sum(CASE WHEN indeg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS antihub_count,
+      |  CAST(max(indeg) AS BIGINT) AS max_indeg,
+      |  CAST(round(CAST(CAST(sum(CASE WHEN rk <= 10 THEN indeg
+      |      ELSE 0 END) AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * 10.0) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS top10_indeg_share
+      |FROM rk""".stripMargin
+
   val q258Sql: String =
     """WITH d AS (
       |  SELECT a.vec_id AS p, a.label, b.vec_id AS o,

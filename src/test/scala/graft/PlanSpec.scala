@@ -576,7 +576,8 @@ class PlanSpec extends SparkTestBase {
     // must be a BROADCAST pair join (|labels|² resp. capped-slice —
     // a shuffled non-equi pair join would be the 100-TB regression),
     // and every nested-loop instance must BE that broadcast join.
-    for (q <- Seq("q257_centroid_drift", "q258_two_nn_id")) {
+    for (q <- Seq("q257_centroid_drift", "q258_two_nn_id",
+        "q266_hubness")) {
       val p = plan(q)
       assert(count(p, "CartesianProduct") == 0, s"$q\n$p")
       assert(p.contains("BroadcastNestedLoopJoin"), s"$q: broadcast lost\n$p")
