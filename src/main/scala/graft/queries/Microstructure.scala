@@ -2807,20 +2807,37 @@ object Microstructure {
     * counts and digit classes are then PURE INTEGERS; shares and χ²
     * run once in IEEE on converged longs, latticed 6dp.
     */
-  def q254PriceClustering(spark: SparkSession, dir: String): DataFrame = {
+  def q254PriceClustering(spark: SparkSession, dir: String): DataFrame =
+    clusteringFromDigitCounts(digitCounts(Tables.events(spark, dir)))
+
+  /** The ≤10-row (digit, n, n_dollar, n_nickel) count frame — a pure
+    * monoid (three long sums), so the SAME expression runs as the
+    * batch collapse and as the s69 streaming ledger (counts only
+    * grow: converged = max emission per digit under update mode).
+    */
+  def digitCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val cents = round($"value".cast(DecimalType(28, 12))
       * lit(100).cast(DecimalType(3, 0)), 0).cast("long")
-    val d = Tables.events(spark, dir)
+    events
       .filter($"value" > 0.0)
       .select((cents % 10L).as("digit"),
         (cents % 100L === 0L).cast("long").as("is_dollar"),
         (cents % 5L === 0L).cast("long").as("is_nickel"))
-    val g = d.groupBy($"digit")
+      .groupBy($"digit")
       .agg(count(lit(1)).as("n"),
         sum($"is_dollar").as("n_dollar"),
         sum($"is_nickel").as("n_nickel"))
+  }
+
+  /** q254's census tail over the converged digit-count frame —
+    * shared verbatim by the batch query and the s69 ledger spec.
+    */
+  def clusteringFromDigitCounts(g: DataFrame): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
     val j = g.withColumn("n_total",
       sum($"n").over(Window.partitionBy()))
     val nD = $"n".cast("double")

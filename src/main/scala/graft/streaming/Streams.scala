@@ -2911,6 +2911,19 @@ object Streams {
         col("cf.ts").as("c_ts"), col("cf.event_id").as("c_eid"),
         col("cf.value").as("c"))
 
+  /** s69 — the price-grid digit-census ledger: the ≤10-row
+    * (digit, n, n_dollar, n_nickel) count frame is a pure three-sum
+    * monoid, so the batch collapse expression runs UNCHANGED as a
+    * streaming groupBy (update mode); counts only grow, so the
+    * converged ledger = the max emission per digit, and batch q254's
+    * census tail ([[graft.queries.Microstructure
+    * .clusteringFromDigitCounts]]) serves directly off it. State is
+    * three longs per digit — ten cells total, the cheapest ledger in
+    * the suite.
+    */
+  def digitCensusStream(events: DataFrame): DataFrame =
+    graft.queries.Microstructure.digitCounts(events)
+
   /** s58 — streaming Pareto front via flatMapGroupsWithState: the
     * incremental twin of batch q210's skyline. State per source is the
     * CURRENT front — (ttr-micro6, n_tokens, n_types, doc_id) tuples,

@@ -648,6 +648,29 @@ class StreamingSpec extends SparkTestBase {
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
   }
 
+  test("streaming digit-census ledger rebuilds batch q254 price clustering (s69)") {
+    val q = Streams.digitCensusStream(slicedEventsStream("digits"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("digit_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // all three counts are monotone sums: converged = max emission
+    val g = spark.table("digit_out")
+      .groupBy($"digit")
+      .agg(max($"n").as("n"), max($"n_dollar").as("n_dollar"),
+        max($"n_nickel").as("n_nickel"))
+      .localCheckpoint()
+    assert(g.count() > 0)
+    val batchCounts = queries.Microstructure.digitCounts(
+      Tables.events(spark, sf))
+    assert(g.exceptAll(batchCounts).isEmpty &&
+      batchCounts.exceptAll(g).isEmpty)
+    val census = queries.Microstructure.clusteringFromDigitCounts(g)
+    val batch254 = SparkEntry.queries("q254_price_clustering")(spark, sf)
+    assert(batch254.count() > 0)
+    assert(census.exceptAll(batch254).isEmpty &&
+      batch254.exceptAll(census).isEmpty)
+  }
+
   test("streaming H/L ledger rebuilds batch q219 Corwin-Schultz (s65)") {
     val q = Streams.dailyHlStream(slicedEventsStream("hl"))
       .writeStream.outputMode("update").format("memory")
