@@ -3210,6 +3210,149 @@ object Quant {
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pacf3
       |FROM l3 WHERE den3 <> 0.0""".stripMargin
 
+  /** q267_cross_dispersion — cross-sectional return dispersion per
+    * day: std and mean absolute deviation of the day's ln returns
+    * across instruments, plus the cross-sectional mean — the
+    * "stock-picker's market" gauge (high dispersion = active
+    * selection can pay; q247/q260 benchmark single instruments
+    * AGAINST the day mean, this sizes the day's spread itself). s67
+    * closes-ledger tail. Scale: after the per-instrument lag window,
+    * ONE day-keyed rollup carries ≤n_days groups (map-side partials;
+    * plan-pinned 3 exchanges, the q245 budget). Determinism: r is
+    * the exact 12dp decimal diff; Σr/Σr² reduce exactly with the
+    * (28,10) re-narrow; |r| sums exactly too (abs of a decimal is
+    * exact); std/MAD run once in IEEE on converged sums, latticed
+    * 6dp. Days with <10 instruments excluded (mirrored HAVING) —
+    * dispersion over two names is noise.
+    */
+  def q267CrossDispersion(spark: SparkSession, dir: String): DataFrame =
+    crossDispersionFromCloses(dailyCloses(spark, dir))
+
+  /** q267's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def crossDispersionFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val m = r.groupBy($"day")
+      .agg(count(lit(1)).as("n_names"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"r" * $"r").cast(DecimalType(28, 10)).as("srr"),
+        sum(abs($"r")).cast(DecimalType(28, 10)).as("sar"))
+      .filter($"n_names" >= 10L)
+    val nD = $"n_names".cast("double")
+    val mean = $"sr".cast("double") / nD
+    val varX = ($"srr".cast("double") - $"sr".cast("double")
+      * $"sr".cast("double") / nD) / (nD - lit(1.0))
+    m.select($"day", $"n_names",
+      decRound(mean * lit(10000.0), 6).as("mean_ret_bp"),
+      decRound(sqrt(greatest(varX, lit(0.0))) * lit(10000.0), 6)
+        .as("dispersion_bp"),
+      decRound(($"sar".cast("double") / nD) * lit(10000.0), 6)
+        .as("mad_bp"))
+  }
+
+  val q267Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |m AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_names,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(r * r), 10) AS DECIMAL(28,10)) AS srr,
+      |    CAST(round(sum(abs(r)), 10) AS DECIMAL(28,10)) AS sar
+      |  FROM r GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT day, n_names,
+      |  CAST(round(CAST(CAST(sr AS DOUBLE) / CAST(n_names AS DOUBLE)
+      |    * 10000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_ret_bp,
+      |  CAST(round(CAST(sqrt(greatest((CAST(srr AS DOUBLE)
+      |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+      |        / CAST(n_names AS DOUBLE))
+      |      / (CAST(n_names AS DOUBLE) - 1.0), 0.0)) * 10000.0
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS dispersion_bp,
+      |  CAST(round(CAST(CAST(sar AS DOUBLE) / CAST(n_names AS DOUBLE)
+      |    * 10000.0 AS DECIMAL(28,12)), 6) AS DOUBLE) AS mad_bp
+      |FROM m""".stripMargin
+
+  /** q268_market_breadth — per-day market breadth: advancer /
+    * decliner / unchanged counts, the advance share, and the
+    * cumulative advance–decline line — the participation read next
+    * to q267's dispersion (a rally on shrinking breadth is carried
+    * by few names; the index level q213 can mask it). s67
+    * closes-ledger tail. Scale: the day rollup reduces to ≤n_days
+    * rows BEFORE the cumulative window, so the single-partition
+    * running sum crosses ten-of-thousands of days at most (the q254
+    * reduced-frame discipline — never a tape-sized single
+    * partition). Determinism: all counts PURE INTEGERS on exact
+    * decimal sign compares; the AD line is an integer running sum
+    * over the unique day order; the advance share is one IEEE
+    * division latticed 6dp.
+    */
+  def q268MarketBreadth(spark: SparkSession, dir: String): DataFrame =
+    breadthFromCloses(dailyCloses(spark, dir))
+
+  /** q268's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def breadthFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val z = lit(0).cast(DecimalType(18, 12))
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val m = r.groupBy($"day")
+      .agg(sum(when($"r" > z, 1L).otherwise(0L)).as("advancers"),
+        sum(when($"r" < z, 1L).otherwise(0L)).as("decliners"),
+        sum(when($"r" === z, 1L).otherwise(0L)).as("unchanged"))
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("ad_line",
+        sum($"advancers" - $"decliners").over(wCum))
+      .select($"day", $"advancers", $"decliners", $"unchanged",
+        decRound($"advancers".cast("double") /
+          ($"advancers" + $"decliners" + $"unchanged").cast("double"), 6)
+          .as("advance_share"),
+        $"ad_line")
+  }
+
+  val q268Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |m AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN r > CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS advancers,
+      |    CAST(sum(CASE WHEN r < CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS decliners,
+      |    CAST(sum(CASE WHEN r = CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS unchanged
+      |  FROM r GROUP BY 1)
+      |SELECT day, advancers, decliners, unchanged,
+      |  CAST(round(CAST(CAST(advancers AS DOUBLE)
+      |    / CAST(advancers + decliners + unchanged AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS advance_share,
+      |  CAST(sum(advancers - decliners) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS ad_line
+      |FROM m""".stripMargin
+
   /** q265_tail_dependence — pairwise lower-tail co-movement over the
     * 50-instrument broadcast universe (the q202/q246 discipline):
     * λ̂_L = 10·P(both in own bottom decile on the same day) — i.e.

@@ -629,6 +629,16 @@ class PlanSpec extends SparkTestBase {
     val p265 = plan("q265_tail_dependence")
     assert(p265.contains("BroadcastHashJoin"), s"q265: broadcast lost\n$p265")
     assert(count(p265, "NestedLoop") == 0, p265)
+    // q267 cross-sectional dispersion: collapse + hash(user) lag +
+    // day rollup (the q245 3-exchange budget); q268 breadth adds one
+    // single-partition exchange for the AD line — but over the
+    // ALREADY-REDUCED ≤n_days frame, never the tape.
+    val p267 = plan("q267_cross_dispersion")
+    assert(count(p267, "Exchange") == 3, s"q267: expected 3 exchanges\n$p267")
+    assert(count(p267, "NestedLoop") == 0, p267)
+    val p268 = plan("q268_market_breadth")
+    assert(count(p268, "Exchange") == 4, s"q268: expected 4 exchanges\n$p268")
+    assert(count(p268, "NestedLoop") == 0, p268)
   }
 
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {

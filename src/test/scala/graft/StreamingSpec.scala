@@ -796,6 +796,14 @@ class StreamingSpec extends SparkTestBase {
     val batch265 = SparkEntry.queries("q265_tail_dependence")(spark, sf)
     assert(batch265.count() > 0)
     assert(td.exceptAll(batch265).isEmpty && batch265.exceptAll(td).isEmpty)
+    val cd = queries.Quant.crossDispersionFromCloses(closes)
+    val batch267 = SparkEntry.queries("q267_cross_dispersion")(spark, sf)
+    assert(batch267.count() > 0)
+    assert(cd.exceptAll(batch267).isEmpty && batch267.exceptAll(cd).isEmpty)
+    val br = queries.Quant.breadthFromCloses(closes)
+    val batch268 = SparkEntry.queries("q268_market_breadth")(spark, sf)
+    assert(batch268.count() > 0)
+    assert(br.exceptAll(batch268).isEmpty && batch268.exceptAll(br).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
