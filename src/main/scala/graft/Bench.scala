@@ -228,7 +228,15 @@ object Bench {
             org.apache.spark.sql.functions.lit(10000)).as("q"))
           .write.format("noop").mode("overwrite").save()
       }
+      // prices the Bloom runtime filter: q273's star join with the
+      // fact-side prefilter stripped (full lineitem through the
+      // merge-join exchange)
+      val bloomOff = time {
+        graft.queries.Extended.bloomPruneJoin(spark, sfDir, useBloom = false)
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
+        "x_bloom_off" -> bloomOff,
         "x_bfs_shuffle" -> bfs, "x_cc_shuffle" -> cc,
         "x_namematch_segment" -> nm,
         "x_fx_window" -> fx, "x_topk_agg" -> topkAgg,

@@ -972,4 +972,71 @@ object Extended {
       |  CAST(round(CAST(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS share
       |FROM r WHERE rk = 1""".stripMargin
+
+  /** q273_bloom_prune — selective star join with an explicit Bloom
+    * runtime filter: revenue and item counts per order priority for
+    * the lineitems of 1996 finalized orders (~5% of the orders
+    * table). The qualifying orders' join keys fold into a 128 KB
+    * Bloom bitmap ([[graft.functions.BloomFilterAgg]] — map-side
+    * partials OR together), the single finished bitmap broadcasts,
+    * and the fact side is pruned by a pure-Column membership test
+    * BEFORE its shuffle — so the sort-merge join's exchange carries
+    * ~5% of lineitem instead of all of it. At 100 TB this is the
+    * difference between shuffling the fact table and shuffling the
+    * query's actual working set; the qualifying-orders side is far
+    * too big to broadcast as a hash-join build there, but its 128 KB
+    * bitmap always fits. The bitmap is a SUPERSET test (false
+    * positives only), so the real join downstream keeps the result
+    * exact — the oracle is the plain join, no Bloom anywhere.
+    * Forced-pair pricing: x_bloom_off runs the identical plan without
+    * the prefilter. Determinism: revenue reduces in INTEGER CENTS
+    * (the q1 money-lattice discipline — exact, order-independent,
+    * equal by construction to the oracle's DECIMAL(18,2)
+    * formulation); counts are pure integers.
+    */
+  def q273BloomPrune(spark: SparkSession, dir: String): DataFrame =
+    bloomPruneJoin(spark, dir, useBloom = true)
+
+  /** Shared body for q273 and its x_bloom_off forced twin. */
+  def bloomPruneJoin(spark: SparkSession, dir: String,
+      useBloom: Boolean): DataFrame = {
+    import spark.implicits._
+    import graft.functions.BloomFilterAgg
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp") &&
+        $"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val pruned =
+      if (!useBloom) li
+      else {
+        val bloom = ord.agg(BloomFilterAgg.build(xxhash64($"o_orderkey")).as("bf"))
+        li.crossJoin(broadcast(bloom))
+          .filter(BloomFilterAgg.mightContain($"bf", xxhash64($"l_orderkey")))
+          .drop("bf")
+      }
+    // hint("merge"): at 100 TB the qualifying-orders side exceeds any
+    // broadcast threshold, so the honest plan to price is the
+    // sort-merge join whose fact-side exchange the Bloom prunes.
+    pruned.join(ord.hint("merge"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round((sum(($"l_extendedprice" * 100 + 0.5).cast("long") *
+              (lit(100L) - ($"l_discount" * 100 + 0.5).cast("long")))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 0)) / 10000), 2)
+          .cast("double").as("revenue"))
+  }
+
+  val q273Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1.0 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND o_orderstatus = 'F'
+      |GROUP BY 1""".stripMargin
 }

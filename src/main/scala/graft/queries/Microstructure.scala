@@ -2879,4 +2879,100 @@ object Microstructure {
       |    / (CAST(n_total AS DOUBLE) / 10.0)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS chi2_term
       |FROM t""".stripMargin
+
+  /** q272_eom — the Arms (1989) Ease of Movement per instrument:
+    * EMV_t = (mid_t − mid_{t−1}) · (H_t − L_t) / V_t where mid is the
+    * daily H/L midpoint — price progress per unit of volume-scaled
+    * effort, positive when price advances on light volume (an "easy"
+    * move), negative when it retreats; the flow-efficiency read next
+    * to q242's MFI (which weights DIRECTION by flow) and q239's
+    * Amihud (which sizes IMPACT per flow). FIFTH two-ledger
+    * composition (s68 OHLC × s60 volumes, the q221/q228/q239/q242
+    * discipline). Scale: both ledgers arrive keyed (user, day); the
+    * join rides the collapse exchanges, and the midpoint lag plus the
+    * instrument rollup share one hash(user) exchange — plan-pinned
+    * ≤ 4 (the q242 budget). Determinism: mid and the day range
+    * lattice to 8dp at price scale (the q242 tp rule); the midpoint
+    * move is an exact decimal diff; EMV is ONE IEEE expression of
+    * exactly-converted operands (dist × range / volume — all three
+    * bit-identical across engines) latticed to 6dp (≤ 2.4e5 at 6dp =
+    * 12 significant digits, inside the engines' double→decimal
+    * agreement zone — the r14 lesson-1/lesson-4 bound), so the
+    * per-instrument mean reduces as an exact decimal sum; zero-range
+    * days are excluded (no 0/0 — mirrored WHERE).
+    */
+  def q272Eom(spark: SparkSession, dir: String): DataFrame =
+    eomFromLedgers(dailyOhlc(spark, dir),
+      graft.queries.Quant.dailyVolume(spark, dir))
+
+  /** q272's tail over the two ledger frames — shared by the batch
+    * query and the s68×s60 composition spec.
+    */
+  def eomFromLedgers(ohlc: DataFrame, vol: DataFrame): DataFrame = {
+    val spark = ohlc.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wSeq = Window.partitionBy($"user_id").orderBy($"day")
+    val f = ohlc.join(vol, Seq("user_id", "day"))
+      .withColumn("mid",
+        decRound(($"h" + $"l") / lit(2.0), 8).cast(DecimalType(18, 8)))
+      .withColumn("rng",
+        decRound($"h" - $"l", 8).cast(DecimalType(18, 8)))
+      .withColumn("midp", lag($"mid", 1).over(wSeq))
+      .filter($"midp".isNotNull && $"rng" > lit(0).cast(DecimalType(18, 8)))
+      .withColumn("dist", ($"mid" - $"midp").cast(DecimalType(18, 8)))
+      .withColumn("emv",
+        decRound($"dist".cast("double") * $"rng".cast("double")
+          / $"v".cast("double"), 6).cast(DecimalType(18, 6)))
+    val m = f.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"emv").cast(DecimalType(28, 6)).as("se"),
+        sum(when($"emv" > lit(0).cast(DecimalType(18, 6)), 1L)
+          .otherwise(0L)).as("n_pos"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    m.select($"user_id", $"n_days",
+      decRound($"se".cast("double") / nD, 6).as("avg_emv"),
+      decRound($"n_pos".cast("double") / nD, 6).as("pos_share"))
+  }
+
+  val q272Sql: String =
+    ohlcSqlPrelude + "\n" +
+    """vol AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |      AS v
+      |  FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 0
+      |  GROUP BY 1, 2),
+      |f0 AS (
+      |  SELECT o.user_id, o.day,
+      |    CAST(round(CAST((o.h + o.l) / 2.0 AS DECIMAL(28,12)), 8)
+      |      AS DECIMAL(18,8)) AS mid,
+      |    CAST(round(CAST(o.h - o.l AS DECIMAL(28,12)), 8)
+      |      AS DECIMAL(18,8)) AS rng, vol.v
+      |  FROM ohlc o JOIN vol ON o.user_id = vol.user_id
+      |    AND o.day = vol.day),
+      |f1 AS (
+      |  SELECT user_id, day, mid, rng, v,
+      |    lag(mid) OVER (PARTITION BY user_id ORDER BY day) AS midp
+      |  FROM f0),
+      |f AS (
+      |  SELECT user_id,
+      |    CAST(CAST(round(CAST(CAST(CAST(mid - midp AS DECIMAL(18,8))
+      |      AS DOUBLE) * CAST(rng AS DOUBLE) / CAST(v AS DOUBLE)
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS DECIMAL(18,6)) AS emv
+      |  FROM f1
+      |  WHERE midp IS NOT NULL AND rng > CAST(0 AS DECIMAL(18,8))),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(emv) AS DECIMAL(28,6)) AS se,
+      |    CAST(sum(CASE WHEN emv > CAST(0 AS DECIMAL(18,6)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_pos
+      |  FROM f GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(CAST(se AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_emv,
+      |  CAST(round(CAST(CAST(n_pos AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pos_share
+      |FROM m""".stripMargin
 }

@@ -3488,4 +3488,348 @@ object Quant {
       |  CAST(round(CAST(CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pos_share
       |FROM m""".stripMargin
+
+  /** q269_jarque_bera — the Jarque–Bera (1980) normality test per
+    * instrument from daily ln returns: sample skewness S, excess
+    * kurtosis K−3, and JB = n/6·(S² + (K−3)²/4) — the "are these
+    * returns even Gaussian" gate a desk runs BEFORE trusting q118's
+    * Sharpe or q134's parametric VaR (both assume the moments it
+    * tests; fat tails inflate JB quadratically). s67 closes-ledger
+    * tail. Scale: one tape collapse, then the lag window AND the
+    * instrument rollup ride one hash(user) exchange (plan-pinned 2,
+    * the q248 shape) — all four moment sums reduce map-side in the
+    * same aggregate. Determinism: r is an exact 12dp decimal diff;
+    * r² is an exact decimal product DEFINITIONALLY re-latticed to
+    * 12dp (r2 = round(r·r, 12), a pure decimal→decimal rounding with
+    * no double anywhere — both engines agree exactly), so the third
+    * and fourth moments Σr·r2 and Σr2·r2 stay inside the 38-digit
+    * cap (a raw (18,12)³ product would trip Spark's silent
+    * scale-dropping precision-loss mode — the r14 lesson-3 hazard);
+    * all four sums reduce exactly with the (28,10) re-narrow; the
+    * central-moment assembly runs once in IEEE on converged sums,
+    * op-order mirrored token-for-token.
+    */
+  def q269JarqueBera(spark: SparkSession, dir: String): DataFrame =
+    jarqueBeraFromCloses(dailyCloses(spark, dir))
+
+  /** q269's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def jarqueBeraFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .withColumn("r2",
+        decRound($"r" * $"r", 12).cast(DecimalType(18, 12)))
+    val m = r.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"r").cast(DecimalType(28, 10)).as("s1"),
+        sum($"r2").cast(DecimalType(28, 10)).as("s2"),
+        sum($"r" * $"r2").cast(DecimalType(28, 10)).as("s3"),
+        sum($"r2" * $"r2").cast(DecimalType(28, 10)).as("s4"))
+      .filter($"n_days" >= 20L)
+    val nD = $"n_days".cast("double")
+    val mean = $"s1".cast("double") / nD
+    val m2 = $"s2".cast("double") / nD - mean * mean
+    val m3 = $"s3".cast("double") / nD -
+      lit(3.0) * mean * ($"s2".cast("double") / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = $"s4".cast("double") / nD -
+      lit(4.0) * mean * ($"s3".cast("double") / nD) +
+      lit(6.0) * mean * mean * ($"s2".cast("double") / nD) -
+      lit(3.0) * mean * mean * mean * mean
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    m.filter(m2 > 0.0)
+      .select($"user_id", $"n_days",
+        decRound(skew, 6).as("skew"),
+        decRound(kurt - lit(3.0), 6).as("kurt_excess"),
+        decRound(nD / lit(6.0) * (skew * skew
+          + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0)), 6)
+          .as("jb_stat"))
+  }
+
+  val q269Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (
+      |  SELECT user_id, r,
+      |    CAST(round(r * r, 12) AS DECIMAL(18,12)) AS r2
+      |  FROM d WHERE r IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS s1,
+      |    CAST(round(sum(r2), 10) AS DECIMAL(28,10)) AS s2,
+      |    CAST(round(sum(r * r2), 10) AS DECIMAL(28,10)) AS s3,
+      |    CAST(round(sum(r2 * r2), 10) AS DECIMAL(28,10)) AS s4
+      |  FROM r GROUP BY 1 HAVING count(*) >= 20),
+      |f AS (
+      |  SELECT user_id, n_days,
+      |    CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE) AS e2,
+      |    CAST(s3 AS DOUBLE) / CAST(n_days AS DOUBLE) AS e3,
+      |    CAST(s4 AS DOUBLE) / CAST(n_days AS DOUBLE) AS e4
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, n_days,
+      |    e2 - mean * mean AS m2,
+      |    e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean AS m3,
+      |    e4 - 4.0 * mean * e3 + 6.0 * mean * mean * e2
+      |      - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM f),
+      |h AS (
+      |  SELECT user_id, n_days,
+      |    m3 / (m2 * sqrt(m2)) AS skew,
+      |    m4 / (m2 * m2) AS kurt
+      |  FROM g WHERE m2 > 0.0)
+      |SELECT user_id, n_days,
+      |  CAST(round(CAST(skew AS DECIMAL(28,12)), 6) AS DOUBLE) AS skew,
+      |  CAST(round(CAST(kurt - 3.0 AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS kurt_excess,
+      |  CAST(round(CAST(CAST(n_days AS DOUBLE) / 6.0 * (skew * skew
+      |    + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS jb_stat
+      |FROM h""".stripMargin
+
+  /** q270_risk_parity — naive-risk-parity (inverse-volatility)
+    * portfolio weights over the instrument universe: per instrument
+    * the annualized return vol from its daily ln returns, then
+    * w_i = (1/σ_i) / Σ_j(1/σ_j) — the equal-risk-contribution
+    * first-order allocation (the naive tier of Maillard–Roncalli
+    * 2010) that a desk rebalances from exactly this frame; reported
+    * next to the vol so the reader sees WHY a name is
+    * under/overweighted. s67 closes-ledger tail. Scale:
+    * per-instrument moments reduce on the one hash(user) exchange;
+    * the cross-sectional normalizer Σ(1/σ) is a single-partition
+    * window over the ALREADY-REDUCED per-instrument frame
+    * (≤|universe| rows — the q268 reduced-frame discipline, never a
+    * tape-sized single partition). Determinism: Σr/Σr² reduce
+    * exactly; σ and 1/σ are IEEE on converged sums; 1/σ is
+    * DEFINITIONALLY latticed to 10dp decimal so the cross-instrument
+    * normalizer reduces as an EXACT decimal sum (order-independent
+    * across engines); the weight is one IEEE division of
+    * exactly-converted operands, latticed 8dp.
+    */
+  def q270RiskParity(spark: SparkSession, dir: String): DataFrame =
+    riskParityFromCloses(dailyCloses(spark, dir))
+
+  /** q270's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def riskParityFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val m = r.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"r" * $"r").cast(DecimalType(28, 10)).as("srr"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    val varD = ($"srr".cast("double") - $"sr".cast("double")
+      * $"sr".cast("double") / nD) / (nD - lit(1.0))
+    val volAnn = sqrt(varD) * sqrt(lit(252.0))
+    val iv = m.filter(varD > 0.0)
+      .select($"user_id", $"n_days",
+        decRound(volAnn * lit(10000.0), 4).as("vol_ann_bp"),
+        decRound(lit(1.0) / volAnn, 10)
+          .cast(DecimalType(18, 10)).as("iv"))
+    val wAll = Window.partitionBy()
+    iv.withColumn("total", sum($"iv").over(wAll))
+      .select($"user_id", $"n_days", $"vol_ann_bp",
+        decRound($"iv".cast("double") / $"total".cast("double"), 8)
+          .as("weight"))
+  }
+
+  val q270Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, r FROM d WHERE r IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(r * r), 10) AS DECIMAL(28,10)) AS srr
+      |  FROM r GROUP BY 1 HAVING count(*) >= 10),
+      |v AS (
+      |  SELECT user_id, n_days,
+      |    sqrt((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+      |      * CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |      / (CAST(n_days AS DOUBLE) - 1.0)) * sqrt(252.0) AS vol_ann
+      |  FROM m
+      |  WHERE (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+      |      * CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |      / (CAST(n_days AS DOUBLE) - 1.0) > 0.0),
+      |iv AS (
+      |  SELECT user_id, n_days,
+      |    CAST(round(CAST(vol_ann * 10000.0 AS DECIMAL(28,12)), 4)
+      |      AS DOUBLE) AS vol_ann_bp,
+      |    CAST(round(CAST(1.0 / vol_ann AS DECIMAL(28,12)), 10)
+      |      AS DECIMAL(18,10)) AS iv
+      |  FROM v)
+      |SELECT user_id, n_days, vol_ann_bp,
+      |  CAST(round(CAST(CAST(iv AS DOUBLE)
+      |    / CAST(sum(iv) OVER () AS DOUBLE) AS DECIMAL(28,12)), 8)
+      |    AS DOUBLE) AS weight
+      |FROM iv""".stripMargin
+
+  /** q271_mann_kendall — the Mann–Kendall trend test with Sen's slope
+    * per instrument over its latticed log-close series: S = Σ_{i<j}
+    * sign(x_j − x_i), the tie-corrected variance Var(S) = (n(n−1)(2n+5)
+    * − Σ_k t_k(t_k−1)(2t_k+5))/18, the continuity-corrected Z, and
+    * Sen's slope = the lower median of all C(n,2) pairwise slopes
+    * (x_j − x_i)/(j − i) — the non-parametric "is this drifting"
+    * read that q201's AR(1) and q193's Hurst both miss when the
+    * marginal is fat-tailed (q269 tells you it is). s67 closes-ledger
+    * tail. Scale: the pair stage is quadratic in an instrument's OWN
+    * trading days — calendar-bounded (≤C(366,2) per instrument-year)
+    * and capped by the broadcast top-50 universe (the q202/q246/q265
+    * discipline), NEVER tape-squared; the day-index window, the
+    * tie-peer window (RANGE CURRENT ROW = peers, riding the same
+    * hash(user) sort), the pair self-join, the slope-rank window, and
+    * both rollups all live on hash(user) exchanges. Determinism:
+    * sign compares exact 12dp decimals; S, n, and the tie sum are
+    * PURE INTEGERS; Var(S) and Z are IEEE on integers (exactly
+    * convertible); each pairwise slope is ONE IEEE division of an
+    * exact decimal diff by an integer gap — bit-identical across
+    * engines — and the median PICK orders by (slope, i, j), a total
+    * order, so the selected element is engine-identical before its
+    * 8dp lattice.
+    */
+  def q271MannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallFromCloses(dailyCloses(spark, dir))
+
+  /** q271's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def mannKendallFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    val universe = closes.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"))
+      .orderBy($"n_days".desc, $"user_id".asc)
+      .limit(50)
+      .select($"user_id")
+    val wIdx = Window.partitionBy($"user_id").orderBy($"day")
+    val wPeer = Window.partitionBy($"user_id").orderBy($"x")
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val f = closes.join(broadcast(universe), "user_id")
+      .withColumn("i", row_number().over(wIdx))
+      .withColumn("t", count(lit(1)).over(wPeer))
+    val stats = f.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(($"t" - lit(1L)) * (lit(2L) * $"t" + lit(5L))).as("tie_sum"))
+      .filter($"n_days" >= 20L)
+    val pairs = f.as("a").join(f.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.i") < col("b.i"))
+      .select(col("a.user_id").as("user_id"),
+        col("a.i").as("ia"), col("b.i").as("ib"),
+        when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L).otherwise(0L).as("sgn"),
+        ((col("b.x") - col("a.x")).cast("double")
+          / (col("b.i") - col("a.i")).cast("double")).as("slope"))
+    // ONE pass over the pair space serves both the S statistic and the
+    // Sen median pick (rank + peer-count windows and the rollup all
+    // ride the pair join's hash(user) partitioning) — a separate
+    // median branch would recompute the whole spine: column pruning
+    // differentiates the subtrees and defeats exchange reuse, the
+    // q254 lesson.
+    val wSlope = Window.partitionBy($"user_id")
+      .orderBy($"slope".asc, $"ia".asc, $"ib".asc)
+    val s = pairs
+      .withColumn("rn", row_number().over(wSlope))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .groupBy($"user_id")
+      .agg(sum($"sgn").as("s_stat"),
+        max(when($"rn" ===
+            floor(($"m" + lit(1L)).cast("double") / lit(2.0)).cast("long"),
+          $"slope")).as("sen"))
+    val j = stats.join(s, "user_id")
+    val nD = $"n_days".cast("double")
+    val varS = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0))
+      - $"tie_sum".cast("double")) / lit(18.0)
+    val z = when($"s_stat" > 0L,
+        ($"s_stat".cast("double") - lit(1.0)) / sqrt(varS))
+      .when($"s_stat" < 0L,
+        ($"s_stat".cast("double") + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    j.filter(varS > 0.0)
+      .select($"user_id", $"n_days", $"s_stat",
+        decRound(z, 6).as("z_stat"),
+        decRound($"sen", 8).as("sen_slope"),
+        when(z > lit(1.96), lit("up"))
+          .when(z < lit(-1.96), lit("down"))
+          .otherwise(lit("flat")).as("trend"))
+  }
+
+  val q271Sql: String =
+    closesSqlPrelude + "\n" +
+    """u AS (
+      |  SELECT user_id FROM c GROUP BY 1
+      |  ORDER BY count(*) DESC, user_id ASC LIMIT 50),
+      |f AS (
+      |  SELECT c.user_id, c.x,
+      |    row_number() OVER (PARTITION BY c.user_id ORDER BY c.day)
+      |      AS i,
+      |    count(*) OVER (PARTITION BY c.user_id ORDER BY c.x
+      |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS t
+      |  FROM c JOIN u ON c.user_id = u.user_id),
+      |st AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum((t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+      |  FROM f GROUP BY 1 HAVING count(*) >= 20),
+      |pr AS (
+      |  SELECT a.user_id, a.i AS ia, b.i AS ib,
+      |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+      |      ELSE 0 END AS sgn,
+      |    CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)
+      |      AS slope
+      |  FROM f a JOIN f b ON a.user_id = b.user_id AND a.i < b.i),
+      |sen0 AS (
+      |  SELECT user_id, sgn, slope,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY slope ASC, ia ASC, ib ASC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS m
+      |  FROM pr),
+      |s AS (
+      |  SELECT user_id, CAST(sum(sgn) AS BIGINT) AS s_stat,
+      |    max(CASE WHEN rn = CAST(floor((m + 1) / 2.0) AS BIGINT)
+      |      THEN slope END) AS sen
+      |  FROM sen0 GROUP BY 1),
+      |j AS (
+      |  SELECT st.user_id, st.n_days, s.s_stat, s.sen,
+      |    (CAST(st.n_days AS DOUBLE) * (CAST(st.n_days AS DOUBLE) - 1.0)
+      |      * (2.0 * CAST(st.n_days AS DOUBLE) + 5.0)
+      |      - CAST(st.tie_sum AS DOUBLE)) / 18.0 AS var_s
+      |  FROM st JOIN s ON st.user_id = s.user_id),
+      |k AS (
+      |  SELECT user_id, n_days, s_stat, sen,
+      |    CASE WHEN s_stat > 0
+      |        THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+      |      WHEN s_stat < 0
+      |        THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+      |      ELSE 0.0 END AS z
+      |  FROM j WHERE var_s > 0.0)
+      |SELECT user_id, n_days, s_stat,
+      |  CAST(round(CAST(z AS DECIMAL(28,12)), 6) AS DOUBLE) AS z_stat,
+      |  CAST(round(CAST(sen AS DECIMAL(28,12)), 8) AS DOUBLE)
+      |    AS sen_slope,
+      |  CASE WHEN z > 1.96 THEN 'up' WHEN z < -1.96 THEN 'down'
+      |    ELSE 'flat' END AS trend
+      |FROM k""".stripMargin
 }

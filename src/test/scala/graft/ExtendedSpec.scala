@@ -259,4 +259,27 @@ class ExtendedSpec extends SparkTestBase {
       assert(n == exact(k) && ok, s"$k: exact=$n flag=$ok")
     }
   }
+
+  test("bloom filter: no false negatives, and the pruned join equals the plain join exactly") {
+    import graft.functions.BloomFilterAgg
+    // no false negatives: every inserted key passes the column-native
+    // membership test (the property the prefilter's exactness rests on)
+    val keys = (1L to 5000L).toDF("k")
+    val bloom = keys.agg(BloomFilterAgg.build(xxhash64($"k")).as("bf"))
+    val misses = keys.crossJoin(broadcast(bloom))
+      .filter(!BloomFilterAgg.mightContain($"bf", xxhash64($"k")))
+      .count()
+    assert(misses == 0, s"$misses inserted keys failed the membership test")
+    // false-positive rate stays sane at this fill (5k keys in 2^20 bits)
+    val absent = (1000001L to 1010000L).toDF("k")
+    val fp = absent.crossJoin(broadcast(bloom))
+      .filter(BloomFilterAgg.mightContain($"bf", xxhash64($"k")))
+      .count()
+    assert(fp < 100, s"false-positive rate implausibly high: $fp/10000")
+    // the production query: bloom-pruned plan ≡ the same join unpruned
+    val on = Extended.bloomPruneJoin(spark, sf, useBloom = true)
+    val off = Extended.bloomPruneJoin(spark, sf, useBloom = false)
+    assert(on.exceptAll(off).isEmpty && off.exceptAll(on).isEmpty)
+    assert(on.count() > 0)
+  }
 }

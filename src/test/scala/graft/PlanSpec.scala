@@ -641,6 +641,44 @@ class PlanSpec extends SparkTestBase {
     assert(count(p268, "NestedLoop") == 0, p268)
   }
 
+  test("r14j family pins: q269/q270 ride the closes exchanges, q271 pair space broadcast-bounded, q272 two-ledger budget, q273 bloom prunes before the merge join") {
+    // q269 Jarque–Bera: all four moment sums reduce in ONE aggregate on
+    // the hash(user) lag exchange (the q248 2-exchange shape).
+    val p269 = plan("q269_jarque_bera")
+    assert(count(p269, "Exchange") == 2, s"q269: expected 2 exchanges\n$p269")
+    assert(count(p269, "NestedLoop") == 0, p269)
+    // q270 risk parity: collapse + hash(user) moments + ONE
+    // single-partition exchange for the Σ(1/σ) normalizer — over the
+    // already-reduced ≤|universe| frame, never the tape (q268 rule).
+    val p270 = plan("q270_risk_parity")
+    assert(count(p270, "Exchange") == 3, s"q270: expected 3 exchanges\n$p270")
+    assert(count(p270, "SinglePartition") == 1, s"q270: normalizer must be one single-partition window\n$p270")
+    // q271 Mann–Kendall: the quadratic stage is bounded by the 50-row
+    // BROADCAST universe and the pair join itself broadcasts the
+    // smaller side (≤|universe|·n_days rows) — never a shuffled
+    // tape-squared join; the Sen median rides the pair rollup (one
+    // pass over the pair space, q254 exchange-reuse lesson).
+    val p271 = plan("q271_mann_kendall")
+    assert(p271.contains("BroadcastHashJoin"), s"q271: broadcast lost\n$p271")
+    assert(count(p271, "NestedLoop") == 0, p271)
+    assert(count(p271, "Exchange") <= 17, s"q271: spine recompute grew\n$p271")
+    // q272 EOM: the two-ledger join + midpoint lag + rollup fit the
+    // q242 four-exchange budget.
+    val p272 = plan("q272_eom")
+    assert(count(p272, "Exchange") <= 4, s"q272: expected <=4 exchanges\n$p272")
+    assert(count(p272, "NestedLoop") == 0, p272)
+    // q273 Bloom prune: the fact side passes the column-native bitmap
+    // test (getbit — codegen, no UDF) BEFORE the sort-merge join's
+    // exchange; the bitmap itself arrives as a broadcast scalar row
+    // (the one legitimate NestedLoop), and the dimension side stays a
+    // merge join — the honest 100-TB shape where neither join side
+    // fits a broadcast but the 128 KB bitmap always does.
+    val p273 = plan("q273_bloom_prune")
+    assert(count(p273, "SortMergeJoin") == 1, s"q273: merge join lost\n$p273")
+    assert(count(p273, "BroadcastNestedLoopJoin") == 1, s"q273: bitmap must be one broadcast scalar\n$p273")
+    assert(p273.contains("getbit"), s"q273: bloom membership test lost\n$p273")
+  }
+
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
     // q233: the only quadratic stage is the capped-slice distance
     // join — it must BROADCAST the 1000-row side (a shuffled

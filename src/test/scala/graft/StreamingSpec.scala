@@ -804,6 +804,20 @@ class StreamingSpec extends SparkTestBase {
     val batch268 = SparkEntry.queries("q268_market_breadth")(spark, sf)
     assert(batch268.count() > 0)
     assert(br.exceptAll(batch268).isEmpty && batch268.exceptAll(br).isEmpty)
+    // ...and the r14j trio makes twenty tails of the same converged
+    // ledger: Jarque–Bera, risk-parity weights, Mann–Kendall
+    val jb = queries.Quant.jarqueBeraFromCloses(closes)
+    val batch269 = SparkEntry.queries("q269_jarque_bera")(spark, sf)
+    assert(batch269.count() > 0)
+    assert(jb.exceptAll(batch269).isEmpty && batch269.exceptAll(jb).isEmpty)
+    val rp = queries.Quant.riskParityFromCloses(closes)
+    val batch270 = SparkEntry.queries("q270_risk_parity")(spark, sf)
+    assert(batch270.count() > 0)
+    assert(rp.exceptAll(batch270).isEmpty && batch270.exceptAll(rp).isEmpty)
+    val mk = queries.Quant.mannKendallFromCloses(closes)
+    val batch271 = SparkEntry.queries("q271_mann_kendall")(spark, sf)
+    assert(batch271.count() > 0)
+    assert(mk.exceptAll(batch271).isEmpty && batch271.exceptAll(mk).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
@@ -895,6 +909,13 @@ class StreamingSpec extends SparkTestBase {
     assert(batch242.count() > 0)
     assert(mfi.exceptAll(batch242).isEmpty &&
       batch242.exceptAll(mfi).isEmpty)
+    // ...and Ease of Movement (the fifth two-ledger composition) —
+    // shared production tail on the same converged pair
+    val eom = queries.Microstructure.eomFromLedgers(ohlc, vol)
+    val batch272 = SparkEntry.queries("q272_eom")(spark, sf)
+    assert(batch272.count() > 0)
+    assert(eom.exceptAll(batch272).isEmpty &&
+      batch272.exceptAll(eom).isEmpty)
   }
 
   test("OBV composes TWO ledgers: s67 closes x s60 volumes rebuild batch q221") {
