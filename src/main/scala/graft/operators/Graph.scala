@@ -275,6 +275,65 @@ object Graph {
           nullif($"n_wedges", lit(0L)).cast("double"), 6).as("global_cc"))
   }
 
+  /** Per-edge neighborhood Jaccard similarity — the link-prediction /
+    * "are these two products substitutes" read on the co-purchase
+    * graph: for each edge (u,v) in a deterministic 1-in-`modulus`
+    * systematic sample, |N(u)∩N(v)| over |N(u)∪N(v)| excluding the
+    * endpoints, reported for the top-k most similar sampled pairs.
+    *
+    * Scale — the sample IS the design, not a shortcut: scoring EVERY
+    * edge means crediting every triangle to its three edges, and the
+    * co-purchase graph is dense (411M oriented wedges at a mere ×10
+    * of the dev tape — measured; the all-edges formulation spilled a
+    * DuckDB oracle past 79 GB of temp). The sampled formulation
+    * instead intersects the two endpoints' adjacency lists directly —
+    * sample ⋈ adjacency on u, then one hash join on (v, neighbor) —
+    * so cost is sample_size × avg_degree, TUNABLE via `modulus`
+    * independent of the global triangle count, and every stage is a
+    * plain shuffled equi-join (no wedge fan-out at all).
+    * Determinism: the sample rule (u+v) mod `modulus` = 0 is pure
+    * integer arithmetic (portable to any engine, no hash parity
+    * needed); counts/degrees are pure integers; the denominator
+    * deg(u)+deg(v)−2−common ≥ common ≥ 1 by construction (each common
+    * neighbor counts in both degrees, and pairs with zero common
+    * neighbors are absent from the inner join); the single IEEE
+    * division lattices at 6dp and the top-k picks on the total
+    * (jaccard, u, v) order.
+    */
+  def edgeJaccard(edges: DataFrame, modulus: Int = 100,
+      topK: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // the adjacency is consumed FOUR times (degrees, the sample, both
+    // intersection sides); the pinned hash(src) repartition makes them
+    // ReusedExchange consumers of ONE materialization — every consumer
+    // projects the same (src, dst), so column pruning cannot
+    // differentiate the subtrees (the q175/q254 discipline)
+    val e = edges.select($"src", $"dst").repartition(
+      spark.sessionState.conf.numShufflePartitions, $"src")
+    // count(dst), not count(1): dst is never null so the value is the
+    // same, but the reference keeps column pruning from narrowing THIS
+    // consumer's subtree below the repartition — which would fork it
+    // off the shared materialization
+    val deg = e.groupBy($"src".as("node")).agg(count($"dst").as("deg"))
+    val sampled = e.filter($"src" < $"dst" &&
+        pmod($"src" + $"dst", lit(modulus.toLong)) === 0L)
+      .select($"src".as("u"), $"dst".as("v"))
+    val nu = sampled.join(e.select($"src".as("u"), $"dst".as("n")), "u")
+    val common = nu
+      .join(e.select($"src".as("v"), $"dst".as("n")), Seq("v", "n"))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("common"))
+    val j = common
+      .join(deg.select($"node".as("u"), $"deg".as("deg_u")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("deg_v")), "v")
+    j.select($"u", $"v", $"deg_u", $"deg_v", $"common",
+        graft.functions.Num.decRound($"common".cast("double") /
+          ($"deg_u" + $"deg_v" - lit(2L) - $"common").cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(desc("jaccard"), $"u".asc, $"v".asc)
+      .limit(topK)
+  }
+
   /** Connected components by hash-min label propagation over a
     * SYMMETRIC edge list: every vertex starts labeled with its own
     * id; each round replaces the label with the min over itself and

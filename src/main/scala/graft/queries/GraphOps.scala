@@ -460,4 +460,50 @@ object GraphOps {
        |  CAST(round(CAST(1.0 + CAST(n_tail AS DOUBLE) / CAST(s AS DOUBLE)
        |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS alpha_hill
        |FROM m""".stripMargin
+
+  /** q274_edge_jaccard — neighborhood Jaccard similarity over a
+    * deterministic 1-in-100 systematic edge sample (the top-20 most
+    * similar co-purchase pairs): common neighbors via direct
+    * adjacency-list intersection (sample ⋈ adjacency on u, one hash
+    * join on (v, neighbor)), union = deg(u)+deg(v)−2−common — the
+    * link-prediction / substitute-detection read next to q175's
+    * global closure and q204's assortativity. The SAMPLE is the
+    * 100-TB design: an all-edges score credits every triangle to its
+    * three edges, and this graph is dense enough (411M wedges at ×10
+    * dev scale, measured) that the credit stream dwarfs the graph —
+    * the sampled intersection costs sample_size × avg_degree,
+    * tunable and triangle-count-independent. Determinism: the sample
+    * rule (u+v) mod 100 = 0 is pure integer arithmetic; counts and
+    * degrees pure integers; denominator ≥ common ≥ 1 by
+    * construction; one IEEE division latticed 6dp; top-20 on the
+    * total (jaccard, u, v) order.
+    */
+  def q274EdgeJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.edgeJaccard(edges(spark, dir),
+      modulus = 100, topK = 20)
+
+  val q274Sql: String =
+    s"""WITH $edgesSql,
+       |dgj AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |sampled AS (
+       |  SELECT src AS u, dst AS v FROM edges
+       |  WHERE src < dst AND (src + dst) % 100 = 0),
+       |nu AS (
+       |  SELECT s.u, s.v, e.dst AS n
+       |  FROM sampled s JOIN edges e ON e.src = s.u),
+       |cm AS (
+       |  SELECT nu.u, nu.v, CAST(count(*) AS BIGINT) AS common
+       |  FROM nu JOIN edges e2 ON e2.src = nu.v AND e2.dst = nu.n
+       |  GROUP BY 1, 2),
+       |f AS (
+       |  SELECT cm.u, cm.v, CAST(du.deg AS BIGINT) AS deg_u,
+       |    CAST(dv.deg AS BIGINT) AS deg_v, cm.common
+       |  FROM cm JOIN dgj du ON du.node = cm.u
+       |    JOIN dgj dv ON dv.node = cm.v)
+       |SELECT u, v, deg_u, deg_v, common,
+       |  CAST(round(CAST(CAST(common AS DOUBLE)
+       |    / CAST(deg_u + deg_v - 2 - common AS DOUBLE)
+       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
+       |FROM f ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin
+
 }

@@ -3832,4 +3832,128 @@ object Quant {
       |  CASE WHEN z > 1.96 THEN 'up' WHEN z < -1.96 THEN 'down'
       |    ELSE 'flat' END AS trend
       |FROM k""".stripMargin
+
+  /** q276_newey_west — HAC-robust mean-return inference per
+    * instrument (Newey–West 1987, Bartlett kernel, L = 5): the naive
+    * t-stat divides by √(γ₀/n) and OVERSTATES significance whenever
+    * returns autocorrelate (q262 tests exactly that); the NW long-run
+    * variance S = γ₀ + 2·Σₖ(1−k/6)·γₖ corrects it, and the Bartlett
+    * weights keep S ≥ 0 by construction. Reports the mean in bp, the
+    * HAC t-stat, and the variance inflation S/γ₀ (>1 = positive
+    * autocorrelation was hiding in the naive test). s67 closes-ledger
+    * tail on q262's one-sort machinery: the demeaning window, all
+    * five lag columns, and the rollup share one hash(user) exchange
+    * (plan-pinned 2). Determinism: the q262 lattice discipline
+    * verbatim — mean latticed 12dp, demeaned e exact, co-moment sums
+    * exact (38,24); Σr reduces exactly beside them; the NW assembly
+    * runs once in IEEE on converged sums, op-order mirrored
+    * token-for-token; the S > 0 guard compares identical doubles.
+    */
+  def q276NeweyWest(spark: SparkSession, dir: String): DataFrame =
+    neweyWestFromCloses(dailyCloses(spark, dir))
+
+  /** q276's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def neweyWestFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val wAll = Window.partitionBy($"user_id")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val e = r
+      .withColumn("mean12",
+        decRound(sum($"r").over(wAll).cast("double") /
+          count(lit(1)).over(wAll).cast("double"), 12)
+          .cast(DecimalType(18, 12)))
+      .withColumn("e", ($"r" - $"mean12").cast(DecimalType(18, 12)))
+    val lagged = (1 to 5).foldLeft(e) { (df, k) =>
+      df.withColumn(s"e$k", lag($"e", k).over(w))
+    }
+    val m = lagged.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"e" * $"e").cast(DecimalType(38, 24)).as("s0"),
+        sum($"e" * $"e1").cast(DecimalType(38, 24)).as("s1"),
+        sum($"e" * $"e2").cast(DecimalType(38, 24)).as("s2"),
+        sum($"e" * $"e3").cast(DecimalType(38, 24)).as("s3"),
+        sum($"e" * $"e4").cast(DecimalType(38, 24)).as("s4"),
+        sum($"e" * $"e5").cast(DecimalType(38, 24)).as("s5"))
+      .filter($"n" >= 20L && $"s0" > lit(0).cast(DecimalType(38, 24)))
+    val nD = $"n".cast("double")
+    val mean = $"sr".cast("double") / nD
+    def g(k: Int) = col(s"s$k").cast("double") / nD
+    val bigS = g(0) + lit(2.0) * ((1 to 5)
+      .map(k => (lit(1.0) - lit(k.toDouble) / lit(6.0)) * g(k))
+      .reduce(_ + _))
+    val tNw = mean / sqrt(bigS / nD)
+    m.filter(bigS > 0.0)
+      .select($"user_id", $"n".as("n_days"),
+        decRound(mean * lit(10000.0), 6).as("mean_ret_bp"),
+        decRound(tNw, 6).as("t_nw"),
+        decRound(bigS / g(0), 6).as("var_inflation"))
+  }
+
+  val q276Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |e0 AS (
+      |  SELECT user_id, day, r,
+      |    CAST(CAST(round(CAST(
+      |      CAST(sum(r) OVER (PARTITION BY user_id) AS DOUBLE)
+      |      / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12))
+      |      AS mean12
+      |  FROM r),
+      |e AS (
+      |  SELECT user_id, day, r,
+      |    CAST(r - mean12 AS DECIMAL(18,12)) AS e
+      |  FROM e0),
+      |l AS (
+      |  SELECT user_id, r, e,
+      |    lag(e, 1) OVER (PARTITION BY user_id ORDER BY day) AS e1,
+      |    lag(e, 2) OVER (PARTITION BY user_id ORDER BY day) AS e2,
+      |    lag(e, 3) OVER (PARTITION BY user_id ORDER BY day) AS e3,
+      |    lag(e, 4) OVER (PARTITION BY user_id ORDER BY day) AS e4,
+      |    lag(e, 5) OVER (PARTITION BY user_id ORDER BY day) AS e5
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(sum(e * e) AS DECIMAL(38,24)) AS s0,
+      |    CAST(sum(e * e1) AS DECIMAL(38,24)) AS s1,
+      |    CAST(sum(e * e2) AS DECIMAL(38,24)) AS s2,
+      |    CAST(sum(e * e3) AS DECIMAL(38,24)) AS s3,
+      |    CAST(sum(e * e4) AS DECIMAL(38,24)) AS s4,
+      |    CAST(sum(e * e5) AS DECIMAL(38,24)) AS s5
+      |  FROM l GROUP BY 1
+      |  HAVING count(*) >= 20 AND sum(e * e) > 0),
+      |f AS (
+      |  SELECT user_id, n,
+      |    CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS g0,
+      |    CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 2.0 * ((1.0 - 1.0 / 6.0) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        + (1.0 - 2.0 / 6.0) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        + (1.0 - 3.0 / 6.0) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        + (1.0 - 4.0 / 6.0) * (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        + (1.0 - 5.0 / 6.0) * (CAST(s5 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      AS s
+      |  FROM m)
+      |SELECT user_id, n AS n_days,
+      |  CAST(round(CAST(mean * 10000.0 AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS mean_ret_bp,
+      |  CAST(round(CAST(mean / sqrt(s / CAST(n AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS t_nw,
+      |  CAST(round(CAST(s / g0 AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS var_inflation
+      |FROM f WHERE s > 0.0""".stripMargin
 }

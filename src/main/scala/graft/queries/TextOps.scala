@@ -1315,4 +1315,134 @@ object TextOps {
       |    / CAST(n_types AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
       |    AS mean_type_freq
       |FROM m""".stripMargin
+
+  /** q275_perplexity_filter — the CCNet/Wenzek-style perplexity-filter
+    * census: score every document by its mean unigram log-probability
+    * under the corpus's own LM (the cheap proxy for a KenLM
+    * perplexity), cut the corpus into ten VALUE-BASED deciles, and
+    * report per (source, decile) what a filter keeping the best k
+    * deciles would retain — doc counts, share of the source, mean
+    * score, and total chars. The curation read that q100 (per-doc
+    * score) and q238 (rule census) both stop short of: WHERE the
+    * threshold would actually cut, per source. Scale — the decile
+    * machinery is the new pattern: a global exact quantile normally
+    * needs a tape-wide sort, so the score LATTICES to 6dp and the
+    * thresholds come from a TWO-PASS HISTOGRAM — groupBy(score) to a
+    * ≤|lattice-cardinality| frame, ONE single-partition cumulative
+    * window over that reduced frame (the q254/q268 discipline, never
+    * the corpus), ceil-rank picks via pure integer arithmetic, and a
+    * 9-row broadcast back onto the docs (decile = 10 − #thresholds ≥
+    * score — order-independent). Determinism: token logprobs lattice
+    * 12dp so per-doc sums reduce exactly; the per-doc mean is one
+    * IEEE division latticed 6dp (|m| ≤ ~15 → 8 significant digits,
+    * deep inside the agreement zone); threshold ranks are exact
+    * integer ceil divisions ((d·N+9) div 10); group means reduce as
+    * exact decimal sums of the latticed scores.
+    *
+    * Ref: Wenzek et al. (2020) CCNet, §4.2 perplexity bucketing.
+    */
+  def q275PerplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars", Text.tokens($"text").as("toks"))
+    val toks = docs.select($"doc_id", explode($"toks").as("token"))
+    val freq = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum($"cnt").as("total"))
+    val lp = freq.crossJoin(broadcast(total))
+      .select($"token",
+        decRound(log($"cnt".cast("double") / $"total".cast("double")), 12)
+          .cast(DecimalType(18, 12)).as("lp"))
+    val perdoc = toks.join(broadcast(lp), "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"lp").cast(DecimalType(28, 10)).as("slp"))
+      .join(docs.select($"doc_id", $"source", $"n_chars"), "doc_id")
+      .select($"doc_id", $"source", $"n_chars",
+        decRound($"slp".cast("double") / $"n_tokens".cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("m"))
+    // two-pass histogram quantiles: the cumulative window runs over
+    // the REDUCED distinct-score frame, never the corpus
+    val hist = perdoc.groupBy($"m").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy($"m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy()))
+    val ds = spark.range(1, 10).select($"id".as("d"))
+    val th = cum.crossJoin(broadcast(ds))
+      .filter($"cum" >= expr("(d * n + 9) div 10"))
+      .groupBy($"d").agg(min($"m").as("t"))
+    val assigned = perdoc.crossJoin(broadcast(th))
+      .groupBy($"doc_id", $"source", $"n_chars", $"m")
+      .agg((lit(10L) - sum(when($"m" <= $"t", 1L).otherwise(0L)))
+        .as("decile"))
+    val g = assigned.groupBy($"source", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"m").cast(DecimalType(28, 6)).as("sm"),
+        sum($"n_chars").as("total_chars"))
+    val wSrc = Window.partitionBy($"source")
+    g.withColumn("src_docs", sum($"n_docs").over(wSrc))
+      .select($"source", $"decile", $"n_docs",
+        decRound($"n_docs".cast("double") / $"src_docs".cast("double"), 6)
+          .as("share_of_source"),
+        decRound($"sm".cast("double") / $"n_docs".cast("double"), 6)
+          .as("mean_logprob"),
+        $"total_chars")
+  }
+
+  val q275Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |freq AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+      |lp AS (
+      |  SELECT token,
+      |    CAST(round(CAST(ln(CAST(cnt AS DOUBLE) / total)
+      |      AS DECIMAL(28,12)), 12) AS DECIMAL(18,12)) AS lp
+      |  FROM freq, tot),
+      |pd0 AS (
+      |  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(round(sum(lp.lp), 10) AS DECIMAL(28,10)) AS slp
+      |  FROM tk JOIN lp ON tk.token = lp.token
+      |  GROUP BY tk.doc_id),
+      |pd AS (
+      |  SELECT d.doc_id, d.source, d.n_chars,
+      |    CAST(CAST(round(CAST(CAST(slp AS DOUBLE)
+      |      / CAST(n_tokens AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |      AS DECIMAL(18,6)) AS m
+      |  FROM pd0 JOIN documents d ON pd0.doc_id = d.doc_id),
+      |hist AS (SELECT m, count(*) AS c FROM pd GROUP BY m),
+      |cum AS (
+      |  SELECT m,
+      |    sum(c) OVER (ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER () AS n
+      |  FROM hist),
+      |ds AS (SELECT unnest(range(1, 10)) AS d),
+      |th AS (
+      |  SELECT d, min(m) AS t
+      |  FROM cum CROSS JOIN ds
+      |  WHERE cum >= (d * n + 9) // 10
+      |  GROUP BY d),
+      |asn AS (
+      |  SELECT pd.doc_id, pd.source, pd.n_chars, pd.m,
+      |    10 - sum(CASE WHEN pd.m <= th.t THEN 1 ELSE 0 END) AS decile
+      |  FROM pd CROSS JOIN th
+      |  GROUP BY 1, 2, 3, 4),
+      |g AS (
+      |  SELECT source, CAST(decile AS BIGINT) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(m) AS DECIMAL(28,6)) AS sm,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |  FROM asn GROUP BY 1, 2)
+      |SELECT source, decile, n_docs,
+      |  CAST(round(CAST(CAST(n_docs AS DOUBLE)
+      |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS share_of_source,
+      |  CAST(round(CAST(CAST(sm AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_logprob,
+      |  total_chars
+      |FROM g""".stripMargin
 }

@@ -1932,4 +1932,151 @@ object TrainingData {
       |  CAST(round(CAST(CAST(n_used AS DOUBLE) / CAST(s AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS id_hat
       |FROM m""".stripMargin
+
+  /** q277_cluster_purity — external clustering-quality audit of the
+    * q171 centroid assignment against the true labels: the
+    * (cluster, label) contingency table reduced to purity
+    * (Σ_c max_l n_cl / N) and normalized mutual information
+    * NMI = 2·I(C;L)/(H(C)+H(L)) — the "did the embedding space
+    * actually separate the classes" one-row read that q171's inertia
+    * (geometry only) and q237's silhouette (internal only) both stop
+    * short of. Scale: assignment is q171's machinery verbatim
+    * (label-centroid broadcast, row-local distance fold); everything
+    * after reduces on the ≤|labels|² CONTINGENCY frame — windows and
+    * totals over that reduced frame, never the vector table (the
+    * q254/q268 discipline). Determinism: all contingency counts are
+    * PURE INTEGERS, so every log term is an IEEE expression of
+    * exactly-converted integers — identical across engines — and
+    * each cell's I/H term is DEFINITIONALLY latticed to 12dp decimal
+    * before the cross-cell sum (decimal addition is associative, the
+    * q178 lesson), so the final ratios divide exactly-converged
+    * operands; degenerate entropies (one cluster or one label) are
+    * excluded by the mirrored H > 0 guard.
+    */
+  def q277ClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val cents = e
+      .select($"label", posexplode($"v"))
+      .groupBy($"label", $"pos")
+      .agg(avg($"col").as("m"))
+      .groupBy($"label".as("c_label"))
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        x => x.getField("m")).as("centroid"))
+      .agg(collect_list(struct($"c_label", $"centroid")).as("cs"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(transform($"cs", c =>
+        struct(
+          aggregate(zip_with($"v", c.getField("centroid"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("d2"),
+          c.getField("c_label").as("cl")))))
+      .select($"label", $"best.cl".as("cluster"))
+    val ct = assigned.groupBy($"cluster", $"label")
+      .agg(count(lit(1)).as("n_cl"))
+    val wAll = Window.partitionBy()
+    val wC = Window.partitionBy($"cluster")
+    val wL = Window.partitionBy($"label")
+    val t = ct
+      .withColumn("n", sum($"n_cl").over(wAll))
+      .withColumn("n_c", sum($"n_cl").over(wC))
+      .withColumn("n_l", sum($"n_cl").over(wL))
+    val nD = $"n".cast("double")
+    val p = $"n_cl".cast("double") / nD
+    val iTerm = decRound(p * log(nD * $"n_cl".cast("double") /
+        ($"n_c".cast("double") * $"n_l".cast("double"))), 12)
+      .cast(DecimalType(18, 12))
+    val terms = t.select($"cluster", $"label", $"n_cl", $"n", $"n_c", $"n_l",
+      iTerm.as("i_term"))
+    // entropies from the marginal frames (each ≤ |labels| rows)
+    val hc = terms.groupBy($"cluster").agg(first($"n").as("n"),
+        first($"n_c").as("n_c"))
+      .select(decRound(($"n_c".cast("double") / $"n".cast("double")) *
+        log($"n_c".cast("double") / $"n".cast("double")), 12)
+        .cast(DecimalType(18, 12)).as("h_term"))
+      .agg((-sum($"h_term")).cast(DecimalType(28, 10)).as("h_c"))
+    val hl = terms.groupBy($"label").agg(first($"n").as("n"),
+        first($"n_l").as("n_l"))
+      .select(decRound(($"n_l".cast("double") / $"n".cast("double")) *
+        log($"n_l".cast("double") / $"n".cast("double")), 12)
+        .cast(DecimalType(18, 12)).as("h_term"))
+      .agg((-sum($"h_term")).cast(DecimalType(28, 10)).as("h_l"))
+    val agg = terms.groupBy($"cluster")
+      .agg(first($"n").as("n"), max($"n_cl").as("n_max"),
+        sum($"i_term").cast(DecimalType(28, 10)).as("i_part"))
+      .agg(first($"n").as("n"), count(lit(1)).as("n_clusters"),
+        sum($"n_max").as("n_pure"),
+        sum($"i_part").cast(DecimalType(28, 10)).as("i"))
+    agg.crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+      .filter($"h_c".cast("double") + $"h_l".cast("double") > 0.0)
+      .select($"n".as("n_vecs"), $"n_clusters",
+        decRound($"n_pure".cast("double") / $"n".cast("double"), 6)
+          .as("purity"),
+        decRound(lit(2.0) * $"i".cast("double") /
+          ($"h_c".cast("double") + $"h_l".cast("double")), 6).as("nmi"))
+  }
+
+  val q277Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label AS c_label, dim, avg(x) AS m FROM e GROUP BY 1, 2),
+      |d AS (
+      |  SELECT e.vec_id, e.label, c.c_label,
+      |    sum((e.x - c.m) * (e.x - c.m)) AS d2
+      |  FROM e JOIN c ON e.dim = c.dim GROUP BY 1, 2, 3),
+      |b AS (
+      |  SELECT vec_id, label, c_label,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |  FROM d),
+      |ct AS (
+      |  SELECT c_label AS cluster, label, CAST(count(*) AS BIGINT) AS n_cl
+      |  FROM b WHERE rn = 1 GROUP BY 1, 2),
+      |t AS (
+      |  SELECT cluster, label, n_cl,
+      |    sum(n_cl) OVER () AS n,
+      |    sum(n_cl) OVER (PARTITION BY cluster) AS n_c,
+      |    sum(n_cl) OVER (PARTITION BY label) AS n_l
+      |  FROM ct),
+      |terms AS (
+      |  SELECT cluster, label, n_cl, n, n_c, n_l,
+      |    CAST(CAST(round(CAST((CAST(n_cl AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(n AS DOUBLE) * CAST(n_cl AS DOUBLE)
+      |        / (CAST(n_c AS DOUBLE) * CAST(n_l AS DOUBLE)))
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS i_term
+      |  FROM t),
+      |hc AS (
+      |  SELECT CAST(-sum(h_term) AS DECIMAL(28,10)) AS h_c FROM (
+      |    SELECT CAST(CAST(round(CAST(
+      |      (CAST(max(n_c) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+      |      * ln(CAST(max(n_c) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS h_term
+      |    FROM terms GROUP BY cluster)),
+      |hl AS (
+      |  SELECT CAST(-sum(h_term) AS DECIMAL(28,10)) AS h_l FROM (
+      |    SELECT CAST(CAST(round(CAST(
+      |      (CAST(max(n_l) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+      |      * ln(CAST(max(n_l) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS h_term
+      |    FROM terms GROUP BY label)),
+      |ag AS (
+      |  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_clusters,
+      |    CAST(sum(n_max) AS BIGINT) AS n_pure,
+      |    CAST(sum(i_part) AS DECIMAL(28,10)) AS i
+      |  FROM (
+      |    SELECT cluster, max(n) AS n, max(n_cl) AS n_max,
+      |      CAST(round(sum(i_term), 10) AS DECIMAL(28,10)) AS i_part
+      |    FROM terms GROUP BY cluster))
+      |SELECT CAST(ag.n AS BIGINT) AS n_vecs, ag.n_clusters,
+      |  CAST(round(CAST(CAST(ag.n_pure AS DOUBLE) / CAST(ag.n AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS purity,
+      |  CAST(round(CAST(2.0 * CAST(ag.i AS DOUBLE)
+      |    / (CAST(hc.h_c AS DOUBLE) + CAST(hl.h_l AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS nmi
+      |FROM ag, hc, hl
+      |WHERE CAST(hc.h_c AS DOUBLE) + CAST(hl.h_l AS DOUBLE) > 0.0""".stripMargin
 }

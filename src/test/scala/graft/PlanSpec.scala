@@ -679,6 +679,48 @@ class PlanSpec extends SparkTestBase {
     assert(p273.contains("getbit"), s"q273: bloom membership test lost\n$p273")
   }
 
+  test("r14k family pins: q274 adjacency reuse + no wedge fan-out, q275 histogram quantile never sorts the corpus") {
+    // q274 edge Jaccard: the pinned hash(src) adjacency materialization
+    // must be REUSED across its four consumers at runtime (degrees,
+    // sample, both intersection sides — the q255 convention), and the
+    // plan must stay plain equi-joins: no nested loop, no cartesian,
+    // no wedge fan-out.
+    val df274 = SparkEntry.queries("q274_edge_jaccard")(spark, sf)
+    df274.collect()
+    val p274 = df274.queryExecution.executedPlan.toString
+    assert(count(p274, "NestedLoop") == 0, p274)
+    assert(count(p274, "CartesianProduct") == 0, p274)
+    assert(p274.contains("ReusedExchange") || p274.contains("ReusedQueryStage"),
+      s"q274: adjacency materialization recomputed per consumer\n$p274")
+    assert(p274.contains("TakeOrderedAndProject"), s"q274: top-k lost\n$p274")
+    // q275 perplexity filter: the global-decile machinery must keep
+    // every broadcast-scalar crossJoin (totals, the 9-row rank and
+    // threshold frames) as broadcast nested loops — exactly four, all
+    // constant-sized — and the cumulative window runs over the REDUCED
+    // histogram, which the plan shows as a single-partition exchange
+    // fed by an aggregate (never a corpus-wide sort).
+    val p275 = plan("q275_perplexity_filter")
+    assert(count(p275, "BroadcastNestedLoopJoin") == 4,
+      s"q275: expected exactly 4 broadcast-scalar joins\n$p275")
+    assert(count(p275, "CartesianProduct") == 0, p275)
+    assert(p275.contains("SinglePartition"), p275)
+    // q276 Newey–West rides q262's one-sort machinery: demeaning
+    // window, five lag columns, Σr and all six co-moment sums in one
+    // rollup — two exchanges total.
+    val p276 = plan("q276_newey_west")
+    assert(count(p276, "Exchange") == 2, s"q276: expected 2 exchanges\n$p276")
+    assert(count(p276, "NestedLoop") == 0, p276)
+    // q277 cluster purity: the vector table is touched ONCE through
+    // q171's broadcast-centroid assignment; every NL is a
+    // broadcast-of-a-small-frame crossJoin (centroids + the one-row
+    // entropy/total frames), and the contingency machinery never
+    // cartesians.
+    val p277 = plan("q277_cluster_purity")
+    assert(count(p277, "BroadcastNestedLoopJoin") == 5,
+      s"q277: expected exactly 5 broadcast-scalar joins\n$p277")
+    assert(count(p277, "CartesianProduct") == 0, p277)
+  }
+
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
     // q233: the only quadratic stage is the capped-slice distance
     // join — it must BROADCAST the 1000-row side (a shuffled

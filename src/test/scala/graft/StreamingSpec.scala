@@ -818,6 +818,10 @@ class StreamingSpec extends SparkTestBase {
     val batch271 = SparkEntry.queries("q271_mann_kendall")(spark, sf)
     assert(batch271.count() > 0)
     assert(mk.exceptAll(batch271).isEmpty && batch271.exceptAll(mk).isEmpty)
+    val nw = queries.Quant.neweyWestFromCloses(closes)
+    val batch276 = SparkEntry.queries("q276_newey_west")(spark, sf)
+    assert(batch276.count() > 0)
+    assert(nw.exceptAll(batch276).isEmpty && batch276.exceptAll(nw).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
