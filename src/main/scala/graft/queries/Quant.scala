@@ -3956,4 +3956,124 @@ object Quant {
       |  CAST(round(CAST(s / g0 AS DECIMAL(28,12)), 6) AS DOUBLE)
       |    AS var_inflation
       |FROM f WHERE s > 0.0""".stripMargin
+
+  /** q278_fama_macbeth — the Fama–MacBeth (1973) two-stage regression
+    * on the short-term-reversal factor: stage 1 runs a CROSS-SECTIONAL
+    * OLS of today's return on yesterday's return each day (slope b_d);
+    * stage 2 treats the daily slopes as a time series and tests
+    * mean(b) with its own standard error — the methodology that
+    * handles cross-sectional correlation by construction (every panel
+    * regression here would overstate t otherwise), reported with the
+    * negative-slope share (reversal: b < 0 on most days). s67
+    * closes-ledger tail. Scale: one tape collapse, the lag window on
+    * hash(user), per-day moments reduce map-side to ≤n_days rows,
+    * and stage 2 is one aggregate over that reduced frame — the
+    * (user→day→scalar) reduction ladder, never a panel-wide matrix.
+    * Determinism: per-day Σx/Σy/Σxy/Σxx reduce as exact decimal sums
+    * with the (28,10) re-narrow; each b_d is ONE IEEE expression of
+    * converged sums, DEFINITIONALLY latticed 12dp so the stage-2
+    * moments Σb/Σb² reduce exactly; the final mean/t run once in
+    * IEEE; var(x) > 0 and n ≥ 10 guards mirrored on identical
+    * operands.
+    */
+  def q278FamaMacbeth(spark: SparkSession, dir: String): DataFrame =
+    famaMacbethFromCloses(dailyCloses(spark, dir))
+
+  /** q278's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def famaMacbethFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("y", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .withColumn("xf", lag($"y", 1).over(w))
+      .filter($"y".isNotNull && $"xf".isNotNull)
+    val m = r.groupBy($"day")
+      .agg(count(lit(1)).as("n_names"),
+        sum($"xf").cast(DecimalType(28, 10)).as("sx"),
+        sum($"y").cast(DecimalType(28, 10)).as("sy"),
+        sum($"xf" * $"y").cast(DecimalType(28, 10)).as("sxy"),
+        sum($"xf" * $"xf").cast(DecimalType(28, 10)).as("sxx"))
+      .filter($"n_names" >= 10L)
+    val nD = $"n_names".cast("double")
+    val den = nD * $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double")
+    val bD = (nD * $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy".cast("double")) / den
+    val slopes = m.filter(den > 0.0)
+      .select($"day", decRound(bD, 12).cast(DecimalType(18, 12)).as("b"))
+    val s2 = slopes.agg(count(lit(1)).as("n_days"),
+        sum($"b").cast(DecimalType(28, 10)).as("sb"),
+        sum($"b" * $"b").cast(DecimalType(28, 10)).as("sbb"),
+        sum(when($"b" < lit(0).cast(DecimalType(18, 12)), 1L)
+          .otherwise(0L)).as("n_neg"))
+      .filter($"n_days" >= 10L)
+    val nT = $"n_days".cast("double")
+    val meanB = $"sb".cast("double") / nT
+    val varB = ($"sbb".cast("double") - $"sb".cast("double")
+      * $"sb".cast("double") / nT) / (nT - lit(1.0))
+    s2.filter(varB > 0.0)
+      .select($"n_days",
+        decRound(meanB, 6).as("mean_slope"),
+        decRound(meanB / sqrt(varB / nT), 6).as("t_fm"),
+        decRound($"n_neg".cast("double") / nT, 6).as("neg_share"))
+  }
+
+  val q278Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS y
+      |  FROM c),
+      |r0 AS (
+      |  SELECT user_id, day, y,
+      |    lag(y) OVER (PARTITION BY user_id ORDER BY day) AS xf
+      |  FROM d),
+      |r AS (
+      |  SELECT day, xf, y FROM r0
+      |  WHERE y IS NOT NULL AND xf IS NOT NULL),
+      |m AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_names,
+      |    CAST(round(sum(xf), 10) AS DECIMAL(28,10)) AS sx,
+      |    CAST(round(sum(y), 10) AS DECIMAL(28,10)) AS sy,
+      |    CAST(round(sum(xf * y), 10) AS DECIMAL(28,10)) AS sxy,
+      |    CAST(round(sum(xf * xf), 10) AS DECIMAL(28,10)) AS sxx
+      |  FROM r GROUP BY 1 HAVING count(*) >= 10),
+      |sl AS (
+      |  SELECT day,
+      |    CAST(CAST(round(CAST(
+      |      (CAST(n_names AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n_names AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS b
+      |  FROM m
+      |  WHERE CAST(n_names AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0),
+      |s2 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(b), 10) AS DECIMAL(28,10)) AS sb,
+      |    CAST(round(sum(b * b), 10) AS DECIMAL(28,10)) AS sbb,
+      |    CAST(sum(CASE WHEN b < CAST(0 AS DECIMAL(18,12)) THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_neg
+      |  FROM sl HAVING count(*) >= 10),
+      |f AS (
+      |  SELECT n_days, n_neg,
+      |    CAST(sb AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_b,
+      |    (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+      |      / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)
+      |      AS var_b
+      |  FROM s2)
+      |SELECT n_days,
+      |  CAST(round(CAST(mean_b AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS mean_slope,
+      |  CAST(round(CAST(mean_b / sqrt(var_b / CAST(n_days AS DOUBLE))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS t_fm,
+      |  CAST(round(CAST(CAST(n_neg AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS neg_share
+      |FROM f WHERE var_b > 0.0""".stripMargin
 }

@@ -719,6 +719,12 @@ class PlanSpec extends SparkTestBase {
     assert(count(p277, "BroadcastNestedLoopJoin") == 5,
       s"q277: expected exactly 5 broadcast-scalar joins\n$p277")
     assert(count(p277, "CartesianProduct") == 0, p277)
+    // q278 Fama–MacBeth: the (user→day→scalar) reduction ladder —
+    // collapse, hash(user) lags, day rollup, one final aggregate; a
+    // 5th exchange would mean the panel stopped reducing map-side.
+    val p278 = plan("q278_fama_macbeth")
+    assert(count(p278, "Exchange") == 4, s"q278: expected 4 exchanges\n$p278")
+    assert(count(p278, "NestedLoop") == 0, p278)
   }
 
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {

@@ -822,6 +822,10 @@ class StreamingSpec extends SparkTestBase {
     val batch276 = SparkEntry.queries("q276_newey_west")(spark, sf)
     assert(batch276.count() > 0)
     assert(nw.exceptAll(batch276).isEmpty && batch276.exceptAll(nw).isEmpty)
+    val fm = queries.Quant.famaMacbethFromCloses(closes)
+    val batch278 = SparkEntry.queries("q278_fama_macbeth")(spark, sf)
+    assert(batch278.count() > 0)
+    assert(fm.exceptAll(batch278).isEmpty && batch278.exceptAll(fm).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
