@@ -1039,4 +1039,62 @@ object Extended {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |  AND o_orderstatus = 'F'
       |GROUP BY 1""".stripMargin
+
+  /** q279_dup_cluster_census — the shape of the duplication problem:
+    * the near-dup cluster-size DISTRIBUTION (how many clusters of
+    * size 2, 3, …, how many docs they absorb, the singleton mass) —
+    * the read that turns q61's raw cluster list into the curation
+    * decision ("dedup removes Σ(size−1) docs; is that 2% or 30% of
+    * the corpus?"), run on the q61/q34 bigram-Jaccard components.
+    * Scale: clustering is the bounded df-capped candidate machinery
+    * (operators/Dedup — never all-pairs); everything after reduces on
+    * the cluster-size frame (≤ distinct sizes rows) with the corpus
+    * total and clustered total as two broadcast scalars. Determinism:
+    * every column is a PURE INTEGER except the one doc-share
+    * division, latticed 6dp; the singleton row is exact integer
+    * subtraction.
+    */
+  def q279DupClusterCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs)
+    val sizes = graft.operators.Dedup.clusters(pairs)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+    val bySz = sizes.groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", $"sz" * $"n_clusters")
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    val nClustered = bySz.agg(sum($"n_docs").as("n_clustered"))
+    val singleton = nTotal.crossJoin(broadcast(nClustered))
+      .select(lit(1L).as("sz"),
+        ($"n_total" - $"n_clustered").as("n_clusters"),
+        ($"n_total" - $"n_clustered").as("n_docs"))
+    bySz.select($"sz", $"n_clusters", $"n_docs")
+      .unionByName(singleton)
+      .crossJoin(broadcast(nTotal))
+      .select($"sz".as("cluster_size"), $"n_clusters", $"n_docs",
+        graft.functions.Num.decRound($"n_docs".cast("double") / $"n_total".cast("double"), 6)
+          .as("doc_share"))
+  }
+
+  val q279Sql: String = dedupClusterCte +
+    """, szs AS (
+      |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+      |  FROM labels GROUP BY 1),
+      |bysz AS (
+      |  SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+      |    CAST(sz * count(*) AS BIGINT) AS n_docs
+      |  FROM szs GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+      |cltot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_clustered FROM bysz),
+      |allr AS (
+      |  SELECT sz, n_clusters, n_docs FROM bysz
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), n_total - n_clustered,
+      |    n_total - n_clustered
+      |  FROM tot, cltot)
+      |SELECT sz AS cluster_size, n_clusters, n_docs,
+      |  CAST(round(CAST(CAST(n_docs AS DOUBLE)
+      |    / CAST(tot.n_total AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS doc_share
+      |FROM allr, tot""".stripMargin
 }

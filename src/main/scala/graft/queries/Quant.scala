@@ -4076,4 +4076,100 @@ object Quant {
       |  CAST(round(CAST(CAST(n_neg AS DOUBLE) / CAST(n_days AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS neg_share
       |FROM f WHERE var_b > 0.0""".stripMargin
+
+  /** q280_rank_persistence — day-over-day stability of the
+    * cross-sectional return ranking: per day, the Pearson correlation
+    * between each instrument's within-day return rank and its rank in
+    * its previous cross-section — rank persistence ≈ +1 means the
+    * same names lead every day (momentum-friendly tape), ≈ −1 means
+    * systematic reversal (the factor q278 prices), ≈ 0 means daily
+    * reshuffling; the regime read next to q246's same-day Kendall IC
+    * (which correlates TODAY's signal with today — this correlates
+    * today with YESTERDAY). s67 closes-ledger tail. Scale: the
+    * within-day rank window rides hash(day), the previous-rank lag
+    * rides hash(user), the day rollup returns to hash(day) — the
+    * three-key ladder, each stage fully reduced before the next.
+    * Determinism: ranks are row_number over the total (r, user) order
+    * on exact 12dp decimals, so every moment is a PURE INTEGER sum
+    * (Σrk ≤ n³ ≪ 2^63); the single Pearson expression runs once in
+    * IEEE on exactly-converted integers, latticed 6dp; degenerate
+    * days (n < 10 or zero variance) excluded by mirrored guards.
+    */
+  def q280RankPersistence(spark: SparkSession, dir: String): DataFrame =
+    rankPersistenceFromCloses(dailyCloses(spark, dir))
+
+  /** q280's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def rankPersistenceFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val wDay = Window.partitionBy($"day").orderBy($"r".asc, $"user_id".asc)
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .withColumn("rk", row_number().over(wDay))
+    val paired = r
+      .withColumn("rkp", lag($"rk", 1).over(w))
+      .filter($"rkp".isNotNull)
+      .select($"day", $"rkp".cast("long").as("x"), $"rk".cast("long").as("y"))
+    val m = paired.groupBy($"day")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .filter($"n" >= 10L)
+    val nD = $"n".cast("double")
+    val vx = nD * $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double")
+    val vy = nD * $"syy".cast("double") -
+      $"sy".cast("double") * $"sy".cast("double")
+    val rho = (nD * $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy".cast("double")) / (sqrt(vx) * sqrt(vy))
+    m.filter(vx > 0.0 && vy > 0.0)
+      .select($"day", $"n".as("n_matched"),
+        decRound(rho, 6).as("rank_persistence"))
+  }
+
+  val q280Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |rk AS (
+      |  SELECT user_id, day,
+      |    CAST(row_number() OVER (PARTITION BY day
+      |      ORDER BY r ASC, user_id ASC) AS BIGINT) AS rk
+      |  FROM r),
+      |p AS (
+      |  SELECT day, rk AS y,
+      |    lag(rk) OVER (PARTITION BY user_id ORDER BY day) AS x
+      |  FROM rk),
+      |pp AS (SELECT day, x, y FROM p WHERE x IS NOT NULL),
+      |m AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pp GROUP BY 1 HAVING count(*) >= 10),
+      |f AS (
+      |  SELECT day, n, sx, sy, sxy,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM m)
+      |SELECT day, n AS n_matched,
+      |  CAST(round(CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(vx) * sqrt(vy)) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS rank_persistence
+      |FROM f WHERE vx > 0.0 AND vy > 0.0""".stripMargin
 }

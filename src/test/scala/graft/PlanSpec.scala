@@ -725,6 +725,18 @@ class PlanSpec extends SparkTestBase {
     val p278 = plan("q278_fama_macbeth")
     assert(count(p278, "Exchange") == 4, s"q278: expected 4 exchanges\n$p278")
     assert(count(p278, "NestedLoop") == 0, p278)
+    // q279 dup-cluster census: the dedup candidate machinery stays
+    // df-capped (no cartesian anywhere); the corpus and clustered
+    // totals are the only NLs — both broadcast scalars.
+    val p279 = plan("q279_dup_cluster_census")
+    assert(count(p279, "BroadcastNestedLoopJoin") == 2,
+      s"q279: expected 2 broadcast-scalar joins\n$p279")
+    assert(count(p279, "CartesianProduct") == 0, p279)
+    // q280 rank persistence: the three-key ladder (user/day/user/day)
+    // — five exchanges, each stage reduced before the next.
+    val p280 = plan("q280_rank_persistence")
+    assert(count(p280, "Exchange") == 5, s"q280: expected 5 exchanges\n$p280")
+    assert(count(p280, "NestedLoop") == 0, p280)
   }
 
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {

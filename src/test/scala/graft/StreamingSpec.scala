@@ -826,6 +826,11 @@ class StreamingSpec extends SparkTestBase {
     val batch278 = SparkEntry.queries("q278_fama_macbeth")(spark, sf)
     assert(batch278.count() > 0)
     assert(fm.exceptAll(batch278).isEmpty && batch278.exceptAll(fm).isEmpty)
+    val rp2 = queries.Quant.rankPersistenceFromCloses(closes)
+    val batch280 = SparkEntry.queries("q280_rank_persistence")(spark, sf)
+    assert(batch280.count() > 0)
+    assert(rp2.exceptAll(batch280).isEmpty &&
+      batch280.exceptAll(rp2).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
