@@ -1097,4 +1097,65 @@ object Extended {
       |    / CAST(tot.n_total AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
       |    AS doc_share
       |FROM allr, tot""".stripMargin
+
+  /** q281_ann_tuning — the IVF recall/nProbe tuning curve: the q44
+    * probe path swept at nProbe ∈ {1,2,4,8} against the exact
+    * brute-force top-3, each point certified against its floor
+    * (0.3/0.5/0.8/0.9) plus a MONOTONE flag — probing more cells can
+    * only add candidates, so recall must be non-decreasing in nProbe;
+    * a violation would mean the candidate join dropped rows. The
+    * dedup analogue is q216's threshold sweep: the curve is what a
+    * user tunes against before fixing the production nProbe (q44
+    * certifies one point; this prices the knob). Cell assignment is
+    * quantizer-specific, so the emitted rows are CONTRACTS (exact
+    * count + flags — the q32/q36/q44 convention), not raw neighbor
+    * ids. Scale: truth and each sweep point are the q44 bounded
+    * machinery (10 queries × cell-pruned candidates); the four
+    * certification aggregates are the one sanctioned driver-side
+    * action class (bounded scalar reads).
+    */
+  def q281AnnTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter($"vec_id" < 10)
+    val truth = Ann.bruteForceTopK(qs, emb, k = 3)
+      .select($"query_id", $"neighbor_id")
+    def hitsOf(found: DataFrame): (Long, Long) = {
+      val f = found.select($"query_id", $"neighbor_id")
+        .withColumn("__hit", lit(1))
+      val row = truth.join(f, Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum($"__hit"), lit(0L)).as("hits"))
+        .collect()(0)
+      (row.getLong(0), row.getLong(1))
+    }
+    val sweep = Seq((1, 0.3), (2, 0.5), (4, 0.8), (8, 0.9))
+    val pts = sweep.map { case (np, floor) =>
+      val found = Ann.ivfTopK(qs, emb, k = 3, nProbe = np)
+        .select($"query_id", $"neighbor_id")
+      val (n, hits) = hitsOf(found)
+      (np.toLong, n, hits, floor)
+    }
+    val rows = pts.zipWithIndex.map { case ((np, n, hits, floor), i) =>
+      val recallOk = n == 0 || hits.toDouble / n >= floor
+      val monotoneOk = i == 0 || hits >= pts(i - 1)._3
+      (np, n, recallOk, monotoneOk)
+    }
+    rows.toDF("n_probe", "n_exact_neighbors", "recall_ok", "monotone_ok")
+  }
+
+  val q281Sql: String =
+    """WITH ex AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_exact_neighbors FROM (
+      |    SELECT q.vec_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(n.embedding AS DOUBLE[])) DESC,
+      |                 n.vec_id) AS rnk
+      |    FROM embeddings q, embeddings n
+      |    WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+      |  WHERE rnk <= 3)
+      |SELECT CAST(np AS BIGINT) AS n_probe, n_exact_neighbors,
+      |  true AS recall_ok, true AS monotone_ok
+      |FROM (VALUES (1), (2), (4), (8)) t(np), ex""".stripMargin
 }

@@ -81,5 +81,19 @@ class LedgerTableSpec extends SparkTestBase {
     val batch220 = SparkEntry.queries("q220_garman_klass")(spark, sf)
     assert(batch220.count() > 0)
     assert(gk.exceptAll(batch220).isEmpty && batch220.exceptAll(gk).isEmpty)
+    // the r14j two-ledger composition rides the SAME maintained pair:
+    // Ease of Movement off maintained s68 OHLC x s60 volume
+    val eom = queries.Microstructure.eomFromLedgers(
+      ohlc.serveOhlc.get, vol.serveVolume.get)
+    val batch272 = SparkEntry.queries("q272_eom")(spark, sf)
+    assert(batch272.count() > 0)
+    assert(eom.exceptAll(batch272).isEmpty &&
+      batch272.exceptAll(eom).isEmpty)
+    // ...and an r14j closes tail: Newey-West off the maintained s67
+    val nw = queries.Quant.neweyWestFromCloses(closes.serveCloses.get)
+    val batch276 = SparkEntry.queries("q276_newey_west")(spark, sf)
+    assert(batch276.count() > 0)
+    assert(nw.exceptAll(batch276).isEmpty &&
+      batch276.exceptAll(nw).isEmpty)
   }
 }
