@@ -2975,4 +2975,76 @@ object Microstructure {
       |  CAST(round(CAST(CAST(n_pos AS DOUBLE) / CAST(n_days AS DOUBLE)
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS pos_share
       |FROM m""".stripMargin
+
+  /** q283_price_clustering — the PER-INSTRUMENT cut of q254's pooled
+    * digit census: the share of each instrument's prints landing on
+    * whole dollars, quarters, dimes, and nickels, plus the dime-level
+    * clustering EXCESS over the uniform 10% benchmark. q254 answers
+    * "does the tape as a whole price-cluster" (ten digit rows, χ² vs
+    * uniform); this answers "WHICH names trade on a coarse grid" —
+    * the per-name screen that feeds tick-size studies and the q200
+    * liquidity score (grid-bound names quote wider). Scale: one
+    * map-side-combined groupBy(user_id) over the
+    * tape — no window, no join, ONE exchange carrying |instruments|
+    * rows (plan-pinned 1). Determinism: cents are PURE INTEGER —
+    * price → DECIMAL(28,12) (2dp stored doubles ≤ 491 convert
+    * identically in both engines), ×100 exact, round-0 exact, so
+    * every mod test and count is integer; the four shares and the
+    * excess are one IEEE division each, latticed 6dp. Instruments
+    * with < 20 prints excluded (mirrored HAVING).
+    */
+  def q283PriceClustering(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cents = round($"value".cast(DecimalType(28, 12)) * 100, 0)
+      .cast("long")
+    val m = Tables.events(spark, dir)
+      .filter($"value" > 0.0)
+      .select($"user_id", cents.as("cents"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_prints"),
+        sum(when($"cents" % 100L === 0L, 1L).otherwise(0L)).as("n_dollar"),
+        sum(when($"cents" % 25L === 0L, 1L).otherwise(0L)).as("n_quarter"),
+        sum(when($"cents" % 10L === 0L, 1L).otherwise(0L)).as("n_dime"),
+        sum(when($"cents" % 5L === 0L, 1L).otherwise(0L)).as("n_nickel"))
+      .filter($"n_prints" >= 20L)
+    val nD = $"n_prints".cast("double")
+    m.select($"user_id", $"n_prints",
+      decRound($"n_dollar".cast("double") / nD, 6).as("dollar_share"),
+      decRound($"n_quarter".cast("double") / nD, 6).as("quarter_share"),
+      decRound($"n_dime".cast("double") / nD, 6).as("dime_share"),
+      decRound($"n_nickel".cast("double") / nD, 6).as("nickel_share"),
+      decRound($"n_dime".cast("double") / nD - lit(0.1), 6)
+        .as("dime_excess"))
+  }
+
+  val q283Sql: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CAST(round(CAST(value AS DECIMAL(28,12)) * 100, 0) AS BIGINT)
+      |      AS cents
+      |  FROM events WHERE value > 0.0),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_prints,
+      |    CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dollar,
+      |    CAST(sum(CASE WHEN cents % 25 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_quarter,
+      |    CAST(sum(CASE WHEN cents % 10 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dime,
+      |    CAST(sum(CASE WHEN cents % 5 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_nickel
+      |  FROM t GROUP BY 1 HAVING count(*) >= 20)
+      |SELECT user_id, n_prints,
+      |  CAST(round(CAST(CAST(n_dollar AS DOUBLE) / CAST(n_prints AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS dollar_share,
+      |  CAST(round(CAST(CAST(n_quarter AS DOUBLE) / CAST(n_prints AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS quarter_share,
+      |  CAST(round(CAST(CAST(n_dime AS DOUBLE) / CAST(n_prints AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS dime_share,
+      |  CAST(round(CAST(CAST(n_nickel AS DOUBLE) / CAST(n_prints AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS nickel_share,
+      |  CAST(round(CAST(CAST(n_dime AS DOUBLE) / CAST(n_prints AS DOUBLE)
+      |    - 0.1 AS DECIMAL(28,12)), 6) AS DOUBLE) AS dime_excess
+      |FROM m""".stripMargin
 }

@@ -4172,4 +4172,244 @@ object Quant {
       |    / (sqrt(vx) * sqrt(vy)) AS DECIMAL(28,12)), 6) AS DOUBLE)
       |    AS rank_persistence
       |FROM f WHERE vx > 0.0 AND vy > 0.0""".stripMargin
+
+  /** q282_drawdown_spells — drawdown SPELL census per instrument on
+    * the daily close spine: number of distinct underwater spells,
+    * longest spell (days), deepest ln drawdown (bp), and the share of
+    * days spent below the running peak — the duration/shape companion
+    * to q196 (tick prints, length only) and q230 (depth integral):
+    * "how often and for how long" rather than "how bad on average".
+    * Scale: ONE hash(user) exchange — the running-peak and spell-id
+    * windows share the sort, per-instrument day count rides the same
+    * partition, the (user, spell) rollup and the per-user census both
+    * satisfy their distribution from hash(user) (plan-pinned 1, the
+    * q196 grouping lesson). Determinism: peak/under/spell boundaries
+    * are exact-decimal compares on the 12dp ln lattice; depth
+    * (peak − x) and its ×10⁴ bp shift stay IN exact decimal to the
+    * 6dp round (the q249 lesson-1 hazard — an IEEE shift can land on
+    * a half boundary); the only IEEE op is the underwater-share
+    * division, latticed 6dp. Instruments with no underwater day or
+    * fewer than 10 closes are excluded (mirrored HAVING). s67
+    * closes-ledger tail (shared drawdownSpellsFromCloses).
+    */
+  def q282DrawdownSpells(spark: SparkSession, dir: String): DataFrame =
+    drawdownSpellsFromCloses(dailyCloses(spark, dir))
+
+  /** q282's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def drawdownSpellsFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    val wUser = Window.partitionBy($"user_id")
+    val wRun = wUser.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = closes
+      .withColumn("n_days", count(lit(1)).over(wUser))
+      .withColumn("peak", max($"x").over(wRun))
+      .withColumn("under", when($"x" < $"peak", 1L).otherwise(0L))
+      .withColumn("grp", sum(lit(1L) - $"under").over(wRun))
+    val spells = runs.filter($"under" === 1L)
+      .groupBy($"user_id", $"grp")
+      .agg(max($"n_days").as("n_days"), count(lit(1)).as("dur"),
+        max($"peak" - $"x").as("dep"))
+    spells.groupBy($"user_id")
+      .agg(max($"n_days").as("n_days"),
+        count(lit(1)).as("n_spells"),
+        max($"dur").as("max_dur_days"),
+        round(max($"dep") * lit(10000), 6).cast("double")
+          .as("max_depth_bp"),
+        sum($"dur").as("uw"))
+      .filter($"n_days" >= 10L)
+      .select($"user_id", $"n_days", $"n_spells", $"max_dur_days",
+        $"max_depth_bp",
+        decRound($"uw".cast("double") / $"n_days".cast("double"), 6)
+          .as("underwater_share"))
+  }
+
+  val q282Sql: String =
+    closesSqlPrelude + "\n" +
+    """p AS (
+      |  SELECT user_id, day, x,
+      |    count(*) OVER (PARTITION BY user_id) AS n_days,
+      |    max(x) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM c),
+      |g AS (
+      |  SELECT user_id, n_days, x, peak,
+      |    CASE WHEN x < peak THEN 1 ELSE 0 END AS under,
+      |    sum(CASE WHEN x < peak THEN 0 ELSE 1 END) OVER (
+      |      PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM p),
+      |s AS (
+      |  SELECT user_id, grp, max(n_days) AS n_days, count(*) AS dur,
+      |    max(peak - x) AS dep
+      |  FROM g WHERE under = 1 GROUP BY 1, 2)
+      |SELECT user_id, CAST(max(n_days) AS BIGINT) AS n_days,
+      |  CAST(count(*) AS BIGINT) AS n_spells,
+      |  CAST(max(dur) AS BIGINT) AS max_dur_days,
+      |  CAST(round(max(dep) * 10000, 6) AS DOUBLE) AS max_depth_bp,
+      |  CAST(round(CAST(CAST(sum(dur) AS DOUBLE)
+      |    / CAST(max(n_days) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS underwater_share
+      |FROM s GROUP BY 1 HAVING max(n_days) >= 10""".stripMargin
+
+  /** q284_corr_regime — the average pairwise correlation of the
+    * universe's daily returns WITHOUT a pair join, via the dispersion
+    * identity: standardize each instrument's return to z over the
+    * balanced panel, then Var_time(Σᵢ z) = N + Σ_{i≠j} ρᵢⱼ, so
+    * avg ρ = (Var(S) − N)/(N(N−1)) — the risk-on/risk-off regime
+    * number (and its corollary, the effective number of independent
+    * bets N/(1+(N−1)ρ̄)) read next to q267's dispersion and q202's
+    * per-pair scan. THE SCALE PATTERN IS THE POINT: the q202/q246
+    * pair family is quadratic in the universe and caps it at 50; this
+    * plan is LINEAR — per-day cross-sectional sums replace all
+    * C(N,2) pair passes, so the identical shape prices a 5,000-name
+    * universe's correlation regime with no new machinery. Universe =
+    * top-10 by return count (total (n desc, user) order), panel =
+    * days where all 20 trade — both broadcast frames. Determinism:
+    * returns and z live on 12dp lattices (z is ONE IEEE expression
+    * on exact-decimal-derived μ/σ bit patterns), per-day S = Σz and
+    * the day moments ΣS/ΣS² reduce exactly ((18,12) re-narrow keeps
+    * S² inside the 38-digit cap — the lesson-3 hazard), the identity
+    * runs once in IEEE on converged sums, op order mirrored. s67
+    * closes-ledger tail (shared corrRegimeFromCloses).
+    */
+  def q284CorrRegime(spark: SparkSession, dir: String): DataFrame =
+    corrRegimeFromCloses(dailyCloses(spark, dir))
+
+  /** q284's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def corrRegimeFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    // the tape collapses ONCE: the instrument-day returns frame is
+    // vertex-sized (instruments × days), and six consumers hang off
+    // it (universe, panel days, moments, z, and the two joins back) —
+    // without the lineage cut each consumer re-scans the tape (no
+    // exchange reuse across broadcast-join build sides, measured), so
+    // the graph-family localCheckpoint discipline applies.
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .select($"user_id", $"day", $"r")
+      .localCheckpoint(true)
+    val universe = r.groupBy($"user_id").agg(count(lit(1)).as("n_ret"))
+      .orderBy($"n_ret".desc, $"user_id".asc).limit(10)
+      .select($"user_id")
+    // N is data-dependent (a thin tape carries < 20 names): the
+    // universe size rides as a broadcast one-row frame, never an
+    // eager driver scalar (the q209 lazy-bound lesson).
+    val nU = universe.agg(count(lit(1)).as("n_u")).filter($"n_u" >= 2L)
+    val ru = r.join(broadcast(universe), "user_id")
+    val common = ru.groupBy($"day").agg(count(lit(1)).as("k"))
+      .crossJoin(broadcast(nU))
+      .filter($"k" === $"n_u").select($"day")
+    val rc = ru.join(broadcast(common), "day")
+      .select($"user_id", $"day", $"r")
+    val nD = $"nd".cast("double")
+    val stats = rc.groupBy($"user_id")
+      .agg(count(lit(1)).as("nd"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"r" * $"r").cast(DecimalType(38, 24)).as("srr"))
+      .select($"user_id",
+        ($"sr".cast("double") / nD).as("mu"),
+        sqrt($"srr".cast("double") / nD
+          - ($"sr".cast("double") / nD) * ($"sr".cast("double") / nD))
+          .as("sd"))
+      .filter($"sd" > 0.0)
+    val z = rc.join(broadcast(stats), "user_id")
+      .select($"day",
+        decRound(($"r".cast("double") - $"mu") / $"sd", 12)
+          .cast(DecimalType(18, 12)).as("z"))
+    val daily = z.groupBy($"day")
+      .agg(count(lit(1)).as("n_inst"),
+        sum($"z").cast(DecimalType(18, 12)).as("s"))
+      .crossJoin(broadcast(nU))
+      .filter($"n_inst" === $"n_u")
+    val m = daily.agg(count(lit(1)).as("n_days"),
+        sum($"s").cast(DecimalType(28, 10)).as("ss"),
+        sum($"s" * $"s").cast(DecimalType(38, 24)).as("sss"),
+        max($"n_u").as("n_u"))
+      .filter($"n_days" >= 10L)
+    val dD = $"n_days".cast("double")
+    val nn = $"n_u".cast("double")
+    val varS = $"sss".cast("double") / dD
+      - ($"ss".cast("double") / dD) * ($"ss".cast("double") / dD)
+    val avgCorr = (varS - nn) / (nn * (nn - lit(1.0)))
+    m.select($"n_u".as("n_inst"), $"n_days",
+      decRound(varS / (nn * nn), 8).as("var_zbar"),
+      decRound(avgCorr, 6).as("avg_corr"),
+      decRound(nn / (lit(1.0) + (nn - lit(1.0)) * avgCorr), 4)
+        .as("eff_bets"))
+  }
+
+  val q284Sql: String =
+    closesSqlPrelude + "\n" +
+    """r0 AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM r0 WHERE r IS NOT NULL),
+      |u AS (
+      |  SELECT user_id FROM (
+      |    SELECT user_id, count(*) AS n FROM r GROUP BY 1
+      |    ORDER BY n DESC, user_id LIMIT 10)),
+      |nu AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_u FROM u
+      |  HAVING count(*) >= 2),
+      |ru AS (SELECT r.user_id, r.day, r.r FROM r JOIN u USING (user_id)),
+      |cd AS (
+      |  SELECT day FROM (
+      |    SELECT day, count(*) AS k FROM ru GROUP BY 1) CROSS JOIN nu
+      |  WHERE k = n_u),
+      |rc AS (SELECT ru.user_id, ru.day, ru.r FROM ru JOIN cd USING (day)),
+      |mom AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(r * r), 24) AS DECIMAL(38,24)) AS srr
+      |  FROM rc GROUP BY 1),
+      |st AS (
+      |  SELECT user_id,
+      |    CAST(sr AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+      |    sqrt(CAST(srr AS DOUBLE) / CAST(nd AS DOUBLE)
+      |      - (CAST(sr AS DOUBLE) / CAST(nd AS DOUBLE))
+      |        * (CAST(sr AS DOUBLE) / CAST(nd AS DOUBLE))) AS sd
+      |  FROM mom),
+      |z AS (
+      |  SELECT rc.day,
+      |    CAST(CAST(round(CAST((CAST(rc.r AS DOUBLE) - st.mu) / st.sd
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS z
+      |  FROM rc JOIN st USING (user_id) WHERE st.sd > 0.0),
+      |daily AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_inst,
+      |    CAST(round(sum(z), 12) AS DECIMAL(18,12)) AS s
+      |  FROM z GROUP BY 1),
+      |d AS (SELECT s, n_u FROM daily CROSS JOIN nu WHERE n_inst = n_u),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(s), 10) AS DECIMAL(28,10)) AS ss,
+      |    CAST(round(sum(s * s), 24) AS DECIMAL(38,24)) AS sss,
+      |    CAST(max(n_u) AS BIGINT) AS n_u
+      |  FROM d HAVING count(*) >= 10),
+      |f AS (
+      |  SELECT n_days, n_u, CAST(n_u AS DOUBLE) AS nn,
+      |    CAST(sss AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |      - (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |        * (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)) AS vars
+      |  FROM m)
+      |SELECT n_u AS n_inst, n_days,
+      |  CAST(round(CAST(vars / (nn * nn) AS DECIMAL(28,12)), 8) AS DOUBLE)
+      |    AS var_zbar,
+      |  CAST(round(CAST((vars - nn) / (nn * (nn - 1.0))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS avg_corr,
+      |  CAST(round(CAST(nn / (1.0 + (nn - 1.0)
+      |    * ((vars - nn) / (nn * (nn - 1.0)))) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS eff_bets
+      |FROM f""".stripMargin
 }

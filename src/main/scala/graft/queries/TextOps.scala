@@ -1445,4 +1445,110 @@ object TextOps {
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_logprob,
       |  total_chars
       |FROM g""".stripMargin
+
+  /** q285_bloom_decontaminate — benchmark decontamination AT SCALE
+    * through the Bloom runtime filter: the held-out eval set's
+    * (doc_id % 97 = 0, the q94 convention) distinct 3-gram shingles
+    * fold into a 128 KB Bloom bitmap
+    * ([[graft.functions.BloomFilterAgg]]); the training side's gram
+    * stream is pruned by the broadcast bitmap's column-native getbit
+    * test BEFORE the exact semi-join, so the confirm join's exchange
+    * carries only might-overlap grams (~1–2% here) instead of the
+    * whole corpus's gram stream — the q273 pattern moved to the LLM
+    * pipeline, where the eval set outgrows any broadcast hash join
+    * but its bitmap never does. A doc is contaminated at ≥ 3 eval
+    * grams (the q94 threshold); the census reports per-source flagged
+    * counts and overlap mass. The bitmap is a SUPERSET test, so the
+    * exact semi-join keeps the result identical to the plain join —
+    * the oracle has no Bloom anywhere. Determinism: counts and flags
+    * are pure integers; the per-doc hit share lattices at 12dp before
+    * the flagged-mean sum; the two output divisions are IEEE on
+    * converged operands, latticed 6dp, with the no-flagged-docs case
+    * mirrored as an explicit CASE.
+    */
+  def q285BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.BloomFilterAgg
+    val ex = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        graft.functions.TextExpressions.shingleSet($"text", 3).as("grams"))
+      .select($"doc_id", $"source", explode($"grams").as("gram"))
+    val evalGrams = ex.filter($"doc_id" % 97 === 0)
+      .select($"gram").distinct()
+    val bloom = evalGrams
+      .agg(BloomFilterAgg.build(xxhash64($"gram")).as("bf"))
+    val train = ex.filter($"doc_id" % 97 =!= 0)
+    val hits = train
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFilterAgg.mightContain($"bf", xxhash64($"gram")))
+      .drop("bf")
+      .join(evalGrams.hint("merge"), Seq("gram"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    val perDoc = train.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce($"n_hit", lit(0L)))
+      .withColumn("flagged", ($"n_hit" >= 3L).cast("long"))
+      .withColumn("hs",
+        when($"flagged" === 1L,
+          decRound($"n_hit".cast("double") / $"n_grams".cast("double"), 12)
+            .cast(DecimalType(18, 12))))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"flagged").as("n_flagged"),
+        sum($"n_hit").as("total_hits"),
+        sum($"hs").as("shs"))
+      .select($"source", $"n_docs", $"n_flagged",
+        decRound($"n_flagged".cast("double") / $"n_docs".cast("double"), 6)
+          .as("flagged_share"),
+        $"total_hits",
+        when($"n_flagged" > 0L,
+          decRound($"shs".cast("double") / $"n_flagged".cast("double"), 6))
+          .as("mean_hit_share"))
+  }
+
+  val q285Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct([array_to_string(tk[i : i + 2], ' ')
+      |           for i in range(1, len(tk) - 1)])
+      |    END AS g
+      |  FROM t),
+      |ex AS (SELECT doc_id, source, unnest(g) AS gram FROM sh),
+      |ev AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, source, gram FROM ex WHERE doc_id % 97 <> 0),
+      |h AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM tr WHERE gram IN (SELECT gram FROM ev) GROUP BY 1),
+      |pd AS (
+      |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams
+      |  FROM tr GROUP BY 1, 2),
+      |j AS (
+      |  SELECT pd.source, pd.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+      |    CASE WHEN coalesce(h.n_hit, 0) >= 3 THEN 1 ELSE 0 END AS flagged
+      |  FROM pd LEFT JOIN h USING (doc_id)),
+      |js AS (
+      |  SELECT source, n_grams, n_hit, flagged,
+      |    CASE WHEN flagged = 1 THEN
+      |      CAST(CAST(round(CAST(CAST(n_hit AS DOUBLE)
+      |        / CAST(n_grams AS DOUBLE) AS DECIMAL(28,12)), 12) AS DOUBLE)
+      |        AS DECIMAL(18,12)) END AS hs
+      |  FROM j)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+      |  CAST(round(CAST(CAST(sum(flagged) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS flagged_share,
+      |  CAST(sum(n_hit) AS BIGINT) AS total_hits,
+      |  CASE WHEN sum(flagged) > 0 THEN
+      |    CAST(round(CAST(CAST(sum(hs) AS DOUBLE)
+      |      / CAST(sum(flagged) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |  END AS mean_hit_share
+      |FROM js GROUP BY 1""".stripMargin
 }

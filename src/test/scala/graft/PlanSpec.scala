@@ -739,6 +739,47 @@ class PlanSpec extends SparkTestBase {
     assert(count(p280, "NestedLoop") == 0, p280)
   }
 
+  test("r14n families: q282 rides the closes collapse, q283 one tape rollup, q284 collapses the tape once, q285 blooms before the semi-join") {
+    // q282 drawdown spells: the q248 closes-tail shape — tape
+    // collapse + ONE hash(user) exchange that the peak/spell windows,
+    // the (user, spell) rollup, and the per-user census all ride.
+    val p282 = plan("q282_drawdown_spells")
+    assert(count(p282, "Exchange") == 2, s"q282: expected 2 exchanges\n$p282")
+    assert(count(p282, "NestedLoop") == 0, p282)
+    // q283 price clustering: one map-side-combined rollup, no window,
+    // no join — a single exchange carrying |instruments| rows.
+    val p283 = plan("q283_price_clustering")
+    assert(count(p283, "Exchange") == 1, s"q283: expected 1 exchange\n$p283")
+    assert(count(p283, "NestedLoop") == 0, p283)
+    // q284 corr regime: NO pair join anywhere (the identity replaces
+    // the q202-family quadratic scan) — every join is a broadcast of
+    // a bounded frame (universe / common days / 20-row stats), and
+    // the tape collapses exactly ONCE: the returns frame
+    // localCheckpoints (broadcast-join build sides defeat exchange
+    // reuse, measured), so the query plan must read the checkpointed
+    // blocks and contain ZERO parquet re-scans.
+    val p284 = plan("q284_corr_regime")
+    assert(count(p284, "NestedLoop") == count(p284, "BroadcastNestedLoopJoin"),
+      p284)
+    assert(count(p284, "CartesianProduct") == 0, p284)
+    assert(count(p284, "SortMergeJoin") == 0,
+      s"q284: a shuffled join crept into the broadcast-only plan\n$p284")
+    assert(count(p284, "FileScan") == 0,
+      s"q284: a consumer re-scanned the tape past the lineage cut\n$p284")
+    assert(p284.contains("ExistingRDD"),
+      s"q284: checkpointed returns frame not in the plan\n$p284")
+    // q285 bloom decontamination: the getbit membership test prunes
+    // the gram stream BEFORE the exact confirm semi-join; the bloom
+    // broadcast is the plan's only nested loop.
+    val p285 = plan("q285_bloom_decontaminate")
+    assert(p285.contains("getbit"), s"q285: bloom prefilter lost\n$p285")
+    assert(count(p285, "CartesianProduct") == 0, p285)
+    assert(count(p285, "NestedLoop") == count(p285, "BroadcastNestedLoopJoin"),
+      p285)
+    assert(count(p285, "BroadcastNestedLoopJoin") == 1,
+      s"q285: expected exactly the bloom broadcast NL\n$p285")
+  }
+
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
     // q233: the only quadratic stage is the capped-slice distance
     // join — it must BROADCAST the 1000-row side (a shuffled

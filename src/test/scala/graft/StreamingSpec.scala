@@ -831,6 +831,16 @@ class StreamingSpec extends SparkTestBase {
     assert(batch280.count() > 0)
     assert(rp2.exceptAll(batch280).isEmpty &&
       batch280.exceptAll(rp2).isEmpty)
+    // ...and the r14n pair: drawdown spells + the no-pair-join
+    // correlation regime make twenty-four tails of one ledger
+    val ds = queries.Quant.drawdownSpellsFromCloses(closes)
+    val batch282 = SparkEntry.queries("q282_drawdown_spells")(spark, sf)
+    assert(batch282.count() > 0)
+    assert(ds.exceptAll(batch282).isEmpty && batch282.exceptAll(ds).isEmpty)
+    val cr = queries.Quant.corrRegimeFromCloses(closes)
+    val batch284 = SparkEntry.queries("q284_corr_regime")(spark, sf)
+    assert(batch284.count() > 0)
+    assert(cr.exceptAll(batch284).isEmpty && batch284.exceptAll(cr).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
