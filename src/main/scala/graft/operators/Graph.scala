@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on DataFrames: PageRank and BFS min-hop
@@ -390,6 +391,44 @@ object Graph {
           $"largest_size".cast("double") / $"n_nodes".cast("double"), 6)
           .as("largest_share"))
       .withColumn("n_changed_last", lit(lastChanged))
+  }
+
+  /** Synchronous label propagation over a SYMMETRIC edge list:
+    * `rounds` fixed iterations where every vertex adopts the MODE of
+    * its neighbors' previous-round labels, tie-broken on the total
+    * (count desc, label asc) order — so the trajectory, not just the
+    * fixpoint, is engine-portable and a DuckDB mirror can unroll the
+    * identical rounds (the q182/q259 fixed-round contract; min-label
+    * propagation would just converge to connected components — the
+    * MODE rule is what finds communities denser than their cut).
+    * Scale: each round is one edge×label join + a (src, lbl)
+    * map-side-combined count + a per-src rank window; the label frame
+    * is vertex-sized and follows the connectedComponents broadcast/
+    * shuffle stateHint discipline; each round materializes via eager
+    * localCheckpoint (the q125 lineage discipline). Pure integers
+    * throughout. Returns (node, lbl) after the final round.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 2,
+      broadcastState: Option[Boolean] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = edges.repartition(parts, $"dst").localCheckpoint(eager = true)
+    var lab = e.select($"dst".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .repartition(parts, $"node").localCheckpoint(eager = true)
+    val st = stateHint(broadcastState.getOrElse(
+      lab.count() <= BroadcastVertexLimit))
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy($"src").orderBy($"cnt".desc, $"lbl".asc)
+      lab = e.join(st(lab.select($"node".as("dst"), $"lbl")), Seq("dst"))
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"src".as("node"), $"lbl")
+        .repartition(parts, $"node").localCheckpoint(eager = true)
+    }
+    lab
   }
 
   /** Per-vertex local clustering coefficient, bucketed by degree:

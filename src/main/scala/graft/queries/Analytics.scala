@@ -962,4 +962,76 @@ object Analytics {
       |FROM tm
       |WINDOW w AS (ORDER BY t_days
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q289_attribution — last-touch revenue attribution: every
+    * purchase credits its value to the user's most recent PRIOR
+    * non-purchase event type within a 7-day lookback ('direct' when
+    * none), and the census reports per-channel purchase counts,
+    * revenue, and revenue share — the marketing-mix read next to
+    * q63's funnel (order of steps) and q180's conversion latency
+    * (time between them). Scale: ONE tape exchange — the carry
+    * window (two last-ignoreNulls columns over the same frame, so
+    * both come from the same prior row), the purchase filter, and
+    * the channel rollup all ride hash(user); the share is a
+    * single-partition window over the ≤|event-types| reduced frame
+    * (the q254 discipline). Determinism: the carry picks on the
+    * total (ts, event_id) order; the 7-day cutoff compares exact
+    * integer microseconds; revenue reduces in INTEGER CENTS (the q1
+    * money lattice); the share is one IEEE division latticed 6dp.
+    */
+  def q289Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonPurchase = $"event_type" =!= "purchase"
+    val t = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .withColumn("p_ts",
+        last(when(nonPurchase, unix_micros($"ts")), ignoreNulls = true)
+          .over(w))
+      .withColumn("p_type",
+        last(when(nonPurchase, $"event_type"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(
+        when($"p_type".isNotNull &&
+            unix_micros($"ts") - $"p_ts" <= 604800000000L, $"p_type")
+          .otherwise(lit("direct")).as("channel"),
+        round($"value".cast(DecimalType(28, 12)) * 100, 0).cast("long")
+          .as("cents"))
+    t.groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"cents").as("revenue_cents"))
+      .withColumn("revenue_share",
+        graft.functions.Num.decRound(
+          $"revenue_cents".cast("double")
+            / sum($"revenue_cents").over(Window.partitionBy())
+              .cast("double"), 6))
+  }
+
+  val q289Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |      THEN epoch_us(ts) END IGNORE NULLS) OVER w AS p_ts,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |      THEN event_type END IGNORE NULLS) OVER w AS p_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p AS (
+      |  SELECT CASE WHEN p_type IS NOT NULL
+      |      AND epoch_us(ts) - p_ts <= 604800000000
+      |    THEN p_type ELSE 'direct' END AS channel,
+      |    CAST(round(CAST(value AS DECIMAL(28,12)) * 100, 0) AS BIGINT)
+      |      AS cents
+      |  FROM ev WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+      |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |  FROM p GROUP BY 1)
+      |SELECT channel, n_purchases, revenue_cents,
+      |  CAST(round(CAST(CAST(revenue_cents AS DOUBLE)
+      |    / CAST(sum(revenue_cents) OVER () AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS revenue_share
+      |FROM m""".stripMargin
 }

@@ -1158,4 +1158,85 @@ object Extended {
       |SELECT CAST(np AS BIGINT) AS n_probe, n_exact_neighbors,
       |  true AS recall_ok, true AS monotone_ok
       |FROM (VALUES (1), (2), (4), (8)) t(np), ex""".stripMargin
+
+  /** q290_jl_projection — the Johnson–Lindenstrauss sign-random-
+    * projection DISTORTION curve, certified (the q281 convention for
+    * the next dimensionality dial): project 64-dim embeddings to
+    * k ∈ {8, 16, 32} dims with a fixed ±1 matrix (splitmix64 parity
+    * of d·64+j — deterministic, seedless, shared across k so the
+    * sweeps nest), then certify the mean |cos_proj − cos_exact| over
+    * the exact top-3 pairs against a ~2σ cap per k AND the monotone
+    * flag (distortion non-increasing in k — the 1/√k law, measured
+    * 0.24/0.17/0.13 at sf0.01 and 0.26/0.17/0.09 at the sf1 fixture).
+    * The measured NEGATIVE finding is part of the contract's meaning:
+    * on this near-random space even a 0.5%-shortlist top-3 recall
+    * collapses (3–33% at sf1), so sign-JL here is a DISTANCE SKETCH
+    * (a dedup prefilter at generous thresholds, half the shuffle
+    * bytes of float32×64) — not a top-k server; q44's IVF stays the
+    * serving path. Contract rows (exact pair count + flags — the
+    * projection is matrix-specific, not row-portable). Scale: the
+    * sign matrix is a 64×k literal (the NearestCells centroid-matrix
+    * class), projection is a row-local zip_with fold, the truth pass
+    * is the bounded q35 broadcast machinery; driver-side only the
+    * three certification scalars.
+    */
+  def q290JlProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def signRow(j: Int): Seq[Double] =
+      (0 until 64).map(d => if ((mix(d.toLong * 64L + j) & 1L) == 0L) 1.0 else -1.0)
+    def withProj(df: DataFrame, k: Int): DataFrame =
+      df.withColumn("proj", array((0 until k).map { j =>
+        aggregate(
+          zip_with($"embedding", typedLit(signRow(j)),
+            (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*))
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter($"vec_id" < 10)
+    val truth = Ann.bruteForceTopK(qs, emb, k = 3)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+    val truthN = truth.count()
+    val sweep = Seq((8, 0.50), (16, 0.35), (32, 0.25))
+    val pts = sweep.map { case (k, distCap) =>
+      val qsP = withProj(qs, k).select($"vec_id", $"proj")
+      val nbP = withProj(emb.join(
+          truth.select($"neighbor_id".as("vec_id")).distinct(), "vec_id"), k)
+        .select($"vec_id", $"proj")
+      val dist = truth
+        .join(qsP.select($"vec_id".as("query_id"), $"proj".as("qp")),
+          "query_id")
+        .join(nbP.select($"vec_id".as("neighbor_id"), $"proj".as("np_")),
+          "neighbor_id")
+        .withColumn("err",
+          abs(graft.functions.Vectors.cosine($"qp", $"np_")
+            - $"cos_sim".cast("double")))
+        .agg(avg($"err")).collect()(0).getDouble(0)
+      (k.toLong, dist, distCap)
+    }
+    val rows = pts.zipWithIndex.map { case ((k, dist, cap), i) =>
+      (k, truthN, dist <= cap, i == 0 || dist <= pts(i - 1)._2)
+    }
+    rows.toDF("proj_dim", "n_pairs", "distortion_ok", "monotone_ok")
+  }
+
+  val q290Sql: String =
+    """WITH ex AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM (
+      |    SELECT q.vec_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(n.embedding AS DOUBLE[])) DESC,
+      |                 n.vec_id) AS rnk
+      |    FROM embeddings q, embeddings n
+      |    WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+      |  WHERE rnk <= 3)
+      |SELECT CAST(k AS BIGINT) AS proj_dim, n_pairs,
+      |  true AS distortion_ok, true AS monotone_ok
+      |FROM (VALUES (8), (16), (32)) t(k), ex""".stripMargin
 }

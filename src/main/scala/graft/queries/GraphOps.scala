@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5d graph analytics (SURVEY §2, q125–q126): fixed-iteration
@@ -505,5 +506,112 @@ object GraphOps {
        |    / CAST(deg_u + deg_v - 2 - common AS DOUBLE)
        |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
        |FROM f ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin
+
+  /** q288_label_prop — community structure of the co-purchase graph:
+    * 2 rounds of synchronous mode-of-neighbors label propagation
+    * ([[graft.operators.Graph.labelPropagation]] — deterministic
+    * (count desc, label asc) tie-break; min-label propagation would
+    * only rediscover q259's connected components), then the Newman
+    * MODULARITY of the resulting partition, Q = Σ_c [L_c/m −
+    * (d_c/2m)²] — "did propagation find communities denser than
+    * their cut" (Q ≈ 0 on this near-random co-purchase graph is
+    * itself the finding), plus the community count and the largest
+    * community. Scale: each LPA round is one edge×label join + a
+    * map-side-combined (src, lbl) count + a per-src rank window,
+    * label state under the stateHint broadcast/shuffle discipline;
+    * everything after the rounds reduces on the ≤|communities| frame
+    * (single-partition window over the reduced frame — the q254
+    * discipline). Determinism: labels/counts/degrees PURE INTEGER;
+    * each community's Q term is one IEEE expression on integers
+    * latticed 12dp so the cross-community sum reduces exactly (the
+    * q277 associativity lesson); 6dp output.
+    */
+  def q288LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // the co-purchase edge list (a lineitem self-join) materializes
+    // ONCE: degrees, the edge total, the LPA rounds, and the
+    // intra-edge census all read the checkpointed blocks (the
+    // pageRank build-exactly-once discipline — without the cut each
+    // consumer re-ran the self-join; measured 41 exchanges → ~12)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = edges(spark, dir)
+      .repartition(parts, $"src").localCheckpoint(eager = true)
+    val lab = graft.operators.Graph.labelPropagation(e, rounds = 2)
+    val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val mdir = e.agg(count(lit(1)).as("m_dir"))
+    val el = e
+      .join(lab.select($"node".as("src"), $"lbl".as("l_src")), "src")
+      .join(lab.select($"node".as("dst"), $"lbl".as("l_dst")), "dst")
+    val intra = el.filter($"l_src" === $"l_dst")
+      .groupBy($"l_src".as("lbl")).agg(count(lit(1)).as("intra_dir"))
+    val ds = deg.join(lab, "node")
+      .groupBy($"lbl").agg(sum($"deg").as("d_c"), count(lit(1)).as("sz"))
+    val mD = $"m_dir".cast("double")
+    val t = ds.join(intra, Seq("lbl"), "left")
+      .na.fill(0L, Seq("intra_dir"))
+      .crossJoin(broadcast(mdir))
+      .select($"lbl", $"sz",
+        decRound($"intra_dir".cast("double") / mD
+          - ($"d_c".cast("double") / mD) * ($"d_c".cast("double") / mD),
+          12).cast(DecimalType(18, 12)).as("term"))
+    val agg0 = t.agg(count(lit(1)).as("n_communities"),
+      decRound(sum($"term").cast("double"), 6).as("modularity"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val tp = t
+      .withColumn("rn",
+        row_number().over(Window.orderBy($"sz".desc, $"lbl".asc)))
+      .filter($"rn" === 1)
+      .select($"lbl".as("top_label"), $"sz".as("top_size"))
+    broadcast(nNodes).crossJoin(broadcast(agg0)).crossJoin(broadcast(tp))
+      .select($"n_nodes", $"n_communities", $"modularity",
+        $"top_label", $"top_size")
+  }
+
+  private def lpaRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT src AS node, lbl FROM (
+       |    SELECT e.src, l.lbl, count(*) AS cnt,
+       |      row_number() OVER (PARTITION BY e.src
+       |        ORDER BY count(*) DESC, l.lbl) AS rn
+       |    FROM edges e JOIN $prev l ON e.dst = l.node
+       |    GROUP BY e.src, l.lbl) WHERE rn = 1)""".stripMargin
+
+  val q288Sql: String =
+    s"""WITH $edgesSql,
+       |l0 AS (SELECT part AS node, part AS lbl FROM deg),
+       |${lpaRoundSql("l0", "l1")},
+       |${lpaRoundSql("l1", "l2")},
+       |md AS (SELECT CAST(count(*) AS BIGINT) AS m_dir FROM edges),
+       |el AS (
+       |  SELECT ls.lbl AS l_src, ld.lbl AS l_dst
+       |  FROM edges e JOIN l2 ls ON e.src = ls.node
+       |    JOIN l2 ld ON e.dst = ld.node),
+       |intra AS (
+       |  SELECT l_src AS lbl, CAST(count(*) AS BIGINT) AS intra_dir
+       |  FROM el WHERE l_src = l_dst GROUP BY 1),
+       |ds AS (
+       |  SELECT l2.lbl, CAST(sum(deg.deg) AS BIGINT) AS d_c,
+       |    CAST(count(*) AS BIGINT) AS sz
+       |  FROM deg JOIN l2 ON deg.part = l2.node GROUP BY 1),
+       |t AS (
+       |  SELECT ds.lbl, ds.sz,
+       |    CAST(CAST(round(CAST(
+       |      CAST(coalesce(intra.intra_dir, 0) AS DOUBLE)
+       |        / CAST(m_dir AS DOUBLE)
+       |      - (CAST(ds.d_c AS DOUBLE) / CAST(m_dir AS DOUBLE))
+       |        * (CAST(ds.d_c AS DOUBLE) / CAST(m_dir AS DOUBLE))
+       |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS term
+       |  FROM ds LEFT JOIN intra USING (lbl) CROSS JOIN md),
+       |tp AS (
+       |  SELECT lbl AS top_label, sz AS top_size,
+       |    row_number() OVER (ORDER BY sz DESC, lbl) AS rn
+       |  FROM t)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_communities,
+       |  (SELECT CAST(round(CAST(CAST(sum(term) AS DOUBLE)
+       |    AS DECIMAL(28,12)), 6) AS DOUBLE) FROM t) AS modularity,
+       |  tp.top_label, tp.top_size
+       |FROM tp WHERE rn = 1""".stripMargin
 
 }

@@ -1446,6 +1446,75 @@ object TextOps {
       |  total_chars
       |FROM g""".stripMargin
 
+  /** q286_padding_waste — the sequence-assembly cost census per
+    * source at max_seq_len = 512: how many training sequences and how
+    * much pad waste the corpus costs under the two ends of the
+    * packing spectrum — PER-DOC PADDING (each document chunked to
+    * ⌈tok/512⌉ sequences, last one padded: zero cross-doc attention
+    * contamination, maximal waste) vs CONCAT-AND-CHUNK (documents
+    * span boundaries: ⌈Σtok/512⌉ sequences, waste only in the final
+    * chunk — q123's greedy bins sit between the two). The padded-vs-
+    * concat waste gap IS the budget argument for packing; read next
+    * to q123 (bin census) and q206 (epoch water-filling). Scale: one
+    * tokenization pass, one map-side-combined rollup — the shuffle
+    * carries one row per source (the q238 shape, plan-pinned 1).
+    * Determinism: every sequence count and waste column is PURE
+    * INTEGER (⌈n/512⌉ = (n+511) div 512 — no FP near a boundary);
+    * the two waste shares are one IEEE division each, latticed 6dp.
+    */
+  def q286PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nTok = size(Text.tokens($"text")).cast("long")
+    val d = Tables.documents(spark, dir)
+      .select($"source", nTok.as("n_tok"))
+      .withColumn("seqs_pad", expr("(n_tok + 511) div 512"))
+    val m = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tok"),
+        sum($"seqs_pad").as("seqs_padded"))
+      .withColumn("waste_padded", $"seqs_padded" * 512L - $"total_tok")
+      .withColumn("seqs_concat", expr("(total_tok + 511) div 512"))
+      .withColumn("waste_concat", $"seqs_concat" * 512L - $"total_tok")
+    m.select($"source", $"n_docs", $"total_tok",
+      $"seqs_padded", $"waste_padded",
+      decRound($"waste_padded".cast("double")
+        / ($"seqs_padded" * 512L).cast("double"), 6).as("pad_waste_share"),
+      $"seqs_concat", $"waste_concat",
+      decRound($"waste_concat".cast("double")
+        / ($"seqs_concat" * 512L).cast("double"), 6)
+        .as("concat_waste_share"))
+  }
+
+  val q286Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents),
+      |d AS (
+      |  SELECT source, n_tok, (n_tok + 511) // 512 AS seqs_pad FROM t),
+      |m AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS total_tok,
+      |    CAST(sum(seqs_pad) AS BIGINT) AS seqs_padded
+      |  FROM d GROUP BY 1),
+      |f AS (
+      |  SELECT source, n_docs, total_tok, seqs_padded,
+      |    seqs_padded * 512 - total_tok AS waste_padded,
+      |    (total_tok + 511) // 512 AS seqs_concat
+      |  FROM m)
+      |SELECT source, n_docs, total_tok, seqs_padded,
+      |  CAST(waste_padded AS BIGINT) AS waste_padded,
+      |  CAST(round(CAST(CAST(waste_padded AS DOUBLE)
+      |    / CAST(seqs_padded * 512 AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS pad_waste_share,
+      |  CAST(seqs_concat AS BIGINT) AS seqs_concat,
+      |  CAST(seqs_concat * 512 - total_tok AS BIGINT) AS waste_concat,
+      |  CAST(round(CAST(CAST(seqs_concat * 512 - total_tok AS DOUBLE)
+      |    / CAST(seqs_concat * 512 AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS concat_waste_share
+      |FROM f""".stripMargin
+
   /** q285_bloom_decontaminate — benchmark decontamination AT SCALE
     * through the Bloom runtime filter: the held-out eval set's
     * (doc_id % 97 = 0, the q94 convention) distinct 3-gram shingles

@@ -2079,4 +2079,106 @@ object TrainingData {
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS nmi
       |FROM ag, hc, hl
       |WHERE CAST(hc.h_c AS DOUBLE) + CAST(hl.h_l AS DOUBLE) > 0.0""".stripMargin
+
+  /** q287_mahalanobis_diag — diagonal-covariance Mahalanobis outlier
+    * audit per label: every vector scores Σ_d (x_d − μ_d)²/σ_d²
+    * against the GLOBAL per-dimension moments, and the census reports
+    * per-label mean score, the χ²-tail flag count (score > 98 ≈
+    * df=64 + 3σ), and the worst vector — the cheap whole-corpus
+    * outlier screen next to q233's LOF (density-relative, capped
+    * slice): this one is O(n·width) with NO pair join at all, so it
+    * runs on the FULL corpus at any scale where LOF needs its ANN
+    * candidates. Scale: one posexplode pass (width-bounded, the q169
+    * shape) → 64-row broadcast stats → row-local scoring → reduced
+    * per-vector frame for the census and the rank pick. Determinism:
+    * inputs lattice at 8dp (float precision, exact double round-trip)
+    * so Σx/Σx² are exact decimal moments; μ/σ² are IEEE on those
+    * converged operands (identical bit patterns both engines); each
+    * z² term lattices at 9dp so the per-vector 64-term sum reduces
+    * exactly; the flag compares exact decimals to an integer literal;
+    * the worst-vector pick is a row_number on the total (score desc,
+    * vec_id) order; mean latticed 6dp. Zero-variance dims are
+    * excluded from the quadratic form (mirrored). */
+  def q287MahalanobisDiag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val ex = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", posexplode($"embedding"))
+      .select($"vec_id", $"label", $"pos".cast("long").as("dim"),
+        decRound($"col".cast("double"), 8).cast(DecimalType(18, 8)).as("x"))
+    val nD = $"n".cast("double")
+    val stats = ex.groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").cast(DecimalType(28, 8)).as("sx"),
+        sum($"x" * $"x").cast(DecimalType(38, 16)).as("sxx"))
+      .select($"dim",
+        ($"sx".cast("double") / nD).as("mu"),
+        ($"sxx".cast("double") / nD
+          - ($"sx".cast("double") / nD) * ($"sx".cast("double") / nD))
+          .as("v"))
+      .filter($"v" > 0.0)
+    val scored = ex.join(broadcast(stats), "dim")
+      .withColumn("z2",
+        decRound(($"x".cast("double") - $"mu")
+          * ($"x".cast("double") - $"mu") / $"v", 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"z2").cast(DecimalType(28, 9)).as("score"))
+    // the worst-vector pick folds INTO the census rollup as a
+    // lexicographic struct max on (score, −vec_id) — max score, ties
+    // to the LOWER id — so the per-vector frame is consumed exactly
+    // once (a separate rank branch re-derived the whole explode+join
+    // chain; measured 9 exchanges → 5)
+    scored.groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        decRound(sum($"score").cast("double") / count(lit(1)).cast("double"),
+          6).as("mean_score"),
+        sum(when($"score" > lit(98L), 1L).otherwise(0L)).as("n_flagged"),
+        max(struct($"score", (-$"vec_id").as("nv"))).as("mx"))
+      .select($"label", $"n", $"mean_score", $"n_flagged",
+        (-$"mx.nv").as("top_vec"),
+        decRound($"mx.score".cast("double"), 6).as("top_score"))
+  }
+
+  val q287Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    CAST(CAST(round(CAST(unnest(CAST(embedding AS DOUBLE[]))
+      |      AS DECIMAL(28,12)), 8) AS DOUBLE) AS DECIMAL(18,8)) AS x
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(round(sum(x), 8) AS DECIMAL(28,8)) AS sx,
+      |    CAST(round(sum(x * x), 16) AS DECIMAL(38,16)) AS sxx
+      |  FROM e GROUP BY 1),
+      |mv AS (
+      |  SELECT dim,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+      |  FROM st),
+      |sc AS (
+      |  SELECT e.vec_id, e.label,
+      |    CAST(round(sum(CAST(CAST(round(CAST(
+      |      (CAST(e.x AS DOUBLE) - mv.mu) * (CAST(e.x AS DOUBLE) - mv.mu)
+      |      / mv.v AS DECIMAL(28,12)), 9) AS DOUBLE) AS DECIMAL(18,9))),
+      |      9) AS DECIMAL(28,9)) AS score
+      |  FROM e JOIN mv USING (dim) WHERE mv.v > 0.0
+      |  GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(round(CAST(CAST(sum(score) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |      AS mean_score,
+      |    CAST(sum(CASE WHEN score > 98 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_flagged,
+      |    max(row(score, -vec_id)) AS mx
+      |  FROM sc GROUP BY 1)
+      |SELECT label, n, mean_score, n_flagged,
+      |  CAST(-(mx[2]) AS BIGINT) AS top_vec,
+      |  CAST(round(CAST(CAST(mx[1] AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS top_score
+      |FROM ag""".stripMargin
 }

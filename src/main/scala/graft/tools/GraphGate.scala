@@ -48,8 +48,79 @@ object GraphGate {
     try {
       val (checks, line) = check(spark, base, scaled, factor)
       println(line)
-      if (!checks.forall(_._2)) sys.exit(1)
+      val (checksLpa, lineLpa) = checkLpa(spark, base, scaled, factor)
+      println(lineLpa)
+      if (!checks.forall(_._2) || !checksLpa.forall(_._2)) sys.exit(1)
     } finally spark.stop()
+  }
+
+  /** q288's scale gate (its DuckDB oracle — two LPA-round unrolls plus
+    * the intra-edge census — exhausts the oracle engine's temp disk at
+    * sf1, the q125 situation exactly). [[ScaleUp]] makes the scaled
+    * graph `factor` DISJOINT ISOMORPHIC copies of the base, and the
+    * LPA tie-break (count desc, label asc) is shift-invariant within a
+    * copy, so propagation is copy-isomorphic EXACTLY:
+    *
+    *  1. n_nodes and n_communities scale by exactly `factor`;
+    *  2. the largest community's SIZE is invariant, and its label is
+    *     copy 0's (verbatim base ids — the cross-copy size tie
+    *     resolves on label asc);
+    *  3. modularity transforms EXACTLY: with base totals I = Σ_c
+    *     intra_c, D = Σ_c d_c², m directed edges — each base
+    *     community appears `factor` times unchanged while m scales,
+    *     so Q_scaled = I/m − D/(factor·m²), checked against the
+    *     production query's output within the 12dp-lattice tolerance.
+    */
+  def checkLpa(spark: SparkSession, base: String, scaled: String,
+               factor: Int): (Seq[(String, Boolean)], String) = {
+    import org.apache.spark.sql.DataFrame
+    val parts = spark.sessionState.conf.numShufflePartitions
+    def baseTotals(dir: String): (Long, Long, Long, Double, Double) = {
+      val e = graft.operators.Graph.coOrderEdges(
+          graft.Tables.lineitem(spark, dir))
+        .repartition(parts, col("src")).localCheckpoint(true)
+      val lab = graft.operators.Graph.labelPropagation(e, rounds = 2)
+      val mdir = e.count()
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val ls = lab.select(col("node").as("src"), col("lbl").as("l_s"))
+      val ld = lab.select(col("node").as("dst"), col("lbl").as("l_d"))
+      val intra = e.join(ls, "src").join(ld, "dst")
+        .filter(col("l_s") === col("l_d"))
+        .groupBy(col("l_s").as("lbl")).agg(count(lit(1)).as("i"))
+      val comm = deg.join(lab, "node")
+        .groupBy("lbl").agg(sum("deg").as("d"), count(lit(1)).as("sz"))
+        .join(intra, Seq("lbl"), "left").na.fill(0L, Seq("i"))
+      val r = comm.agg(count(lit(1)).as("nc"), sum(col("i")).as("bigI"),
+          sum(col("d") * col("d")).as("bigD")).collect()(0)
+      (mdir, r.getLong(0), deg.count(),
+        r.getLong(1).toDouble, r.getLong(2).toDouble)
+    }
+    def queryRow(dir: String) =
+      graft.SparkEntry.queries("q288_label_prop")(spark, dir).collect()(0)
+    val (mB, ncB, nnB, bigI, bigD) = baseTotals(base)
+    val rowB = queryRow(base)
+    val rowS = queryRow(scaled)
+    val qExpected = bigI / mB.toDouble -
+      bigD / (factor.toDouble * mB.toDouble * mB.toDouble)
+    val qScaled = rowS.getDouble(rowS.fieldIndex("modularity"))
+    val checks = Seq(
+      "lpa_vertex_scaling" ->
+        (rowS.getLong(rowS.fieldIndex("n_nodes")) == factor * nnB),
+      "lpa_community_scaling" ->
+        (rowS.getLong(rowS.fieldIndex("n_communities")) == factor * ncB),
+      "lpa_top_size_invariant" ->
+        (rowS.getLong(rowS.fieldIndex("top_size")) ==
+          rowB.getLong(rowB.fieldIndex("top_size"))),
+      "lpa_top_label_copy0" ->
+        (rowS.getLong(rowS.fieldIndex("top_label")) ==
+          rowB.getLong(rowB.fieldIndex("top_label"))),
+      "lpa_modularity_transform" ->
+        (math.abs(qScaled - qExpected) <= 1e-4))
+    val passed = checks.forall(_._2)
+    val cs = checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    (checks,
+      f"""{"gate":"q288_sf_invariants","pass":$passed,$cs,"n_comm_base":$ncB,"q_expected":$qExpected%.6f,"q_scaled":$qScaled%.6f,"factor":$factor}""")
   }
 
   /** Core gate logic, reused by the spec at toy scale. Returns the

@@ -780,6 +780,38 @@ class PlanSpec extends SparkTestBase {
       s"q285: expected exactly the bloom broadcast NL\n$p285")
   }
 
+  test("r14o families: q286 one rollup, q287 two-pass standardization, q288 reads checkpointed edges, q289 one tape window") {
+    // q286 padding waste: one tokenization pass, one map-side-combined
+    // rollup — a single exchange carrying one row per source.
+    val p286 = plan("q286_padding_waste")
+    assert(count(p286, "Exchange") == 1, s"q286: expected 1 exchange\n$p286")
+    assert(count(p286, "NestedLoop") == 0, p286)
+    // q287 Mahalanobis: the honest two-pass shape (global stats, then
+    // row-local scoring against the 64-row broadcast) with the
+    // worst-vector pick FOLDED into the census rollup — four
+    // exchanges, no join back, no rank branch.
+    val p287 = plan("q287_mahalanobis_diag")
+    assert(count(p287, "Exchange") == 4, s"q287: expected 4 exchanges\n$p287")
+    assert(count(p287, "NestedLoop") == 0, p287)
+    // q288 label propagation: the lineitem self-join edge list
+    // materializes once (lineage cut) — the query plan reads
+    // checkpointed blocks only, and every nested loop is a
+    // broadcast-scalar combine.
+    val p288 = plan("q288_label_prop")
+    assert(count(p288, "FileScan") == 0,
+      s"q288: a consumer re-ran the edge self-join\n$p288")
+    assert(count(p288, "CartesianProduct") == 0, p288)
+    assert(count(p288, "NestedLoop") == count(p288, "BroadcastNestedLoopJoin"),
+      p288)
+    // q289 attribution: carry window + purchase filter + channel
+    // rollup ride one hash(user) exchange; the share is a
+    // single-partition window over the reduced channel frame.
+    val p289 = plan("q289_attribution")
+    assert(count(p289, "Exchange") == 3, s"q289: expected 3 exchanges\n$p289")
+    assert(count(p289, "NestedLoop") == 0, p289)
+    assert(p289.contains("SinglePartition"), p289)
+  }
+
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {
     // q233: the only quadratic stage is the capped-slice distance
     // join — it must BROADCAST the 1000-row side (a shuffled

@@ -133,5 +133,11 @@ class ScaleUpSpec extends SparkTestBase {
     ScaleUp.scaleTable(spark, sf, dst, "lineitem", factor = 3)
     val (checks, line) = graft.tools.GraphGate.check(spark, sf, dst, 3)
     assert(checks.forall(_._2), s"gate failed: $line")
+    // the q288 LPA gate rides the same disjoint-copy structure:
+    // node/community counts scale by the factor, the top community is
+    // size-invariant with copy-0's label, and modularity transforms
+    // exactly as Q' = I/m − D/(factor·m²)
+    val (checksLpa, lineLpa) = graft.tools.GraphGate.checkLpa(spark, sf, dst, 3)
+    assert(checksLpa.forall(_._2), s"lpa gate failed: $lineLpa")
   }
 }
