@@ -1008,6 +1008,90 @@ object Analytics {
               .cast("double"), 6))
   }
 
+  /** q292_cohort_ltv — cumulative lifetime value per signup cohort:
+    * users cohort by their FIRST signup week, every later purchase
+    * lands in its weeks-since-signup bucket, and each (cohort, week)
+    * row reports buyers, weekly revenue, cumulative revenue, and
+    * cumulative LTV per cohort member — the payback-curve read next
+    * to q84's retention (presence) and q289's attribution (source):
+    * this one prices the cohort. Purchases BEFORE the signup week are
+    * excluded (mirrored — also dodges the engines' opposite negative
+    * integer-division conventions: Spark div truncates, DuckDB //
+    * floors; the filter keeps every operand non-negative where they
+    * agree). Scale: cohorts and purchases both key on user_id — the
+    * join and both rollups ride one hash(user) exchange family, the
+    * cumulative window runs over the REDUCED (cohort, week) frame.
+    * Determinism: cohort week from min(ts) (exact), weeks_since pure
+    * integer µs div, revenue INTEGER CENTS (q1 money lattice), the
+    * LTV division IEEE on converged operands latticed 4dp.
+    */
+  def q292CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val sizes = cohorts.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    val g = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts",
+        round($"value".cast(DecimalType(28, 12)) * 100, 0).cast("long")
+          .as("cents"))
+      .join(cohorts, "user_id")
+      .filter(unix_micros($"ts") >= unix_micros($"cohort_week"))
+      .withColumn("weeks_since",
+        expr("(unix_micros(ts) - unix_micros(cohort_week)) div 604800000000"))
+      .groupBy($"cohort_week", $"weeks_since")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct($"user_id").as("n_buyers"),
+        sum($"cents").as("revenue_cents"))
+    val wCum = Window.partitionBy($"cohort_week").orderBy($"weeks_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(sizes, "cohort_week")
+      .withColumn("cum_revenue_cents", sum($"revenue_cents").over(wCum))
+      .select($"cohort_week", $"weeks_since", $"cohort_size",
+        $"n_purchases", $"n_buyers", $"revenue_cents",
+        $"cum_revenue_cents",
+        graft.functions.Num.decRound(
+          $"cum_revenue_cents".cast("double") / lit(100.0)
+            / $"cohort_size".cast("double"), 4).as("ltv_per_user"))
+  }
+
+  val q292Sql: String =
+    """WITH co AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |sz AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM co GROUP BY 1),
+      |p AS (
+      |  SELECT co.cohort_week, e.user_id,
+      |    (epoch_us(e.ts) - epoch_us(co.cohort_week)) // 604800000000
+      |      AS weeks_since,
+      |    CAST(round(CAST(e.value AS DECIMAL(28,12)) * 100, 0) AS BIGINT)
+      |      AS cents
+      |  FROM events e JOIN co USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |    AND epoch_us(e.ts) >= epoch_us(co.cohort_week)),
+      |g AS (
+      |  SELECT cohort_week, CAST(weeks_since AS BIGINT) AS weeks_since,
+      |    CAST(count(*) AS BIGINT) AS n_purchases,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+      |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |  FROM p GROUP BY 1, 2)
+      |SELECT g.cohort_week, g.weeks_since, sz.cohort_size,
+      |  g.n_purchases, g.n_buyers, g.revenue_cents,
+      |  CAST(sum(g.revenue_cents) OVER (PARTITION BY g.cohort_week
+      |    ORDER BY g.weeks_since
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_revenue_cents,
+      |  CAST(round(CAST(CAST(sum(g.revenue_cents) OVER (
+      |      PARTITION BY g.cohort_week ORDER BY g.weeks_since
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / 100.0 / CAST(sz.cohort_size AS DOUBLE)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS ltv_per_user
+      |FROM g JOIN sz USING (cohort_week)""".stripMargin
+
   val q289Sql: String =
     """WITH ev AS (
       |  SELECT user_id, ts, event_id, event_type, value,

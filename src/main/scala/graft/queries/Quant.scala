@@ -4255,6 +4255,120 @@ object Quant {
       |    AS underwater_share
       |FROM s GROUP BY 1 HAVING max(n_days) >= 10""".stripMargin
 
+  /** q291_var_backtest — VaR model validation per instrument: a
+    * truncated RiskMetrics EWMA variance forecast (λ = 0.8 over the
+    * prior 10 squared returns — strictly BEFORE the day being
+    * tested), the 95% one-sided VaR violation count, rate, and the
+    * Kupiec (1995) POF likelihood ratio — the "is the risk model
+    * honest" gate run before anyone trusts q134/q249's VaR numbers
+    * (LR ≈ χ²(1); LR > 3.84 rejects correct coverage at 5%). Scale:
+    * the q248 closes-tail shape — tape collapse + ONE hash(user)
+    * exchange that the return lag, all ten r² lags (one sort), the
+    * violation compare, and the rollup ride (plan-pinned 2).
+    * Determinism: r/r² are exact decimals; the forecast is a FIXED-
+    * ORDER weighted sum (the q193 fixed-weights precedent) whose
+    * weights 0.8^i are written as full decimal literals — both
+    * engines parse them to identical doubles, so σ, the −1.645·σ
+    * threshold, and the violation compare run on identical bit
+    * patterns; counts are pure integers; the Kupiec LR is IEEE on
+    * integers with the x = 0 / x = n branches as explicit mirrored
+    * CASEs; outputs latticed 6dp. Instruments with < 10 forecastable
+    * days are excluded (mirrored HAVING). s67 closes-ledger tail
+    * (shared varBacktestFromCloses).
+    */
+  def q291VarBacktest(spark: SparkSession, dir: String): DataFrame =
+    varBacktestFromCloses(dailyCloses(spark, dir))
+
+  /** q291's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def varBacktestFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    // 0.8^(i−1), i = 1..10, as exact decimal literals (identical
+    // doubles in both engines); Σ = 4.463129088
+    val wts = Seq(1.0, 0.8, 0.64, 0.512, 0.4096, 0.32768, 0.262144,
+      0.2097152, 0.16777216, 0.134217728)
+    var df = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      .withColumn("r2", ($"r" * $"r").cast(DecimalType(38, 24)))
+    for (i <- 1 to 10) df = df.withColumn(s"l$i", lag($"r2", i).over(w))
+    val s = (1 to 10)
+      .map(i => lit(wts(i - 1)) * col(s"l$i").cast("double"))
+      .reduce(_ + _)
+    val sigma = sqrt(s / lit(4.463129088))
+    val m = df.filter($"l10".isNotNull)
+      .withColumn("viol",
+        when($"r".cast("double") < lit(-1.645) * sigma, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"), sum($"viol").as("n_viol"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    val xD = $"n_viol".cast("double")
+    val lr = lit(2.0) * (
+      when($"n_viol" > 0L, xD * log(xD / nD)).otherwise(lit(0.0))
+        + when($"n_viol" < $"n_days", (nD - xD) * log(lit(1.0) - xD / nD))
+          .otherwise(lit(0.0))
+        - xD * log(lit(0.05)) - (nD - xD) * log(lit(0.95)))
+    m.select($"user_id", $"n_days", $"n_viol",
+      decRound(xD / nD, 6).as("viol_rate"),
+      decRound(lr, 6).as("kupiec_lr"))
+  }
+
+  val q291Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |rr AS (
+      |  SELECT user_id, day, r, CAST(r * r AS DECIMAL(38,24)) AS r2
+      |  FROM d WHERE r IS NOT NULL),
+      |l AS (
+      |  SELECT user_id, r,
+      |    lag(r2, 1) OVER w AS l1, lag(r2, 2) OVER w AS l2,
+      |    lag(r2, 3) OVER w AS l3, lag(r2, 4) OVER w AS l4,
+      |    lag(r2, 5) OVER w AS l5, lag(r2, 6) OVER w AS l6,
+      |    lag(r2, 7) OVER w AS l7, lag(r2, 8) OVER w AS l8,
+      |    lag(r2, 9) OVER w AS l9, lag(r2, 10) OVER w AS l10
+      |  FROM rr
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |v AS (
+      |  SELECT user_id,
+      |    CASE WHEN CAST(r AS DOUBLE) < -1.645 * sqrt(
+      |      (1.0 * CAST(l1 AS DOUBLE) + 0.8 * CAST(l2 AS DOUBLE)
+      |       + 0.64 * CAST(l3 AS DOUBLE) + 0.512 * CAST(l4 AS DOUBLE)
+      |       + 0.4096 * CAST(l5 AS DOUBLE) + 0.32768 * CAST(l6 AS DOUBLE)
+      |       + 0.262144 * CAST(l7 AS DOUBLE)
+      |       + 0.2097152 * CAST(l8 AS DOUBLE)
+      |       + 0.16777216 * CAST(l9 AS DOUBLE)
+      |       + 0.134217728 * CAST(l10 AS DOUBLE)) / 4.463129088)
+      |    THEN 1 ELSE 0 END AS viol
+      |  FROM l WHERE l10 IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(viol) AS BIGINT) AS n_viol
+      |  FROM v GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, n_days, n_viol,
+      |  CAST(round(CAST(CAST(n_viol AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS viol_rate,
+      |  CAST(round(CAST(2.0 * (
+      |    (CASE WHEN n_viol > 0 THEN CAST(n_viol AS DOUBLE)
+      |      * ln(CAST(n_viol AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN n_viol < n_days
+      |      THEN (CAST(n_days AS DOUBLE) - CAST(n_viol AS DOUBLE))
+      |        * ln(1.0 - CAST(n_viol AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |      ELSE 0.0 END)
+      |    - CAST(n_viol AS DOUBLE) * ln(0.05)
+      |    - (CAST(n_days AS DOUBLE) - CAST(n_viol AS DOUBLE)) * ln(0.95))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS kupiec_lr
+      |FROM m""".stripMargin
+
   /** q284_corr_regime — the average pairwise correlation of the
     * universe's daily returns WITHOUT a pair join, via the dispersion
     * identity: standardize each instrument's return to z over the

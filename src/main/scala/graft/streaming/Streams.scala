@@ -2978,4 +2978,54 @@ object Streams {
           }
       }
   }
+
+  case class AttrEvent(user_id: Long, ts: java.sql.Timestamp,
+                       event_id: Long, event_type: String, value: Double)
+
+  /** s70 — streaming last-touch attribution via flatMapGroupsWithState:
+    * the live twin of batch q289. Unlike the ledger twins (whose
+    * converged state is a monoid fold), attribution is ORDER-DEPENDENT
+    * — each purchase must see the last non-purchase touch AS OF its
+    * own event time, not the stream's converged state — so the state
+    * is the per-user (last non-purchase µs, type) pair, batches fold
+    * in (ts, event_id) order, and purchases straddling a micro-batch
+    * boundary attribute against the carried pair exactly as the batch
+    * window would. Revenue cents replicate the batch's double →
+    * DECIMAL(28,12) → ×100 → round-0 lattice via BigDecimal on the
+    * same shortest-repr conversion. Emits one attributed (channel,
+    * cents) row per purchase; the spec folds per-channel sums and
+    * they equal batch q289 exactly. Same in-order-per-key delivery
+    * caveat as [[ewmaState]].
+    */
+  def attributionStream(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, String, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String), (Long, Long, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[AttrEvent],
+         state: GroupState[(Long, String)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var lastNp = state.getOption
+          val out = Seq.newBuilder[(Long, Long, String, Long)]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase") {
+              val channel = lastNp match {
+                case Some((npUs, npType))
+                    if micros(e.ts) - npUs <= 604800000000L => npType
+                case _ => "direct"
+              }
+              val cents = (BigDecimal(e.value)
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP) * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+              out += ((user, e.event_id, channel, cents))
+            } else lastNp = Some((micros(e.ts), e.event_type))
+          }
+          lastNp.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

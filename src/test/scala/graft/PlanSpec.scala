@@ -810,6 +810,18 @@ class PlanSpec extends SparkTestBase {
     assert(count(p289, "Exchange") == 3, s"q289: expected 3 exchanges\n$p289")
     assert(count(p289, "NestedLoop") == 0, p289)
     assert(p289.contains("SinglePartition"), p289)
+    // q291 VaR backtest: the q248 closes-tail shape — tape collapse +
+    // one hash(user) exchange carrying the return lag, all ten r²
+    // lags (one sort), and the rollup.
+    val p291 = plan("q291_var_backtest")
+    assert(count(p291, "Exchange") == 2, s"q291: expected 2 exchanges\n$p291")
+    assert(count(p291, "NestedLoop") == 0, p291)
+    // q292 cohort LTV: cohorts and purchases co-key on user_id; the
+    // cumulative window runs over the reduced (cohort, week) frame —
+    // no nested loop anywhere.
+    val p292 = plan("q292_cohort_ltv")
+    assert(count(p292, "NestedLoop") == 0, p292)
+    assert(count(p292, "CartesianProduct") == 0, p292)
   }
 
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {

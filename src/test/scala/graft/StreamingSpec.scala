@@ -671,6 +671,34 @@ class StreamingSpec extends SparkTestBase {
       batch254.exceptAll(census).isEmpty)
   }
 
+  test("streaming last-touch attribution rebuilds batch q289 (s70)") {
+    // ORDER-DEPENDENT state (not a monoid ledger): each purchase must
+    // attribute against the last non-purchase touch as of its OWN
+    // event time — purchases in batch_b attribute against state
+    // carried from batch_a, exactly as the batch carry window does.
+    val q = Streams.attributionStream(spark, slicedEventsStream("attr"))
+      .toDF("user_id", "event_id", "channel", "cents")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("attr_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val per = spark.table("attr_out")
+      .dropDuplicates("user_id", "event_id") // update-mode re-emissions
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("revenue_cents"))
+      .withColumn("revenue_share",
+        graft.functions.Num.decRound(
+          $"revenue_cents".cast("double")
+            / sum($"revenue_cents")
+              .over(org.apache.spark.sql.expressions.Window.partitionBy())
+              .cast("double"), 6))
+      .localCheckpoint()
+    assert(per.count() > 0)
+    val batch289 = SparkEntry.queries("q289_attribution")(spark, sf)
+    assert(batch289.count() > 0)
+    assert(per.exceptAll(batch289).isEmpty &&
+      batch289.exceptAll(per).isEmpty)
+  }
+
   test("streaming H/L ledger rebuilds batch q219 Corwin-Schultz (s65)") {
     val q = Streams.dailyHlStream(slicedEventsStream("hl"))
       .writeStream.outputMode("update").format("memory")
@@ -841,6 +869,10 @@ class StreamingSpec extends SparkTestBase {
     val batch284 = SparkEntry.queries("q284_corr_regime")(spark, sf)
     assert(batch284.count() > 0)
     assert(cr.exceptAll(batch284).isEmpty && batch284.exceptAll(cr).isEmpty)
+    val vb = queries.Quant.varBacktestFromCloses(closes)
+    val batch291 = SparkEntry.queries("q291_var_backtest")(spark, sf)
+    assert(batch291.count() > 0)
+    assert(vb.exceptAll(batch291).isEmpty && batch291.exceptAll(vb).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
