@@ -4369,6 +4369,147 @@ object Quant {
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS kupiec_lr
       |FROM m""".stripMargin
 
+  /** q294_bs_greeks — a Black–Scholes pricing/greeks surface per
+    * instrument at five moneyness points (K = m·S, m ∈ 0.8…1.2, 30-day
+    * tenor, r = 2%): annualized σ from the instrument's own daily ln
+    * returns, then Φ via the Abramowitz–Stegun 7.1.26 polynomial —
+    * call delta, price/S, S·gamma, and vega/S, all UNITLESS in spot
+    * (the strike grid is multiplicative, so ln(S/K) = −ln m and S
+    * factors out of every output — no last-price pick needed). The
+    * derivatives-desk read next to q291's VaR backtest (the same σ
+    * drives both) and q97's rolling vol. Scale: the q248 closes-tail
+    * shape — collapse + ONE hash(user) exchange (lag window + moment
+    * rollup), then the 5-point grid explodes ROW-LOCALLY on the
+    * per-instrument frame and every greek is pure columnar math
+    * (plan-pinned 2 exchanges). Determinism: σ from exact decimal
+    * moments (identical bit patterns), tenor written as the
+    * EXPRESSION 30.0/365.0 in both engines (a decimal literal of the
+    * quotient would round differently than the division), the A&S
+    * polynomial in Horner form token-for-token mirrored, erf-free;
+    * ln/exp are 1-ulp libm calls absorbed by the 6dp output lattice
+    * (the q163/q276 precedent). Instruments with < 10 returns or
+    * σ = 0 excluded (mirrored). s67 closes-ledger tail.
+    */
+  def q294BsGreeks(spark: SparkSession, dir: String): DataFrame =
+    bsGreeksFromCloses(dailyCloses(spark, dir))
+
+  /** q294's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def bsGreeksFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val nD = $"n".cast("double")
+    val sig = sqrt(($"srr".cast("double") / nD
+      - ($"sr".cast("double") / nD) * ($"sr".cast("double") / nD))
+      * lit(252.0))
+    val base = r.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"r" * $"r").cast(DecimalType(38, 24)).as("srr"))
+      .filter($"n" >= 10L)
+      .select($"user_id", sig.as("sigma"))
+      .filter($"sigma" > 0.0)
+    val tEx = lit(30.0) / lit(365.0)
+    val sqT = sqrt(lit(30.0) / lit(365.0))
+    def phiPdf(xc: org.apache.spark.sql.Column) =
+      exp(-(xc * xc) / lit(2.0)) / lit(2.5066282746310002)
+    def phiCdf(xc: org.apache.spark.sql.Column) = {
+      val ax = abs(xc)
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
+      val poly = t * (lit(0.319381530)
+        + t * (lit(-0.356563782)
+        + t * (lit(1.781477937)
+        + t * (lit(-1.821255978)
+        + t * lit(1.330274429)))))
+      val upper = lit(1.0) - phiPdf(ax) * poly
+      when(xc >= 0.0, upper).otherwise(lit(1.0) - upper)
+    }
+    val d1 = (-log($"m") + (lit(0.02) + $"sigma" * $"sigma" / lit(2.0)) * tEx) /
+      ($"sigma" * sqT)
+    val d2 = d1 - $"sigma" * sqT
+    base
+      .withColumn("m", explode(typedLit(Seq(0.8, 0.9, 1.0, 1.1, 1.2))))
+      .select($"user_id", $"m".as("moneyness"),
+        decRound($"sigma", 6).as("sigma_ann"),
+        decRound(phiCdf(d1), 6).as("call_delta"),
+        decRound(phiCdf(d1) - $"m" * exp(lit(-0.02) * tEx) * phiCdf(d2), 6)
+          .as("price_rel"),
+        decRound(phiPdf(d1) / ($"sigma" * sqT), 6).as("gamma_s"),
+        decRound(phiPdf(d1) * sqT, 6).as("vega_rel"))
+  }
+
+  val q294Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |rr AS (SELECT user_id, r FROM d WHERE r IS NOT NULL),
+      |mo AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(r * r), 24) AS DECIMAL(38,24)) AS srr
+      |  FROM rr GROUP BY 1 HAVING count(*) >= 10),
+      |sg AS (
+      |  SELECT user_id,
+      |    sqrt((CAST(srr AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) * 252.0)
+      |      AS sigma
+      |  FROM mo),
+      |sx AS (
+      |  SELECT user_id, sigma, m
+      |  FROM sg, (VALUES (0.8), (0.9), (1.0), (1.1), (1.2)) t(m)
+      |  WHERE sigma > 0.0),
+      |g1 AS (
+      |  SELECT user_id, sigma, m,
+      |    (-ln(m) + (0.02 + sigma * sigma / 2.0) * (30.0 / 365.0))
+      |      / (sigma * sqrt(30.0 / 365.0)) AS d1
+      |  FROM sx),
+      |g2 AS (
+      |  SELECT *, d1 - sigma * sqrt(30.0 / 365.0) AS d2 FROM g1),
+      |g3 AS (
+      |  SELECT *,
+      |    1.0 / (1.0 + 0.2316419 * abs(d1)) AS t1,
+      |    exp(-(abs(d1) * abs(d1)) / 2.0) / 2.5066282746310002 AS pdf1a,
+      |    exp(-(d1 * d1) / 2.0) / 2.5066282746310002 AS pdf1,
+      |    1.0 / (1.0 + 0.2316419 * abs(d2)) AS t2,
+      |    exp(-(abs(d2) * abs(d2)) / 2.0) / 2.5066282746310002 AS pdf2a
+      |  FROM g2),
+      |g4 AS (
+      |  SELECT *,
+      |    1.0 - pdf1a * (t1 * (0.319381530 + t1 * (-0.356563782
+      |      + t1 * (1.781477937 + t1 * (-1.821255978
+      |      + t1 * 1.330274429))))) AS up1,
+      |    1.0 - pdf2a * (t2 * (0.319381530 + t2 * (-0.356563782
+      |      + t2 * (1.781477937 + t2 * (-1.821255978
+      |      + t2 * 1.330274429))))) AS up2
+      |  FROM g3),
+      |g5 AS (
+      |  SELECT user_id, sigma, m, d1, pdf1,
+      |    CASE WHEN d1 >= 0.0 THEN up1 ELSE 1.0 - up1 END AS cdf1,
+      |    CASE WHEN d2 >= 0.0 THEN up2 ELSE 1.0 - up2 END AS cdf2
+      |  FROM g4)
+      |SELECT user_id, m AS moneyness,
+      |  CAST(round(CAST(sigma AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS sigma_ann,
+      |  CAST(round(CAST(cdf1 AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS call_delta,
+      |  CAST(round(CAST(cdf1 - m * exp(-0.02 * (30.0 / 365.0)) * cdf2
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS price_rel,
+      |  CAST(round(CAST(pdf1 / (sigma * sqrt(30.0 / 365.0))
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS gamma_s,
+      |  CAST(round(CAST(pdf1 * sqrt(30.0 / 365.0)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS vega_rel
+      |FROM g5""".stripMargin
+
   /** q284_corr_regime — the average pairwise correlation of the
     * universe's daily returns WITHOUT a pair join, via the dispersion
     * identity: standardize each instrument's return to z over the

@@ -1515,6 +1515,148 @@ object TextOps {
       |    AS DOUBLE) AS concat_waste_share
       |FROM f""".stripMargin
 
+  /** q293_ir_eval — search-quality evaluation of the q163 BM25 ranker
+    * against an EXACT relevance oracle: for five single-term queries,
+    * rank the corpus by BM25 (q163's formula), take the top-10, and
+    * score precision@10, MRR@10, and binary-gain NDCG@10 against
+    * relevance defined as term frequency ≥ 3 (prominence — exact and
+    * SQL-expressible, so the whole evaluation is oracle-gated, unlike
+    * vendor IR harnesses that certify only themselves). The missing
+    * piece between q163 (produces rankings) and the curation loop
+    * (needs to know if rankings are any good). Scale: one
+    * tokenize+explode pass term-filtered at the scan, per-term
+    * postings are df-bounded, the rank window partitions by term
+    * (5 partitions × corpus-bounded postings), metrics reduce on the
+    * ≤5-row frame. Determinism: single-term BM25 is ONE IEEE
+    * expression per (term, doc) on exact integer tf/df/dl operands
+    * (identical bit patterns both engines) latticed 6dp BEFORE the
+    * rank window, ranks total-ordered on (score desc, doc_id); each
+    * 1/log₂(rank+1) DCG/IDCG term lattices at 12dp so the ≤10-term
+    * sums reduce exactly (q277 discipline); MRR/NDCG divisions are
+    * IEEE on converged operands latticed 6dp, no-relevant cases
+    * mirrored as explicit zeros.
+    */
+  def q293IrEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val terms = Seq("spark", "window", "join", "hash", "table")
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").as("dl"), $"toks")
+    val scal = base.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base
+      .select($"doc_id", $"dl", explode($"toks").as("token"))
+      .filter($"token".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"token")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rel", ($"tf" >= 3L).cast("long"))
+    val dfT = tf.groupBy($"token").agg(count(lit(1)).as("df"),
+      sum($"rel").as("n_relevant"))
+    val scored = tf.join(broadcast(dfT.select($"token", $"df")), "token")
+      .crossJoin(broadcast(scal))
+      .withColumn("bm25",
+        decRound(
+          log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+            * $"tf".cast("double")
+            / ($"tf".cast("double")
+              + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")), 6)
+          .cast(DecimalType(18, 6)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"token").orderBy($"bm25".desc, $"doc_id")))
+      .filter($"rank" <= 10)
+    val perTerm = scored.groupBy($"token")
+      .agg(count(lit(1)).as("n_ranked"),
+        sum($"rel").as("hits_10"),
+        min(when($"rel" === 1L, $"rank")).as("first_rel"),
+        sum(when($"rel" === 1L,
+          decRound(lit(1.0) / log2($"rank".cast("double") + lit(1.0)), 12)
+            .cast(DecimalType(18, 12))).otherwise(
+          lit(0).cast(DecimalType(18, 12)))).as("dcg"))
+    val idcg = dfT.select($"token", $"n_relevant")
+      .withColumn("i", explode(sequence(lit(1L), least(lit(10L),
+        greatest($"n_relevant", lit(1L))))))
+      .filter($"i" <= $"n_relevant")
+      .groupBy($"token", $"n_relevant")
+      .agg(sum(
+        decRound(lit(1.0) / log2($"i".cast("double") + lit(1.0)), 12)
+          .cast(DecimalType(18, 12))).as("idcg"))
+    perTerm.join(idcg.select($"token", $"n_relevant",
+        $"idcg"), Seq("token"), "left")
+      .select($"token",
+        coalesce($"n_relevant", lit(0L)).as("n_relevant"),
+        decRound($"hits_10".cast("double") / lit(10.0), 6).as("p_at_10"),
+        when($"first_rel".isNotNull,
+          decRound(lit(1.0) / $"first_rel".cast("double"), 6))
+          .otherwise(lit(0.0)).as("mrr_10"),
+        when($"idcg".isNotNull && $"hits_10" > 0L,
+          decRound($"dcg".cast("double") / $"idcg".cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg_10"))
+  }
+
+  val q293Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |b AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+      |scal AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM b),
+      |tf AS (
+      |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf,
+      |    CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS rel
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM b)
+      |  WHERE token IN ('spark', 'window', 'join', 'hash', 'table')
+      |  GROUP BY 1, 2, 3),
+      |dft AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(rel) AS BIGINT) AS n_relevant
+      |  FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.token, tf.doc_id, tf.rel,
+      |    CAST(CAST(round(CAST(
+      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |        * CAST(tf AS DOUBLE)
+      |        / (CAST(tf AS DOUBLE)
+      |          + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS DECIMAL(18,6)) AS bm25
+      |  FROM tf JOIN dft USING (token) CROSS JOIN scal),
+      |rk AS (
+      |  SELECT token, rel,
+      |    row_number() OVER (PARTITION BY token
+      |      ORDER BY bm25 DESC, doc_id) AS rank
+      |  FROM sc),
+      |top AS (SELECT * FROM rk WHERE rank <= 10),
+      |pt AS (
+      |  SELECT token, CAST(sum(rel) AS BIGINT) AS hits_10,
+      |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+      |    sum(CASE WHEN rel = 1 THEN
+      |      CAST(CAST(round(CAST(1.0 / log2(CAST(rank AS DOUBLE) + 1.0)
+      |        AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12))
+      |      ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg
+      |  FROM top GROUP BY 1),
+      |ic AS (
+      |  SELECT dft.token, dft.n_relevant,
+      |    sum(CAST(CAST(round(CAST(1.0 / log2(CAST(i AS DOUBLE) + 1.0)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12))) AS idcg
+      |  FROM dft, unnest(generate_series(1,
+      |    CASE WHEN n_relevant < 10 THEN n_relevant ELSE 10 END)) t(i)
+      |  WHERE n_relevant >= 1
+      |  GROUP BY 1, 2)
+      |SELECT pt.token,
+      |  CAST(coalesce(ic.n_relevant, 0) AS BIGINT) AS n_relevant,
+      |  CAST(round(CAST(CAST(pt.hits_10 AS DOUBLE) / 10.0
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS p_at_10,
+      |  CASE WHEN pt.first_rel IS NOT NULL THEN
+      |    CAST(round(CAST(1.0 / CAST(pt.first_rel AS DOUBLE)
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) ELSE 0.0 END AS mrr_10,
+      |  CASE WHEN ic.idcg IS NOT NULL AND pt.hits_10 > 0 THEN
+      |    CAST(round(CAST(CAST(pt.dcg AS DOUBLE) / CAST(ic.idcg AS DOUBLE)
+      |      AS DECIMAL(28,12)), 6) AS DOUBLE) ELSE 0.0 END AS ndcg_10
+      |FROM pt LEFT JOIN ic USING (token)""".stripMargin
+
   /** q285_bloom_decontaminate — benchmark decontamination AT SCALE
     * through the Bloom runtime filter: the held-out eval set's
     * (doc_id % 97 = 0, the q94 convention) distinct 3-gram shingles

@@ -822,6 +822,20 @@ class PlanSpec extends SparkTestBase {
     val p292 = plan("q292_cohort_ltv")
     assert(count(p292, "NestedLoop") == 0, p292)
     assert(count(p292, "CartesianProduct") == 0, p292)
+    // q293 IR eval: one tokenize+explode pass term-filtered at the
+    // scan; the metrics join bounded per-term frames — no nested loop
+    // beyond the two broadcast-scalar combines.
+    val p293 = plan("q293_ir_eval")
+    assert(count(p293, "CartesianProduct") == 0, p293)
+    assert(count(p293, "NestedLoop") == count(p293, "BroadcastNestedLoopJoin"),
+      p293)
+    // q294 BS greeks: the q248 closes-tail shape — the 5-point
+    // moneyness grid explodes row-locally AFTER the per-instrument
+    // rollup, so the surface costs the same two exchanges as a
+    // scalar tail.
+    val p294 = plan("q294_bs_greeks")
+    assert(count(p294, "Exchange") == 2, s"q294: expected 2 exchanges\n$p294")
+    assert(count(p294, "NestedLoop") == 0, p294)
   }
 
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {

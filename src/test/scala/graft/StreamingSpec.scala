@@ -699,6 +699,50 @@ class StreamingSpec extends SparkTestBase {
       batch289.exceptAll(per).isEmpty)
   }
 
+  test("kafka-shaped envelope source: s70 attribution holds ORDER-DEPENDENT state through the bus transport") {
+    import graft.streaming.KafkaShapedEvents
+    // the ledger bus specs prove monoid state converges through the
+    // envelope; this one proves the harder property — s70's state is
+    // order-dependent (last touch AS OF each purchase), so the bus
+    // path must preserve per-key event-time folding across slices.
+    val ev = Tables.events(spark, sf)
+    val env = KafkaShapedEvents.envelopeFrom(ev, "events", nPartitions = 3)
+    val mid = ev.agg(
+      ((min(unix_micros($"ts")) + max(unix_micros($"ts"))) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kattr").toString
+    val envTs = env.withColumn("__us", unix_micros($"timestamp"))
+    envTs.filter($"__us" <= mid).drop("__us")
+      .coalesce(1).write.parquet(s"$dir/slice_a")
+    Thread.sleep(1100)
+    envTs.filter($"__us" > mid).drop("__us")
+      .coalesce(1).write.parquet(s"$dir/slice_b")
+    val envStream = spark.readStream
+      .schema(KafkaShapedEvents.EnvelopeSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/slice_*")
+    val events = Streams.normalize(spark, KafkaShapedEvents(envStream))
+    val q = Streams.attributionStream(spark, events)
+      .toDF("user_id", "event_id", "channel", "cents")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kattr_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val per = spark.table("kattr_out")
+      .dropDuplicates("user_id", "event_id")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("revenue_cents"))
+      .withColumn("revenue_share",
+        graft.functions.Num.decRound(
+          $"revenue_cents".cast("double")
+            / sum($"revenue_cents")
+              .over(org.apache.spark.sql.expressions.Window.partitionBy())
+              .cast("double"), 6))
+      .localCheckpoint()
+    assert(per.count() > 0)
+    val batch289 = SparkEntry.queries("q289_attribution")(spark, sf)
+    assert(per.exceptAll(batch289).isEmpty &&
+      batch289.exceptAll(per).isEmpty)
+  }
+
   test("streaming H/L ledger rebuilds batch q219 Corwin-Schultz (s65)") {
     val q = Streams.dailyHlStream(slicedEventsStream("hl"))
       .writeStream.outputMode("update").format("memory")
@@ -873,6 +917,10 @@ class StreamingSpec extends SparkTestBase {
     val batch291 = SparkEntry.queries("q291_var_backtest")(spark, sf)
     assert(batch291.count() > 0)
     assert(vb.exceptAll(batch291).isEmpty && batch291.exceptAll(vb).isEmpty)
+    val bs = queries.Quant.bsGreeksFromCloses(closes)
+    val batch294 = SparkEntry.queries("q294_bs_greeks")(spark, sf)
+    assert(batch294.count() > 0)
+    assert(bs.exceptAll(batch294).isEmpty && batch294.exceptAll(bs).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
