@@ -1057,6 +1057,99 @@ object Analytics {
             / $"cohort_size".cast("double"), 4).as("ltv_per_user"))
   }
 
+  /** q295_window_funnel — strict ORDERED funnel census with a time
+    * window (the ClickHouse windowFunnel shape): per user, the
+    * longest prefix of signup → view → click → purchase completed
+    * IN ORDER, each step the first qualifying event after the
+    * previous step, all within 7 days of the signup — then the
+    * census of users by max step reached, the share, and the mean
+    * completion time of finishers. q63 measures the loose funnel
+    * (any click after signup, unbounded); this one is the strict
+    * sequential conversion product teams actually ship. Scale: the
+    * greedy chain is FOUR CASCADED whole-partition window aggregates
+    * on one hash(user) exchange (each step's min conditions on the
+    * previous step's window result — no self-join, no per-user
+    * collect); the census reduces to ≤5 rows with the share as a
+    * single-partition window (q254 discipline). Determinism: every
+    * step pick is min over exact integer µs with strict > compares;
+    * step counting and the completion mean ((Σ∆µs) div n — floor on
+    * non-negative operands, where both engines agree) are pure
+    * integer; the share is one IEEE division latticed 6dp.
+    */
+  def q295WindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    val sevenD = 604800000000L
+    val stepped = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("t1", min(when($"event_type" === "signup", $"us")).over(w))
+      .withColumn("t2", min(when($"event_type" === "view" &&
+        $"us" > $"t1", $"us")).over(w))
+      .withColumn("t3", min(when($"event_type" === "click" &&
+        $"us" > $"t2", $"us")).over(w))
+      .withColumn("t4", min(when($"event_type" === "purchase" &&
+        $"us" > $"t3", $"us")).over(w))
+    val perUser = stepped.groupBy($"user_id")
+      .agg(max($"t1").as("t1"), max($"t2").as("t2"),
+        max($"t3").as("t3"), max($"t4").as("t4"))
+      .withColumn("max_step",
+        when($"t1".isNull, 0L)
+          .when($"t2".isNull || $"t2" - $"t1" > sevenD, 1L)
+          .when($"t3".isNull || $"t3" - $"t1" > sevenD, 2L)
+          .when($"t4".isNull || $"t4" - $"t1" > sevenD, 3L)
+          .otherwise(4L))
+    perUser.groupBy($"max_step")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"max_step" === 4L, $"t4" - $"t1")).as("sum_us"))
+      .withColumn("share",
+        graft.functions.Num.decRound(
+          $"n_users".cast("double")
+            / sum($"n_users").over(Window.partitionBy()).cast("double"), 6))
+      .withColumn("avg_complete_us",
+        when($"max_step" === 4L, expr("sum_us div n_users")))
+      .drop("sum_us")
+  }
+
+  val q295Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+      |    OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' AND us > t1
+      |    THEN us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND us > t2
+      |    THEN us END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |s4 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t3
+      |    THEN us END) OVER (PARTITION BY user_id) AS t4 FROM s3),
+      |pu AS (
+      |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3,
+      |    max(t4) AS t4
+      |  FROM s4 GROUP BY 1),
+      |st AS (
+      |  SELECT user_id, t1, t4,
+      |    CASE WHEN t1 IS NULL THEN 0
+      |      WHEN t2 IS NULL OR t2 - t1 > 604800000000 THEN 1
+      |      WHEN t3 IS NULL OR t3 - t1 > 604800000000 THEN 2
+      |      WHEN t4 IS NULL OR t4 - t1 > 604800000000 THEN 3
+      |      ELSE 4 END AS max_step
+      |  FROM pu),
+      |g AS (
+      |  SELECT CAST(max_step AS BIGINT) AS max_step,
+      |    CAST(count(*) AS BIGINT) AS n_users,
+      |    sum(CASE WHEN max_step = 4 THEN t4 - t1 END) AS sum_us
+      |  FROM st GROUP BY 1)
+      |SELECT max_step, n_users,
+      |  CAST(round(CAST(CAST(n_users AS DOUBLE)
+      |    / CAST(sum(n_users) OVER () AS DOUBLE) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS share,
+      |  CASE WHEN max_step = 4
+      |    THEN CAST(sum_us // n_users AS BIGINT) END AS avg_complete_us
+      |FROM g""".stripMargin
+
   val q292Sql: String =
     """WITH co AS (
       |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week

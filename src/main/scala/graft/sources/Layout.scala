@@ -36,6 +36,27 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** HIVE-PARTITIONED layout: one directory per distinct value of
+    * `partitionCol` — the third skipping tier next to
+    * [[clusteredWrite]] (row-group ranges) and [[zorderWrite]]
+    * (multi-key cells). Partition directories are the only layout the
+    * optimizer can prune with a RUNTIME value set: when a partitioned
+    * fact joins a dimension on the partition column and the dimension
+    * carries a selective filter, Spark inserts a dynamic-partition-
+    * pruning subquery that evaluates the dim side first and feeds the
+    * surviving keys into the fact scan's PartitionFilters — at 100 TB
+    * the fact side never lists, opens, or reads the pruned
+    * directories at all (file skipping decided before the scan, not
+    * per row group). LayoutSpec pins the `dynamicpruning` subquery in
+    * the physical plan. Choose a LOW-cardinality column (priorities,
+    * dates, sources): every distinct value is a directory, and a
+    * high-cardinality partition key melts the namenode before it
+    * helps the reader.
+    */
+  def partitionedWrite(df: DataFrame, outDir: String,
+                       partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
+
   /** Z-ORDER layout: interleave-bit clustering across SEVERAL keys so
     * row-group pruning works on every one of them at once — the
     * multi-dimensional complement to [[clusteredWrite]], which makes

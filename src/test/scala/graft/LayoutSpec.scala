@@ -39,6 +39,34 @@ class LayoutSpec extends SparkTestBase {
     assert(ordered.map(s => s.max - s.min).max < domain)
   }
 
+  test("partitionedWrite: dynamic partition pruning fires through a filtered dim join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Layout.partitionedWrite(Tables.orders(spark, sf), s"$dir/fact",
+      "o_orderpriority")
+    // a priority attribute dim on disk (the date_dim shape): the
+    // filter is on a NON-join column, so only a runtime subquery can
+    // know which fact partitions survive
+    Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+      .toDF("pri", "tier").write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter($"tier" === "hot")
+    val q = fact.join(dim, fact("o_orderpriority") === dim("pri"))
+      .agg(count(lit(1)).as("n"), countDistinct($"o_orderpriority").as("k"))
+    val row = q.collect()(0)
+    // correctness: only the two hot priorities' partitions contribute
+    assert(row.getLong(1) == 2L)
+    val expected = Tables.orders(spark, sf)
+      .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH")).count()
+    assert(row.getLong(0) == expected)
+    // the plan must carry the runtime pruning subquery on the fact
+    // scan — this is what keeps the 100-TB fact side from listing the
+    // pruned directories at all
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
+
   test("clusteredWrite rejects an empty key list") {
     intercept[IllegalArgumentException] {
       Layout.clusteredWrite(Tables.region(spark, sf), "/tmp/never", 2)
