@@ -1110,6 +1110,127 @@ object Analytics {
       .drop("sum_us")
   }
 
+  /** q297_rfm — RFM customer segmentation: per purchasing user,
+    * recency (days since last purchase vs the tape's last print),
+    * frequency (purchase count), and monetary (integer cents) land in
+    * VALUE-BASED quintiles, the 3-digit R·F·M segment code is the
+    * census key — the classic lifecycle read next to q84's retention
+    * and q292's LTV ("532 = recent, frequent, low-spend"). THE
+    * QUINTILE MACHINERY IS THE SCALE STORY: ntile over the user frame
+    * is a global sort of every customer (the q275 anti-pattern); all
+    * three metrics are INTEGERS, so each quintile boundary comes from
+    * the q275 two-pass histogram — groupBy(value) reduces to value
+    * cardinality, one single-partition cumulative window over that
+    * reduced frame, exact integer ceil-rank picks ((k·N+4) div 5), a
+    * 4-row broadcast threshold set per metric, and score = 1 + #{th
+    * strictly below} (order-independent, ties share a score; recency
+    * inverts so recent = 5). The user frame localCheckpoints once
+    * (four consumers — the q284 lineage discipline). Determinism:
+    * everything is PURE INTEGER except the per-segment monetary mean
+    * (one IEEE division latticed 2dp at dollar scale).
+    */
+  def q297Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val refUs = ev.agg(max(unix_micros($"ts")).as("ref_us"))
+    val rfm = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("us"),
+        round($"value".cast(DecimalType(28, 12)) * 100, 0).cast("long")
+          .as("cents"))
+      .groupBy($"user_id")
+      .agg(max($"us").as("last_us"), count(lit(1)).as("f"),
+        sum($"cents").as("m"))
+      .crossJoin(broadcast(refUs))
+      .withColumn("r", expr("(ref_us - last_us) div 86400000000"))
+      .select($"user_id", $"r", $"f", $"m")
+      .localCheckpoint(true)
+    def thresholds(metric: String): DataFrame = {
+      val hist = rfm.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum($"cnt").over(Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.crossJoin(broadcast(rfm.agg(count(lit(1)).as("n_tot"))))
+        .withColumn("k", explode(typedLit(Seq(1L, 2L, 3L, 4L))))
+        .withColumn("rk", expr("(k * n_tot + 4) div 5"))
+        .filter($"cum" >= $"rk" && $"cum" - $"cnt" < $"rk")
+        .groupBy().agg(collect_list($"v").as("ths"))
+    }
+    def below(v: org.apache.spark.sql.Column, ths: org.apache.spark.sql.Column) =
+      size(filter(ths, t => t < v)).cast("long")
+    val scored = rfm
+      .crossJoin(broadcast(thresholds("r").select($"ths".as("th_r"))))
+      .crossJoin(broadcast(thresholds("f").select($"ths".as("th_f"))))
+      .crossJoin(broadcast(thresholds("m").select($"ths".as("th_m"))))
+      .select($"user_id", $"m",
+        (lit(5L) - below($"r", $"th_r")).as("r_score"),
+        (lit(1L) + below($"f", $"th_f")).as("f_score"),
+        (lit(1L) + below($"m", $"th_m")).as("m_score"))
+      .withColumn("segment",
+        $"r_score" * 100L + $"f_score" * 10L + $"m_score")
+    scored.groupBy($"segment")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"m").as("cents"))
+      .select($"segment", $"n_users",
+        graft.functions.Num.decRound(
+          $"cents".cast("double") / lit(100.0)
+            / $"n_users".cast("double"), 2).as("mean_monetary"))
+  }
+
+  val q297Sql: String =
+    """WITH ref AS (
+      |  SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS ref_us FROM events),
+      |rfm AS (
+      |  SELECT user_id,
+      |    (ref_us - max(epoch_us(ts))) // 86400000000 AS r,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    CAST(sum(CAST(round(CAST(value AS DECIMAL(28,12)) * 100, 0)
+      |      AS BIGINT)) AS BIGINT) AS m
+      |  FROM events CROSS JOIN ref WHERE event_type = 'purchase'
+      |  GROUP BY user_id, ref_us),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM rfm),
+      |hr AS (SELECT r AS v, count(*) AS cnt FROM rfm GROUP BY 1),
+      |cr AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hr),
+      |tr AS (
+      |  SELECT v AS th FROM cr CROSS JOIN nt,
+      |    (VALUES (1), (2), (3), (4)) k(k)
+      |  WHERE cum >= (k * n_tot + 4) // 5
+      |    AND cum - cnt < (k * n_tot + 4) // 5),
+      |hf AS (SELECT f AS v, count(*) AS cnt FROM rfm GROUP BY 1),
+      |cf AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hf),
+      |tf AS (
+      |  SELECT v AS th FROM cf CROSS JOIN nt,
+      |    (VALUES (1), (2), (3), (4)) k(k)
+      |  WHERE cum >= (k * n_tot + 4) // 5
+      |    AND cum - cnt < (k * n_tot + 4) // 5),
+      |hm AS (SELECT m AS v, count(*) AS cnt FROM rfm GROUP BY 1),
+      |cm AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hm),
+      |tm AS (
+      |  SELECT v AS th FROM cm CROSS JOIN nt,
+      |    (VALUES (1), (2), (3), (4)) k(k)
+      |  WHERE cum >= (k * n_tot + 4) // 5
+      |    AND cum - cnt < (k * n_tot + 4) // 5),
+      |sc AS (
+      |  SELECT user_id, m,
+      |    5 - (SELECT count(*) FROM tr WHERE th < rfm.r) AS r_score,
+      |    1 + (SELECT count(*) FROM tf WHERE th < rfm.f) AS f_score,
+      |    1 + (SELECT count(*) FROM tm WHERE th < rfm.m) AS m_score
+      |  FROM rfm),
+      |g AS (
+      |  SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+      |      AS segment,
+      |    CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(m) AS BIGINT) AS cents
+      |  FROM sc GROUP BY 1)
+      |SELECT segment, n_users,
+      |  CAST(round(CAST(CAST(cents AS DOUBLE) / 100.0
+      |    / CAST(n_users AS DOUBLE) AS DECIMAL(28,12)), 2) AS DOUBLE)
+      |    AS mean_monetary
+      |FROM g""".stripMargin
+
   val q295Sql: String =
     """WITH e AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -4510,6 +4510,146 @@ object Quant {
       |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS vega_rel
       |FROM g5""".stripMargin
 
+  /** q296_jackknife_sharpe — a RESAMPLING standard error with no
+    * random numbers: the leave-one-day-out jackknife SE of each
+    * instrument's annualized Sharpe ratio, plus the jackknife
+    * t-statistic — the error bar q118/q248 never report (a Sharpe
+    * without a SE is a point guess; bootstrap needs rand(), which the
+    * engine bans, but the jackknife is DETERMINISTIC and, via
+    * sufficient statistics, O(n): leaving day d out is three exact
+    * decimal subtractions n−1, Σr−r_d, Σr²−r_d² from whole-partition
+    * window totals — never a re-scan per replicate). Scale: the q248
+    * closes-tail shape — collapse + ONE hash(user) exchange carrying
+    * the lag window, the three running totals, the per-day replicate
+    * expression, and the rollup (plan-pinned 2). Determinism: totals
+    * and leave-one-out operands are exact decimals, each replicate
+    * θ_d is one IEEE expression on those operands latticed 12dp so
+    * Σθ/Σθ² reduce exactly; instruments where any replicate variance
+    * is non-positive are excluded (mirrored — the IEEE positivity
+    * branch runs on identical operands in both engines); outputs
+    * latticed 6/4dp. s67 closes-ledger tail.
+    */
+  def q296JackknifeSharpe(spark: SparkSession, dir: String): DataFrame =
+    jackknifeSharpeFromCloses(dailyCloses(spark, dir))
+
+  /** q296's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def jackknifeSharpeFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val wAll = Window.partitionBy($"user_id")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+      // r² re-narrowed to 16dp per TERM (deterministic half-up on the
+      // exact 24dp product — the lesson-3 width-cap dodge: a (38,24)
+      // running total could not be exactly subtracted from)
+      .withColumn("r2", round($"r" * $"r", 16).cast(DecimalType(28, 16)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum($"r").over(wAll).cast(DecimalType(28, 10)))
+      .withColumn("s2", sum($"r2").over(wAll).cast(DecimalType(30, 16)))
+    // leave-one-out sufficient statistics: exact decimal subtractions
+    val ni = ($"n" - 1L).cast("double")
+    val si = ($"s" - $"r").cast("double")
+    val s2i = ($"s2" - $"r2").cast("double")
+    val vi = s2i / ni - (si / ni) * (si / ni)
+    val thetaD = (si / ni) / sqrt(vi) * sqrt(lit(252.0))
+    val rep = r
+      .withColumn("ok", when(vi > 0.0, 1L).otherwise(0L))
+      .withColumn("theta",
+        when(vi > 0.0, decRound(thetaD, 12).cast(DecimalType(18, 12)))
+          .otherwise(lit(0).cast(DecimalType(18, 12))))
+    val m = rep.groupBy($"user_id")
+      .agg(max($"n").as("n"), max($"s").as("s"), max($"s2").as("s2"),
+        sum($"ok").as("n_ok"),
+        sum($"theta").cast(DecimalType(28, 10)).as("st"),
+        sum(($"theta" * $"theta").cast(DecimalType(38, 24)))
+          .cast(DecimalType(38, 24)).as("st2"))
+      .filter($"n" >= 10L && $"n_ok" === $"n")
+    val nD = $"n".cast("double")
+    val full = ($"s".cast("double") / nD) /
+      sqrt($"s2".cast("double") / nD
+        - ($"s".cast("double") / nD) * ($"s".cast("double") / nD)) *
+      sqrt(lit(252.0))
+    val ssq = $"st2".cast("double") -
+      ($"st".cast("double") * $"st".cast("double")) / nD
+    val se = sqrt((nD - lit(1.0)) / nD * ssq)
+    m.select($"user_id", $"n".as("n_days"),
+      decRound(full, 6).as("sharpe_ann"),
+      decRound(se, 6).as("jack_se"),
+      decRound(full / se, 4).as("t_jack"))
+  }
+
+  val q296Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |rr AS (
+      |  SELECT user_id, day, r,
+      |    CAST(round(r * r, 16) AS DECIMAL(28,16)) AS r2
+      |  FROM d WHERE r IS NOT NULL),
+      |t AS (
+      |  SELECT user_id, r, r2,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+      |    CAST(round(sum(r) OVER (PARTITION BY user_id), 10)
+      |      AS DECIMAL(28,10)) AS s,
+      |    CAST(round(sum(r2) OVER (PARTITION BY user_id), 16)
+      |      AS DECIMAL(30,16)) AS s2
+      |  FROM rr),
+      |rep AS (
+      |  SELECT user_id, n, s, s2,
+      |    CASE WHEN
+      |      CAST(s2 - r2 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      |      - (CAST(s - r AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |        * (CAST(s - r AS DOUBLE) / CAST(n - 1 AS DOUBLE)) > 0.0
+      |      THEN 1 ELSE 0 END AS ok,
+      |    CASE WHEN
+      |      CAST(s2 - r2 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      |      - (CAST(s - r AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |        * (CAST(s - r AS DOUBLE) / CAST(n - 1 AS DOUBLE)) > 0.0
+      |      THEN CAST(CAST(round(CAST(
+      |        (CAST(s - r AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |        / sqrt(CAST(s2 - r2 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      |          - (CAST(s - r AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |            * (CAST(s - r AS DOUBLE) / CAST(n - 1 AS DOUBLE)))
+      |        * sqrt(252.0) AS DECIMAL(28,12)), 12) AS DOUBLE)
+      |        AS DECIMAL(18,12))
+      |      ELSE CAST(0 AS DECIMAL(18,12)) END AS theta
+      |  FROM t),
+      |m AS (
+      |  SELECT user_id, max(n) AS n, max(s) AS s, max(s2) AS s2,
+      |    CAST(sum(ok) AS BIGINT) AS n_ok,
+      |    CAST(round(sum(theta), 10) AS DECIMAL(28,10)) AS st,
+      |    CAST(round(sum(CAST(theta * theta AS DECIMAL(38,24))), 24)
+      |      AS DECIMAL(38,24)) AS st2
+      |  FROM rep GROUP BY 1
+      |  HAVING max(n) >= 10 AND CAST(sum(ok) AS BIGINT) = max(n)),
+      |f AS (
+      |  SELECT user_id, n,
+      |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * sqrt(252.0) AS full_sharpe,
+      |    sqrt((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
+      |      * (CAST(st2 AS DOUBLE)
+      |        - (CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+      |          / CAST(n AS DOUBLE))) AS se
+      |  FROM m)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_days,
+      |  CAST(round(CAST(full_sharpe AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS sharpe_ann,
+      |  CAST(round(CAST(se AS DECIMAL(28,12)), 6) AS DOUBLE) AS jack_se,
+      |  CAST(round(CAST(full_sharpe / se AS DECIMAL(28,12)), 4) AS DOUBLE)
+      |    AS t_jack
+      |FROM f""".stripMargin
+
   /** q284_corr_regime — the average pairwise correlation of the
     * universe's daily returns WITHOUT a pair join, via the dispersion
     * identity: standardize each instrument's return to z over the

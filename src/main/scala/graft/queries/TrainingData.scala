@@ -2080,6 +2080,94 @@ object TrainingData {
       |FROM ag, hc, hl
       |WHERE CAST(hc.h_c AS DOUBLE) + CAST(hl.h_l AS DOUBLE) > 0.0""".stripMargin
 
+  /** q298_lsh_design — choose the MinHash banding analytically before
+    * paying for it: for four (rows-per-band r, bands b) designs on a
+    * 32-hash budget, the expected caught-pair mass Σᵢ P(detect | sᵢ)
+    * with P = 1 − (1 − sʳ)ᵇ evaluated at the corpus's OWN exact pair
+    * similarities (the q34/q216 df-capped pair frame), plus the
+    * design's s₅₀ = (1/b)^(1/r) threshold — the S-curve placement
+    * table that q216's τ sweep reads empirically and q32's recall
+    * contract certifies after the fact; this prices the (r, b) dial
+    * BEFORE a single MinHash is computed, from exact arithmetic both
+    * engines can run. Scale: the pair frame is the bounded candidate
+    * machinery (never all-pairs); the 4-design explode multiplies
+    * only that frame; the rollup carries 4 rows. Determinism: sᵢ are
+    * 4dp-latticed exact pair similarities; each P is one IEEE
+    * expression (two libm pows — 1-ulp, q294 precedent) latticed
+    * 12dp so the per-design sum reduces exactly; s₅₀ is IEEE on
+    * integer-derived literals latticed 6dp.
+    */
+  def q298LshDesign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val designs = Seq((2, 16), (4, 8), (8, 4), (16, 2))
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+        threshold = 0.05)
+      .select($"jaccard")
+    pairs
+      .withColumn("d", explode(typedLit(designs)))
+      .select($"jaccard", $"d._1".cast("double").as("r"),
+        $"d._2".cast("double").as("b"))
+      .withColumn("p",
+        decRound(lit(1.0) - pow(lit(1.0) - pow($"jaccard", $"r"), $"b"), 12)
+          .cast(DecimalType(18, 12)))
+      .groupBy($"r", $"b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"p").cast(DecimalType(28, 10)).as("expc"))
+      .select($"r".cast("long").as("rows_per_band"),
+        $"b".cast("long").as("bands"), $"n_pairs",
+        decRound($"expc".cast("double"), 4).as("expected_caught"),
+        decRound($"expc".cast("double") / $"n_pairs".cast("double"), 6)
+          .as("expected_recall"),
+        decRound(pow(lit(1.0) / $"b", lit(1.0) / $"r"), 6).as("s50"))
+  }
+
+  val q298Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct([t[i] || ' ' || t[i+1]
+      |           for i in range(1, len(t))])
+      |    END AS g
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams),
+      |rare AS (SELECT gram FROM ex GROUP BY gram
+      |  HAVING count(*) BETWEEN 2 AND 50),
+      |f AS (SELECT ex.* FROM ex JOIN rare USING (gram)),
+      |p0 AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+      |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |pairs AS (
+      |  SELECT CAST(round(CAST(CAST(shared AS DOUBLE) / (n_a + n_b - shared)
+      |    AS DECIMAL(28,12)), 4) AS DOUBLE) AS jaccard
+      |  FROM p0),
+      |pf AS (SELECT jaccard FROM pairs WHERE jaccard >= 0.05),
+      |dz AS (SELECT CAST(r AS DOUBLE) AS r, CAST(b AS DOUBLE) AS b
+      |  FROM (VALUES (2, 16), (4, 8), (8, 4), (16, 2)) t(r, b)),
+      |sw AS (
+      |  SELECT r, b,
+      |    CAST(CAST(round(CAST(1.0 - pow(1.0 - pow(jaccard, r), b)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS p
+      |  FROM pf CROSS JOIN dz),
+      |g AS (
+      |  SELECT r, b, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(round(sum(p), 10) AS DECIMAL(28,10)) AS expc
+      |  FROM sw GROUP BY 1, 2)
+      |SELECT CAST(r AS BIGINT) AS rows_per_band, CAST(b AS BIGINT) AS bands,
+      |  n_pairs,
+      |  CAST(round(CAST(CAST(expc AS DOUBLE) AS DECIMAL(28,12)), 4)
+      |    AS DOUBLE) AS expected_caught,
+      |  CAST(round(CAST(CAST(expc AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS expected_recall,
+      |  CAST(round(CAST(pow(1.0 / b, 1.0 / r) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS s50
+      |FROM g""".stripMargin
+
   /** q287_mahalanobis_diag — diagonal-covariance Mahalanobis outlier
     * audit per label: every vector scores Σ_d (x_d − μ_d)²/σ_d²
     * against the GLOBAL per-dimension moments, and the census reports

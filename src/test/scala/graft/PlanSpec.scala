@@ -836,6 +836,33 @@ class PlanSpec extends SparkTestBase {
     val p294 = plan("q294_bs_greeks")
     assert(count(p294, "Exchange") == 2, s"q294: expected 2 exchanges\n$p294")
     assert(count(p294, "NestedLoop") == 0, p294)
+    // q295 window funnel: four cascaded whole-partition windows + the
+    // max-step census ride one hash(user) exchange; the share is a
+    // single-partition window over the reduced frame.
+    val p295 = plan("q295_window_funnel")
+    assert(count(p295, "Exchange") == 3, s"q295: expected 3 exchanges\n$p295")
+    assert(count(p295, "NestedLoop") == 0, p295)
+    // q296 jackknife: replicates come from whole-partition totals on
+    // the same hash(user) exchange — O(n) resampling, two exchanges,
+    // never a per-replicate re-scan.
+    val p296 = plan("q296_jackknife_sharpe")
+    assert(count(p296, "Exchange") == 2, s"q296: expected 2 exchanges\n$p296")
+    assert(count(p296, "NestedLoop") == 0, p296)
+    // q297 RFM: the user frame materializes once (lineage cut), the
+    // quintile machinery runs on value-cardinality histograms, and
+    // every nested loop is a broadcast-scalar/threshold combine.
+    val p297 = plan("q297_rfm")
+    assert(count(p297, "FileScan") == 0,
+      s"q297: a consumer re-scanned the tape past the lineage cut\n$p297")
+    assert(count(p297, "CartesianProduct") == 0, p297)
+    assert(count(p297, "NestedLoop") == count(p297, "BroadcastNestedLoopJoin"),
+      p297)
+    // q298 LSH design: the pair frame is the bounded candidate
+    // machinery — no cartesian, no nested loop; the 4-design explode
+    // multiplies only the pair frame.
+    val p298 = plan("q298_lsh_design")
+    assert(count(p298, "CartesianProduct") == 0, p298)
+    assert(count(p298, "NestedLoop") == 0, p298)
   }
 
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {

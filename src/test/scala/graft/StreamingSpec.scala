@@ -921,6 +921,10 @@ class StreamingSpec extends SparkTestBase {
     val batch294 = SparkEntry.queries("q294_bs_greeks")(spark, sf)
     assert(batch294.count() > 0)
     assert(bs.exceptAll(batch294).isEmpty && batch294.exceptAll(bs).isEmpty)
+    val jk = queries.Quant.jackknifeSharpeFromCloses(closes)
+    val batch296 = SparkEntry.queries("q296_jackknife_sharpe")(spark, sf)
+    assert(batch296.count() > 0)
+    assert(jk.exceptAll(batch296).isEmpty && batch296.exceptAll(jk).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
