@@ -4650,6 +4650,281 @@ object Quant {
       |    AS t_jack
       |FROM f""".stripMargin
 
+  /** q299_diversification_ratio — Choueifaty's diversification ratio
+    * for the equal-weight tape portfolio: DR = (mean instrument σ) /
+    * (portfolio σ) ≥ 1 — "how much vol does diversification actually
+    * cancel" (DR → 1 = one-factor market, DR → √N = independent
+    * bets), the portfolio-level companion to q284's per-pair-free
+    * correlation regime and q270's inverse-vol weights. Scale: LINEAR
+    * like q284 — per-day cross-sectional sums build the index series
+    * (the q247 equal-weight convention), per-instrument σ from exact
+    * moments; no pair join at any universe size. Determinism: idx_r
+    * latticed 12dp so portfolio moments reduce exactly; each σ_i is
+    * one IEEE sqrt on exact decimal moments latticed 12dp so the
+    * cross-sectional Σσ reduces exactly; the two output divisions are
+    * IEEE on converged operands latticed 6/4dp. Instruments and the
+    * index both gate at ≥ 10 days (mirrored). s67 closes-ledger tail.
+    */
+  def q299DiversificationRatio(spark: SparkSession, dir: String): DataFrame =
+    divRatioFromCloses(dailyCloses(spark, dir))
+
+  /** q299's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def divRatioFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val idx = r.groupBy($"day")
+      .agg(sum($"r").cast(DecimalType(28, 12)).as("sr_day"),
+        count(lit(1)).as("n_day"))
+      .select($"day",
+        decRound($"sr_day".cast("double") / $"n_day".cast("double"), 12)
+          .cast(DecimalType(18, 12)).as("idx_r"))
+    val ndI = $"nd".cast("double")
+    val pv = sqrt(($"sii".cast("double") / ndI
+      - ($"si".cast("double") / ndI) * ($"si".cast("double") / ndI))
+      * lit(252.0))
+    val pm = idx.agg(count(lit(1)).as("nd"),
+        sum($"idx_r").cast(DecimalType(28, 10)).as("si"),
+        sum(($"idx_r" * $"idx_r").cast(DecimalType(38, 24)))
+          .cast(DecimalType(38, 24)).as("sii"))
+      .filter($"nd" >= 10L)
+      .select($"nd", pv.as("sigma_port"))
+      .filter($"sigma_port" > 0.0)
+    val nI = $"n".cast("double")
+    val sigI = sqrt(($"srr".cast("double") / nI
+      - ($"sr".cast("double") / nI) * ($"sr".cast("double") / nI))
+      * lit(252.0))
+    val im = r.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum(($"r" * $"r").cast(DecimalType(38, 24)))
+          .cast(DecimalType(38, 24)).as("srr"))
+      .filter($"n" >= 10L)
+      .select(decRound(sigI, 12).cast(DecimalType(18, 12)).as("sig"))
+    val sm = im.agg(count(lit(1)).as("n_inst"),
+      sum($"sig").cast(DecimalType(28, 10)).as("ssig"))
+    val meanSig = $"ssig".cast("double") / $"n_inst".cast("double")
+    sm.crossJoin(broadcast(pm))
+      .select($"n_inst", $"nd".as("n_days"),
+        decRound($"sigma_port", 6).as("sigma_port_ann"),
+        decRound(meanSig, 6).as("mean_sigma_ann"),
+        decRound(meanSig / $"sigma_port", 4).as("div_ratio"))
+  }
+
+  val q299Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |rr AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |idx AS (
+      |  SELECT day,
+      |    CAST(CAST(round(CAST(CAST(
+      |      CAST(round(sum(r), 12) AS DECIMAL(28,12)) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 12) AS DOUBLE)
+      |      AS DECIMAL(18,12)) AS idx_r
+      |  FROM rr GROUP BY 1),
+      |pm AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(round(sum(idx_r), 10) AS DECIMAL(28,10)) AS si,
+      |    CAST(round(sum(CAST(idx_r * idx_r AS DECIMAL(38,24))), 24)
+      |      AS DECIMAL(38,24)) AS sii
+      |  FROM idx HAVING count(*) >= 10),
+      |pv AS (
+      |  SELECT nd,
+      |    sqrt((CAST(sii AS DOUBLE) / CAST(nd AS DOUBLE)
+      |      - (CAST(si AS DOUBLE) / CAST(nd AS DOUBLE))
+      |        * (CAST(si AS DOUBLE) / CAST(nd AS DOUBLE))) * 252.0)
+      |      AS sigma_port
+      |  FROM pm),
+      |pvf AS (SELECT * FROM pv WHERE sigma_port > 0.0),
+      |im AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(CAST(r * r AS DECIMAL(38,24))), 24)
+      |      AS DECIMAL(38,24)) AS srr
+      |  FROM rr GROUP BY 1 HAVING count(*) >= 10),
+      |sg AS (
+      |  SELECT CAST(CAST(round(CAST(
+      |    sqrt((CAST(srr AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) * 252.0)
+      |    AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS sig
+      |  FROM im),
+      |sm AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_inst,
+      |    CAST(round(sum(sig), 10) AS DECIMAL(28,10)) AS ssig
+      |  FROM sg)
+      |SELECT n_inst, nd AS n_days,
+      |  CAST(round(CAST(sigma_port AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS sigma_port_ann,
+      |  CAST(round(CAST(CAST(ssig AS DOUBLE) / CAST(n_inst AS DOUBLE)
+      |    AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_sigma_ann,
+      |  CAST(round(CAST(CAST(ssig AS DOUBLE) / CAST(n_inst AS DOUBLE)
+      |    / sigma_port AS DECIMAL(28,12)), 4) AS DOUBLE) AS div_ratio
+      |FROM sm CROSS JOIN pvf""".stripMargin
+
+  /** q300_sml_test — the security-market-line cross-sectional test of
+    * CAPM on the tape's own data: stage 1 estimates each instrument's
+    * β against the equal-weight index (q260's machinery verbatim),
+    * stage 2 regresses mean daily returns on those βs ACROSS
+    * instruments — the slope is the market price of risk (annualized
+    * bp; CAPM says it equals the index premium and the intercept is
+    * zero), with R² saying how much of the cross-section beta alone
+    * explains. The two-stage complement to q278's Fama–MacBeth
+    * (per-day slopes through time; this is one regression across the
+    * universe) and q260 (per-name α/β; this tests them jointly).
+    * Scale: the (user→scalar) reduction ladder — one tape collapse,
+    * the broadcast index joined back (q247 discipline), stage-2
+    * moments on the ≤|universe| frame. Determinism: β and mean_r
+    * lattice at 12dp per instrument so every cross-sectional moment
+    * reduces exactly ((38,24) product sums); the closed-form
+    * slope/intercept/R² run once in IEEE on converged sums; the
+    * ×252·10⁴ annualization shifts IN exact decimal (the q260
+    * lesson-1 hazard); zero-variance legs excluded (mirrored). s67
+    * closes-ledger tail.
+    */
+  def q300SmlTest(spark: SparkSession, dir: String): DataFrame =
+    smlFromCloses(dailyCloses(spark, dir))
+
+  /** q300's tail over the closes spine — shared by the batch query
+    * and the s67 ledger spec.
+    */
+  def smlFromCloses(closes: DataFrame): DataFrame = {
+    val spark = closes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val r = closes
+      .withColumn("r", ($"x" - lag($"x", 1).over(w)).cast(DecimalType(18, 12)))
+      .filter($"r".isNotNull)
+    val idx = r.groupBy($"day")
+      .agg(sum($"r").cast(DecimalType(28, 12)).as("sr_day"),
+        count(lit(1)).as("n_day"))
+      .select($"day",
+        decRound($"sr_day".cast("double") / $"n_day".cast("double"), 12)
+          .cast(DecimalType(18, 12)).as("idx_r"))
+    val m = r.join(broadcast(idx), "day")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"r").cast(DecimalType(28, 10)).as("sr"),
+        sum($"idx_r").cast(DecimalType(28, 10)).as("si"),
+        sum($"r" * $"idx_r").cast(DecimalType(38, 24)).as("sri"),
+        sum($"idx_r" * $"idx_r").cast(DecimalType(38, 24)).as("sii"))
+      .filter($"n_days" >= 10L)
+    val nD = $"n_days".cast("double")
+    val cov = $"sri".cast("double") -
+      $"sr".cast("double") * $"si".cast("double") / nD
+    val varI = $"sii".cast("double") -
+      $"si".cast("double") * $"si".cast("double") / nD
+    val bm = m.filter(varI > lit(0.0))
+      .select(
+        decRound(cov / varI, 12).cast(DecimalType(18, 12)).as("b"),
+        decRound($"sr".cast("double") / nD, 12)
+          .cast(DecimalType(18, 12)).as("mr"))
+    val cs = bm.agg(count(lit(1)).as("n"),
+        sum($"b").cast(DecimalType(28, 10)).as("sx"),
+        sum($"mr").cast(DecimalType(28, 10)).as("sy"),
+        sum($"b" * $"mr").cast(DecimalType(38, 24)).as("sxy"),
+        sum($"b" * $"b").cast(DecimalType(38, 24)).as("sxx"),
+        sum($"mr" * $"mr").cast(DecimalType(38, 24)).as("syy"))
+      .filter($"n" >= 10L)
+    val nI = $"n".cast("double")
+    val num = nI * $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy".cast("double")
+    val vx = nI * $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double")
+    val vy = nI * $"syy".cast("double") -
+      $"sy".cast("double") * $"sy".cast("double")
+    val gamma = num / vx
+    val icept = ($"sy".cast("double") - gamma * $"sx".cast("double")) / nI
+    cs.filter(vx > lit(0.0) && vy > lit(0.0))
+      .select($"n".as("n_inst"),
+        round(decRound(gamma, 12).cast(DecimalType(18, 12))
+          * lit(2520000).cast(DecimalType(7, 0)), 4)
+          .cast("double").as("gamma_ann_bp"),
+        round(decRound(icept, 12).cast(DecimalType(18, 12))
+          * lit(2520000).cast(DecimalType(7, 0)), 4)
+          .cast("double").as("intercept_ann_bp"),
+        decRound(num * num / (vx * vy), 6).as("r2"))
+  }
+
+  val q300Sql: String =
+    closesSqlPrelude + "\n" +
+    """d AS (
+      |  SELECT user_id, day,
+      |    CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(18,12)) AS r
+      |  FROM c),
+      |r AS (SELECT user_id, day, r FROM d WHERE r IS NOT NULL),
+      |idx AS (
+      |  SELECT day,
+      |    CAST(CAST(round(CAST(CAST(CAST(sum(r) AS DECIMAL(28,12))
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 12)
+      |      AS DOUBLE) AS DECIMAL(18,12)) AS idx_r
+      |  FROM r GROUP BY 1),
+      |a AS (
+      |  SELECT r.user_id, r.r, idx.idx_r
+      |  FROM r JOIN idx ON r.day = idx.day),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(r), 10) AS DECIMAL(28,10)) AS sr,
+      |    CAST(round(sum(idx_r), 10) AS DECIMAL(28,10)) AS si,
+      |    CAST(sum(r * idx_r) AS DECIMAL(38,24)) AS sri,
+      |    CAST(sum(idx_r * idx_r) AS DECIMAL(38,24)) AS sii
+      |  FROM a GROUP BY 1 HAVING count(*) >= 10),
+      |bm AS (
+      |  SELECT
+      |    CAST(CAST(round(CAST(
+      |      (CAST(sri AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(si AS DOUBLE)
+      |        / CAST(n_days AS DOUBLE))
+      |      / (CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+      |        / CAST(n_days AS DOUBLE))
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS b,
+      |    CAST(CAST(round(CAST(CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |      AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(18,12)) AS mr
+      |  FROM m
+      |  WHERE CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+      |    / CAST(n_days AS DOUBLE) > 0.0),
+      |cs AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(round(sum(b), 10) AS DECIMAL(28,10)) AS sx,
+      |    CAST(round(sum(mr), 10) AS DECIMAL(28,10)) AS sy,
+      |    CAST(sum(b * mr) AS DECIMAL(38,24)) AS sxy,
+      |    CAST(sum(b * b) AS DECIMAL(38,24)) AS sxx,
+      |    CAST(sum(mr * mr) AS DECIMAL(38,24)) AS syy
+      |  FROM bm HAVING count(*) >= 10),
+      |f AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM cs)
+      |SELECT n AS n_inst,
+      |  CAST(round(CAST(CAST(round(CAST(num / vx AS DECIMAL(28,12)), 12)
+      |    AS DOUBLE) AS DECIMAL(28,12)) * CAST(2520000 AS DECIMAL(7,0)), 4)
+      |    AS DOUBLE) AS gamma_ann_bp,
+      |  CAST(round(CAST(CAST(round(CAST(
+      |    (syd - (num / vx) * sxd) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,12)), 12) AS DOUBLE) AS DECIMAL(28,12))
+      |    * CAST(2520000 AS DECIMAL(7,0)), 4) AS DOUBLE)
+      |    AS intercept_ann_bp,
+      |  CAST(round(CAST(num * num / (vx * vy) AS DECIMAL(28,12)), 6)
+      |    AS DOUBLE) AS r2
+      |FROM f WHERE vx > 0.0 AND vy > 0.0""".stripMargin
+
   /** q284_corr_regime — the average pairwise correlation of the
     * universe's daily returns WITHOUT a pair join, via the dispersion
     * identity: standardize each instrument's return to z over the

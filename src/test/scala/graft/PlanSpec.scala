@@ -863,6 +863,17 @@ class PlanSpec extends SparkTestBase {
     val p298 = plan("q298_lsh_design")
     assert(count(p298, "CartesianProduct") == 0, p298)
     assert(count(p298, "NestedLoop") == 0, p298)
+    // q299/q300: LINEAR portfolio reads — per-day cross-sectional
+    // sums + reduced-frame regressions, never a pair join; every
+    // nested loop is a broadcast-scalar combine.
+    for (q <- Seq("q299_diversification_ratio", "q300_sml_test")) {
+      val p = plan(q)
+      assert(count(p, "CartesianProduct") == 0, s"$q\n$p")
+      assert(count(p, "NestedLoop") == count(p, "BroadcastNestedLoopJoin"),
+        s"$q\n$p")
+      assert(count(p, "SortMergeJoin") == 0,
+        s"$q: a shuffled join crept into the broadcast-only plan\n$p")
+    }
   }
 
   test("q233 LOF: the capped all-pairs join broadcasts the slice; q234 boilerplate never self-joins the token stream") {

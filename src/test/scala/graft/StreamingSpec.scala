@@ -925,6 +925,16 @@ class StreamingSpec extends SparkTestBase {
     val batch296 = SparkEntry.queries("q296_jackknife_sharpe")(spark, sf)
     assert(batch296.count() > 0)
     assert(jk.exceptAll(batch296).isEmpty && batch296.exceptAll(jk).isEmpty)
+    // ...and the round-closing pair: the board's 299th and 300th
+    // queries are tails twenty-seven and twenty-eight of this ledger
+    val dr = queries.Quant.divRatioFromCloses(closes)
+    val batch299 = SparkEntry.queries("q299_diversification_ratio")(spark, sf)
+    assert(batch299.count() > 0)
+    assert(dr.exceptAll(batch299).isEmpty && batch299.exceptAll(dr).isEmpty)
+    val sml = queries.Quant.smlFromCloses(closes)
+    val batch300 = SparkEntry.queries("q300_sml_test")(spark, sf)
+    assert(batch300.count() > 0)
+    assert(sml.exceptAll(batch300).isEmpty && batch300.exceptAll(sml).isEmpty)
   }
 
   test("streaming OHLC ledger rebuilds the volatility family q220 + q223 (s68)") {
