@@ -235,8 +235,17 @@ object Bench {
         graft.queries.Extended.bloomPruneJoin(spark, sfDir, useBloom = false)
           .write.format("noop").mode("overwrite").save()
       }
+      // prices q285's Bloom gram prefilter: the identical
+      // decontamination census with the full training gram stream
+      // through the confirm semi-join's exchange
+      val decontamOff = time {
+        graft.queries.TextOps.bloomDecontaminate(spark, sfDir,
+            useBloom = false)
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
         "x_bloom_off" -> bloomOff,
+        "x_decontam_nobloom" -> decontamOff,
         "x_bfs_shuffle" -> bfs, "x_cc_shuffle" -> cc,
         "x_namematch_segment" -> nm,
         "x_fx_window" -> fx, "x_topk_agg" -> topkAgg,

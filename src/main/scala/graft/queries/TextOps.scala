@@ -1677,7 +1677,12 @@ object TextOps {
     * converged operands, latticed 6dp, with the no-flagged-docs case
     * mirrored as an explicit CASE.
     */
-  def q285BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def q285BloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(spark, dir, useBloom = true)
+
+  /** Shared body for q285 and its x_decontam_nobloom forced twin. */
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+      useBloom: Boolean): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.BloomFilterAgg
@@ -1687,13 +1692,17 @@ object TextOps {
       .select($"doc_id", $"source", explode($"grams").as("gram"))
     val evalGrams = ex.filter($"doc_id" % 97 === 0)
       .select($"gram").distinct()
-    val bloom = evalGrams
-      .agg(BloomFilterAgg.build(xxhash64($"gram")).as("bf"))
     val train = ex.filter($"doc_id" % 97 =!= 0)
-    val hits = train
-      .crossJoin(broadcast(bloom))
-      .filter(BloomFilterAgg.mightContain($"bf", xxhash64($"gram")))
-      .drop("bf")
+    val pruned =
+      if (!useBloom) train
+      else {
+        val bloom = evalGrams
+          .agg(BloomFilterAgg.build(xxhash64($"gram")).as("bf"))
+        train.crossJoin(broadcast(bloom))
+          .filter(BloomFilterAgg.mightContain($"bf", xxhash64($"gram")))
+          .drop("bf")
+      }
+    val hits = pruned
       .join(evalGrams.hint("merge"), Seq("gram"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
     val perDoc = train.groupBy($"doc_id", $"source")
