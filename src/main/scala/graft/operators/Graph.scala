@@ -414,7 +414,14 @@ object Graph {
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
     val e = edges.repartition(parts, $"dst").localCheckpoint(eager = true)
-    var lab = e.select($"dst".as("node")).distinct()
+    // Seed from src ∪ dst: on the documented SYMMETRIC edge list the
+    // union is identical to dst alone, but an asymmetric caller now
+    // gets round-1 contributions from src-only vertices instead of
+    // silently dropping them (their labels still live only as long as
+    // they have in-edges — symmetry remains the contract for correct
+    // community semantics, this seed just makes a violation loud).
+    var lab = e.select($"dst".as("node"))
+      .union(e.select($"src".as("node"))).distinct()
       .select($"node", $"node".as("lbl"))
       .repartition(parts, $"node").localCheckpoint(eager = true)
     val st = stateHint(broadcastState.getOrElse(

@@ -1159,6 +1159,28 @@ object Extended {
       |  true AS recall_ok, true AS monotone_ok
       |FROM (VALUES (1), (2), (4), (8)) t(np), ex""".stripMargin
 
+  /** splitmix64 finalizer — the q290 sign matrix's only source of
+    * "randomness"; shared by the Spark projection and the DuckDB
+    * mirror (which embeds the signs as 32 string literals so the
+    * oracle RECOMPUTES the distortion, it doesn't take our word).
+    */
+  private def jlMix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def jlSignRow(j: Int): Seq[Double] =
+    (0 until 64).map(d =>
+      if ((jlMix(d.toLong * 64L + j) & 1L) == 0L) 1.0 else -1.0)
+
+  /** The j-th projection row as a 64-char '+'/'-' literal for the SQL
+    * mirror's sign table (position d+1 ↔ dimension d).
+    */
+  private def jlSignString(j: Int): String =
+    jlSignRow(j).map(s => if (s > 0) '+' else '-').mkString
+
   /** q290_jl_projection — the Johnson–Lindenstrauss sign-random-
     * projection DISTORTION curve, certified (the q281 convention for
     * the next dimensionality dial): project 64-dim embeddings to
@@ -1173,23 +1195,23 @@ object Extended {
     * collapses (3–33% at sf1), so sign-JL here is a DISTANCE SKETCH
     * (a dedup prefilter at generous thresholds, half the shuffle
     * bytes of float32×64) — not a top-k server; q44's IVF stays the
-    * serving path. Contract rows (exact pair count + flags — the
-    * projection is matrix-specific, not row-portable). Scale: the
-    * sign matrix is a 64×k literal (the NearestCells centroid-matrix
-    * class), projection is a row-local zip_with fold, the truth pass
-    * is the bounded q35 broadcast machinery; driver-side only the
-    * three certification scalars.
+    * serving path. UNLIKE the q281 contract rows, the flags here are
+    * NOT self-attested: the DuckDB mirror carries the sign matrix as
+    * 32 '+'/'-' string literals and RECOMPUTES every projection,
+    * every projected cosine, and both flags from the raw embeddings —
+    * a regression in the Spark-side sign matrix, caps, or monotone
+    * check fails the oracle (the r14 ADVICE ask). The engines'
+    * mean-distortion floats differ at ~1e-15 (summation order);
+    * the caps and the k-to-k gaps sit orders of magnitude wider, so
+    * the BOOLEANS are portable. Scale: the sign matrix is a 64×k
+    * literal (the NearestCells centroid-matrix class), projection is
+    * a row-local zip_with fold, the truth pass is the bounded q35
+    * broadcast machinery; driver-side only the three certification
+    * scalars.
     */
   def q290JlProjection(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    def signRow(j: Int): Seq[Double] =
-      (0 until 64).map(d => if ((mix(d.toLong * 64L + j) & 1L) == 0L) 1.0 else -1.0)
+    def signRow(j: Int): Seq[Double] = jlSignRow(j)
     def withProj(df: DataFrame, k: Int): DataFrame =
       df.withColumn("proj", array((0 until k).map { j =>
         aggregate(
@@ -1225,18 +1247,68 @@ object Extended {
     rows.toDF("proj_dim", "n_pairs", "distortion_ok", "monotone_ok")
   }
 
-  val q290Sql: String =
-    """WITH ex AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM (
-      |    SELECT q.vec_id,
+  /** The mirror re-derives EVERYTHING: exact top-3 truth pairs, the
+    * k ∈ {8,16,32} sign projections (signs from the embedded literal
+    * table — the identical splitmix64 matrix), projected cosines,
+    * mean distortion per k, and both certification booleans. Only the
+    * booleans and counts are output, so the engines' ~1e-15 summation
+    * -order float drift never reaches the hash compare.
+    */
+  val q290Sql: String = {
+    val signLits = (0 until 32)
+      .map(j => s"      |    ($j, '${jlSignString(j)}')")
+      .mkString(",\n").drop(7)
+    s"""WITH signs(j, s) AS (VALUES
+      |$signLits),
+      |ks(k, cap) AS (VALUES (8, 0.50), (16, 0.35), (32, 0.25)),
+      |sgn AS (
+      |  SELECT j, d,
+      |    CASE WHEN substr(s, d + 1, 1) = '+' THEN 1.0 ELSE -1.0 END AS sg
+      |  FROM signs, (SELECT unnest(generate_series(0, 63)) AS d)),
+      |truth AS (
+      |  SELECT vec_id AS query_id, n_id AS neighbor_id,
+      |         round(cs, 6) AS cos_sim
+      |  FROM (
+      |    SELECT q.vec_id, n.vec_id AS n_id,
+      |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                             CAST(n.embedding AS DOUBLE[])) AS cs,
       |      row_number() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |                                        CAST(n.embedding AS DOUBLE[])) DESC,
       |                 n.vec_id) AS rnk
       |    FROM embeddings q, embeddings n
       |    WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
-      |  WHERE rnk <= 3)
+      |  WHERE rnk <= 3),
+      |need AS (
+      |  SELECT query_id AS vec_id FROM truth
+      |  UNION SELECT neighbor_id FROM truth),
+      |pe AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings e JOIN need USING (vec_id)),
+      |proj AS (
+      |  SELECT pe.vec_id, sgn.j, sum(emb[sgn.d + 1] * sgn.sg) AS p
+      |  FROM pe, sgn GROUP BY 1, 2),
+      |pairk AS (
+      |  SELECT t.query_id, t.neighbor_id, t.cos_sim, ks.k, ks.cap,
+      |    sum(qp.p * np.p) AS dot,
+      |    sum(qp.p * qp.p) AS nq, sum(np.p * np.p) AS nn
+      |  FROM truth t
+      |  JOIN proj qp ON qp.vec_id = t.query_id
+      |  JOIN proj np ON np.vec_id = t.neighbor_id AND np.j = qp.j
+      |  JOIN ks ON qp.j < ks.k
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |dist AS (
+      |  SELECT k, cap,
+      |    avg(abs(dot / (sqrt(nq) * sqrt(nn)) - cos_sim)) AS de,
+      |    CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM pairk GROUP BY 1, 2),
+      |mono AS (
+      |  SELECT k, cap, de, n_pairs,
+      |    lag(de) OVER (ORDER BY k) AS dprev
+      |  FROM dist)
       |SELECT CAST(k AS BIGINT) AS proj_dim, n_pairs,
-      |  true AS distortion_ok, true AS monotone_ok
-      |FROM (VALUES (8), (16), (32)) t(k), ex""".stripMargin
+      |  de <= cap AS distortion_ok,
+      |  (dprev IS NULL OR de <= dprev) AS monotone_ok
+      |FROM mono""".stripMargin
+  }
 }

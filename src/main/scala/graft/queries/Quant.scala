@@ -4526,8 +4526,11 @@ object Quant {
     * θ_d is one IEEE expression on those operands latticed 12dp so
     * Σθ/Σθ² reduce exactly; instruments where any replicate variance
     * is non-positive are excluded (mirrored — the IEEE positivity
-    * branch runs on identical operands in both engines); outputs
-    * latticed 6/4dp. s67 closes-ledger tail.
+    * branch runs on identical operands in both engines); a degenerate
+    * instrument whose replicates are all identical (se = 0 — t_jack
+    * would be ±∞, which the engines null/error DIFFERENTLY) is gated
+    * out by se > 0 in both engines (the q300 vx/vy > 0 discipline);
+    * outputs latticed 6/4dp. s67 closes-ledger tail.
     */
   def q296JackknifeSharpe(spark: SparkSession, dir: String): DataFrame =
     jackknifeSharpeFromCloses(dailyCloses(spark, dir))
@@ -4577,7 +4580,11 @@ object Quant {
     val ssq = $"st2".cast("double") -
       ($"st".cast("double") * $"st".cast("double")) / nD
     val se = sqrt((nD - lit(1.0)) / nD * ssq)
-    m.select($"user_id", $"n".as("n_days"),
+    // se = 0 (all replicates identical — a constant-return degenerate
+    // that still passes vi > 0) would make t_jack = ±Inf, which the
+    // decimal lattice NULLs here but ERRORS in the mirror: gate it out
+    // identically in both engines instead.
+    m.filter(se > 0.0).select($"user_id", $"n".as("n_days"),
       decRound(full, 6).as("sharpe_ann"),
       decRound(se, 6).as("jack_se"),
       decRound(full / se, 4).as("t_jack"))
@@ -4648,7 +4655,7 @@ object Quant {
       |  CAST(round(CAST(se AS DECIMAL(28,12)), 6) AS DOUBLE) AS jack_se,
       |  CAST(round(CAST(full_sharpe / se AS DECIMAL(28,12)), 4) AS DOUBLE)
       |    AS t_jack
-      |FROM f""".stripMargin
+      |FROM f WHERE se > 0.0""".stripMargin
 
   /** q299_diversification_ratio — Choueifaty's diversification ratio
     * for the equal-weight tape portfolio: DR = (mean instrument σ) /
@@ -4938,7 +4945,8 @@ object Quant {
     * C(N,2) pair passes, so the identical shape prices a 5,000-name
     * universe's correlation regime with no new machinery. Universe =
     * top-10 by return count (total (n desc, user) order), panel =
-    * days where all 20 trade — both broadcast frames. Determinism:
+    * days where all 10 universe members trade — both broadcast
+    * frames. Determinism:
     * returns and z live on 12dp lattices (z is ONE IEEE expression
     * on exact-decimal-derived μ/σ bit patterns), per-day S = Σz and
     * the day moments ΣS/ΣS² reduce exactly ((18,12) re-narrow keeps
