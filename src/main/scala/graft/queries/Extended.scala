@@ -1181,6 +1181,20 @@ object Extended {
   private def jlSignString(j: Int): String =
     jlSignRow(j).map(s => if (s > 0) '+' else '-').mkString
 
+  /** Sign-project `embedding` to its first k JL coordinates — a pure
+    * row-local fold over a literal matrix (no shuffle, no UDF);
+    * package-private so PlanSpec can pin that shape.
+    */
+  private[graft] def jlProject(df: DataFrame, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("proj", array((0 until k).map { j =>
+      aggregate(
+        zip_with($"embedding", typedLit(jlSignRow(j)),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*))
+  }
+
   /** q290_jl_projection — the Johnson–Lindenstrauss sign-random-
     * projection DISTORTION curve, certified (the q281 convention for
     * the next dimensionality dial): project 64-dim embeddings to
@@ -1211,14 +1225,7 @@ object Extended {
     */
   def q290JlProjection(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def signRow(j: Int): Seq[Double] = jlSignRow(j)
-    def withProj(df: DataFrame, k: Int): DataFrame =
-      df.withColumn("proj", array((0 until k).map { j =>
-        aggregate(
-          zip_with($"embedding", typedLit(signRow(j)),
-            (x, s) => x.cast("double") * s),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*))
+    def withProj(df: DataFrame, k: Int): DataFrame = jlProject(df, k)
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter($"vec_id" < 10)
     val truth = Ann.bruteForceTopK(qs, emb, k = 3)

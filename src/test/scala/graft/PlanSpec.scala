@@ -952,4 +952,39 @@ class PlanSpec extends SparkTestBase {
       assert(math.abs(mean(i) - bf(i)) < 1e-12, s"mean $i")
     }
   }
+
+  test("q281/q290 certification machinery: JL projection is exchange-free, truth pass is bounded-broadcast, swept IVF stays cell-pruned") {
+    // q281/q290 emit contract rows (LocalTableScan — the final frame's
+    // plan says nothing), so pin the machinery they drive instead (the
+    // q44 convention): a regression that shuffles the corpus for the
+    // projection, builds the truth pass as a shuffled cross product,
+    // or loses IVF's cell pruning at the sweep's widest nProbe would
+    // silently turn both sweeps quadratic at 100 TB.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    // (a) the q290 sign projection is one row-local Project: no
+    //     exchange, no join, nothing but the scan beneath it
+    val pj = queries.Extended.jlProject(emb, 8)
+      .queryExecution.executedPlan.toString
+    assert(count(pj, "Exchange") == 0, s"q290 projection shuffled:\n$pj")
+    assert(count(pj, "Join") == 0, s"q290 projection grew a join:\n$pj")
+    // (b) the shared truth pass: the 10-query side broadcasts into ONE
+    //     BroadcastNestedLoopJoin (the corpus never shuffles) and the
+    //     top-k window rides one hash exchange fed by a PARTIAL
+    //     WindowGroupLimit — the shuffle carries ≤ k rows per query
+    //     per partition, not the corpus
+    val pt = operators.Ann
+      .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 3)
+      .queryExecution.executedPlan.toString
+    assert(count(pt, "BroadcastNestedLoopJoin") == 1, s"truth pass:\n$pt")
+    assert(count(pt, "Exchange hashpartitioning") == 1, s"truth pass:\n$pt")
+    assert(pt.contains("WindowGroupLimit"), s"top-k limit pushdown lost:\n$pt")
+    // (c) q281's widest sweep point keeps the q44 IVF shape: candidate
+    //     join on cell id only, never a nested-loop rerank
+    val pi = operators.Ann
+      .ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 3, nProbe = 8)
+      .queryExecution.executedPlan.toString
+    assert(count(pi, "Exchange") <= 3, s"q281 IVF plan regressed:\n$pi")
+    assert(count(pi, "BroadcastNestedLoopJoin") == 0, pi)
+  }
 }
