@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Text, Vectors}
 import graft.operators.{Ann, Dedup}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -312,6 +312,179 @@ object TrainingData {
       |  md5(text) AS content_md5,
       |  hex(CAST(left(text, 4) AS BLOB)) AS magic
       |FROM documents""".stripMargin
+
+  /** Hex string of the low `bytes` bytes of `c`, big-endian — a pure
+    * codegen'd string expression (hex + lpad), no UDF.
+    */
+  private def beHex(c: Column, bytes: Int): Column =
+    lpad(hex(c.cast("long").bitwiseAND(lit((1L << (8 * bytes)) - 1))),
+      bytes * 2, "0")
+
+  /** Hex string of the low `bytes` bytes of `c`, LITTLE-endian. */
+  private def leHex(c: Column, bytes: Int): Column =
+    concat((0 until bytes).map(i =>
+      lpad(hex(shiftright(c.cast("long"), 8 * i).bitwiseAND(lit(255L))),
+        2, "0")): _*)
+
+  /** q301_header_census — the container-header parsers
+    * ([[graft.functions.ImageHeaders]] / AudioHeaders / VideoHeaders)
+    * exercised END-TO-END on REAL byte layouts, oracle-gated. The
+    * driver fixture's binary column is ASCII text (and the fixture is
+    * read-only), so the query SYNTHESIZES spec-conformant containers
+    * in-plan from each doc's integer fields — PNG signature+IHDR,
+    * JPEG SOI + SOF0 marker segment, GIF89a, BMP BITMAPINFOHEADER,
+    * RIFF/WAVE fmt+data chunks, MP4 ftyp+moov(mvhd,trak/tkhd) — as
+    * codegen'd hex-concat → unhex expressions (no UDF), doc_id % 7
+    * picking the modality and the remaining ids carrying a raw text
+    * payload NUL-prefixed so no magic can fire. The census then reads
+    * format and every parsed field FROM THE PARSER OUTPUT ONLY and
+    * rolls up min/max/sums per format; the DuckDB oracle recomputes
+    * the expected census ARITHMETICALLY from the same doc_id map —
+    * never parsing a byte — so a regression in any parser (magic
+    * check, endianness, marker walk, box walk, field offset, the
+    * None fallthrough) breaks the row hash. Field mapping per
+    * modality: d1 = width | sample_rate, d2 = height | duration_ms,
+    * d3 = bit_depth | bits | mp4 duration_ms, d4 = channels |
+    * n_tracks (all exact integers — hash-portable). Scale: one
+    * row-local projection (synthesize + parse never leave the row)
+    * and ONE map-side-combined rollup to ≤ 7 groups; the parsers
+    * return None on any malformed byte, so at 100 TB a poison payload
+    * costs one 'raw' row, not a stage retry.
+    */
+  def q301HeaderCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id = $"doc_id"
+    val m = pmod(id, lit(7L))
+    val w = lit(16L) + pmod(id * 7L, lit(2000L))
+    val h = lit(16L) + pmod(id * 13L, lit(1500L))
+    // --- PNG: sig, IHDR(len 13), w/h BE32, depth, color type, zeros
+    val pngDepth = when(pmod(id, lit(2L)) === 0, 8L).otherwise(16L)
+    val pngCtype = element_at(typedLit(Seq(0L, 2L, 6L)),
+      (pmod(id, lit(3L)) + 1).cast("int"))
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      beHex(w, 4), beHex(h, 4), beHex(pngDepth, 1), beHex(pngCtype, 1),
+      lit("00000000000000"))
+    // --- JPEG: SOI, SOF0 (len 8+3·ncomp, depth 8, h/w BE16), EOI
+    val ncomp = lit(1L) + pmod(id, lit(3L))
+    val jpgComps = when(ncomp === 1, "010011")
+      .when(ncomp === 2, "010011020011").otherwise("010011020011030011")
+    val jpgHex = concat(lit("FFD8FFC0"), beHex(lit(8L) + ncomp * 3, 2),
+      lit("08"), beHex(h, 2), beHex(w, 2), beHex(ncomp, 1), jpgComps,
+      lit("FFD9"))
+    // --- GIF89a: w/h LE16, packed color-resolution bits
+    val gifDepth = lit(1L) + pmod(id, lit(8L))
+    val gifHex = concat(lit("474946383961"), leHex(w, 2), leHex(h, 2),
+      beHex((gifDepth - 1) * 16, 1), lit("0000"))
+    // --- BMP: BM, sizes, BITMAPINFOHEADER w/h LE32, planes, bit count
+    val bmpBits = element_at(typedLit(Seq(1L, 8L, 24L, 32L)),
+      (pmod(id, lit(4L)) + 1).cast("int"))
+    val bmpHex = concat(
+      lit("424D46000000000000004600000028000000"),
+      leHex(w, 4), leHex(h, 4), lit("0100"), leHex(bmpBits, 2))
+    // --- WAV: RIFF/WAVE, fmt (PCM, ch, rate, block align, bits), data
+    val wavCh = lit(1L) + pmod(id, lit(2L))
+    val rateH = lit(80L) * (lit(1L) + pmod(id, lit(5L))) // rate / 100
+    val wavRate = rateH * 100
+    val wavBits = element_at(typedLit(Seq(8L, 16L, 24L)),
+      (pmod(id, lit(3L)) + 1).cast("int"))
+    val blockAlign = shiftright(wavCh * wavBits, 3)
+    val frames = (lit(1L) + pmod(id, lit(100L))) * rateH
+    val dataSize = frames * blockAlign
+    val wavHex = concat(lit("52494646"), leHex(lit(36L) + dataSize, 4),
+      lit("57415645666D74201000000001" + "00"),
+      leHex(wavCh, 2), leHex(wavRate, 4), leHex(wavRate * blockAlign, 4),
+      leHex(blockAlign, 2), leHex(wavBits, 2),
+      lit("64617461"), leHex(dataSize, 4))
+    // --- MP4: ftyp(16) + moov(136){ mvhd v0(28): timescale 1000,
+    //     duration; trak(100){ tkhd v0(92): 16.16 w/h at offset 76 } }
+    val mp4Dur = pmod(id * 17L, lit(100000L))
+    val mp4Hex = concat(
+      lit("000000106674797069736F6D00000000"),
+      lit("000000886D6F6F76"),
+      lit("0000001C6D766864" + "00" * 12 + "000003E8"), beHex(mp4Dur, 4),
+      lit("000000647472616B" + "0000005C746B6864" + "00" * 76),
+      beHex(w, 2), lit("0000"), beHex(h, 2), lit("0000"))
+    // raw leg: NUL-prefix the ASCII payload so no container magic can
+    // fire (0x00 fails every signature; text bytes are valid UTF-8,
+    // which never contains 0xFF, so the MP3 sync can't match either)
+    val rawBin = concat(unhex(lit("00")), $"text".cast("binary"))
+    val payload = when(m === 0, unhex(pngHex))
+      .when(m === 1, unhex(jpgHex))
+      .when(m === 2, unhex(gifHex))
+      .when(m === 3, unhex(bmpHex))
+      .when(m === 4, unhex(wavHex))
+      .when(m === 5, unhex(mp4Hex))
+      .otherwise(rawBin)
+    Tables.documents(spark, dir).select($"doc_id", $"text")
+      .withColumn("payload", payload)
+      .withColumn("img", graft.functions.ImageHeaders.imageMeta($"payload"))
+      .withColumn("aud", graft.functions.AudioHeaders.audioMeta($"payload"))
+      .withColumn("vid", graft.functions.VideoHeaders.videoMeta($"payload"))
+      .select(
+        coalesce($"img.format", $"aud.format", $"vid.format", lit("raw"))
+          .as("format"),
+        coalesce($"img.width".cast("long"), $"aud.sample_rate".cast("long"),
+          $"vid.width".cast("long"), lit(0L)).as("d1"),
+        coalesce($"img.height".cast("long"), $"aud.duration_ms",
+          $"vid.height".cast("long"), lit(0L)).as("d2"),
+        coalesce($"img.bit_depth".cast("long"),
+          $"aud.bits_per_sample".cast("long"), $"vid.duration_ms",
+          lit(0L)).as("d3"),
+        coalesce($"img.channels".cast("long"), $"aud.channels".cast("long"),
+          $"vid.n_tracks".cast("long"), lit(0L)).as("d4"))
+      .groupBy($"format")
+      .agg(count(lit(1)).as("n"),
+        min($"d1").as("d1_min"), max($"d1").as("d1_max"),
+        min($"d2").as("d2_min"), max($"d2").as("d2_max"),
+        sum($"d3").as("d3_sum"), sum($"d4").as("d4_sum"))
+  }
+
+  /** The oracle never parses a byte: it recomputes what each parser
+    * MUST extract from the synthesized containers, straight from the
+    * doc_id arithmetic (note bmp's min(bits,8) depth and ≥24-bit
+    * channel rules, and wav's integer-division duration — mirrored
+    * exactly).
+    */
+  val q301Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, doc_id % 7 AS m,
+      |    16 + (doc_id * 7) % 2000 AS w,
+      |    16 + (doc_id * 13) % 1500 AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT
+      |    CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+      |           WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp4'
+      |           ELSE 'raw' END AS format,
+      |    CASE WHEN m = 4 THEN 8000 * (1 + doc_id % 5)
+      |         WHEN m = 6 THEN 0 ELSE w END AS d1,
+      |    CASE WHEN m = 4 THEN (1 + doc_id % 100) * 10
+      |         WHEN m = 6 THEN 0 ELSE h END AS d2,
+      |    CASE m
+      |      WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
+      |      WHEN 1 THEN 8
+      |      WHEN 2 THEN 1 + doc_id % 8
+      |      WHEN 3 THEN CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 8 END
+      |      WHEN 4 THEN CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+      |                  ELSE 24 END
+      |      WHEN 5 THEN (doc_id * 17) % 100000
+      |      ELSE 0 END AS d3,
+      |    CASE m
+      |      WHEN 0 THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+      |                  ELSE 4 END
+      |      WHEN 1 THEN 1 + doc_id % 3
+      |      WHEN 2 THEN 1
+      |      WHEN 3 THEN CASE doc_id % 4 WHEN 2 THEN 3 WHEN 3 THEN 4
+      |                  ELSE 1 END
+      |      WHEN 4 THEN 1 + doc_id % 2
+      |      WHEN 5 THEN 1
+      |      ELSE 0 END AS d4
+      |  FROM b)
+      |SELECT format, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(d1) AS BIGINT) AS d1_min, CAST(max(d1) AS BIGINT) AS d1_max,
+      |  CAST(min(d2) AS BIGINT) AS d2_min, CAST(max(d2) AS BIGINT) AS d2_max,
+      |  CAST(sum(d3) AS BIGINT) AS d3_sum, CAST(sum(d4) AS BIGINT) AS d4_sum
+      |FROM f GROUP BY 1""".stripMargin
 
   /** q42_embedding_stats — per-label vector aggregates (norms are 1.0
     * by construction; component means discriminate the labels).

@@ -987,4 +987,11 @@ class PlanSpec extends SparkTestBase {
     assert(count(pi, "Exchange") <= 3, s"q281 IVF plan regressed:\n$pi")
     assert(count(pi, "BroadcastNestedLoopJoin") == 0, pi)
   }
+
+  test("q301 header census: synthesize + parse never leave the row, one map-side-combined rollup") {
+    val p = plan("q301_header_census")
+    assert(count(p, "Exchange") == 1, s"q301: expected 1 exchange\n$p")
+    assert(count(p, "Join") == 0, s"q301: a join crept in\n$p")
+    assert(count(p, "HashAggregate") >= 2, s"q301: partial agg lost\n$p")
+  }
 }
