@@ -24,7 +24,7 @@ object Ann {
     * run derives the identical family (required for resumable pipelines
     * and for bucketing new data against an existing index).
     */
-  private def hyperplanes(tables: Int, bits: Int, dim: Int,
+  private[operators] def hyperplanes(tables: Int, bits: Int, dim: Int,
                           seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
