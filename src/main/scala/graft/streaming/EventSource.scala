@@ -26,9 +26,12 @@ import org.apache.spark.sql.types._
   *    external dependency by design), in tests from any stream wearing
   *    the same schema — the normalization, which is the part this
   *    library owns, is identical either way. Malformed payloads
-  *    (unparseable JSON / missing event_id) are DROPPED, not poison —
-  *    the production shape routes them to a dead-letter sink off the
-  *    same `_corrupt`-style filter.
+  *    (unparseable JSON / missing event_id) are DROPPED from the
+  *    normalized frame, not poison, and surface verbatim on
+  *    [[KafkaShapedEvents.deadLetter]] — the two frames partition the
+  *    envelope exactly, so a production job sinks the dead letters
+  *    and serves the engine off the same split (spec-pinned with
+  *    mixed good/corrupt payloads through a live twin).
   */
 sealed trait EventSource {
   /** The canonical normalized events frame for this transport. */
@@ -61,10 +64,14 @@ final case class FileEvents(path: String) extends EventSource {
   * no message-bus counterpart).
   */
 final case class KafkaShapedEvents(envelope: DataFrame) extends EventSource {
-  override def normalized(spark: SparkSession): DataFrame = {
+
+  private def requireEnvelope(): Unit =
     require(envelope.schema.fieldNames.toSet ==
       KafkaShapedEvents.EnvelopeSchema.fieldNames.toSet,
       s"not a Kafka-shaped envelope: ${envelope.schema.simpleString}")
+
+  override def normalized(spark: SparkSession): DataFrame = {
+    requireEnvelope()
     envelope
       .select(from_json(col("value").cast("string"),
         KafkaShapedEvents.PayloadSchema).as("e"))
@@ -75,6 +82,20 @@ final case class KafkaShapedEvents(envelope: DataFrame) extends EventSource {
         col("e.event_type").as("event_type"),
         col("e.value").as("value"),
         col("e.props").as("props"))
+  }
+
+  /** The complementary split — envelopes whose payload does NOT
+    * normalize (unparseable JSON, NULL value, or a parsed object
+    * missing event_id), kept IN ENVELOPE FORM so a production job can
+    * sink them verbatim for replay/forensics: `writeStream` this frame
+    * to the dead-letter topic/table and [[normalized]] to the engine;
+    * the two frames partition the input exactly (spec-pinned). Works
+    * on batch and streaming envelopes alike (the filter is stateless).
+    */
+  def deadLetter(spark: SparkSession): DataFrame = {
+    requireEnvelope()
+    envelope.filter(from_json(col("value").cast("string"),
+      KafkaShapedEvents.PayloadSchema).getField("event_id").isNull)
   }
 }
 
