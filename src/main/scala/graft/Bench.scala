@@ -243,6 +243,32 @@ object Bench {
             useBloom = false)
           .write.format("noop").mode("overwrite").save()
       }
+      // prices tape-vs-ledger for the q239/q240 daily-ledger family:
+      // the board's q239/q240 collapse the tick tape per query; a
+      // production deployment maintains the s67/s60 ledgers
+      // incrementally (LedgerTable) and serves the identical tails
+      // off the cell snapshot. x_ledger_ingest is the (amortized)
+      // build the serve numbers presuppose — priced so the comparison
+      // stays honest.
+      val ledgerDir = java.nio.file.Files
+        .createTempDirectory("graft_bench_ledger").toString
+      val closesLt = new graft.sources.LedgerTable(spark,
+        s"$ledgerDir/closes", graft.sources.LedgerTable.Closes)
+      val volLt = new graft.sources.LedgerTable(spark,
+        s"$ledgerDir/vol", graft.sources.LedgerTable.Volume)
+      val ledgerIngest = time {
+        closesLt.ingest(1L, evAsof)
+        volLt.ingest(1L, evAsof)
+      }
+      val amihudLedger = time {
+        graft.queries.Quant.amihudFromLedgers(
+            closesLt.serveCloses.get, volLt.serveVolume.get)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val rollLedger = time {
+        graft.queries.Quant.rollFromCloses(closesLt.serveCloses.get)
+          .write.format("noop").mode("overwrite").save()
+      }
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
         "x_bloom_off" -> bloomOff,
         "x_decontam_nobloom" -> decontamOff,
@@ -254,7 +280,10 @@ object Bench {
         "x_namelink_winnow_blocked" -> nlWinnowBlk,
         "x_range_rule" -> rangeRule,
         "x_range_nested" -> rangeNested, "x_pctl_sketch" -> pctlSketch,
-        "x_pctl_approx" -> pctlApprox)
+        "x_pctl_approx" -> pctlApprox,
+        "x_ledger_ingest" -> ledgerIngest,
+        "x_amihud_ledger" -> amihudLedger,
+        "x_roll_ledger" -> rollLedger)
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     val ok = results.filter(_._3.isEmpty)

@@ -50,7 +50,12 @@ object GraphGate {
       println(line)
       val (checksLpa, lineLpa) = checkLpa(spark, base, scaled, factor)
       println(lineLpa)
-      if (!checks.forall(_._2) || !checksLpa.forall(_._2)) sys.exit(1)
+      val (checksLcc, lineLcc) = checkLcc(spark, base, scaled, factor)
+      println(lineLcc)
+      val (checksCc, lineCc) = checkCc(spark, base, scaled, factor)
+      println(lineCc)
+      if (!checks.forall(_._2) || !checksLpa.forall(_._2) ||
+          !checksLcc.forall(_._2) || !checksCc.forall(_._2)) sys.exit(1)
     } finally spark.stop()
   }
 
@@ -121,6 +126,86 @@ object GraphGate {
     val cs = checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     (checks,
       f"""{"gate":"q288_sf_invariants","pass":$passed,$cs,"n_comm_base":$ncB,"q_expected":$qExpected%.6f,"q_scaled":$qScaled%.6f,"factor":$factor}""")
+  }
+
+  /** q255's scale gate (r15 insurance — its wedge-enumeration DuckDB
+    * oracle is the same O(m^1.5) self-join family whose temp-disk
+    * footprint took q125/q288 off the sf1 oracle): on `factor`
+    * DISJOINT ISOMORPHIC copies every per-copy cc multiset repeats
+    * verbatim, so per degree bucket n_nodes / sum_deg /
+    * sum_triangles scale by exactly `factor` while mean_cc and
+    * cc_zero_share are BIT-INVARIANT (identical decimal sums divided
+    * by identically-scaled counts round identically).
+    */
+  def checkLcc(spark: SparkSession, base: String, scaled: String,
+               factor: Int): (Seq[(String, Boolean)], String) = {
+    def census(dir: String) =
+      graft.SparkEntry.queries("q255_local_cc")(spark, dir)
+    val b = census(base).select(col("bucket"), col("n_nodes").as("n_b"),
+      col("sum_deg").as("d_b"), col("sum_triangles").as("t_b"),
+      col("mean_cc").as("m_b"), col("cc_zero_share").as("z_b"))
+    val s = census(scaled)
+    val j = s.join(b, Seq("bucket"), "full_outer")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("n_b").isNull || col("n_nodes").isNull, 1)
+          .otherwise(0)).as("bucket_mismatch"),
+        sum(when(col("n_nodes") =!= col("n_b") * factor, 1)
+          .otherwise(0)).as("n_bad"),
+        sum(when(col("sum_deg") =!= col("d_b") * factor, 1)
+          .otherwise(0)).as("d_bad"),
+        sum(when(col("sum_triangles") =!= col("t_b") * factor, 1)
+          .otherwise(0)).as("t_bad"),
+        sum(when(col("mean_cc") =!= col("m_b"), 1).otherwise(0)).as("m_bad"),
+        sum(when(col("cc_zero_share") =!= col("z_b"), 1)
+          .otherwise(0)).as("z_bad"))
+      .collect()(0)
+    val checks = Seq(
+      "lcc_bucket_set" -> (j.getLong(j.fieldIndex("bucket_mismatch")) == 0L),
+      "lcc_count_scaling" -> (j.getLong(j.fieldIndex("n_bad")) == 0L),
+      "lcc_degree_scaling" -> (j.getLong(j.fieldIndex("d_bad")) == 0L),
+      "lcc_triangle_scaling" -> (j.getLong(j.fieldIndex("t_bad")) == 0L),
+      "lcc_mean_invariant" -> (j.getLong(j.fieldIndex("m_bad")) == 0L),
+      "lcc_zero_share_invariant" -> (j.getLong(j.fieldIndex("z_bad")) == 0L))
+    val passed = checks.forall(_._2)
+    val cs = checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    (checks,
+      s"""{"gate":"q255_sf_invariants","pass":$passed,$cs,"n_buckets":${j.getLong(j.fieldIndex("n_buckets"))},"factor":$factor}""")
+  }
+
+  /** q259's scale gate (same insurance — its oracle unrolls 10
+    * hash-min rounds as materialized CTEs over the scaled edge list):
+    * disjoint copies converge copy-locally, so n_nodes and
+    * n_components scale by exactly `factor`, the largest component's
+    * SIZE is invariant, its SHARE divides by `factor` (checked via
+    * the production query's own 6dp lattice), and the zero-change
+    * fixpoint flag is invariant.
+    */
+  def checkCc(spark: SparkSession, base: String, scaled: String,
+              factor: Int): (Seq[(String, Boolean)], String) = {
+    def row(dir: String) =
+      graft.SparkEntry.queries("q259_connected_components")(spark, dir)
+        .collect()(0)
+    val rb = row(base)
+    val rs = row(scaled)
+    def l(r: org.apache.spark.sql.Row, f: String) = r.getLong(r.fieldIndex(f))
+    val shareExpected = BigDecimal(l(rb, "largest_size"))./(
+      BigDecimal(l(rb, "n_nodes") * factor.toLong))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val checks = Seq(
+      "cc_vertex_scaling" -> (l(rs, "n_nodes") == factor * l(rb, "n_nodes")),
+      "cc_component_scaling" ->
+        (l(rs, "n_components") == factor * l(rb, "n_components")),
+      "cc_largest_invariant" ->
+        (l(rs, "largest_size") == l(rb, "largest_size")),
+      "cc_share_transform" ->
+        (math.abs(rs.getDouble(rs.fieldIndex("largest_share"))
+          - shareExpected) <= 1e-6),
+      "cc_fixpoint_invariant" ->
+        (l(rs, "n_changed_last") == l(rb, "n_changed_last")))
+    val passed = checks.forall(_._2)
+    val cs = checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    (checks,
+      s"""{"gate":"q259_sf_invariants","pass":$passed,$cs,"largest_base":${l(rb, "largest_size")},"factor":$factor}""")
   }
 
   /** Core gate logic, reused by the spec at toy scale. Returns the

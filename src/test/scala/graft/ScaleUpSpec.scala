@@ -139,5 +139,13 @@ class ScaleUpSpec extends SparkTestBase {
     // exactly as Q' = I/m − D/(factor·m²)
     val (checksLpa, lineLpa) = graft.tools.GraphGate.checkLpa(spark, sf, dst, 3)
     assert(checksLpa.forall(_._2), s"lpa gate failed: $lineLpa")
+    // r15: the q255/q259 gates extend the same structure — per-bucket
+    // cc censuses scale with bit-invariant means; component counts
+    // scale with an invariant largest component and a transformed
+    // share
+    val (checksLcc, lineLcc) = graft.tools.GraphGate.checkLcc(spark, sf, dst, 3)
+    assert(checksLcc.forall(_._2), s"lcc gate failed: $lineLcc")
+    val (checksCc, lineCc) = graft.tools.GraphGate.checkCc(spark, sf, dst, 3)
+    assert(checksCc.forall(_._2), s"cc gate failed: $lineCc")
   }
 }
