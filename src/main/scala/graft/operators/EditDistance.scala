@@ -319,11 +319,39 @@ object EditDistance {
     * deliberately scopes out, so its output is a SUPERSET domain;
     * recall against the exact tier is spec-measured, and the bench
     * prices it as x_namelink_winnow every round.
+    *
+    * The absolute df window alone does NOT survive a vocabulary that
+    * densifies with corpus size: on the ×10 derived fixture every
+    * global bucket crossed `maxDf` and the tier silently returned
+    * ZERO candidates (caught r15 — the forced bench entry was pricing
+    * an empty join). The global tier therefore UNIONS a rarest-r
+    * prefix stage (see [[WinnowPrefixR]]): each name always keeps its
+    * r rarest df ≥ 2 fingerprints even when every bucket exceeds the
+    * cap, so recall degrades to the prefix-filter bound instead of
+    * collapsing. Recall is monotone vs the previous behavior (the
+    * union only adds candidates); the blocked variant
+    * ([[jwPairsWinnowBlocked]]) keeps pure per-(fp, block) df-capping,
+    * whose in-block recall guarantee needs no prefix rescue.
     */
   def jwPairsWinnow(df: DataFrame, keyCol: String, nameCol: String,
                     threshold: Double = 0.92, k: Int = 3, window: Int = 4,
-                    maxDf: Int = 1000): DataFrame =
-    jwWinnowImpl(df, keyCol, nameCol, Nil, threshold, k, window, maxDf)
+                    maxDf: Int = 1000,
+                    prefixMaxDf: Int = 4000): DataFrame =
+    jwWinnowImpl(df, keyCol, nameCol, Nil, threshold, k, window, maxDf,
+      prefixMaxDf)
+
+  /** Rarest-r prefix width for the global winnow tier: every name
+    * keeps its r lowest-df (≥ 2) fingerprints REGARDLESS of the
+    * absolute df cap — the PPJoin/prefix-filtering discipline. The
+    * ×10-derived containment spec (every base exact pair recalled
+    * through buckets the absolute cap would drop wholesale) pins
+    * r = 4 as sufficient; the prefix buckets themselves stay small
+    * because rarest-first selection concentrates names on their most
+    * discriminative grams, and the independent `prefixMaxDf` backstop
+    * guards the adversarial all-names-identical pile (where the
+    * near-dup tiers, not a JW matcher, are the right tool).
+    */
+  val WinnowPrefixR: Int = 4
 
   /** Per-block row cap for the exact blocked JW self-join behind q189.
     * One hot block above the cap pays >= cap²/2 O(|a|·|b|) JW
@@ -425,7 +453,8 @@ object EditDistance {
 
   private def jwWinnowImpl(df: DataFrame, keyCol: String, nameCol: String,
                            blockCols: Seq[String], threshold: Double,
-                           k: Int, window: Int, maxDf: Int): DataFrame = {
+                           k: Int, window: Int, maxDf: Int,
+                           prefixMaxDf: Int = 4000): DataFrame = {
     val blks = blockCols.map(col)
     val names = df.select(col(keyCol).as("__key") +:
       col(nameCol).as("__name") +: blks: _*)
@@ -433,11 +462,49 @@ object EditDistance {
         explode(graft.functions.TextExpressions
           .winnowFp(col("__name"), k, window)).as("__fp") +: blks: _*)
       .distinct()
-    val kept = fp.groupBy(col("__fp") +: blks: _*)
+    val dfs = fp.groupBy(col("__fp") +: blks: _*)
       .agg(count(lit(1)).as("__df"))
-      .filter(col("__df").between(2L, maxDf.toLong))
+    val kept = dfs.filter(col("__df").between(2L, maxDf.toLong))
       .select(col("__fp") +: blks: _*)
-    val f2 = fp.join(kept, "__fp" +: blockCols)
+    val windowed = fp.join(kept, "__fp" +: blockCols)
+    val f2 =
+      if (blockCols.nonEmpty) windowed
+      else {
+        // global tier: RESCUE stage for names the df window dropped
+        // entirely — on a corpus whose buckets densify with size (×10
+        // derived fixture, r15) every global bucket exceeded maxDf and
+        // the tier silently returned ZERO candidates. A name with no
+        // in-window fingerprint keeps its WinnowPrefixR rarest df ≥ 2
+        // fingerprints instead (prefix-filtering discipline), so
+        // recall degrades to the prefix bound instead of collapsing.
+        // Covered names are untouched: a pair with a covered member
+        // either shares an in-window bucket (the windowed tier has
+        // BOTH members — bucket membership is name-independent) or
+        // shared only dense buckets, which the old code lost too.
+        // Rescue rows are keyed on uncovered names only, so the
+        // organic-corpus plan (few/no uncovered names) pays one cheap
+        // anti-join, not a per-name window over the whole corpus.
+        val uncovered = fp.join(
+          windowed.select(col("__key")).distinct(), Seq("__key"),
+          "left_anti")
+        val byRarity = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__key"))
+          .orderBy(col("__df").asc, col("__fp").asc)
+        val prefix = uncovered
+          .join(dfs.filter(col("__df") >= 2L), Seq("__fp"))
+          .withColumn("__rk", row_number().over(byRarity))
+          .filter(col("__rk") <= WinnowPrefixR)
+          .select(col("__fp"), col("__key"), col("__name"))
+        // backstop: an adversarial pile of near-identical names can
+        // still concentrate a prefix bucket; prefixMaxDf bounds its
+        // cost while staying far above any organic prefix density
+        val pkept = prefix.groupBy(col("__fp"))
+          .agg(count(lit(1)).as("__pdf"))
+          .filter(col("__pdf").between(2L, prefixMaxDf.toLong))
+          .select(col("__fp"))
+        windowed.select(col("__fp"), col("__key"), col("__name"))
+          .unionByName(prefix.join(pkept, Seq("__fp")))
+      }
     val cond = ("__fp" +: blockCols)
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.__key") < col("b.__key")

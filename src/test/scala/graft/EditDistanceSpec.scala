@@ -105,6 +105,35 @@ class EditDistanceSpec extends SparkTestBase {
       s"winnow tier lost ${exact.diff(win).size}/${exact.size} exact pairs")
   }
 
+  test("global winnow tier degrades to prefix recall when every bucket blows the df cap (r15 regression)") {
+    // r15 finding: on the ×10 derived fixture every GLOBAL fingerprint
+    // bucket exceeded the absolute maxDf window and the tier silently
+    // returned ZERO candidates — the forced bench entry was pricing an
+    // empty join. Reproduce the geometry with ScaleUp's own p_name
+    // derivation (key shift + 12-char copy tag, copy 0 verbatim) and
+    // force the window tier empty with maxDf = 1 (no df ≥ 2 bucket can
+    // pass): the rarest-r prefix stage alone must still recall every
+    // base exact pair. Under the pre-fix code this returns 0 rows.
+    val base = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_name", $"p_brand")
+    val maxKey = base.agg(max($"p_partkey")).as[Long].head() + 1L
+    val derived = (0 until 10).map { c =>
+      val tag = ('A' + c).toChar.toString * 12 // within-copy distances unchanged
+      if (c == 0) base
+      else base.select(($"p_partkey" + lit(c * maxKey)).as("p_partkey"),
+        concat($"p_name", lit(s" $tag")).as("p_name"), $"p_brand")
+    }.reduce(_ unionByName _)
+    val exactBase = EditDistance.jwPairsBlocked(base, "p_partkey", "p_name",
+        Seq("p_brand"))
+      .select($"key_a", $"key_b").as[(Long, Long)].collect().toSet
+    val win = EditDistance.jwPairsWinnow(derived, "p_partkey", "p_name",
+        maxDf = 1)
+      .select($"key_a", $"key_b").as[(Long, Long)].collect().toSet
+    assert(exactBase.nonEmpty)
+    assert(exactBase.subsetOf(win),
+      s"prefix tier lost ${exactBase.diff(win).size}/${exactBase.size} base pairs")
+  }
+
   test("block-restricted winnow JW path equals the exact blocked path (q189 dual plan)") {
     // the q70 discipline applied to q189: both forced paths of the
     // jwPairs dispatcher must agree EXACTLY on the blocked domain —
