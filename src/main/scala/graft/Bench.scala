@@ -296,6 +296,22 @@ object Bench {
           .probe(probes, k = 3, nProbe = 4)
           .write.format("noop").mode("overwrite").save()
       }
+      // temp index/ledger trees are per-run scratch: delete them once
+      // their probes are timed, or repeated benches accumulate
+      // persisted LSH/IVF/ledger tables on disk (best-effort — a
+      // failed delete must not fail the bench)
+      def rmTree(root: String): Unit =
+        try {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val p = Paths.get(root)
+          if (Files.exists(p))
+            Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(f => Files.deleteIfExists(f))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] temp cleanup failed for $root: ${e.getMessage}") }
+      rmTree(ledgerDir)
+      rmTree(annDir)
       Seq("x_rank_twopass" -> rank, "x_pagerank_shuffle" -> pr,
         "x_bloom_off" -> bloomOff,
         "x_decontam_nobloom" -> decontamOff,

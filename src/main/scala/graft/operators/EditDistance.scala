@@ -353,6 +353,12 @@ object EditDistance {
     */
   val WinnowPrefixR: Int = 4
 
+  /** Per-JVM suffix for the rescue backstop's observed-metrics name —
+    * observation names must be unique within one query execution, and
+    * a composed plan could embed two global winnow tiers.
+    */
+  private val rescueObsId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Per-block row cap for the exact blocked JW self-join behind q189.
     * One hot block above the cap pays >= cap²/2 O(|a|·|b|) JW
     * evaluations inside a single join task-set — the quadratic
@@ -376,6 +382,7 @@ object EditDistance {
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$keyCol") < col(s"b.$keyCol")
     df.as("a").join(df.as("b"), cond)
+      .filter(jwLengthGuard(col(s"a.$nameCol"), col(s"b.$nameCol"), threshold))
       .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
         graft.functions.StringSim.jw(col(s"a.$nameCol"), col(s"b.$nameCol"))
           .as("sim_raw"))
@@ -451,10 +458,21 @@ object EditDistance {
         }
     }
 
-  private def jwWinnowImpl(df: DataFrame, keyCol: String, nameCol: String,
-                           blockCols: Seq[String], threshold: Double,
-                           k: Int, window: Int, maxDf: Int,
-                           prefixMaxDf: Int = 4000): DataFrame = {
+  /** The winnow tier's shared frames: distinct (key, name, fp[, blocks])
+    * exploded fingerprints, their df counts, and the df-windowed
+    * candidate stream. Deliberately NOT materialized (persist /
+    * localCheckpoint) despite the multiple references: the self-join's
+    * two sides are identical subtrees, so ReuseExchange already
+    * evaluates the candidate exchange ONCE, and the remaining repeat
+    * references re-run only the cheap row-local explode — measured
+    * r16 at sf1 (52.3M pairs): declarative plan ~52s, an eager
+    * localCheckpoint of fp+candidates ~240s (the barrier writes the
+    * multi-GB frame through the block manager and disables the
+    * exchange reuse it was meant to emulate).
+    */
+  private def winnowFrames(df: DataFrame, keyCol: String, nameCol: String,
+                           blockCols: Seq[String], k: Int, window: Int,
+                           maxDf: Int): (DataFrame, DataFrame, DataFrame) = {
     val blks = blockCols.map(col)
     val names = df.select(col(keyCol).as("__key") +:
       col(nameCol).as("__name") +: blks: _*)
@@ -466,7 +484,61 @@ object EditDistance {
       .agg(count(lit(1)).as("__df"))
     val kept = dfs.filter(col("__df").between(2L, maxDf.toLong))
       .select(col("__fp") +: blks: _*)
-    val windowed = fp.join(kept, "__fp" +: blockCols)
+    (fp, dfs, fp.join(kept, "__fp" +: blockCols))
+  }
+
+  /** Rarest-r prefix frame for names the global df window dropped
+    * wholesale — see [[jwWinnowImpl]]'s rescue comment for the recall
+    * contract. One bounded TopK aggregation, no row_number window.
+    */
+  private def rescuePrefix(fp: DataFrame, windowed: DataFrame,
+                           dfs: DataFrame): DataFrame = {
+    val uncovered = fp.join(
+      windowed.select(col("__key")).distinct(), Seq("__key"), "left_anti")
+    uncovered
+      .join(dfs.filter(col("__df") >= 2L), Seq("__fp"))
+      .groupBy(col("__key"))
+      .agg(graft.functions.TopK.topK(-col("__df"), col("__fp"),
+          WinnowPrefixR).as("__top"),
+        first(col("__name")).as("__name"))
+      .select(col("__key"), col("__name"),
+        explode(col("__top")("_2")).as("__fp"))
+  }
+
+  /** Pull-based rescue diagnostic for the global winnow tier: ONE row
+    * — (n_names, n_uncovered, rescued_fps, dropped_fps) for the given
+    * geometry. `dropped_fps > 0` means the prefixMaxDf backstop
+    * discarded rescued fingerprint buckets wholesale — the one
+    * remaining way this tier can silently under-recall (the r15
+    * zero-collapse signature one level up), which is why the
+    * DedupRecallGate runs this audit at every scale fixture. Shares
+    * [[winnowFrames]] / [[rescuePrefix]] with the production plan, so
+    * the audit cannot drift from what the tier actually executes.
+    */
+  def jwWinnowRescueStats(df: DataFrame, keyCol: String, nameCol: String,
+                          k: Int = 3, window: Int = 4, maxDf: Int = 1000,
+                          prefixMaxDf: Int = 4000): DataFrame = {
+    val (fp, dfs, windowed) = winnowFrames(df, keyCol, nameCol, Nil,
+      k, window, maxDf)
+    val prefix = rescuePrefix(fp, windowed, dfs)
+    val pgrp = prefix.groupBy(col("__fp")).agg(count(lit(1)).as("__pdf"))
+    val names = fp.select(col("__key")).distinct().count()
+    val unc = prefix.select(col("__key")).distinct().count()
+    pgrp.agg(
+        sum(when(col("__pdf") > prefixMaxDf.toLong, 1L).otherwise(0L))
+          .as("dropped_fps"),
+        count(lit(1)).as("rescued_fps"))
+      .select(lit(names).as("n_names"), lit(unc).as("n_uncovered"),
+        coalesce(col("rescued_fps"), lit(0L)).as("rescued_fps"),
+        coalesce(col("dropped_fps"), lit(0L)).as("dropped_fps"))
+  }
+
+  private def jwWinnowImpl(df: DataFrame, keyCol: String, nameCol: String,
+                           blockCols: Seq[String], threshold: Double,
+                           k: Int, window: Int, maxDf: Int,
+                           prefixMaxDf: Int = 4000): DataFrame = {
+    val (fp, dfs, windowed) =
+      winnowFrames(df, keyCol, nameCol, blockCols, k, window, maxDf)
     val f2 =
       if (blockCols.nonEmpty) windowed
       else {
@@ -483,40 +555,86 @@ object EditDistance {
         // shared only dense buckets, which the old code lost too.
         // Rescue rows are keyed on uncovered names only, so the
         // organic-corpus plan (few/no uncovered names) pays one cheap
-        // anti-join, not a per-name window over the whole corpus.
-        val uncovered = fp.join(
-          windowed.select(col("__key")).distinct(), Seq("__key"),
-          "left_anti")
-        val byRarity = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__key"))
-          .orderBy(col("__df").asc, col("__fp").asc)
-        val prefix = uncovered
-          .join(dfs.filter(col("__df") >= 2L), Seq("__fp"))
-          .withColumn("__rk", row_number().over(byRarity))
-          .filter(col("__rk") <= WinnowPrefixR)
-          .select(col("__fp"), col("__key"), col("__name"))
+        // anti-join. Rarest-r selection is a BOUNDED TopK aggregation
+        // (k-capped buffer, map-side combine), not a row_number window:
+        // the window plan shuffles and sorts every (name, fp, df) row
+        // before discarding all but r, the aggregate ships ≤ r entries
+        // per (name, partition) — ordering contract identical
+        // (df ASC, fp ASC on ties ≡ TopKAgg's metric DESC / id ASC
+        // with metric = −df; (key, fp) rows are distinct, so the
+        // tie-break is total and the selected prefix is byte-identical
+        // to the window plan's).
+        val prefix = rescuePrefix(fp, windowed, dfs)
         // backstop: an adversarial pile of near-identical names can
         // still concentrate a prefix bucket; prefixMaxDf bounds its
-        // cost while staying far above any organic prefix density
-        val pkept = prefix.groupBy(col("__fp"))
+        // cost while staying far above any organic prefix density.
+        // Dropping a rescued bucket is the one remaining way this tier
+        // can silently under-recall, so the drop is COUNTED: the
+        // observed-metrics row (one per execution, computed in-stream —
+        // no extra job) reports how many rescued fingerprints the
+        // backstop discarded and how many survived; read it via
+        // `df.queryExecution.observedMetrics` or a
+        // QueryExecutionListener. A nonzero `dropped_fps` with sparse
+        // expected output is the r15 zero-collapse signature one level
+        // up — the DedupRecallGate audits exactly that.
+        val pgrp = prefix.groupBy(col("__fp"))
           .agg(count(lit(1)).as("__pdf"))
+          .observe(
+            s"winnow_rescue_${rescueObsId.getAndIncrement()}",
+            sum(when(col("__pdf") > prefixMaxDf.toLong, 1L).otherwise(0L))
+              .as("dropped_fps"),
+            count(lit(1)).as("rescued_fps"))
+        val pkept = pgrp
           .filter(col("__pdf").between(2L, prefixMaxDf.toLong))
           .select(col("__fp"))
         windowed.select(col("__fp"), col("__key"), col("__name"))
-          .unionByName(prefix.join(pkept, Seq("__fp")))
+          .unionByName(prefix.join(pkept, Seq("__fp"))
+            .select(col("__fp"), col("__key"), col("__name")))
       }
     val cond = ("__fp" +: blockCols)
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.__key") < col("b.__key")
-    f2.as("a").join(f2.as("b"), cond)
-      .select(col("a.__key").as("key_a"), col("b.__key").as("key_b"),
-        col("a.__name").as("name_a"), col("b.__name").as("name_b"))
+    // Dedup NARROW 16-byte key pairs, then re-attach names by key for
+    // the JW rerank — the same discipline as the Levenshtein tier's
+    // candidate dedup: distincting wide rows that carry both name
+    // strings shuffles the strings once per candidate EMISSION (a pair
+    // sharing f fingerprints ships its names f times), the narrow
+    // dedup ships them once per surviving PAIR. Broadcast the name
+    // table while it fits an executor, shuffle-join beyond.
+    val cand = f2.as("a").join(f2.as("b"), cond)
+      .select(col("a.__key").as("key_a"), col("b.__key").as("key_b"))
       .distinct()
+    val names = df.select(col(keyCol).as("__key"), col(nameCol).as("__name"))
+    val attach: DataFrame => DataFrame =
+      if (names.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= BigInt(BroadcastSafeByteLimit)) broadcast
+      else identity
+    cand
+      .join(attach(names.select(col("__key").as("key_a"),
+        col("__name").as("name_a"))), Seq("key_a"))
+      .join(attach(names.select(col("__key").as("key_b"),
+        col("__name").as("name_b"))), Seq("key_b"))
+      .filter(jwLengthGuard(col("name_a"), col("name_b"), threshold))
       .select(col("key_a"), col("key_b"),
         graft.functions.StringSim.jw(col("name_a"), col("name_b"))
           .as("sim_raw"))
       .filter(col("sim_raw") >= threshold)
       .select(col("key_a"), col("key_b"),
         graft.functions.Num.decRound(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** NECESSARY length condition for jw(a, b) ≥ t — a cheap prune
+    * before the O(|a|·|b|) scoring. Derivation: matches m ≤ min(|a|,
+    * |b|), so jaro ≤ (2 + min/max)/3; the Winkler boost is at most
+    * 0.1·4·(1−jaro), so jw ≤ 0.6·jaro + 0.4; combining, jw ≥ t forces
+    * min/max ≥ 5t − 4 (conservative under FP rounding: the literal
+    * evaluates ≤ the exact bound). Vacuous for t ≤ 0.8 — the guard is
+    * the constant-true literal there.
+    */
+  private def jwLengthGuard(a: Column, b: Column, threshold: Double): Column = {
+    val r = 5.0 * threshold - 4.0
+    if (r <= 0.0) lit(true)
+    else least(length(a), length(b)).cast("double") >=
+      lit(r) * greatest(length(a), length(b)).cast("double")
   }
 }

@@ -202,4 +202,71 @@ class EditDistanceSpec extends SparkTestBase {
     assert(close(jaroWinkler("", ""), 1.0))
     assert(close(jaroWinkler("a", ""), 0.0))
   }
+
+  test("rescue audit counts backstop drops on an adversarial pile, zero on organic data") {
+    // Adversarial pile: every name identical → every global bucket
+    // blows maxDf = 1, every name is rescued, and every rescued
+    // prefix bucket (pdf = pile size) blows prefixMaxDf = 1 — the
+    // backstop drops ALL rescue buckets, the tier returns zero pairs,
+    // and jwWinnowRescueStats must SAY so (dropped_fps > 0): the r15
+    // zero-collapse signature one level up, now machine-visible.
+    val pile = (0L until 12L)
+      .map(i => (i, "twelve identical catalog names aaaa"))
+      .toDF("k", "name")
+    val stats = EditDistance.jwWinnowRescueStats(pile, "k", "name",
+        maxDf = 1, prefixMaxDf = 1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats._1 == 12L, s"n_names: $stats")
+    assert(stats._2 == 12L, s"every name should be uncovered: $stats")
+    assert(stats._4 > 0L, s"backstop drop not counted: $stats")
+    val out = EditDistance.jwPairsWinnow(pile, "k", "name",
+      maxDf = 1, prefixMaxDf = 1)
+    assert(out.count() == 0L,
+      "all-dropped backstop should yield zero pairs (and be audited)")
+    // Organic fixture at defaults: nothing is uncovered, nothing is
+    // dropped — the audit's green state.
+    val organic = EditDistance.jwWinnowRescueStats(
+        Tables.part(spark, sf), "p_partkey", "p_name")
+      .as[(Long, Long, Long, Long)].head()
+    assert(organic._2 == 0L && organic._4 == 0L,
+      s"organic corpus should need no rescue: $organic")
+  }
+
+  test("rarest-r prefix selection equals the row_number-window selection it replaced") {
+    // The bounded TopK aggregation must pick byte-identically the same
+    // (key, fp) prefix as `row_number() OVER (PARTITION BY key ORDER BY
+    // df ASC, fp ASC) <= r` did — pin the equivalence on the derived
+    // densified geometry where the rescue actually fires.
+    val base = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_name", $"p_brand")
+    val maxKey = base.agg(max($"p_partkey")).as[Long].head() + 1L
+    val derived = (0 until 6).map { c =>
+      val tag = ('A' + c).toChar.toString * 12
+      if (c == 0) base
+      else base.select(($"p_partkey" + lit(c * maxKey)).as("p_partkey"),
+        concat($"p_name", lit(s" $tag")).as("p_name"), $"p_brand")
+    }.reduce(_ unionByName _)
+    // rebuild the tier's frames exactly (maxDf = 1 → all uncovered)
+    val fp = derived.select($"p_partkey".as("__key"), $"p_name".as("__name"),
+        explode(graft.functions.TextExpressions.winnowFp($"p_name", 3, 4))
+          .as("__fp"))
+      .distinct()
+    val dfs = fp.groupBy($"__fp").agg(count(lit(1)).as("__df"))
+    val joined = fp.join(dfs.filter($"__df" >= 2L), Seq("__fp"))
+    val byWindow = joined
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"__key")
+          .orderBy($"__df".asc, $"__fp".asc)))
+      .filter($"__rk" <= EditDistance.WinnowPrefixR)
+      .select($"__key", $"__fp").as[(Long, Long)].collect().toSet
+    val byAgg = joined
+      .groupBy($"__key")
+      .agg(graft.functions.TopK.topK(-$"__df", $"__fp",
+        EditDistance.WinnowPrefixR).as("__top"))
+      .select($"__key", explode($"__top"("_2")).as("__fp"))
+      .as[(Long, Long)].collect().toSet
+    assert(byAgg == byWindow && byAgg.nonEmpty,
+      s"prefix selection diverged: agg-only ${byAgg.diff(byWindow).size}, " +
+        s"window-only ${byWindow.diff(byAgg).size}")
+  }
 }
