@@ -1318,4 +1318,76 @@ object Extended {
       |  (dprev IS NULL OR de <= dprev) AS monotone_ok
       |FROM mono""".stripMargin
   }
+
+  /** q302_lsh_index_probe — the PERSISTED LSH index served from a
+    * board query: q36's exact task (vec_id < 10, k = 3, certified
+    * ≥ 60% recall vs the exact top-3) but the candidate side comes
+    * from [[graft.operators.IndexCatalog]]'s stored signature table —
+    * NO corpus signing at query time (PlanSpec-pinned on
+    * [[q302ProbeFrame]]: exactly one row-local LshSig over the 10
+    * probe vectors, candidates scanned from the published sig/
+    * version). Built once per fixture (the amortized x_lshidx_build
+    * cost), reopened from the persisted MODEL on every later session
+    * — the lifecycle q36 deliberately does not have, now servable.
+    * Same geometry + corpus ⇒ the probe reproduces q36's per-query
+    * operator exactly, so the q36 recall contract transfers.
+    */
+  def q302LshIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Ann.bruteForceTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+      .select($"query_id", $"neighbor_id")
+    val found = q302ProbeFrame(spark, dir)
+      .select($"query_id", $"neighbor_id")
+    Certify.recallContract(spark, truth, found, Seq("query_id", "neighbor_id"),
+      minRecall = 0.6, nCol = "n_exact_neighbors")
+  }
+
+  /** The serving plan q302 certifies — exposed so PlanSpec can pin
+    * "no corpus signing / stored candidates" on the executed plan.
+    */
+  def q302ProbeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.IndexCatalog.lshFor(spark, dir)
+      .probe(Tables.embeddings(spark, dir).filter($"vec_id" < 10), k = 3)
+  }
+
+  val q302Sql: String =
+    """SELECT count(*) AS n_exact_neighbors, true AS recall_ok FROM (
+      |  SELECT q.vec_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+      |               n.vec_id) AS rnk
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+      |WHERE rnk <= 3""".stripMargin
+
+  /** q303_ivf_index_probe — the persisted IVF index served from a
+    * board query: q44's exact task and ≥ 80% recall contract, with
+    * cell assignments read from [[graft.operators.IndexCatalog]]'s
+    * stored cells table and the quantizer from the persisted MODEL —
+    * no corpus pass, no centroid derivation at query time
+    * (PlanSpec-pinned on [[q303ProbeFrame]]).
+    */
+  def q303IvfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Ann.bruteForceTopK(emb.filter($"vec_id" < 10), emb, k = 3)
+      .select($"query_id", $"neighbor_id")
+    val found = q303ProbeFrame(spark, dir)
+      .select($"query_id", $"neighbor_id")
+    Certify.recallContract(spark, truth, found, Seq("query_id", "neighbor_id"),
+      minRecall = 0.8, nCol = "n_exact_neighbors")
+  }
+
+  /** The serving plan q303 certifies — see [[q302ProbeFrame]]. */
+  def q303ProbeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.IndexCatalog.ivfFor(spark, dir)
+      .probe(Tables.embeddings(spark, dir).filter($"vec_id" < 10),
+        k = 3, nProbe = 4)
+  }
+
+  val q303Sql: String = q302Sql
 }

@@ -994,4 +994,43 @@ class PlanSpec extends SparkTestBase {
     assert(count(p, "Join") == 0, s"q301: a join crept in\n$p")
     assert(count(p, "HashAggregate") >= 2, s"q301: partial agg lost\n$p")
   }
+
+  test("r16 served-index pins: q302/q303 probe STORED candidates — no corpus signing or centroid derivation at query time") {
+    // q302's serving plan: the only LshSig in the plan is the
+    // row-local signing of the 10 probe vectors; the candidate side is
+    // a parquet scan of the index's published sig/ version (buckets
+    // stored, exploded row-locally). A second lshsig — or any lshsig
+    // over an unfiltered embeddings scan — would mean the corpus is
+    // being re-signed per query, the exact lifecycle q302 exists to
+    // retire.
+    val pl = queries.Extended.q302ProbeFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(count(pl.toLowerCase, "lshsig") == 1,
+      s"q302: corpus signing crept into the serving plan\n$pl")
+    assert(pl.contains("graft_served_idx"),
+      s"q302: candidates not read from the persisted index\n$pl")
+    // q303: the quantizer application (nearestcells) appears once —
+    // the probe side's nProbe cell lookup; corpus cells come stored.
+    val pi = queries.Extended.q303ProbeFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(count(pi.toLowerCase, "nearestcells") == 1,
+      s"q303: centroid derivation crept into the serving plan\n$pi")
+    assert(pi.contains("graft_served_idx"),
+      s"q303: candidates not read from the persisted index\n$pi")
+    // and the served probes reproduce the per-query operators exactly
+    // (same geometry, same corpus): the q36/q44 recall contracts
+    // transfer to the served path by output equality, not analogy
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(queries.Extended.q302ProbeFrame(spark, sf)) ==
+      rows(operators.Ann.lshTopK(probes, emb, k = 3, tables = 16, bits = 4)),
+      "served LSH probe diverged from the per-query operator")
+    assert(rows(queries.Extended.q303ProbeFrame(spark, sf)) ==
+      rows(operators.Ann.ivfTopK(probes, emb, k = 3)),
+      "served IVF probe diverged from the per-query operator")
+  }
 }
