@@ -54,8 +54,13 @@ object GraphGate {
       println(lineLcc)
       val (checksCc, lineCc) = checkCc(spark, base, scaled, factor)
       println(lineCc)
+      val (checksTri, lineTri) = checkTriangle(spark, base, scaled, factor)
+      println(lineTri)
+      val (checksCore, lineCore) = checkKcore(spark, base, scaled, factor)
+      println(lineCore)
       if (!checks.forall(_._2) || !checksLpa.forall(_._2) ||
-          !checksLcc.forall(_._2) || !checksCc.forall(_._2)) sys.exit(1)
+          !checksLcc.forall(_._2) || !checksCc.forall(_._2) ||
+          !checksTri.forall(_._2) || !checksCore.forall(_._2)) sys.exit(1)
     } finally spark.stop()
   }
 
@@ -206,6 +211,67 @@ object GraphGate {
     val cs = checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     (checks,
       s"""{"gate":"q259_sf_invariants","pass":$passed,$cs,"largest_base":${l(rb, "largest_size")},"factor":$factor}""")
+  }
+
+  /** q175's scale gate (r16 — the #1 sf1 wall-time family, next to
+    * outgrow the oracle's temp disk): on `factor` disjoint isomorphic
+    * copies every integer census column (n_nodes, n_edges, n_wedges,
+    * n_triangles) scales by EXACTLY `factor`, and global_cc =
+    * 3T/W is BIT-invariant (numerator and denominator scale
+    * identically, the 6dp decimal round sees the same quotient).
+    */
+  def checkTriangle(spark: SparkSession, base: String, scaled: String,
+                    factor: Int): (Seq[(String, Boolean)], String) = {
+    def row(dir: String) =
+      graft.SparkEntry.queries("q175_triangle_census")(spark, dir)
+        .collect()(0)
+    val rb = row(base)
+    val rs = row(scaled)
+    def l(r: org.apache.spark.sql.Row, f: String) = r.getLong(r.fieldIndex(f))
+    val checks = Seq(
+      "tri_node_scaling" -> (l(rs, "n_nodes") == factor * l(rb, "n_nodes")),
+      "tri_edge_scaling" -> (l(rs, "n_edges") == factor * l(rb, "n_edges")),
+      "tri_wedge_scaling" ->
+        (l(rs, "n_wedges") == factor * l(rb, "n_wedges")),
+      "tri_triangle_scaling" ->
+        (l(rs, "n_triangles") == factor * l(rb, "n_triangles")),
+      "tri_cc_invariant" ->
+        (rs.getDouble(rs.fieldIndex("global_cc")) ==
+          rb.getDouble(rb.fieldIndex("global_cc"))))
+    val passed = checks.forall(_._2)
+    val cs = checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    (checks,
+      s"""{"gate":"q175_sf_invariants","pass":$passed,$cs,"triangles_base":${l(rb, "n_triangles")},"factor":$factor}""")
+  }
+
+  /** q182's scale gate (#2 family by the same criterion): the 3-core
+    * peel is copy-local on disjoint copies, so EVERY round's surviving
+    * node and edge counts scale by exactly `factor` — all 8 rounds
+    * checked, and the round sets must match.
+    */
+  def checkKcore(spark: SparkSession, base: String, scaled: String,
+                 factor: Int): (Seq[(String, Boolean)], String) = {
+    def rounds(dir: String) =
+      graft.SparkEntry.queries("q182_kcore_peel")(spark, dir)
+    val b = rounds(base).select(col("round"), col("n_nodes").as("n_b"),
+      col("n_edges").as("e_b"))
+    val j = rounds(scaled).join(b, Seq("round"), "full_outer")
+      .agg(count(lit(1)).as("n_rounds"),
+        sum(when(col("n_b").isNull || col("n_nodes").isNull, 1)
+          .otherwise(0)).as("round_mismatch"),
+        sum(when(col("n_nodes") =!= col("n_b") * factor, 1)
+          .otherwise(0)).as("n_bad"),
+        sum(when(col("n_edges") =!= col("e_b") * factor, 1)
+          .otherwise(0)).as("e_bad"))
+      .collect()(0)
+    val checks = Seq(
+      "kcore_round_set" -> (j.getLong(j.fieldIndex("round_mismatch")) == 0L),
+      "kcore_node_scaling" -> (j.getLong(j.fieldIndex("n_bad")) == 0L),
+      "kcore_edge_scaling" -> (j.getLong(j.fieldIndex("e_bad")) == 0L))
+    val passed = checks.forall(_._2)
+    val cs = checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    (checks,
+      s"""{"gate":"q182_sf_invariants","pass":$passed,$cs,"n_rounds":${j.getLong(j.fieldIndex("n_rounds"))},"factor":$factor}""")
   }
 
   /** Core gate logic, reused by the spec at toy scale. Returns the

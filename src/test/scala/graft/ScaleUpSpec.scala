@@ -147,5 +147,15 @@ class ScaleUpSpec extends SparkTestBase {
     assert(checksLcc.forall(_._2), s"lcc gate failed: $lineLcc")
     val (checksCc, lineCc) = graft.tools.GraphGate.checkCc(spark, sf, dst, 3)
     assert(checksCc.forall(_._2), s"cc gate failed: $lineCc")
+    // r16: q175/q182 join the gate (the top-2 sf1 wall-time families)
+    // — every triangle-census integer scales by the factor with a
+    // bit-invariant clustering coefficient, and every k-core peel
+    // round's survivor counts scale by the factor
+    val (checksTri, lineTri) =
+      graft.tools.GraphGate.checkTriangle(spark, sf, dst, 3)
+    assert(checksTri.forall(_._2), s"triangle gate failed: $lineTri")
+    val (checksCore, lineCore) =
+      graft.tools.GraphGate.checkKcore(spark, sf, dst, 3)
+    assert(checksCore.forall(_._2), s"kcore gate failed: $lineCore")
   }
 }
