@@ -187,4 +187,34 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  val documentsPayloadSchema = StructType(
+    documentsSchema.fields :+ StructField("payload", BinaryType))
+
+  /** Paths whose documents.parquet footer declares a stored payload
+    * column (one driver-side metadata sniff per path per JVM — the
+    * eventsReadPlan convention).
+    */
+  private val docPayloadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The multimodal documents frame: doc columns plus the container
+    * `payload` binary. Derived fixtures (ScaleUp) STORE the column —
+    * real PNG/JPEG/GIF/BMP/WAV/MP4 payload bytes read straight from
+    * parquet; the driver's read-only base fixtures predate it, so the
+    * loader attaches the identical bytes via the shared synthesis
+    * ([[graft.operators.Multimodal.containerPayload]] — one row-local
+    * codegen'd expression). Either way every consumer sees the same
+    * schema and the same bytes, which is what lets one oracle SQL
+    * (recomputing the transcript from doc_id/text) serve both.
+    */
+  def documentsWithPayload(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/documents.parquet"
+    val stored = docPayloadCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema.fieldNames.contains("payload"))
+    if (stored) s.read.schema(documentsPayloadSchema).parquet(path)
+    else documents(s, d).withColumn("payload",
+      graft.operators.Multimodal.containerPayload(
+        F.col("doc_id"), F.col("text")))
+  }
 }

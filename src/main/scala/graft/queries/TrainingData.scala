@@ -299,124 +299,57 @@ object TrainingData {
     */
   def q41MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .withColumn("payload", $"text".cast("binary"))
+    // content_md5 fingerprints the payload's canonical hex transcript
+    // (Spark hex() = uppercase), not the raw bytes: the md5-of-hex
+    // convention shared with q85/q103, because the oracle engine has
+    // no BLOB md5 — same collision/change-detection power, both
+    // engines hash the identical byte-transcript string
+    Tables.documentsWithPayload(spark, dir)
       .select($"doc_id",
         octet_length($"payload").as("n_bytes"),
-        md5($"payload").as("content_md5"),
+        md5(hex($"payload")).as("content_md5"),
         hex(substring($"payload", 1, 4)).as("magic"))
   }
 
   val q41Sql: String =
-    """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
-      |  md5(text) AS content_md5,
-      |  hex(CAST(left(text, 4) AS BLOB)) AS magic
-      |FROM documents""".stripMargin
-
-  /** Hex string of the low `bytes` bytes of `c`, big-endian — a pure
-    * codegen'd string expression (hex + lpad), no UDF.
-    */
-  private def beHex(c: Column, bytes: Int): Column =
-    lpad(hex(c.cast("long").bitwiseAND(lit((1L << (8 * bytes)) - 1))),
-      bytes * 2, "0")
-
-  /** Hex string of the low `bytes` bytes of `c`, LITTLE-endian. */
-  private def leHex(c: Column, bytes: Int): Column =
-    concat((0 until bytes).map(i =>
-      lpad(hex(shiftright(c.cast("long"), 8 * i).bitwiseAND(lit(255L))),
-        2, "0")): _*)
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    (${graft.operators.Multimodal.containerPayloadHexSql()}) AS ph
+       |  FROM documents)
+       |SELECT doc_id, CAST(length(ph) // 2 AS INT) AS n_bytes,
+       |  md5(ph) AS content_md5,
+       |  substr(ph, 1, 8) AS magic
+       |FROM p""".stripMargin
 
   /** q301_header_census — the container-header parsers
     * ([[graft.functions.ImageHeaders]] / AudioHeaders / VideoHeaders)
     * exercised END-TO-END on REAL byte layouts, oracle-gated. The
-    * driver fixture's binary column is ASCII text (and the fixture is
-    * read-only), so the query SYNTHESIZES spec-conformant containers
-    * in-plan from each doc's integer fields — PNG signature+IHDR,
-    * JPEG SOI + SOF0 marker segment, GIF89a, BMP BITMAPINFOHEADER,
-    * RIFF/WAVE fmt+data chunks, MP4 ftyp+moov(mvhd,trak/tkhd) — as
-    * codegen'd hex-concat → unhex expressions (no UDF), doc_id % 7
-    * picking the modality and the remaining ids carrying a raw text
-    * payload NUL-prefixed so no magic can fire. The census then reads
-    * format and every parsed field FROM THE PARSER OUTPUT ONLY and
-    * rolls up min/max/sums per format; the DuckDB oracle recomputes
-    * the expected census ARITHMETICALLY from the same doc_id map —
-    * never parsing a byte — so a regression in any parser (magic
-    * check, endianness, marker walk, box walk, field offset, the
-    * None fallthrough) breaks the row hash. Field mapping per
-    * modality: d1 = width | sample_rate, d2 = height | duration_ms,
-    * d3 = bit_depth | bits | mp4 duration_ms, d4 = channels |
-    * n_tracks (all exact integers — hash-portable). Scale: one
-    * row-local projection (synthesize + parse never leave the row)
-    * and ONE map-side-combined rollup to ≤ 7 groups; the parsers
-    * return None on any malformed byte, so at 100 TB a poison payload
-    * costs one 'raw' row, not a stage retry.
+    * corpus's binary column comes through
+    * [[graft.Tables.documentsWithPayload]]: derived fixtures carry the
+    * PNG / JPEG(SOF0) / GIF89a / BMP / RIFF-WAVE / MP4 container bytes
+    * STORED in parquet (ScaleUp materializes them — r15 verdict ask
+    * #3), the read-only driver fixtures attach the identical bytes via
+    * the shared synthesis
+    * ([[graft.operators.Multimodal.containerPayload]], codegen'd
+    * hex-concat → unhex, no UDF; doc_id % 7 picks the modality,
+    * remaining ids carry the text NUL-prefixed so no magic fires).
+    * The census reads format and every parsed field FROM THE PARSER
+    * OUTPUT ONLY and rolls up min/max/sums per format; the DuckDB
+    * oracle recomputes the expected census ARITHMETICALLY from the
+    * same doc_id map — never parsing a byte — so a regression in any
+    * parser (magic check, endianness, marker walk, box walk, field
+    * offset, the None fallthrough) breaks the row hash. Field mapping
+    * per modality: d1 = width | sample_rate, d2 = height |
+    * duration_ms, d3 = bit_depth | bits | mp4 duration_ms,
+    * d4 = channels | n_tracks (all exact integers — hash-portable).
+    * Scale: one row-local projection (parse never leaves the row) and
+    * ONE map-side-combined rollup to ≤ 7 groups; the parsers return
+    * None on any malformed byte, so at 100 TB a poison payload costs
+    * one 'raw' row, not a stage retry.
     */
   def q301HeaderCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val id = $"doc_id"
-    val m = pmod(id, lit(7L))
-    val w = lit(16L) + pmod(id * 7L, lit(2000L))
-    val h = lit(16L) + pmod(id * 13L, lit(1500L))
-    // --- PNG: sig, IHDR(len 13), w/h BE32, depth, color type, zeros
-    val pngDepth = when(pmod(id, lit(2L)) === 0, 8L).otherwise(16L)
-    val pngCtype = element_at(typedLit(Seq(0L, 2L, 6L)),
-      (pmod(id, lit(3L)) + 1).cast("int"))
-    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
-      beHex(w, 4), beHex(h, 4), beHex(pngDepth, 1), beHex(pngCtype, 1),
-      lit("00000000000000"))
-    // --- JPEG: SOI, SOF0 (len 8+3·ncomp, depth 8, h/w BE16), EOI
-    val ncomp = lit(1L) + pmod(id, lit(3L))
-    val jpgComps = when(ncomp === 1, "010011")
-      .when(ncomp === 2, "010011020011").otherwise("010011020011030011")
-    val jpgHex = concat(lit("FFD8FFC0"), beHex(lit(8L) + ncomp * 3, 2),
-      lit("08"), beHex(h, 2), beHex(w, 2), beHex(ncomp, 1), jpgComps,
-      lit("FFD9"))
-    // --- GIF89a: w/h LE16, packed color-resolution bits
-    val gifDepth = lit(1L) + pmod(id, lit(8L))
-    val gifHex = concat(lit("474946383961"), leHex(w, 2), leHex(h, 2),
-      beHex((gifDepth - 1) * 16, 1), lit("0000"))
-    // --- BMP: BM, sizes, BITMAPINFOHEADER w/h LE32, planes, bit count
-    val bmpBits = element_at(typedLit(Seq(1L, 8L, 24L, 32L)),
-      (pmod(id, lit(4L)) + 1).cast("int"))
-    val bmpHex = concat(
-      lit("424D46000000000000004600000028000000"),
-      leHex(w, 4), leHex(h, 4), lit("0100"), leHex(bmpBits, 2))
-    // --- WAV: RIFF/WAVE, fmt (PCM, ch, rate, block align, bits), data
-    val wavCh = lit(1L) + pmod(id, lit(2L))
-    val rateH = lit(80L) * (lit(1L) + pmod(id, lit(5L))) // rate / 100
-    val wavRate = rateH * 100
-    val wavBits = element_at(typedLit(Seq(8L, 16L, 24L)),
-      (pmod(id, lit(3L)) + 1).cast("int"))
-    val blockAlign = shiftright(wavCh * wavBits, 3)
-    val frames = (lit(1L) + pmod(id, lit(100L))) * rateH
-    val dataSize = frames * blockAlign
-    val wavHex = concat(lit("52494646"), leHex(lit(36L) + dataSize, 4),
-      lit("57415645666D74201000000001" + "00"),
-      leHex(wavCh, 2), leHex(wavRate, 4), leHex(wavRate * blockAlign, 4),
-      leHex(blockAlign, 2), leHex(wavBits, 2),
-      lit("64617461"), leHex(dataSize, 4))
-    // --- MP4: ftyp(16) + moov(136){ mvhd v0(28): timescale 1000,
-    //     duration; trak(100){ tkhd v0(92): 16.16 w/h at offset 76 } }
-    val mp4Dur = pmod(id * 17L, lit(100000L))
-    val mp4Hex = concat(
-      lit("000000106674797069736F6D00000000"),
-      lit("000000886D6F6F76"),
-      lit("0000001C6D766864" + "00" * 12 + "000003E8"), beHex(mp4Dur, 4),
-      lit("000000647472616B" + "0000005C746B6864" + "00" * 76),
-      beHex(w, 2), lit("0000"), beHex(h, 2), lit("0000"))
-    // raw leg: NUL-prefix the ASCII payload so no container magic can
-    // fire (0x00 fails every signature; text bytes are valid UTF-8,
-    // which never contains 0xFF, so the MP3 sync can't match either)
-    val rawBin = concat(unhex(lit("00")), $"text".cast("binary"))
-    val payload = when(m === 0, unhex(pngHex))
-      .when(m === 1, unhex(jpgHex))
-      .when(m === 2, unhex(gifHex))
-      .when(m === 3, unhex(bmpHex))
-      .when(m === 4, unhex(wavHex))
-      .when(m === 5, unhex(mp4Hex))
-      .otherwise(rawBin)
-    Tables.documents(spark, dir).select($"doc_id", $"text")
-      .withColumn("payload", payload)
+    Tables.documentsWithPayload(spark, dir).select($"doc_id", $"payload")
       .withColumn("img", graft.functions.ImageHeaders.imageMeta($"payload"))
       .withColumn("aud", graft.functions.AudioHeaders.audioMeta($"payload"))
       .withColumn("vid", graft.functions.VideoHeaders.videoMeta($"payload"))
@@ -519,21 +452,31 @@ object TrainingData {
     */
   def q85FrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.operators.Multimodal.sampleFrames(Tables.documents(spark, dir))
+    // container payloads (stored on derived fixtures, synthesized on
+    // the read-only base ones); frame fingerprints use the md5-of-hex
+    // convention — see q41
+    graft.operators.Multimodal
+      .sampleFrames(Tables.documentsWithPayload(spark, dir))
       .select($"doc_id", $"frame_idx",
         octet_length($"frame").as("frame_bytes"),
-        md5($"frame").as("frame_md5"))
+        md5(hex($"frame")).as("frame_md5"))
   }
 
   val q85Sql: String =
-    """SELECT doc_id, frame_idx,
-      |  octet_length(CAST(substring(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32) AS BLOB)) AS frame_bytes,
-      |  md5(substring(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_md5
-      |FROM (
-      |  SELECT doc_id, text, unnest(generate_series(0,
-      |    greatest(CAST(floor((octet_length(CAST(text AS BLOB)) - 1) / 32) AS BIGINT), 0),
-      |    4)) AS frame_idx
-      |  FROM documents)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    (${graft.operators.Multimodal.containerPayloadHexSql()}) AS ph
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, ph, unnest(generate_series(0,
+       |    greatest(CAST((length(ph) // 2 - 1) // 32 AS BIGINT), 0),
+       |    4)) AS frame_idx
+       |  FROM p)
+       |SELECT doc_id, frame_idx,
+       |  CAST(length(substr(ph, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) // 2
+       |    AS INT) AS frame_bytes,
+       |  md5(substr(ph, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+       |FROM fr""".stripMargin
 
   /** q86_decode_stub — the batched decode path
     * ([[graft.operators.Multimodal.decodeFeatures]]): typed
@@ -544,18 +487,32 @@ object TrainingData {
     */
   def q86DecodeStub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // container corpus: the codec's REAL header branches fire for the
+    // six container modalities (parsed dimensions; WAV reports 0×0),
+    // the deterministic fake branch only for the raw leg — the oracle
+    // mirrors the whole branch map arithmetically
     graft.operators.Multimodal
-      .decodeFeatures(spark, Tables.documents(spark, dir))
+      .decodeFeatures(spark, Tables.documentsWithPayload(spark, dir))
       .select($"doc_id", $"n_bytes".cast("long").as("n_bytes"), $"magic",
         $"width".cast("long").as("width"), $"height".cast("long").as("height"))
   }
 
   val q86Sql: String =
-    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-      |  hex(CAST(left(text, 4) AS BLOB)) AS magic,
-      |  64 + (octet_length(CAST(text AS BLOB)) * 31 + doc_id) % 512 AS width,
-      |  64 + (octet_length(CAST(text AS BLOB)) * 17 + doc_id) % 512 AS height
-      |FROM documents""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id, doc_id % 7 AS m,
+       |    16 + (doc_id * 7) % 2000 AS w,
+       |    16 + (doc_id * 13) % 1500 AS h,
+       |    (${graft.operators.Multimodal.containerPayloadHexSql()}) AS ph
+       |  FROM documents)
+       |SELECT doc_id, CAST(length(ph) // 2 AS BIGINT) AS n_bytes,
+       |  substr(ph, 1, 8) AS magic,
+       |  CASE WHEN m = 4 THEN 0
+       |       WHEN m = 6 THEN 64 + ((length(ph) // 2) * 31 + doc_id) % 512
+       |       ELSE w END AS width,
+       |  CASE WHEN m = 4 THEN 0
+       |       WHEN m = 6 THEN 64 + ((length(ph) // 2) * 17 + doc_id) % 512
+       |       ELSE h END AS height
+       |FROM p""".stripMargin
 
   /** q103_resize_stub — the "resize" analog for opaque payloads
     * ([[graft.operators.Multimodal.resizePayload]]): keep every 4th
@@ -566,23 +523,33 @@ object TrainingData {
     */
   def q103ResizeStub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // container payloads; resized fingerprint via md5-of-hex (q41)
     graft.operators.Multimodal
-      .resizePayload(Tables.documents(spark, dir), stride = 4)
+      .resizePayload(Tables.documentsWithPayload(spark, dir), stride = 4)
       .select($"doc_id", $"n_bytes".cast("long").as("n_bytes"),
         $"resized_bytes".cast("long").as("resized_bytes"),
-        md5($"resized").as("resized_md5"))
+        md5(hex($"resized")).as("resized_md5"))
   }
 
+  /** The oracle strides the hex TRANSCRIPT two characters (= one byte)
+    * at a time — byte `i` of the payload is `substr(ph, 2i+1, 2)`.
+    */
   val q103Sql: String =
-    """SELECT doc_id,
-      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-      |  CAST(octet_length(CAST(strided AS BLOB)) AS BIGINT) AS resized_bytes,
-      |  md5(strided) AS resized_md5
-      |FROM (
-      |  SELECT doc_id, text,
-      |    array_to_string([text[i] for i in range(1, len(text) + 1)
-      |      if (i - 1) % 4 = 0], '') AS strided
-      |  FROM documents)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    (${graft.operators.Multimodal.containerPayloadHexSql()}) AS ph
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, ph,
+       |    array_to_string([substr(ph, 2 * i + 1, 2)
+       |      for i in range(0, CAST(length(ph) // 2 AS BIGINT))
+       |      if i % 4 = 0], '') AS rh
+       |  FROM p)
+       |SELECT doc_id,
+       |  CAST(length(ph) // 2 AS BIGINT) AS n_bytes,
+       |  CAST(length(rh) // 2 AS BIGINT) AS resized_bytes,
+       |  md5(rh) AS resized_md5
+       |FROM s""".stripMargin
 
   /** q87_incremental_dedup — incremental near-dup maintenance
     * ([[graft.operators.Dedup.ngramJaccardPairsIncremental]]): every
@@ -1374,11 +1341,19 @@ object TrainingData {
     */
   def q194PayloadEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .filter($"doc_id" % 20 === 0 && length($"text") > 0)
-      .select($"doc_id", length($"text").as("n_chars"),
-        graft.functions.TextExpressions.charProfile($"text").as("prof"))
-      .select($"doc_id", $"n_chars",
+    // r16: the screen runs on the PAYLOAD BYTES (container corpus),
+    // not the text — byte-alphabet Shannon entropy + printable ratio
+    // from one row-local [[graft.functions.BinaryExpressions
+    // .byteProfile]] pass (256-slot histogram, no per-byte explode);
+    // the oracle walks the payload's hex transcript two chars per
+    // byte, with the printable test as a lexicographic range on
+    // canonical-uppercase pairs ('20' ≤ bp ≤ '7E' ≡ 0x20–0x7E —
+    // uppercase-hex order IS numeric order)
+    Tables.documentsWithPayload(spark, dir)
+      .filter($"doc_id" % 20 === 0 && octet_length($"payload") > 0)
+      .select($"doc_id", octet_length($"payload").as("n_bytes"),
+        graft.functions.BinaryExpressions.byteProfile($"payload").as("prof"))
+      .select($"doc_id", $"n_bytes",
         graft.functions.Num.decRound(element_at($"prof", 1), 6)
           .as("entropy_bits"),
         graft.functions.Num.decRound(element_at($"prof", 2), 6)
@@ -1388,29 +1363,35 @@ object TrainingData {
   }
 
   val q194Sql: String =
-    """WITH s AS (
-      |  SELECT doc_id, length(text) AS n_chars, text
-      |  FROM documents WHERE doc_id % 20 = 0 AND length(text) > 0),
-      |c AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
-      |  FROM s),
-      |h AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
-      |e AS (
-      |  SELECT h.doc_id,
-      |    -sum((CAST(cnt AS DOUBLE) / s.n_chars) *
-      |      (ln(CAST(cnt AS DOUBLE) / s.n_chars) / ln(2.0))) AS ent,
-      |    CAST(sum(CASE WHEN ch >= ' ' AND ch <= '~' THEN cnt
-      |      ELSE 0 END) AS DOUBLE) / s.n_chars AS pr
-      |  FROM h JOIN s USING (doc_id) GROUP BY h.doc_id, s.n_chars)
-      |SELECT s.doc_id, CAST(s.n_chars AS INT) AS n_chars,
-      |  CAST(round(CAST(e.ent AS DECIMAL(28,12)), 6) AS DOUBLE)
-      |    AS entropy_bits,
-      |  CAST(round(CAST(e.pr AS DECIMAL(28,12)), 6) AS DOUBLE)
-      |    AS printable_ratio,
-      |  CAST(round(CAST(e.ent AS DECIMAL(28,12)), 6) AS DOUBLE) > 6.5
-      |    OR CAST(round(CAST(e.pr AS DECIMAL(28,12)), 6) AS DOUBLE) < 0.8
-      |    AS flag_binaryish
-      |FROM s JOIN e USING (doc_id)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    (${graft.operators.Multimodal.containerPayloadHexSql()}) AS ph
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |s AS (
+       |  SELECT doc_id, ph, length(ph) // 2 AS nb
+       |  FROM p WHERE length(ph) > 0),
+       |c AS (
+       |  SELECT doc_id,
+       |    unnest([substr(ph, 2 * i + 1, 2)
+       |      for i in range(0, CAST(nb AS BIGINT))]) AS bp
+       |  FROM s),
+       |h AS (SELECT doc_id, bp, count(*) AS cnt FROM c GROUP BY 1, 2),
+       |e AS (
+       |  SELECT h.doc_id,
+       |    -sum((CAST(cnt AS DOUBLE) / s.nb) *
+       |      (ln(CAST(cnt AS DOUBLE) / s.nb) / ln(2.0))) AS ent,
+       |    CAST(sum(CASE WHEN bp >= '20' AND bp <= '7E' THEN cnt
+       |      ELSE 0 END) AS DOUBLE) / s.nb AS pr
+       |  FROM h JOIN s USING (doc_id) GROUP BY h.doc_id, s.nb)
+       |SELECT s.doc_id, CAST(s.nb AS INT) AS n_bytes,
+       |  CAST(round(CAST(e.ent AS DECIMAL(28,12)), 6) AS DOUBLE)
+       |    AS entropy_bits,
+       |  CAST(round(CAST(e.pr AS DECIMAL(28,12)), 6) AS DOUBLE)
+       |    AS printable_ratio,
+       |  CAST(round(CAST(e.ent AS DECIMAL(28,12)), 6) AS DOUBLE) > 6.5
+       |    OR CAST(round(CAST(e.pr AS DECIMAL(28,12)), 6) AS DOUBLE) < 0.8
+       |    AS flag_binaryish
+       |FROM s JOIN e USING (doc_id)""".stripMargin
 
   val q190Sql: String =
     """SELECT query_id, neg_id, round(c, 6) AS cos_sim FROM (

@@ -116,7 +116,7 @@ object ScaleUp {
     val df =
       if (table == "events") graft.Tables.events(spark, src)
       else graft.Tables.load(spark, src, table)
-    val out =
+    val scaled =
       if (fixedDims.contains(table) || factor <= 1) df
       else {
         val keys = shiftCols(table)
@@ -132,6 +132,21 @@ object ScaleUp {
           }.toIndexedSeq: _*)
         }.reduce(_.unionByName(_))
       }
+    // Derived fixtures STORE the multimodal binary column: the payload
+    // is synthesized from the FINAL (shifted id, perturbed text) pair
+    // with the same shared expression the loader's fallback attaches,
+    // so stored and synthesized-at-read bytes are identical by
+    // construction — and the scaled corpus carries real container
+    // payloads in parquet, which the r15 base fixtures (read-only)
+    // cannot. Recomputed per copy from the final columns, never copied
+    // from the source, so a source dir with a stale payload column
+    // cannot leak wrong bytes forward (it is dropped first).
+    val out =
+      if (table == "documents")
+        scaled.drop("payload").withColumn("payload",
+          graft.operators.Multimodal.containerPayload(
+            col("doc_id"), col("text")))
+      else scaled
     out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
   }
 

@@ -12,6 +12,7 @@ import graft.tools.ScaleUp
   * disjoint so join fan-out per key is unchanged.
   */
 class ScaleUpSpec extends SparkTestBase {
+  import spark.implicits._
 
   test("key-shifted replication multiplies rows AND key cardinality, dims fixed") {
     val dst = Files.createTempDirectory("graft_scaleup").toString
@@ -157,5 +158,34 @@ class ScaleUpSpec extends SparkTestBase {
     val (checksCore, lineCore) =
       graft.tools.GraphGate.checkKcore(spark, sf, dst, 3)
     assert(checksCore.forall(_._2), s"kcore gate failed: $lineCore")
+  }
+
+  test("derived documents STORE the container payload, byte-identical to the loader's synthesis") {
+    // r16 (verdict ask #3): ScaleUp materializes the multimodal binary
+    // column from the FINAL (shifted id, perturbed text) pair, so (a)
+    // documentsWithPayload takes the stored branch on a derived dir —
+    // a plain parquet read, no synthesis expression in the plan — and
+    // (b) the stored bytes equal what the synthesis would attach,
+    // byte for byte (one shared definition, two delivery paths).
+    val dst = Files.createTempDirectory("graft_mmfix").toString
+    ScaleUp.scaleTable(spark, sf, dst, "documents", factor = 2)
+    val stored = Tables.documentsWithPayload(spark, dst)
+    assert(stored.schema.fieldNames.contains("payload"))
+    val p = stored.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("unhex"),
+      s"stored branch must not synthesize:\n$p")
+    val resynth = Tables.documents(spark, dst)
+      .select($"doc_id",
+        graft.operators.Multimodal.containerPayload($"doc_id", $"text")
+          .as("p2"))
+    val diff = stored.select($"doc_id", $"payload").join(resynth, "doc_id")
+      .filter(md5($"payload") =!= md5($"p2")).count()
+    assert(diff == 0L, s"$diff stored payloads diverge from the synthesis")
+    // the synthesized-at-read fallback stays active on the read-only
+    // base fixture (no stored column there)
+    val fallback = Tables.documentsWithPayload(spark, sf)
+    assert(fallback.schema.fieldNames.contains("payload"))
+    assert(fallback.queryExecution.executedPlan.toString.toLowerCase
+      .contains("unhex"), "base fixture should synthesize at read")
   }
 }
