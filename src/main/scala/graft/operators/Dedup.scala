@@ -739,13 +739,18 @@ object Dedup {
     // explode+md5 pass over the full corpus runs ONCE and the second
     // consumer replays shuffle files — spill-safe reuse with no cache
     // pin, which is the 100 TB-friendly version of `.persist()`.
+    // unhex(md5): the gram identity shuffles as BINARY(16), not the
+    // 32-char hex string — same 128-bit identity (hex↔bytes is a
+    // bijection, so groups/joins are EXACTLY the md5 groups the oracle
+    // computes), at half the exchange bytes per position row on the
+    // dominant corpus-sized shuffle (guide §2.3: narrower keys).
     val grams = docs
       .filter(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"),
         explode(sequence(lit(1), length(col(textCol)) - lit(k - 1)))
           .as("pos"), col(textCol).as("__t"))
       .select(col("doc_id"), col("pos"),
-        md5(col("__t").substr(col("pos"), lit(k))).as("__gh"))
+        unhex(md5(col("__t").substr(col("pos"), lit(k)))).as("__gh"))
       .repartition(col("__gh"))
     // max(pos) (always ≥ 1, so the extra predicate is a no-op) keeps this
     // branch's column set identical to the join branch's — otherwise

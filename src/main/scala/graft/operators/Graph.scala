@@ -52,8 +52,19 @@ object Graph {
         lineitem.sparkSession.sessionState.conf.numShufflePartitions, col("k"))
     val a = part.select(col("k"), col("p").as("src"))
     val b = part.select(col("k"), col("p").as("dst"))
+    // the dedup exchange IS the consumer layout: hash(dst) clusters
+    // every (src, dst) duplicate into one partition (dst is a subset of
+    // the distinct key, so the aggregate adds NO second exchange), and
+    // the emitted edge list arrives pre-partitioned for the vertex-side
+    // aggregations every downstream operator opens with (deg counts,
+    // per-iteration contribution/min-label/frontier groupBys all key on
+    // dst) — those aggregations then satisfy their ClusteredDistribution
+    // from this one exchange instead of re-shuffling the edge list.
     a.join(b, Seq("k")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst"))
+      .repartition(
+        lineitem.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
+      .distinct()
   }
 
   /** Fixed-iteration damped PageRank over a symmetric edge list.
@@ -74,9 +85,14 @@ object Graph {
     // derived deg from the unpersisted plan and re-ran the whole
     // self-join for the first loop action — 2× the dominant cost.)
     val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = cached.groupBy(col("src").as("part"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true) // vertex-sized; frees the loop from re-aggregating
+    // degree counted on the DST side: identical values on the
+    // documented symmetric edge list (in-deg = out-deg), and on a
+    // coOrderEdges-shaped input the hash(dst) partitioning satisfies
+    // the aggregate's clustering — no edge-sized exchange, here or in
+    // the per-iteration contribution groupBy(dst) below (the broadcast
+    // state join preserves the streamed side's partitioning)
+    val deg = checkpointKeepLayout(cached.groupBy(col("dst").as("part"))
+      .agg(count(lit(1)).as("deg"))) // vertex-sized; frees the loop from re-aggregating
     val n = deg.count()
     require(n > 0,
       "pageRank: empty edge list — every vertex needs >= 1 edge " +
@@ -162,8 +178,34 @@ object Graph {
     * production — exactly the unexercised-path risk the forced bench
     * entries exist to kill. The hint survives AQE re-planning.
     */
-  private def stateHint(bcast: Boolean): DataFrame => DataFrame =
+  private[graft] def stateHint(bcast: Boolean): DataFrame => DataFrame =
     if (bcast) broadcast(_) else _.hint("merge")
+
+  /** Eager localCheckpoint that RETAINS the frame's physical layout.
+    * Under AQE, `Dataset.localCheckpoint` materializes through an
+    * AdaptiveSparkPlanExec and the resulting LogicalRDD records
+    * UnknownPartitioning(0) — measured on this build — so every
+    * downstream consumer re-shuffles data that is already laid out
+    * correctly. Disabling AQE for just the checkpoint job makes the
+    * LogicalRDD carry the true hashpartitioning, which AQE-on
+    * consumers then satisfy their ClusteredDistributions from (the
+    * iteration loops' per-round aggregations become exchange-free).
+    * The flip is driver-side, scoped to the materialization, and
+    * restored in a finally; joins inside the materialized subtree must
+    * carry explicit broadcast/merge hints since AQE's runtime
+    * conversion is off for that one job.
+    */
+  private[graft] def checkpointKeepLayout(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try df.localCheckpoint(eager = true)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** Triangle census over a SYMMETRIC edge list (both directions
     * present, as [[coOrderEdges]] emits): one row with node/edge/wedge
@@ -206,7 +248,20 @@ object Graph {
     // stat branches re-derive an O(rounds²) plan that the optimizer
     // cannot be trusted to dedup (measured: the lazy form never
     // finished at sf0.01; the checkpointed form is seconds)
-    var cur = edges.repartition(parts, $"src").localCheckpoint(eager = true)
+    // hash(dst) (collapsing with coOrderEdges' dedup exchange layout):
+    // each round's survivor-degree aggregation keys on dst — identical
+    // survivors on the symmetric contract (the induced subgraph of a
+    // symmetric list is symmetric, so in-deg = out-deg every round) —
+    // and the broadcast semi joins preserve the layout, so after this
+    // ONE exchange no round re-shuffles the edge list
+    // (checkpointKeepLayout carries the partitioning across rounds).
+    var cur = checkpointKeepLayout(edges.repartition(parts, $"dst"))
+    // survivor frames are vertex-sized: broadcast them into the semi
+    // joins while that provably fits (edge rows ≤ limit/2 ⇒ vertices ≤
+    // limit, the bfsHops bound), pin the merge path above it — the
+    // hint must be explicit because each round materializes with AQE
+    // runtime conversion off (see checkpointKeepLayout)
+    val stSurv = stateHint(cur.count() <= BroadcastVertexLimit / 2)
     // monotone-peel short-circuit: the edge set only shrinks, so an
     // unchanged count means the FIXPOINT is reached and every later
     // round is identical — replicate the converged row instead of
@@ -218,14 +273,12 @@ object Graph {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       if (!converged) {
-        val surv = cur.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        val surv = cur.groupBy($"dst".as("node")).agg(count(lit(1)).as("deg"))
           .filter($"deg" >= k).select($"node")
-        cur = cur
-          .join(surv.select($"node".as("src")), Seq("src"), "left_semi")
-          .join(surv.select($"node".as("dst")), Seq("dst"), "left_semi")
-          .repartition(parts, $"src")
-          .localCheckpoint(eager = true)
-        val row = cur.agg(countDistinct($"src"), count(lit(1))).collect()(0)
+        cur = checkpointKeepLayout(cur
+          .join(stSurv(surv.select($"node".as("src"))), Seq("src"), "left_semi")
+          .join(stSurv(surv.select($"node".as("dst"))), Seq("dst"), "left_semi"))
+        val row = cur.agg(countDistinct($"dst"), count(lit(1))).collect()(0)
         val (nn, ne) = (row.getLong(0), row.getLong(1) / 2)
         if (row.getLong(1) == prevEdges) converged = true
         prevEdges = row.getLong(1)
@@ -238,42 +291,91 @@ object Graph {
   def triangleStats(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
-    val und = edges.filter($"src" < $"dst")
+    // persist + count: the edge list is consumed by four branches (deg,
+    // und, the meta/ne stats) and the count both materializes the cache
+    // once and sizes the closing-probe Bloom filter exactly — the
+    // pageRank build-exactly-once discipline, with the measured count
+    // doing double duty (a conf-tuned filter width would either
+    // saturate as the graph grows or over-ship at test scale).
+    val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDirected = cached.count()
+    val bloomBits = graft.functions.SizedBloomFilter.bitsFor(
+      math.max(1L, nDirected / 2))
+    // dst-side degree: identical on the symmetric contract, and free of
+    // its exchange on a coOrderEdges-shaped (hash(dst)) input; the
+    // checkpoint lets its THREE consumers (both orientation joins, the
+    // meta stats) read one vertex-sized materialization, and the count
+    // drives the broadcast decision below — exchange-free aggregates
+    // leave no shuffle stage for AQE to re-plan joins from, so the
+    // vertex-frame joins must be hinted explicitly (measured: the
+    // unhinted static plan sort-merged deg against the edge list).
+    val deg = checkpointKeepLayout(
+      cached.groupBy($"dst".as("node")).agg(count(lit(1)).as("deg")))
+    val stDeg = stateHint(deg.count() <= BroadcastVertexLimit)
+    val und = cached.filter($"src" < $"dst")
     val fwd = ($"sdeg" < $"ddeg") ||
       ($"sdeg" === $"ddeg" && $"src" < $"dst")
-    // the oriented list is consumed THREE times (both wedge sides +
-    // the closing probe); a pinned hash(a) repartition makes all three
-    // ReusedExchange consumers of ONE materialization — the closing
-    // probe's (wa, wb) clustering is satisfied by the hash(a) subset —
-    // where the unpinned plan recomputed the whole edge derivation per
-    // consumer (measured 7.4s -> the repartition collapses it)
+    // the oriented list is consumed FOUR times (both wedge sides, the
+    // closing probe, the Bloom build); a pinned hash(a) repartition
+    // makes all four ReusedExchange consumers of ONE materialization —
+    // the closing probe's (wa, wb) clustering is satisfied by the
+    // hash(a) subset — where the unpinned plan recomputed the whole
+    // edge derivation per consumer (measured 7.4s -> the repartition
+    // collapses it)
     val oriented = und
-      .join(deg.select($"node".as("src"), $"deg".as("sdeg")), "src")
-      .join(deg.select($"node".as("dst"), $"deg".as("ddeg")), "dst")
+      .join(stDeg(deg.select($"node".as("src"), $"deg".as("sdeg"))), "src")
+      .join(stDeg(deg.select($"node".as("dst"), $"deg".as("ddeg"))), "dst")
       .select(
         when(fwd, $"src").otherwise($"dst").as("a"),
         when(fwd, $"dst").otherwise($"src").as("b"),
         when(fwd, $"ddeg").otherwise($"sdeg").as("bdeg"))
       .repartition(
         spark.sessionState.conf.numShufflePartitions, $"a")
+    // Bloom prefilter on the closing probe (guide-§3.2 shape): the
+    // wedge fan-out is O(m^1.5) rows but only the closing-edge matches
+    // (n_triangles ≈ m·cc, 41M wedges → 1.9M triangles at sf0.1, a
+    // 0.01% false-positive rate at the measured sizing) need to reach
+    // the probe's exchange. Build one sized bitmap over the oriented
+    // (a,b) keys — a broadcast-scalar, the q257 crossJoin idiom — and
+    // drop provably-non-closing wedges BEFORE they are shuffled.
+    // coalesce(4): each partial buffer is a full bitmap, so fewer,
+    // larger build tasks keep the partial shuffle at 4 bitmaps instead
+    // of one per shuffle partition.
+    val bf = oriented.coalesce(4)
+      .agg(graft.functions.SizedBloomFilter.build(bloomBits,
+        xxhash64($"a", $"b")).as("__bf"))
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.a") === col("e2.a") &&
           (col("e1.bdeg") < col("e2.bdeg") ||
             (col("e1.bdeg") === col("e2.bdeg") && col("e1.b") < col("e2.b"))))
       .select(col("e1.b").as("wa"), col("e2.b").as("wb"))
+      .crossJoin(broadcast(bf))
+      .filter(graft.functions.SizedBloomFilter.mightContain(bloomBits,
+        $"__bf", xxhash64($"wa", $"wb")))
+      .select($"wa", $"wb")
+    // INNER join, not left_semi: oriented is UNIQUE on (a, b) (each
+    // distinct undirected edge orients to exactly one (a, b)), so the
+    // inner row count equals the semi row count — and unlike a semi
+    // join, an inner join is never pushed below the Bloom filter by
+    // PushDownLeftSemiAntiJoin (measured: the semi form re-ordered to
+    // shuffle the UNFILTERED 41M-wedge stream and ran the Bloom probe
+    // after the exchange it was built to prune).
     val tri = wedges
-      .join(oriented.select($"a".as("wa"), $"b".as("wb")), Seq("wa", "wb"),
-        "left_semi")
+      .join(oriented.select($"a".as("wa"), $"b".as("wb")), Seq("wa", "wb"))
       .agg(count(lit(1)).as("n_triangles"))
     val meta = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     val ne = und.agg(count(lit(1)).as("n_edges"))
-    meta.crossJoin(ne).crossJoin(tri)
+    // materialize the one-row census eagerly (the kCorePeel precedent)
+    // so the edge cache can be released before returning
+    val out = meta.crossJoin(ne).crossJoin(tri)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
         graft.functions.Num.decRound(lit(3.0) * $"n_triangles" /
           nullif($"n_wedges", lit(0L)).cast("double"), 6).as("global_cc"))
+      .localCheckpoint(eager = true)
+    cached.unpersist(blocking = false)
+    out
   }
 
   /** Per-edge neighborhood Jaccard similarity — the link-prediction /
@@ -306,23 +408,31 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     // the adjacency is consumed FOUR times (degrees, the sample, both
-    // intersection sides); the pinned hash(src) repartition makes them
-    // ReusedExchange consumers of ONE materialization — every consumer
-    // projects the same (src, dst), so column pruning cannot
-    // differentiate the subtrees (the q175/q254 discipline)
-    val e = edges.select($"src", $"dst").repartition(
-      spark.sessionState.conf.numShufflePartitions, $"src")
-    // count(dst), not count(1): dst is never null so the value is the
-    // same, but the reference keeps column pruning from narrowing THIS
-    // consumer's subtree below the repartition — which would fork it
-    // off the shared materialization
-    val deg = e.groupBy($"src".as("node")).agg(count($"dst").as("deg"))
+    // intersection sides); ONE eager checkpoint materializes it — and
+    // because checkpoints preserve the physical layout, a
+    // coOrderEdges-shaped (hash(dst)) input feeds every dst-keyed
+    // consumer below without ANY further edge-sized exchange: N(x) is
+    // read off the IN-edge side (identical to out-neighbors on the
+    // symmetric contract), so the degree count, the u-side adjacency
+    // probe and the (v, n) intersection all satisfy their clustering
+    // from the blocks' existing hash(dst) partitioning (dst ⊆ each key
+    // set) while only the sample-sized frames are ever re-shuffled.
+    val e = checkpointKeepLayout(edges.select($"src", $"dst"))
+    val deg = e.groupBy($"dst".as("node")).agg(count($"src").as("deg"))
     val sampled = e.filter($"src" < $"dst" &&
         pmod($"src" + $"dst", lit(modulus.toLong)) === 0L)
       .select($"src".as("u"), $"dst".as("v"))
-    val nu = sampled.join(e.select($"src".as("u"), $"dst".as("n")), "u")
-    val common = nu
-      .join(e.select($"src".as("v"), $"dst".as("n")), Seq("v", "n"))
+    // shuffle_hash hints on the SAMPLE-BOUNDED sides: the adjacency
+    // stream is co-partitioned already (hash(dst) ⊆ every key set), so
+    // a hash join builds only the sample-sized table per partition and
+    // streams the edge list WITHOUT the sort-merge sort the static
+    // planner would otherwise pay (the exchange-free inputs leave AQE
+    // no shuffle stage to convert the join from); build sides stay
+    // bounded by sample_size × avg_degree at any scale.
+    val nu = sampled.hint("shuffle_hash")
+      .join(e.select($"dst".as("u"), $"src".as("n")), "u")
+    val common = nu.hint("shuffle_hash")
+      .join(e.select($"dst".as("v"), $"src".as("n")), Seq("v", "n"))
       .groupBy($"u", $"v").agg(count(lit(1)).as("common"))
     val j = common
       .join(deg.select($"node".as("u"), $"deg".as("deg_u")), "u")
@@ -358,10 +468,20 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
-    val e = edges.repartition(parts, $"src").localCheckpoint(eager = true)
-    var lab = e.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("comp"))
-      .repartition(parts, $"node").localCheckpoint(eager = true)
+    // hash(dst), not hash(src): the per-round neighbor-min aggregation
+    // keys on dst, so this ONE exchange (collapsed into coOrderEdges'
+    // dedup exchange when the caller passes its output — the
+    // repartition of an already-hash(dst) child is the same layout)
+    // satisfies every round's ClusteredDistribution; the src-side state
+    // join broadcasts (or merge-hints) the vertex frame either way.
+    // checkpointKeepLayout preserves the physical partitioning, so
+    // round r reads round r−1's layout without re-shuffling.
+    val e = checkpointKeepLayout(edges.repartition(parts, $"dst"))
+    // seed from dst (identical vertex set on the symmetric contract):
+    // the distinct's clustering is satisfied by the hash(dst) blocks
+    var lab = checkpointKeepLayout(
+      e.select($"dst".as("node")).distinct()
+        .select($"node", $"node".as("comp")))
     // the bfsHops/pageRank state discipline: broadcast the
     // vertex-sized label frame into the edge join while it fits the
     // vertex limit, pin the shuffle path above it (or when forced)
@@ -373,13 +493,18 @@ object Graph {
       val nbrMin = e.join(st(lab.select($"node".as("src"), $"comp")),
           Seq("src"))
         .groupBy($"dst".as("node")).agg(min($"comp").as("mc"))
+      // nbrMin is st()-hinted too: the round materializes with AQE off
+      // (see checkpointKeepLayout), so the vertex-sized merge must be
+      // hinted explicitly rather than left to runtime conversion; both
+      // sides are hash(node)-clustered, so the merge path sorts
+      // in-place without exchanging either frame
       val next = lab.select($"node", $"comp".as("pc"))
-        .join(nbrMin, Seq("node"), "left")
+        .join(st(nbrMin), Seq("node"), "left")
         .select($"node", $"pc",
           least($"pc", coalesce($"mc", $"pc")).as("comp"))
-        .repartition(parts, $"node").localCheckpoint(eager = true)
-      lastChanged = next.filter($"comp" =!= $"pc").count()
-      lab = next.select($"node", $"comp")
+      val nextCk = checkpointKeepLayout(next)
+      lastChanged = nextCk.filter($"comp" =!= $"pc").count()
+      lab = nextCk.select($"node", $"comp")
       if (lastChanged == 0L) converged = true
     }
     val sizes = lab.groupBy($"comp").agg(count(lit(1)).as("sz"))
@@ -413,27 +538,42 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
-    val e = edges.repartition(parts, $"dst").localCheckpoint(eager = true)
+    // a caller that already checkpointed its edge frame (q288, the
+    // scale gate) must not pay a SECOND full exchange + copy here: a
+    // LogicalRDD input is by definition materialized, so use it as-is
+    // (its partitioning is the caller's choice); anything else gets
+    // the hash(dst) layout + lineage cut every round replays.
+    val e = edges.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => edges
+      case _ => checkpointKeepLayout(edges.repartition(parts, $"dst"))
+    }
     // Seed from src ∪ dst: on the documented SYMMETRIC edge list the
     // union is identical to dst alone, but an asymmetric caller now
     // gets round-1 contributions from src-only vertices instead of
     // silently dropping them (their labels still live only as long as
     // they have in-edges — symmetry remains the contract for correct
     // community semantics, this seed just makes a violation loud).
-    var lab = e.select($"dst".as("node"))
+    var lab = checkpointKeepLayout(e.select($"dst".as("node"))
       .union(e.select($"src".as("node"))).distinct()
       .select($"node", $"node".as("lbl"))
-      .repartition(parts, $"node").localCheckpoint(eager = true)
+      .repartition(parts, $"node"))
     val st = stateHint(broadcastState.getOrElse(
       lab.count() <= BroadcastVertexLimit))
     for (_ <- 1 to rounds) {
-      val w = Window.partitionBy($"src").orderBy($"cnt".desc, $"lbl".asc)
-      lab = e.join(st(lab.select($"node".as("dst"), $"lbl")), Seq("dst"))
-        .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"src".as("node"), $"lbl")
-        .repartition(parts, $"node").localCheckpoint(eager = true)
+      // the mode-with-tie-break is a PICK, not a ranking: max over the
+      // total (cnt, −lbl) order ≡ row_number()=1 over (cnt desc, lbl
+      // asc) — same deterministic winner (the order is strict: −lbl
+      // never ties within a src group), but as a two-level declarative
+      // aggregate the per-src reduction happens map-side inside the
+      // (src, lbl) exchange's output instead of paying a second full
+      // exchange + sort for the window (guide §2.4: aggregate, don't
+      // rank, when only the argmax survives).
+      lab = checkpointKeepLayout(
+        e.join(st(lab.select($"node".as("dst"), $"lbl")), Seq("dst"))
+          .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
+          .groupBy($"src")
+          .agg(max_by($"lbl", struct($"cnt", -$"lbl")).as("lbl"))
+          .select($"src".as("node"), $"lbl"))
     }
     lab
   }
@@ -454,19 +594,32 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
-    val und = edges.filter($"src" < $"dst")
+    // same persist + exact-count + Bloom-prefiltered closing probe as
+    // [[triangleStats]] — see the comments there; the only difference
+    // is that the closing join is INNER and keeps the wedge center so
+    // each triangle explodes into its three member counts
+    val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDirected = cached.count()
+    val bloomBits = graft.functions.SizedBloomFilter.bitsFor(
+      math.max(1L, nDirected / 2))
+    val deg = checkpointKeepLayout(
+      cached.groupBy($"dst".as("node")).agg(count(lit(1)).as("deg")))
+    val stDeg = stateHint(deg.count() <= BroadcastVertexLimit)
+    val und = cached.filter($"src" < $"dst")
     val fwd = ($"sdeg" < $"ddeg") ||
       ($"sdeg" === $"ddeg" && $"src" < $"dst")
     val oriented = und
-      .join(deg.select($"node".as("src"), $"deg".as("sdeg")), "src")
-      .join(deg.select($"node".as("dst"), $"deg".as("ddeg")), "dst")
+      .join(stDeg(deg.select($"node".as("src"), $"deg".as("sdeg"))), "src")
+      .join(stDeg(deg.select($"node".as("dst"), $"deg".as("ddeg"))), "dst")
       .select(
         when(fwd, $"src").otherwise($"dst").as("a"),
         when(fwd, $"dst").otherwise($"src").as("b"),
         when(fwd, $"ddeg").otherwise($"sdeg").as("bdeg"))
       .repartition(
         spark.sessionState.conf.numShufflePartitions, $"a")
+    val bf = oriented.coalesce(4)
+      .agg(graft.functions.SizedBloomFilter.build(bloomBits,
+        xxhash64($"a", $"b")).as("__bf"))
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.a") === col("e2.a") &&
@@ -474,6 +627,10 @@ object Graph {
             (col("e1.bdeg") === col("e2.bdeg") && col("e1.b") < col("e2.b"))))
       .select(col("e1.a").as("ctr"),
         col("e1.b").as("wa"), col("e2.b").as("wb"))
+      .crossJoin(broadcast(bf))
+      .filter(graft.functions.SizedBloomFilter.mightContain(bloomBits,
+        $"__bf", xxhash64($"wa", $"wb")))
+      .select($"ctr", $"wa", $"wb")
     val tri = wedges
       .join(oriented.select($"a".as("wa"), $"b".as("wb")), Seq("wa", "wb"))
       .select(explode(array($"ctr", $"wa", $"wb")).as("node"))
@@ -487,7 +644,8 @@ object Graph {
             ($"deg" * ($"deg" - 1L)).cast("double"), 6)
           .cast(DecimalType(18, 6)))
       .withColumn("bucket", length(conv($"deg", 10, 2)).cast("long"))
-    cc.groupBy($"bucket")
+    // bucket-cardinality result: materialize eagerly, release the cache
+    val out = cc.groupBy($"bucket")
       .agg(count(lit(1)).as("n_nodes"),
         sum($"deg").as("sum_deg"),
         sum($"t").as("sum_triangles"),
@@ -501,5 +659,8 @@ object Graph {
         graft.functions.Num.decRound(
           $"n_cc_zero".cast("double") / $"n_nodes".cast("double"), 6)
           .as("cc_zero_share"))
+      .localCheckpoint(eager = true)
+    cached.unpersist(blocking = false)
+    out
   }
 }

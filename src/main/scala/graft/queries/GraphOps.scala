@@ -242,12 +242,25 @@ object GraphOps {
     * output row is bit-deterministic in any engine at any scale.
     */
   def q204Assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
-    val degS = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val degD = degS.select(col("src").as("dst"), col("deg").as("deg_d"))
-    val joined = e.join(degS, "src")
-      .join(degD, "dst")
+    // one eager checkpoint materializes the edge list; its hash(dst)
+    // layout (coOrderEdges' dedup exchange) then feeds the dst-side
+    // degree count AND the dst-side degree join for free — the only
+    // edge-sized exchange left is the src-side degree attach (the old
+    // plan paid an explicit hash(src) repartition AND a dst join
+    // exchange on top of it). Degrees are side-symmetric on the
+    // symmetric contract, so (da, db) per edge row is unchanged.
+    val e = graft.operators.Graph.checkpointKeepLayout(edges(spark, dir))
+    // exchange-free aggregates leave AQE no shuffle stage to re-plan
+    // the joins from, so the vertex-frame attach is hinted via the
+    // measured stateHint discipline (broadcast while the degree table
+    // provably fits, merge above it — the Graph loop convention)
+    val degD = graft.operators.Graph.checkpointKeepLayout(
+      e.groupBy(col("dst")).agg(count(lit(1)).as("deg_d")))
+    val st = graft.operators.Graph.stateHint(
+      degD.count() <= graft.operators.Graph.BroadcastVertexLimit)
+    val degS = degD.select(col("dst").as("src"), col("deg_d").as("deg"))
+    val joined = e.join(st(degD), "dst")
+      .join(st(degS), "src")
       .select(col("deg").as("da"), col("deg_d").as("db"))
     val m = joined.agg(count(lit(1)).as("n_edges"),
       sum(col("da")).as("sa"), sum(col("db")).as("sb"),
@@ -375,8 +388,11 @@ object GraphOps {
   def q256DegreeTail(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
+    // dst-side degree (identical on the symmetric list): the count's
+    // clustering is satisfied by coOrderEdges' hash(dst) layout, so
+    // the degree histogram needs no edge-sized exchange at all
     val deg = edges(spark, dir)
-      .groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .groupBy($"dst".as("node")).agg(count(lit(1)).as("deg"))
     val hist = deg.filter($"deg" >= 10L)
       .groupBy($"deg").agg(count(lit(1)).as("c"))
       .withColumn("lnterm",
@@ -535,14 +551,25 @@ object GraphOps {
     // pageRank build-exactly-once discipline — without the cut each
     // consumer re-ran the self-join; measured 41 exchanges → ~12)
     val parts = spark.sessionState.conf.numShufflePartitions
-    val e = edges(spark, dir)
-      .repartition(parts, $"src").localCheckpoint(eager = true)
+    // hash(dst), matching coOrderEdges' dedup-exchange layout (the
+    // repartition is then a same-layout collapse, not a re-shuffle of
+    // a differently-keyed frame) — and labelPropagation uses the
+    // checkpointed frame AS-IS instead of re-materializing it; the
+    // dst-side degree count is exchange-free on these blocks
+    val e = graft.operators.Graph.checkpointKeepLayout(
+      edges(spark, dir).repartition(parts, $"dst"))
     val lab = graft.operators.Graph.labelPropagation(e, rounds = 2)
-    val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    // the label frame is vertex-sized and checkpointed: hint it with
+    // the measured stateHint discipline (the census joins otherwise
+    // sort-merge the edge list against it — the exchange-free inputs
+    // leave AQE nothing to re-plan from)
+    val st = graft.operators.Graph.stateHint(
+      lab.count() <= graft.operators.Graph.BroadcastVertexLimit)
+    val deg = e.groupBy($"dst".as("node")).agg(count(lit(1)).as("deg"))
     val mdir = e.agg(count(lit(1)).as("m_dir"))
     val el = e
-      .join(lab.select($"node".as("src"), $"lbl".as("l_src")), "src")
-      .join(lab.select($"node".as("dst"), $"lbl".as("l_dst")), "dst")
+      .join(st(lab.select($"node".as("src"), $"lbl".as("l_src"))), "src")
+      .join(st(lab.select($"node".as("dst"), $"lbl".as("l_dst"))), "dst")
     val intra = el.filter($"l_src" === $"l_dst")
       .groupBy($"l_src".as("lbl")).agg(count(lit(1)).as("intra_dir"))
     val ds = deg.join(lab, "node")

@@ -312,6 +312,10 @@ object SecurityMaster {
   def q142PitUniverse(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wRank = Window.partitionBy($"wk").orderBy($"rev".desc, $"l_partkey")
+    // the membership frame (full tape roll-up + rank window, ≤ 5 rows
+    // per week) feeds FIVE consumers (wks, prev, the added/dropped
+    // anti-joins, the final census) — one eager checkpoint replaces
+    // five re-runs of the window over the reused roll-up exchange
     val members = Tables.lineitem(spark, dir)
       .groupBy(date_trunc("week", $"l_shipdate").as("wk"), $"l_partkey")
       .agg(decRound(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
@@ -319,6 +323,7 @@ object SecurityMaster {
       .withColumn("rk", row_number().over(wRank))
       .filter($"rk" <= 5)
       .select($"wk", $"l_partkey")
+      .localCheckpoint(eager = true)
     val wks = members.select($"wk").distinct()
       .withColumn("prev_wk", lag($"wk", 1).over(Window.orderBy($"wk")))
     val prev = members.select($"wk".as("prev_wk"), $"l_partkey")
@@ -949,12 +954,23 @@ object SecurityMaster {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val wRank = Window.partitionBy($"wk").orderBy($"rev".desc, $"l_partkey")
+    // the (week, part) revenue roll-up is consumed FOUR times (the
+    // membership window, the lastWk scalar, the pit join, the naive
+    // join) — without a lineage cut each consumer re-ran the full
+    // lineitem scan + aggregation. One eager layout-keeping checkpoint
+    // (the frame is weeks×parts sized, far smaller than the tape)
+    // materializes it once; its hash(wk, l_partkey) layout then feeds
+    // the pit join's equi-keys with no re-shuffle. members (≤ 5 rows
+    // per week) is checkpointed for the same reason: three consumers,
+    // one of them a driver scalar.
     val rev = Tables.lineitem(spark, dir)
       .groupBy(date_trunc("week", $"l_shipdate").as("wk"), $"l_partkey")
       .agg(decRound(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
         .cast(DecimalType(18, 4)).as("rev"))
+      .localCheckpoint(eager = true)
     val members = rev.withColumn("rk", row_number().over(wRank))
       .filter($"rk" <= 5).select($"wk", $"l_partkey")
+      .localCheckpoint(eager = true)
     val lastWk = members.agg(max($"wk")).first().getTimestamp(0)
     val finalMembers = members.filter($"wk" === lit(lastWk))
       .select($"l_partkey").withColumn("in_final", lit(1))

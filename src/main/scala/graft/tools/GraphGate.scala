@@ -86,12 +86,13 @@ object GraphGate {
     import org.apache.spark.sql.DataFrame
     val parts = spark.sessionState.conf.numShufflePartitions
     def baseTotals(dir: String): (Long, Long, Long, Double, Double) = {
-      val e = graft.operators.Graph.coOrderEdges(
-          graft.Tables.lineitem(spark, dir))
-        .repartition(parts, col("src")).localCheckpoint(true)
+      val e = graft.operators.Graph.checkpointKeepLayout(
+        graft.operators.Graph.coOrderEdges(
+            graft.Tables.lineitem(spark, dir))
+          .repartition(parts, col("dst")))
       val lab = graft.operators.Graph.labelPropagation(e, rounds = 2)
       val mdir = e.count()
-      val deg = e.groupBy(col("src").as("node"))
+      val deg = e.groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("deg"))
       val ls = lab.select(col("node").as("src"), col("lbl").as("l_s"))
       val ld = lab.select(col("node").as("dst"), col("lbl").as("l_d"))

@@ -282,4 +282,26 @@ class ExtendedSpec extends SparkTestBase {
     assert(on.exceptAll(off).isEmpty && off.exceptAll(on).isEmpty)
     assert(on.count() > 0)
   }
+
+  test("SizedBloomFilter: zero false negatives at every width, sizing policy bounded") {
+    import graft.functions.SizedBloomFilter
+    // no-false-negatives is the property the wedge prefilter's
+    // exactness rests on — check it at a non-default width
+    for (bits <- Seq(1L << 20, 1L << 22)) {
+      val keys = (1L to 4000L).toDF("k")
+      val bloom = keys.agg(SizedBloomFilter.build(bits, xxhash64($"k")).as("bf"))
+      val misses = keys.crossJoin(broadcast(bloom))
+        .filter(!SizedBloomFilter.mightContain(bits, $"bf", xxhash64($"k")))
+        .count()
+      assert(misses == 0, s"width $bits: $misses inserted keys failed")
+      val fp = (9000001L to 9010000L).toDF("k").crossJoin(broadcast(bloom))
+        .filter(SizedBloomFilter.mightContain(bits, $"bf", xxhash64($"k")))
+        .count()
+      assert(fp < 200, s"width $bits: false-positive rate implausible: $fp/10000")
+    }
+    // sizing: ~16 bits/key, power of two, floored at 2^20, capped at 2^28
+    assert(SizedBloomFilter.bitsFor(1L) == (1L << 20))
+    assert(SizedBloomFilter.bitsFor(1200000L) == (1L << 25))
+    assert(SizedBloomFilter.bitsFor(1L << 40) == (1L << 28))
+  }
 }

@@ -556,17 +556,43 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("r14g family pins: q255 wedge reuse, q256 histogram-sized tail, q257/q258 broadcast pair spaces") {
-    // q255 local cc: the q175 contract — degree-oriented wedge join,
-    // no nested loop anywhere, and at runtime the pinned hash(a)
-    // oriented materialization must be REUSED by the wedge sides and
-    // the closing probe, not recomputed per consumer.
-    val df255 = SparkEntry.queries("q255_local_cc")(spark, sf)
-    df255.collect()
-    val p255 = df255.queryExecution.executedPlan.toString
-    assert(count(p255, "NestedLoop") == 0, p255)
-    assert(count(p255, "CartesianProduct") == 0, p255)
-    assert(p255.contains("ReusedExchange") || p255.contains("ReusedQueryStage"),
-      s"q255: oriented edge materialization recomputed per consumer\n$p255")
+    // q255 local cc: the q175 contract — degree-oriented wedge join
+    // with the r16 Bloom-prefiltered closing probe. The operator now
+    // materializes eagerly (persist + exact-count Bloom sizing), so the
+    // returned frame is a checkpoint scan and the REAL plans are only
+    // observable through an execution listener (the forced-shuffle
+    // pageRank pin's pattern): the wedge-join plan must carry the
+    // Bloom membership probe (getbit) BELOW the closing exchange, the
+    // pinned hash(a) oriented materialization must be REUSED across
+    // its consumers, and no plan may contain a cartesian product.
+    val plans255 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l255 = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        plans255.synchronized { plans255 += qe.executedPlan.toString }
+      def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l255)
+    try {
+      SparkEntry.queries("q255_local_cc")(spark, sf).collect()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def wedgePlans = plans255.synchronized {
+        plans255.filter(p => p.contains("getbit")).toList }
+      while (wedgePlans.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val wp = wedgePlans
+      assert(wp.nonEmpty,
+        s"q255: no Bloom-probed wedge plan observed among ${plans255.size}")
+      assert(wp.exists(p => p.contains("ReusedExchange") ||
+          p.contains("ReusedQueryStage")),
+        s"q255: oriented edge materialization recomputed per consumer\n${wp.head}")
+      plans255.synchronized(plans255.toList).foreach { p =>
+        assert(count(p, "CartesianProduct") == 0, p)
+      }
+    } finally spark.listenerManager.unregister(l255)
     // q256 Hill tail: everything after the degree count is
     // histogram-sized — no joins, no window, no nested loop.
     val p256 = plan("q256_degree_tail")
@@ -680,18 +706,19 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("r14k family pins: q274 adjacency reuse + no wedge fan-out, q275 histogram quantile never sorts the corpus") {
-    // q274 edge Jaccard: the pinned hash(src) adjacency materialization
-    // must be REUSED across its four consumers at runtime (degrees,
-    // sample, both intersection sides — the q255 convention), and the
-    // plan must stay plain equi-joins: no nested loop, no cartesian,
-    // no wedge fan-out.
+    // q274 edge Jaccard: the adjacency materializes ONCE as an eager
+    // layout-keeping checkpoint (the r16 rework — every consumer reads
+    // the same hash(dst) blocks instead of re-shuffling), so the plan
+    // reads checkpoint scans only (no FileScan — a consumer re-running
+    // the edge self-join would show one) and stays plain equi-joins:
+    // no nested loop, no cartesian, no wedge fan-out.
     val df274 = SparkEntry.queries("q274_edge_jaccard")(spark, sf)
     df274.collect()
     val p274 = df274.queryExecution.executedPlan.toString
     assert(count(p274, "NestedLoop") == 0, p274)
     assert(count(p274, "CartesianProduct") == 0, p274)
-    assert(p274.contains("ReusedExchange") || p274.contains("ReusedQueryStage"),
-      s"q274: adjacency materialization recomputed per consumer\n$p274")
+    assert(count(p274, "FileScan") == 0,
+      s"q274: a consumer re-ran the edge self-join\n$p274")
     assert(p274.contains("TakeOrderedAndProject"), s"q274: top-k lost\n$p274")
     // q275 perplexity filter: the global-decile machinery must keep
     // every broadcast-scalar crossJoin (totals, the 9-row rank and
