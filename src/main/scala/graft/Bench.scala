@@ -108,7 +108,7 @@ object Bench {
         .filter(col("part") % 100 === 0)
       val bfs = time {
         graft.operators.Graph.bfsHops(e, seeds, maxHops = 3,
-          broadcastState = Some(false))
+          broadcastState = Some(false), symmetric = true)
           .write.format("noop").mode("overwrite").save()
       }
       // prices the q259 shuffle fallback: label propagation with the

@@ -100,16 +100,33 @@ object Graph {
     val teleport = (1.0 - damping) / n
     // n is already measured for the teleport term, so the auto choice
     // is free: vertex state broadcasts only while it provably fits
-    val st = stateHint(broadcastState.getOrElse(n <= BroadcastVertexLimit))
+    val bcast = broadcastState.getOrElse(n <= BroadcastVertexLimit)
+    val st = stateHint(bcast)
     // the state frame carries deg alongside pr, so each pass is ONE
     // edge join + ONE vertex join — an earlier version rebuilt rank⋈deg
     // per pass, a third (tiny but job-scheduling-visible) join
     var state = deg.select(col("part"), lit(1.0 / n).as("pr"), col("deg"))
     for (i <- 1 to iterations) {
-      val contrib = cached
-        .join(st(state), col("src") === col("part"))
-        .select(col("dst"), (col("pr") / col("deg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+      // The SYMMETRIC contract makes the two join directions compute
+      // the same per-vertex mass (for every row (s,d) there is (d,s),
+      // so crediting pr(dst)/deg(dst) to src sums the identical term
+      // multiset — only the FP order differs, which the 10dp output
+      // round already absorbs). The broadcast path keeps the src join
+      // (the dst-keyed mass agg is then exchange-free on a
+      // coOrderEdges-shaped cache); the merge path joins on dst so the
+      // SMJ sorts the hash(dst) cache IN PLACE instead of re-exchanging
+      // the whole edge list by src every iteration — one edge-sized
+      // exchange per iteration (the partially-aggregated mass) instead
+      // of two.
+      val contrib =
+        if (bcast) cached
+          .join(st(state), col("src") === col("part"))
+          .select(col("dst"), (col("pr") / col("deg")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+        else cached
+          .join(st(state), col("dst") === col("part"))
+          .select(col("src"), (col("pr") / col("deg")).as("c"))
+          .groupBy(col("src").as("dst")).agg(sum(col("c")).as("mass"))
       state = deg
         .join(st(contrib), col("part") === col("dst"), "left")
         .select(col("part"),
@@ -132,7 +149,8 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame,
               maxHops: Int = 3,
-              broadcastState: Option[Boolean] = None): DataFrame = {
+              broadcastState: Option[Boolean] = None,
+              symmetric: Boolean = false): DataFrame = {
     val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // visited can only grow to the reachable vertex count, and every
     // edge ROW names at most two vertices, so visited ≤ 2·edgeRows
@@ -143,15 +161,27 @@ object Graph {
     // "rows ≤ limit/2 → visited ≤ limit" never over-ships, and a huge
     // graph conservatively takes the shuffle path. The count itself is
     // free: no shuffle, one scan of the cache being built anyway.
-    val st = stateHint(broadcastState.getOrElse(
-      cached.count() <= BroadcastVertexLimit / 2))
+    val bcast = broadcastState.getOrElse(
+      cached.count() <= BroadcastVertexLimit / 2)
+    val st = stateHint(bcast)
+    // On a caller-declared SYMMETRIC list the expansion may run along
+    // either edge direction (the neighbor set is identical). The
+    // broadcast path keeps the src join — the dst-emitting distinct is
+    // then exchange-free on a coOrderEdges-shaped (hash(dst)) cache;
+    // the merge path joins on dst instead, so the SMJ sorts the cache
+    // in place rather than re-exchanging the whole edge list by src
+    // every hop, and emits src (the per-hop distinct pays the one
+    // expansion-sized exchange either way). Directed callers keep the
+    // src→dst semantics untouched.
+    val flip = symmetric && !bcast
+    val (joinKey, emitKey) = if (flip) ("dst", "src") else ("src", "dst")
     var visited = seeds.select(col("part"), lit(0).as("hop")).distinct()
     var frontier = visited.select(col("part"))
     for (h <- 1 to maxHops) {
       val next = cached
         .join(st(frontier.withColumnRenamed("part", "f_part")),
-          col("src") === col("f_part"))
-        .select(col("dst").as("part")).distinct()
+          col(joinKey) === col("f_part"))
+        .select(col(emitKey).as("part")).distinct()
         // visited is vertex-sized but checkpoint stats under-inform the
         // planner — force the broadcast (when chosen) or this anti-join
         // sort-merges the whole adjacency expansion every hop
@@ -261,7 +291,11 @@ object Graph {
     // limit, the bfsHops bound), pin the merge path above it — the
     // hint must be explicit because each round materializes with AQE
     // runtime conversion off (see checkpointKeepLayout)
-    val stSurv = stateHint(cur.count() <= BroadcastVertexLimit / 2)
+    val bcastSurv = cur.count() <= BroadcastVertexLimit / 2
+    val stSurv = stateHint(bcastSurv)
+    // the side the current materialization is hashed on; the merge
+    // path alternates it (see the loop comment)
+    var keySide = "dst"
     // monotone-peel short-circuit: the edge set only shrinks, so an
     // unchanged count means the FIXPOINT is reached and every later
     // round is identical — replicate the converged row instead of
@@ -273,12 +307,26 @@ object Graph {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       if (!converged) {
-        val surv = cur.groupBy($"dst".as("node")).agg(count(lit(1)).as("deg"))
+        // degree counted on whichever side the blocks are hashed on
+        // (identical on the symmetric induced subgraph); the same-side
+        // semi runs first (exchange-free on the merge path), the
+        // other-side semi second — its merge exchange re-keys the
+        // frame to hash(other), which the NEXT round's degree count
+        // then satisfies: one edge-sized exchange per merge round
+        // instead of two, and none at all on the broadcast path
+        // (where the layout never changes and keySide stays put).
+        val otherSide = if (keySide == "dst") "src" else "dst"
+        val surv = cur.groupBy(col(keySide).as("node"))
+          .agg(count(lit(1)).as("deg"))
           .filter($"deg" >= k).select($"node")
         cur = checkpointKeepLayout(cur
-          .join(stSurv(surv.select($"node".as("src"))), Seq("src"), "left_semi")
-          .join(stSurv(surv.select($"node".as("dst"))), Seq("dst"), "left_semi"))
-        val row = cur.agg(countDistinct($"dst"), count(lit(1))).collect()(0)
+          .join(stSurv(surv.select($"node".as(keySide))), Seq(keySide),
+            "left_semi")
+          .join(stSurv(surv.select($"node".as(otherSide))), Seq(otherSide),
+            "left_semi"))
+        if (!bcastSurv) keySide = otherSide
+        val row = cur.agg(countDistinct(col(keySide)), count(lit(1)))
+          .collect()(0)
         val (nn, ne) = (row.getLong(0), row.getLong(1) / 2)
         if (row.getLong(1) == prevEdges) converged = true
         prevEdges = row.getLong(1)
@@ -485,14 +533,26 @@ object Graph {
     // the bfsHops/pageRank state discipline: broadcast the
     // vertex-sized label frame into the edge join while it fits the
     // vertex limit, pin the shuffle path above it (or when forced)
-    val st = stateHint(broadcastState.getOrElse(
-      lab.count() <= BroadcastVertexLimit))
+    val bcast = broadcastState.getOrElse(
+      lab.count() <= BroadcastVertexLimit)
+    val st = stateHint(bcast)
     var lastChanged = 0L
     var converged = false
     for (_ <- 1 to rounds) if (!converged) {
-      val nbrMin = e.join(st(lab.select($"node".as("src"), $"comp")),
-          Seq("src"))
-        .groupBy($"dst".as("node")).agg(min($"comp").as("mc"))
+      // the pageRank direction trick: on the SYMMETRIC contract the
+      // neighbor-min is the same aggregated over either side, so the
+      // merge path joins the labels on dst (sorting the hash(dst)
+      // blocks in place instead of re-exchanging the edge list by src
+      // every round) and aggregates by src — one edge-sized exchange
+      // per merge round instead of two; the broadcast path keeps the
+      // src join whose dst-keyed aggregation is exchange-free.
+      val nbrMin =
+        if (bcast) e.join(st(lab.select($"node".as("src"), $"comp")),
+            Seq("src"))
+          .groupBy($"dst".as("node")).agg(min($"comp").as("mc"))
+        else e.join(st(lab.select($"node".as("dst"), $"comp")),
+            Seq("dst"))
+          .groupBy($"src".as("node")).agg(min($"comp").as("mc"))
       // nbrMin is st()-hinted too: the round materializes with AQE off
       // (see checkpointKeepLayout), so the vertex-sized merge must be
       // hinted explicitly rather than left to runtime conversion; both

@@ -11,15 +11,20 @@ import org.apache.spark.sql.functions._
   * A production deployment points probes at a long-lived index
   * location maintained by its ingest pipeline; this catalog models
   * that against the round's read-only fixtures: the index for a
-  * corpus lives under the JVM temp root, keyed by the canonical
-  * corpus path plus its row count (a regenerated fixture with a
-  * different census can never serve a stale index), built on first
-  * touch and REOPENED — planes/centroids from the persisted MODEL,
-  * signatures/cells from the live published version, nothing
-  * re-derived — on every later one, across JVMs. The serving query's
-  * plan therefore contains no corpus signing and no centroid
-  * derivation; the one-time build is priced separately
-  * (x_lshidx_build / x_annidx_build).
+  * corpus lives under a PER-PROCESS temp root (deleted on JVM exit),
+  * keyed by the canonical corpus path plus its row count (a
+  * regenerated fixture with a different census can never serve a
+  * stale index), built on FIRST touch in the process and REOPENED —
+  * planes/centroids from the persisted MODEL, signatures/cells from
+  * the live published version, nothing re-derived — on every later
+  * one. Scoping the artifact to the process is deliberate: every
+  * bench/verify invocation pays the build from the parquet inputs
+  * exactly once (nothing precomputed survives a run to flatter a
+  * later one), while the amortized open→probe lifecycle the query
+  * exists to demonstrate still carries every probe after the first.
+  * The build cost is priced separately (x_lshidx_build /
+  * x_annidx_build), and the cross-restart reopen path keeps its own
+  * coverage in the LshIndex/AnnIndex restart specs.
   */
 object IndexCatalog {
 
@@ -31,6 +36,24 @@ object IndexCatalog {
   private val roots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-process artifact root, removed on exit (best-effort — the
+    * LedgerTable temp-dir convention): served indexes never outlive
+    * the invocation that built them.
+    */
+  private lazy val processRoot: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_served_idx").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    dir
+  }
+
   private def indexRoot(spark: SparkSession, sfDir: String): String = {
     val canonical = new java.io.File(sfDir).getCanonicalPath
     roots.computeIfAbsent(canonical, { _ =>
@@ -38,7 +61,7 @@ object IndexCatalog {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(canonical.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
-      s"${System.getProperty("java.io.tmpdir")}/graft_served_idx/${key}_$nRows"
+      s"$processRoot/${key}_$nRows"
     })
   }
 

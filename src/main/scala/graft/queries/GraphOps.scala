@@ -77,7 +77,10 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = e.select(col("src").as("part")).distinct()
       .filter(col("part") % 100 === 0)
-    val out = graft.operators.Graph.bfsHops(e, seeds, maxHops = 3)
+    // the co-purchase list is symmetric by construction, so the merge
+    // path may expand along either direction (see bfsHops)
+    val out = graft.operators.Graph.bfsHops(e, seeds, maxHops = 3,
+      symmetric = true)
     e.unpersist(blocking = false)
     out
   }
