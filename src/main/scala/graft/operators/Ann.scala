@@ -30,6 +30,27 @@ object Ann {
     Array.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** Spread the STREAMED side of a compute-dense broadcast pair join
+    * across the session's full parallelism. The frames this family
+    * streams (embedding tables, capped analysis slices) typically
+    * arrive as ONE parquet split — far under `maxPartitionBytes` — so
+    * the entire O(|stream| × |broadcast|) cosine space would execute
+    * in a single task while every other core idles, at ANY scale
+    * until the file outgrows the split size. One round-robin exchange
+    * of the (small) streamed side buys full-width compute; it is a
+    * no-op once the scan already carries at least the session's
+    * parallelism (production multi-split layouts), so no corpus-sized
+    * frame is ever re-shuffled just to spread. Row placement does not
+    * affect any result downstream (pair joins are aggregated or
+    * window-ranked on key columns).
+    */
+  private[graft] def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (a, b) with
     * cosine(a, b) >= threshold, via a broadcast-nested-loop self-join.
     *
@@ -44,6 +65,10 @@ object Ann {
   def cosinePairs(vectors: DataFrame, threshold: Double,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
+    // NOT spread (cf. spreadForCompute): the fused double cosine is
+    // cheap per pair and survivors are few — measured at sf0.1, the
+    // spread's extra exchange LOST (q43 warm 0.44 s → 1.88 s). Only
+    // the decimal-latticed pair spaces (q233 family) win from it.
     val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -212,6 +237,11 @@ object Ann {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    // NOT spread (cf. spreadForCompute): measured at sf0.1 the spread
+    // regressed every caller (q36 0.55 s → 2.59 s, q35 0.41 → 0.89) —
+    // the post-join per-query window then needs a pair-space exchange
+    // the single-split plan never pays, and the double cosine is too
+    // cheap for the parallelism to win it back.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val w = Window.partitionBy(col("query_id"))

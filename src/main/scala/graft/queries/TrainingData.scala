@@ -1664,7 +1664,10 @@ object TrainingData {
       .filter($"vec_id" < 1000L).select($"vec_id", $"embedding")
     val a = emb.select($"vec_id".as("p"), $"embedding".as("va"))
     val b = emb.select($"vec_id".as("o"), $"embedding".as("vb"))
-    val d = b.join(broadcast(a), $"p" =!= $"o")
+    // spread the streamed side: the capped slice arrives as ONE parquet
+    // split, which would serialize the whole pair-space cosine compute
+    // into a single task (see Ann.spreadForCompute)
+    val d = Ann.spreadForCompute(b).join(broadcast(a), $"p" =!= $"o")
       .withColumn("d9",
         decRound(lit(1.0) - Vectors.cosine($"va", $"vb"), 9)
           .cast(DecimalType(18, 9)))
@@ -1765,7 +1768,10 @@ object TrainingData {
       $"label".as("lp"))
     val b = emb.select($"vec_id".as("o"), $"embedding".as("vb"),
       $"label".as("lo"))
-    val d = b.join(broadcast(a), $"p" =!= $"o")
+    // spread the streamed side: the capped slice arrives as ONE parquet
+    // split, which would serialize the whole pair-space cosine compute
+    // into a single task (see Ann.spreadForCompute)
+    val d = Ann.spreadForCompute(b).join(broadcast(a), $"p" =!= $"o")
       .withColumn("d9",
         decRound(lit(1.0) - Vectors.cosine($"va", $"vb"), 9)
           .cast(DecimalType(18, 9)))
@@ -1943,7 +1949,10 @@ object TrainingData {
       .filter($"vec_id" < 1000L).select($"vec_id", $"label", $"embedding")
     val a = emb.select($"vec_id".as("p"), $"label", $"embedding".as("va"))
     val b = emb.select($"vec_id".as("o"), $"embedding".as("vb"))
-    val d = b.join(broadcast(a), $"p" =!= $"o")
+    // spread the streamed side: the capped slice arrives as ONE parquet
+    // split, which would serialize the whole pair-space cosine compute
+    // into a single task (see Ann.spreadForCompute)
+    val d = Ann.spreadForCompute(b).join(broadcast(a), $"p" =!= $"o")
       .withColumn("d9",
         decRound(lit(1.0) - Vectors.cosine($"va", $"vb"), 9)
           .cast(DecimalType(18, 9)))
@@ -1991,7 +2000,10 @@ object TrainingData {
       .filter($"vec_id" < 1000L).select($"vec_id", $"embedding")
     val a = emb.select($"vec_id".as("p"), $"embedding".as("va"))
     val b = emb.select($"vec_id".as("o"), $"embedding".as("vb"))
-    val d = b.join(broadcast(a), $"p" =!= $"o")
+    // spread the streamed side: the capped slice arrives as ONE parquet
+    // split, which would serialize the whole pair-space cosine compute
+    // into a single task (see Ann.spreadForCompute)
+    val d = Ann.spreadForCompute(b).join(broadcast(a), $"p" =!= $"o")
       .withColumn("d9",
         decRound(lit(1.0) - Vectors.cosine($"va", $"vb"), 9)
           .cast(DecimalType(18, 9)))

@@ -328,6 +328,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.drop(1).forall(x => (x._2, x._3) == ((4L, 6L))))
   }
 
+  test("spreadForCompute widens single-split frames and leaves wide ones alone") {
+    import spark.implicits._
+    val target = spark.sparkContext.defaultParallelism
+    // a coalesced (1-partition) frame — the single-parquet-split shape —
+    // must come back at full parallelism with the SAME rows
+    val narrow = (1 to 100).toDF("x").coalesce(1)
+    val spreadN = graft.operators.Ann.spreadForCompute(narrow)
+    assert(spreadN.rdd.getNumPartitions == target,
+      s"expected $target partitions, got ${spreadN.rdd.getNumPartitions}")
+    assert(spreadN.collect().map(_.getInt(0)).sorted.toSeq == (1 to 100))
+    // an already-wide frame must pass through WITHOUT a new exchange
+    val wide = (1 to 100).toDF("x").repartition(target + 3)
+    val spreadW = graft.operators.Ann.spreadForCompute(wide)
+    assert(spreadW.rdd.getNumPartitions == target + 3)
+    assert(spreadW.queryExecution.logical eq wide.queryExecution.logical,
+      "wide input must be returned unchanged (no extra repartition node)")
+  }
+
   test("triangleStats counts a known graph exactly") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) + pendant 4-5 (0 triangles).
