@@ -594,7 +594,8 @@ object Graph {
     * throughout. Returns (node, lbl) after the final round.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 2,
-      broadcastState: Option[Boolean] = None): DataFrame = {
+      broadcastState: Option[Boolean] = None,
+      symmetric: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -613,10 +614,21 @@ object Graph {
     // silently dropping them (their labels still live only as long as
     // they have in-edges — symmetry remains the contract for correct
     // community semantics, this seed just makes a violation loud).
-    var lab = checkpointKeepLayout(e.select($"dst".as("node"))
-      .union(e.select($"src".as("node"))).distinct()
-      .select($"node", $"node".as("lbl"))
-      .repartition(parts, $"node"))
+    // A caller that DECLARES symmetry (the bfsHops convention — q288
+    // and the scale gate pass coOrderEdges output) takes the dst-only
+    // seed, which is the identical vertex set but satisfies its
+    // distinct from the hash(dst) edge layout with NO exchange —
+    // measured at sf0.1 the union seed was 4.8 M of q288's residual
+    // 9.6 M shuffle records.
+    var lab = checkpointKeepLayout(
+      if (symmetric)
+        e.select($"dst".as("node")).distinct()
+          .select($"node", $"node".as("lbl"))
+      else
+        e.select($"dst".as("node"))
+          .union(e.select($"src".as("node"))).distinct()
+          .select($"node", $"node".as("lbl"))
+          .repartition(parts, $"node"))
     val st = stateHint(broadcastState.getOrElse(
       lab.count() <= BroadcastVertexLimit))
     for (_ <- 1 to rounds) {

@@ -561,7 +561,11 @@ object GraphOps {
     // dst-side degree count is exchange-free on these blocks
     val e = graft.operators.Graph.checkpointKeepLayout(
       edges(spark, dir).repartition(parts, $"dst"))
-    val lab = graft.operators.Graph.labelPropagation(e, rounds = 2)
+    // symmetric: coOrderEdges emits both directions by construction,
+    // so the LPA seed can come from the dst side alone (exchange-free
+    // under the hash(dst) layout — see labelPropagation's seed note)
+    val lab = graft.operators.Graph.labelPropagation(e, rounds = 2,
+      symmetric = true)
     // the label frame is vertex-sized and checkpointed: hint it with
     // the measured stateHint discipline (the census joins otherwise
     // sort-merge the edge list against it — the exchange-free inputs

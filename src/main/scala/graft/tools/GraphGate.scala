@@ -90,7 +90,8 @@ object GraphGate {
         graft.operators.Graph.coOrderEdges(
             graft.Tables.lineitem(spark, dir))
           .repartition(parts, col("dst")))
-      val lab = graft.operators.Graph.labelPropagation(e, rounds = 2)
+      val lab = graft.operators.Graph.labelPropagation(e, rounds = 2,
+        symmetric = true)
       val mdir = e.count()
       val deg = e.groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("deg"))

@@ -84,6 +84,25 @@ class GraphSpec extends SparkTestBase {
     assert(bc == sh, s"$bc vs $sh")
   }
 
+  test("labelPropagation symmetric seed ≡ union seed on a symmetric edge list; union seed still covers src-only vertices") {
+    // two triangles bridged by one edge — communities are non-trivial
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val base = operators.Graph.labelPropagation(sym, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val fast = operators.Graph.labelPropagation(sym, rounds = 2,
+      symmetric = true).as[(Long, Long)].collect().toMap
+    assert(base == fast, s"symmetric seed diverged: $base vs $fast")
+    // asymmetric caller (default path): a src-only vertex must still
+    // seed — 7 -> 1 one-way: 7 has no in-edges, keeps its own label,
+    // but must APPEAR (the r15 advice fix this flag must not undo)
+    val asym = sym.union(Seq((7L, 1L)).toDF("src", "dst"))
+    val lab = operators.Graph.labelPropagation(asym, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(lab.contains(7L), s"src-only vertex dropped: $lab")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged and treats NULL transitions as CHANGED") {
     val a = Seq((1L, Some("O"), 10.0), (2L, Some("F"), 20.0),
       (3L, Some("O"), 30.0), (4L, None: Option[String], 40.0))
