@@ -744,11 +744,21 @@ object Dedup {
     // bijection, so groups/joins are EXACTLY the md5 groups the oracle
     // computes), at half the exchange bytes per position row on the
     // dominant corpus-sized shuffle (guide §2.3: narrower keys).
-    val grams = docs
+    // spread-for-compute (the q233-family single-split fix): the doc
+    // corpus reads as ONE parquet split at bench scale, so the whole
+    // explode+md5 gram pass — the query's dominant compute — ran as a
+    // single task feeding the gram exchange while 31 cores idled.
+    // Round-robin-spreading the doc rows first costs one doc-sized
+    // exchange (~1.5 MB here vs the 39 MB gram exchange) and buys
+    // full-width gram hashing; a multi-split production corpus is
+    // left untouched (the repartition is conditional on the plan
+    // arriving UNDER the session parallelism).
+    val grams = Ann.spreadForCompute(docs
       .filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("doc_id"),
-        explode(sequence(lit(1), length(col(textCol)) - lit(k - 1)))
-          .as("pos"), col(textCol).as("__t"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("__t")) - lit(k - 1)))
+          .as("pos"), col("__t"))
       .select(col("doc_id"), col("pos"),
         unhex(md5(col("__t").substr(col("pos"), lit(k)))).as("__gh"))
       .repartition(col("__gh"))

@@ -629,8 +629,8 @@ object Graph {
           .union(e.select($"src".as("node"))).distinct()
           .select($"node", $"node".as("lbl"))
           .repartition(parts, $"node"))
-    val st = stateHint(broadcastState.getOrElse(
-      lab.count() <= BroadcastVertexLimit))
+    val bcast = broadcastState.getOrElse(lab.count() <= BroadcastVertexLimit)
+    val st = stateHint(bcast)
     for (_ <- 1 to rounds) {
       // the mode-with-tie-break is a PICK, not a ranking: max over the
       // total (cnt, −lbl) order ≡ row_number()=1 over (cnt desc, lbl
@@ -641,11 +641,32 @@ object Graph {
       // exchange + sort for the window (guide §2.4: aggregate, don't
       // rank, when only the argmax survives).
       lab = checkpointKeepLayout(
-        e.join(st(lab.select($"node".as("dst"), $"lbl")), Seq("dst"))
-          .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
-          .groupBy($"src")
-          .agg(max_by($"lbl", struct($"cnt", -$"lbl")).as("lbl"))
-          .select($"src".as("node"), $"lbl"))
+        if (symmetric && bcast)
+          // DECLARED-symmetric + broadcast labels: join the label onto
+          // the SRC endpoint and aggregate by DST. On a symmetric list
+          // {lbl(u) : (u,v) ∈ E} ≡ {lbl(u) : (v,u) ∈ E} per vertex v
+          // (equal multisets — each undirected edge appears once per
+          // direction), so the round's winners are identical — but the
+          // (dst, lbl) grouping is clustered by the hash(dst) edge
+          // layout (subset rule), so BOTH aggregation levels run with
+          // NO edge-sized exchange: the per-round full exchange of the
+          // src-side form disappears (measured: q288 9.0 M -> 3.0 M
+          // shuffle records at sf0.1 — the loop rounds now shuffle
+          // nothing). Broadcast-only: on the merge path the src-keyed
+          // label join would re-shuffle the edge list by src AND the
+          // dst aggregation would re-shuffle it back — strictly worse,
+          // so the merge path keeps the src-side form below.
+          e.join(st(lab.select($"node".as("src"), $"lbl")), Seq("src"))
+            .groupBy($"dst", $"lbl").agg(count(lit(1)).as("cnt"))
+            .groupBy($"dst")
+            .agg(max_by($"lbl", struct($"cnt", -$"lbl")).as("lbl"))
+            .select($"dst".as("node"), $"lbl")
+        else
+          e.join(st(lab.select($"node".as("dst"), $"lbl")), Seq("dst"))
+            .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
+            .groupBy($"src")
+            .agg(max_by($"lbl", struct($"cnt", -$"lbl")).as("lbl"))
+            .select($"src".as("node"), $"lbl"))
     }
     lab
   }
