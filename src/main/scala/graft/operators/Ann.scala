@@ -43,9 +43,21 @@ object Ann {
     * frame is ever re-shuffled just to spread. Row placement does not
     * affect any result downstream (pair joins are aggregated or
     * window-ranked on key columns).
+    *
+    * Cost note: the partition-count probe pays one physical planning
+    * pass (`queryExecution.toRdd`) per call — driver-side only, and the
+    * callers apply it to small scan-rooted frames where that is
+    * microseconds against the task they unblock. The target is
+    * max(defaultParallelism, shuffle partitions): under dynamic
+    * allocation `defaultParallelism` can be read before executors
+    * register (a handful), which would have made the spread a silent
+    * no-op exactly when the single-split pass would idle the cluster —
+    * the session's shuffle-partition conf is the stable floor.
     */
   private[graft] def spreadForCompute(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val target = math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     if (df.queryExecution.toRdd.getNumPartitions < target)
       df.repartition(target)
     else df

@@ -211,30 +211,57 @@ object Graph {
   private[graft] def stateHint(bcast: Boolean): DataFrame => DataFrame =
     if (bcast) broadcast(_) else _.hint("merge")
 
+  /** Per parent session: a lazily-built sibling session (same
+    * SparkContext, SharedState and cache manager) whose ONLY conf
+    * difference is AQE off — the scoped home for layout-keeping
+    * checkpoint materializations. Weak keys so test sessions don't
+    * leak; synchronized because suites create sessions concurrently.
+    */
+  private val layoutSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]
+
   /** Eager localCheckpoint that RETAINS the frame's physical layout.
     * Under AQE, `Dataset.localCheckpoint` materializes through an
     * AdaptiveSparkPlanExec and the resulting LogicalRDD records
     * UnknownPartitioning(0) — measured on this build — so every
     * downstream consumer re-shuffles data that is already laid out
-    * correctly. Disabling AQE for just the checkpoint job makes the
-    * LogicalRDD carry the true hashpartitioning, which AQE-on
-    * consumers then satisfy their ClusteredDistributions from (the
-    * iteration loops' per-round aggregations become exchange-free).
-    * The flip is driver-side, scoped to the materialization, and
-    * restored in a finally; joins inside the materialized subtree must
-    * carry explicit broadcast/merge hints since AQE's runtime
-    * conversion is off for that one job.
+    * correctly. The materialization therefore runs with AQE OFF — but
+    * scoped to a dedicated SIBLING session (`SparkSession.newSession`:
+    * same context, same cache manager, its own SQLConf) instead of
+    * flipping `spark.sql.adaptive.enabled` on the caller's session,
+    * which would silently strip AQE from any query another thread
+    * plans during the window (r16 verdict item 3). The checkpointed
+    * LogicalRDD carries the true hashpartitioning and is re-bound to
+    * the caller's session, so AQE-on consumers satisfy their
+    * ClusteredDistributions from the checkpoint blocks exactly as
+    * before; joins inside the materialized subtree must carry explicit
+    * broadcast/merge hints since AQE's runtime conversion is off for
+    * that one job. The sibling inherits the parent's session confs at
+    * first use; the partition-count conf is re-synced per call (the
+    * one conf that sizes plan nodes without explicit counts).
     */
   private[graft] def checkpointKeepLayout(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try df.localCheckpoint(eager = true)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    val aqeOff = layoutSessions.synchronized {
+      Option(layoutSessions.get(spark)).getOrElse {
+        val ns = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          try ns.conf.set(k, v)
+          catch { case _: Throwable => () } // static confs reject sets
+        }
+        ns.conf.set("spark.sql.adaptive.enabled", "false")
+        layoutSessions.put(spark, ns)
+        ns
+      }
     }
+    aqeOff.conf.set("spark.sql.shuffle.partitions",
+      spark.sessionState.conf.numShufflePartitions)
+    val ck = org.apache.spark.sql.GraftPlanBridge
+      .ofRows(aqeOff, org.apache.spark.sql.GraftPlanBridge.analyzed(df))
+      .localCheckpoint(eager = true)
+    org.apache.spark.sql.GraftPlanBridge
+      .ofRows(spark, org.apache.spark.sql.GraftPlanBridge.analyzed(ck))
   }
 
   /** Triangle census over a SYMMETRIC edge list (both directions
@@ -592,6 +619,17 @@ object Graph {
     * shuffle stateHint discipline; each round materializes via eager
     * localCheckpoint (the q125 lineage discipline). Pure integers
     * throughout. Returns (node, lbl) after the final round.
+    *
+    * `symmetric = true` is a caller DECLARATION, not a checked
+    * property: besides the dst-only seed it selects the flipped
+    * dst-aggregation rounds on the broadcast path, so a violated
+    * declaration (asymmetric edges passed with symmetric = true)
+    * yields different winners depending on whether the vertex count
+    * crosses [[BroadcastVertexLimit]] — i.e. SIZE-DEPENDENT results.
+    * Callers must only declare what [[coOrderEdges]]-shaped
+    * construction guarantees; the scale gate's invariants
+    * (GraphGate) cross-check the declared path against the union-seed
+    * default on every fixture.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 2,
       broadcastState: Option[Boolean] = None,

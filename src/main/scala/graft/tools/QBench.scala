@@ -75,9 +75,31 @@ object QBench {
       .format("noop").mode("overwrite").save()
     planDir.foreach(d =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    // forced bench entries (Bench.scala's x_* diagnostics) that are not
+    // SparkEntry queries but need the same per-query listener profile
+    // during optimization work — kept in lockstep with Bench.scala
+    val forcedQueries: Map[String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+      import org.apache.spark.sql.functions._
+      Map(
+        "x_namelink_winnow" -> ((s: SparkSession, d: String) =>
+          graft.operators.EditDistance.jwPairsWinnow(
+            s.read.parquet(s"$d/part.parquet"), "p_partkey", "p_name")),
+        "x_namelink_winnow_blocked" -> ((s: SparkSession, d: String) =>
+          graft.operators.EditDistance.jwPairsWinnowBlocked(
+            s.read.parquet(s"$d/part.parquet")
+              .select(col("p_partkey"), col("p_name"), col("p_brand"),
+                split(col("p_name"), " ").getItem(0).as("tok")),
+            "p_partkey", "p_name", Seq("p_brand", "tok"))),
+        "x_namematch_segment" -> ((s: SparkSession, d: String) =>
+          graft.operators.EditDistance.pairs(
+            s.read.parquet(s"$d/part.parquet"), "p_partkey", "p_name",
+            "p_brand", maxDist = 3, segment = Some(true))))
+    }
     val rows = names.map { name =>
-      val fn = graft.SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query $name"))
+      val fn = forcedQueries.getOrElse(name,
+        graft.SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query $name")))
       planDir.foreach { d =>
         execPlans.synchronized(execPlans.clear())
         capture = true

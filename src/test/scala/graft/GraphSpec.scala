@@ -160,4 +160,30 @@ class GraphSpec extends SparkTestBase {
     assert(row.getAs[Long]("n_components") > 1L, row)
     assert(row.getAs[Long]("n_changed_last") > 0L, row)
   }
+
+  test("checkpointKeepLayout keeps hashpartitioning without mutating the caller session's AQE conf") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    assert(spark.conf.get(aqeKey) == "true",
+      "precondition: test session runs with AQE on")
+    val src = spark.range(0, 10000)
+      .select(($"id" % 97).as("k"), $"id".as("v"))
+      .repartition(8, $"k")
+    val ck = operators.Graph.checkpointKeepLayout(src)
+    // the caller session's conf must be untouched (no session-global
+    // flip a concurrently-planned query could observe)
+    assert(spark.conf.get(aqeKey) == "true",
+      "checkpointKeepLayout leaked an AQE conf mutation")
+    assert(ck.sparkSession eq spark,
+      "checkpoint must re-bind to the caller's session")
+    // rows identical
+    assert(ck.count() == 10000L)
+    assert(ck.exceptAll(src).count() == 0 && src.exceptAll(ck).count() == 0)
+    // the layout survived: a k-keyed aggregation over the checkpoint
+    // plans with NO shuffle exchange (the whole point of the operator)
+    val agg = ck.groupBy($"k").agg(count(lit(1)))
+    agg.write.format("noop").mode("overwrite").save()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"consumer re-shuffled a kept layout:\n$plan")
+  }
 }
