@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bounded-edit-distance self-join (all pairs with lev <= k within a
@@ -476,7 +477,17 @@ object EditDistance {
     val blks = blockCols.map(col)
     val names = df.select(col(keyCol).as("__key") +:
       col(nameCol).as("__name") +: blks: _*)
-    val fp = names.select(col("__key") +: col("__name") +:
+    // NARROW fingerprint rows: (key, len, fp[, blocks]) only. The name
+    // string used to ride along — and a Distinct cannot be
+    // column-pruned, so every exploded fingerprint row shipped its
+    // full name through the distinct exchange and every downstream
+    // join, only for the candidate projection to discard it (names
+    // re-attach by key after the pair dedup). key → (name, len) is
+    // functional, so the distinct sets are in bijection and the df
+    // counts, windows and candidates are identical; the 4-byte length
+    // rides along to power the emission-time JW length guard.
+    val fp = names.select(col("__key") +:
+        length(col("__name")).as("__len") +:
         explode(graft.functions.TextExpressions
           .winnowFp(col("__name"), k, window)).as("__fp") +: blks: _*)
       .distinct()
@@ -500,8 +511,8 @@ object EditDistance {
       .groupBy(col("__key"))
       .agg(graft.functions.TopK.topK(-col("__df"), col("__fp"),
           WinnowPrefixR).as("__top"),
-        first(col("__name")).as("__name"))
-      .select(col("__key"), col("__name"),
+        first(col("__len")).as("__len"))
+      .select(col("__key"), col("__len"),
         explode(col("__top")("_2")).as("__fp"))
   }
 
@@ -587,23 +598,50 @@ object EditDistance {
         val pkept = pgrp
           .filter(col("__pdf").between(2L, prefixMaxDf.toLong))
           .select(col("__fp"))
-        windowed.select(col("__fp"), col("__key"), col("__name"))
+        windowed.select(col("__fp"), col("__key"), col("__len"))
           .unionByName(prefix.join(pkept, Seq("__fp"))
-            .select(col("__fp"), col("__key"), col("__name")))
+            .select(col("__fp"), col("__key"), col("__len")))
       }
+    // Dedup at EMISSION time, not with a post-join distinct (r17): the
+    // distinct shuffled every candidate EMISSION — a pair sharing m
+    // fingerprints crossed the wire m times (measured at sf0.1: 18.5 M
+    // emission rows / 147 MB through the dedup exchange for ~6 M unique
+    // pairs). Instead each row learns its key's full fingerprint set
+    // (one vertex-sized window exchange) and a pair is emitted ONLY
+    // from the minimum shared fingerprint — exactly once, no exchange
+    // at all on the pair stream. Two row-local prunes run before the
+    // intersect: key order and the JW length guard (necessary for
+    // jw ≥ t, see [[jwLengthGuard]] — lengths ride the narrow
+    // fingerprint rows), so guard-failing pairs never pay the
+    // intersect or reach the attach joins. The emitted pair SET is
+    // identical to the distinct plan's: min-shared-fp picks one
+    // emission per pair, and the guard only removes pairs the
+    // post-attach guard discarded anyway (spec-pinned equality vs the
+    // exact tier).
+    // The pair stream no longer passes through any exchange after the
+    // join (the dedup distinct is gone and the name attach broadcasts),
+    // so the join input MUST be spread with a PINNED partition count —
+    // its few-MB inputs otherwise AQE-coalesce to one partition and the
+    // whole expansion + intersect + JW rerank serializes into a single
+    // task (measured: wall 26.0 s ≈ CPU 24.6 s on one core; the
+    // blockedPairs small-input/huge-output trap).
+    val spread = df.sparkSession.sessionState.conf.numShufflePartitions
+    val wKey = Window.partitionBy(col("__key"))
+    val f3 = f2.withColumn("__fps",
+        sort_array(collect_set(col("__fp")).over(wKey)))
+      .repartition(spread, col("__fp"))
     val cond = ("__fp" +: blockCols)
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.__key") < col("b.__key")
-    // Dedup NARROW 16-byte key pairs, then re-attach names by key for
-    // the JW rerank — the same discipline as the Levenshtein tier's
-    // candidate dedup: distincting wide rows that carry both name
-    // strings shuffles the strings once per candidate EMISSION (a pair
-    // sharing f fingerprints ships its names f times), the narrow
-    // dedup ships them once per surviving PAIR. Broadcast the name
-    // table while it fits an executor, shuffle-join beyond.
-    val cand = f2.as("a").join(f2.as("b"), cond)
+    val rGuard = 5.0 * threshold - 4.0
+    val lenGuard =
+      if (rGuard <= 0.0) lit(true)
+      else least(col("a.__len"), col("b.__len")).cast("double") >=
+        lit(rGuard) * greatest(col("a.__len"), col("b.__len")).cast("double")
+    val cand = f3.as("a").join(f3.as("b"), cond)
+      .filter(lenGuard && col("a.__fp") === array_min(
+        array_intersect(col("a.__fps"), col("b.__fps"))))
       .select(col("a.__key").as("key_a"), col("b.__key").as("key_b"))
-      .distinct()
     val names = df.select(col(keyCol).as("__key"), col(nameCol).as("__name"))
     val attach: DataFrame => DataFrame =
       if (names.queryExecution.optimizedPlan.stats.sizeInBytes
