@@ -246,9 +246,14 @@ object Extended {
     import spark.implicits._
     // hotThreshold is exercised by the synthetic-skew spec; TPC-H
     // orderkeys max out at 7 lineitems, so here the hot set is empty
-    // and the plan is certified to degenerate to the plain join
+    // and the plan is certified to degenerate to the plain join.
+    // The fact side is spread first (discovery-4, r16): at bench scale
+    // lineitem reads as one parquet split, and with the dim broadcast
+    // the whole probe + decimal rollup chain ran in that single task
+    // (r17 QBench: wall 1.45 s ≈ CPU 1.1 s); no-op on multi-split
+    // production layouts.
     graft.operators.Skew.saltedJoin(
-        Tables.lineitem(spark, dir),
+        graft.operators.Ann.spreadForCompute(Tables.lineitem(spark, dir)),
         Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority"),
         factKey = "l_orderkey", dimKey = "o_orderkey",
         saltSource = xxhash64($"l_linenumber", $"l_orderkey"))
@@ -1118,8 +1123,13 @@ object Extended {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter($"vec_id" < 10)
+    // truth is ≤ 30 rows but each of the four sweep points joins it —
+    // without the eager cut every point re-ran the full brute-force
+    // corpus pass (4× the query's dominant compute; the q142/q149
+    // single-materialization discipline, r17)
     val truth = Ann.bruteForceTopK(qs, emb, k = 3)
       .select($"query_id", $"neighbor_id")
+      .localCheckpoint(true)
     def hitsOf(found: DataFrame): (Long, Long) = {
       val f = found.select($"query_id", $"neighbor_id")
         .withColumn("__hit", lit(1))
@@ -1228,8 +1238,12 @@ object Extended {
     def withProj(df: DataFrame, k: Int): DataFrame = jlProject(df, k)
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter($"vec_id" < 10)
+    // ≤ 30 rows, but consumed by the count plus two joins per sweep
+    // point — the eager cut stops the brute-force corpus pass re-running
+    // seven times (the q281 discipline, r17)
     val truth = Ann.bruteForceTopK(qs, emb, k = 3)
       .select($"query_id", $"neighbor_id", $"cos_sim")
+      .localCheckpoint(true)
     val truthN = truth.count()
     val sweep = Seq((8, 0.50), (16, 0.35), (32, 0.25))
     val pts = sweep.map { case (k, distCap) =>

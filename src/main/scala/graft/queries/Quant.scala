@@ -987,17 +987,26 @@ object Quant {
       .select($"user_id", $"idx",
         graft.functions.Num.decRound($"ret", 12)
           .cast(DecimalType(18, 12)).as("r12"))
-    val ks = Seq(1, 2, 4, 8)
-    val bucketed = ks.map { k =>
-      rets.groupBy($"user_id", lit(k).as("k"),
-          ($"idx" / lit(k.toLong)).cast("long").as("bucket"))
-        // s re-narrows to (18,12) — values are tiny and a (28,12)²
-        // product would blow the 38-digit cap and silently round
-        // (Spark) or error (DuckDB); at (18,12) the square is exact
-        .agg(sum($"r12").cast(DecimalType(18, 12)).as("s"),
-          count(lit(1)).as("cnt"))
-        .filter($"cnt" === k.toLong)
-    }.reduce(_.unionByName(_))
+    // ONE window pass, not four: the per-k branches used to arrive as a
+    // 4-way union whose branches shared the tape exchange via
+    // ReusedExchange but re-ran the sort + lag/row_number WINDOW once
+    // per branch (r17 QBench: 4 identical window stages). Exploding the
+    // scale literal instead multiplies only the (user, idx, r12) rows
+    // row-locally — the same rows reach the same (user, k, bucket)
+    // groups, the aggregation stays clustered by the window's hash
+    // (user_id) exchange, and sums of identical decimals are exact —
+    // so the output is bit-identical (oracle re-verified; the DuckDB
+    // mirror has always used this CROSS JOIN unnest([1,2,4,8]) shape).
+    val bucketed = rets
+      .select($"user_id", $"idx", $"r12",
+        explode(typedLit(Seq(1L, 2L, 4L, 8L))).as("k"))
+      .groupBy($"user_id", $"k", ($"idx" / $"k").cast("long").as("bucket"))
+      // s re-narrows to (18,12) — values are tiny and a (28,12)²
+      // product would blow the 38-digit cap and silently round
+      // (Spark) or error (DuckDB); at (18,12) the square is exact
+      .agg(sum($"r12").cast(DecimalType(18, 12)).as("s"),
+        count(lit(1)).as("cnt"))
+      .filter($"cnt" === $"k")
     val vark = bucketed.groupBy($"user_id", $"k")
       .agg(count(lit(1)).as("n"),
         sum($"s").as("ss"), sum($"s" * $"s").as("ss2"))

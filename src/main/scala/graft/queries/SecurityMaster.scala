@@ -1374,14 +1374,20 @@ object SecurityMaster {
     import org.apache.spark.sql.types.DecimalType
     val wDay = Window.partitionBy($"user_id", $"day")
       .orderBy($"ts".desc, $"event_id".desc)
-    val closes = Tables.events(spark, dir)
+    // eager cut (the q142/q149 single-materialization discipline, r17):
+    // closes feeds THREE consumers (universe, member join, oldBar) and
+    // each re-ran the full tape sort + close-pick window above the
+    // reused exchange (QBench: wall 1.92 s / CPU 2.4 s); the frame is
+    // instruments × days — tiny
+    val closes = (Tables.events(spark, dir)
       .filter($"value" > 0.0)
       .select($"user_id", date_trunc("day", $"ts").as("day"),
         $"ts", $"event_id", $"value")
       .withColumn("rn", row_number().over(wDay))
       .filter($"rn" === 1)
       .select($"user_id", $"day", date_trunc("week", $"day").as("wk"),
-        decRound($"value", 6).cast(DecimalType(18, 6)).as("px"))
+        decRound($"value", 6).cast(DecimalType(18, 6)).as("px")))
+      .localCheckpoint(true)
     val wRank = Window.partitionBy($"wk").orderBy($"n".desc, $"user_id".asc)
     val universe = closes.groupBy($"wk", $"user_id")
       .agg(count(lit(1)).as("n"))
@@ -1389,10 +1395,12 @@ object SecurityMaster {
       .filter($"rk" <= 20)
       .select($"wk", $"user_id")
     val member = closes.join(universe, Seq("wk", "user_id"))
+    // weeks × days rows; three consumers (firstDay, newBar, final join)
     val daily = member.groupBy($"wk", $"day")
       .agg(count(lit(1)).as("n_members"),
         (sum($"px").cast("double") / count(lit(1)).cast("double"))
           .as("rbar"))
+      .localCheckpoint(true)
     // changeover day = the week's first trading day; the OLD universe's
     // mean on that same day prices the continuity ratio
     val firstDay = daily.groupBy($"wk").agg(min($"day").as("d0"))

@@ -699,8 +699,15 @@ object TextOps {
     // MEASURED against the unpinned plan (the q175 suspicion) and
     // lost — the doc_id window exchange already anchors reuse and the
     // extra corpus-wide repartition costs more than the tokenize it
-    // saves (1.4s vs 1.9s median warm at sf0.1) — so no pin here
-    val bi = docBigrams(Tables.documents(spark, dir))
+    // saves (1.4s vs 1.9s median warm at sf0.1) — so no pin here.
+    // The doc scan is spread first (discovery-4, r16): documents.parquet
+    // arrives as ONE split at bench scale, so the tokenize+posexplode
+    // below it ran as a single task feeding the doc_id window exchange
+    // (r17 QBench: warm 1.46 s ≈ the serial tokenize). One doc-sized
+    // round-robin exchange buys full-width tokenization; no-op on
+    // multi-split production corpora.
+    val bi = docBigrams(graft.operators.Ann.spreadForCompute(
+      Tables.documents(spark, dir)))
     val uniCnt = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val biCnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val vocab = bi.select($"w2").union(bi.select($"w1")).distinct()
@@ -898,7 +905,12 @@ object TextOps {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.documents(spark, dir)
-    val grams = docs.select($"doc_id", $"source",
+    // spread the single-split doc scan before the shingle explode
+    // (discovery-4, r16): the whole shingling pass otherwise runs as
+    // one task under the (source, gram) window exchange — no-op on
+    // multi-split production corpora
+    val grams = graft.operators.Ann.spreadForCompute(docs)
+      .select($"doc_id", $"source",
         graft.functions.TextExpressions.shingleSet($"text", 2).as("g"))
       .select($"doc_id", $"source", size($"g").as("n_g"),
         explode($"g").as("gram"))
